@@ -1,13 +1,97 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Analog, Curate, Oracle, Present}
+import graft.io.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator family from SURVEY.md §2
+  * re-expressed Spark-first over the harness testdata; [[oracleSql]]
+  * holds the DuckDB twin used by the driver's correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full curate→present pipeline on sf0.001; driver
+    * smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Present.monthlyRepeatRate(Analog.curated(spark, "/root/testdata/sf0.001"))
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    // —— parity surface (SURVEY §2.1–§2.6) ——————————————————————————
+    // P1: full-row dedup.
+    "q01_dedup_rows" -> ((s, dir) =>
+      Curate.dedup(Tables.orders(s, dir)).orderBy("o_orderkey")),
+    // P2: typed projection with explicit casts.
+    "q02_typed_projection" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey").cast("bigint").as("part_id"),
+        col("p_name").cast("string").as("title"),
+        col("p_size").cast("int").as("size"),
+        col("p_retailprice").cast("double").as("price"))
+        .orderBy("part_id")),
+    // P4: dd/MM/yyyy string round-trip parse.
+    "q03_date_roundtrip" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey").as("booking_id"),
+        to_date(date_format(col("o_orderdate"), Curate.RawDateFormat),
+          Curate.RawDateFormat).as("booking_date"))
+        .orderBy("booking_id")),
+    // J1 + P5 + S6: broadcast currency-dim join + price conversion.
+    "q04_currency_convert" -> ((s, dir) =>
+      Analog.apartmentsConverted(s, dir).select(
+        col("id"), col("title"), col("apt_currency").as("currency"),
+        col("price"), col("price_usd"))
+        .orderBy("id")),
+    // J2+J3+J4 + P1-P7: the full curated wide table.
+    "q05_curated_table" -> ((s, dir) =>
+      Analog.curated(s, dir).orderBy("booking_id")),
+    // A1: weekly average listing price.
+    "q06_weekly_avg_price" -> ((s, dir) =>
+      Present.weeklyAvgListingPrice(Analog.apartmentsConverted(s, dir))),
+    // A2: monthly occupancy rate.
+    "q07_monthly_occupancy" -> ((s, dir) =>
+      Present.monthlyOccupancy(Analog.curated(s, dir))),
+    // A3: weekly popular cities.
+    "q08_popular_cities" -> ((s, dir) =>
+      Present.weeklyPopularCities(Analog.curated(s, dir))),
+    // A4: weekly top-revenue listings.
+    "q09_top_listings" -> ((s, dir) =>
+      Present.weeklyTopListings(Analog.curated(s, dir))),
+    // A5: bookings per user.
+    "q10_bookings_per_user" -> ((s, dir) =>
+      Present.bookingsPerUser(Analog.curated(s, dir))),
+    // A6: monthly average booking duration.
+    "q11_avg_duration" -> ((s, dir) =>
+      Present.monthlyAvgDuration(Analog.curated(s, dir))),
+    // A7 + W1 + P10 + O3: monthly repeat-customer rate (LAG chain).
+    "q12_repeat_rate" -> ((s, dir) =>
+      Present.monthlyRepeatRate(Analog.curated(s, dir))),
+    // user_viewing/events engagement (SURVEY §2.10.1).
+    "q13_weekly_engagement" -> ((s, dir) =>
+      Present.weeklyEngagement(Tables.events(s, dir)))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_dedup_rows"        -> Oracle.dedupOrders,
+    "q02_typed_projection"  -> Oracle.typedProjection,
+    "q03_date_roundtrip"    -> Oracle.dateRoundtrip,
+    "q04_currency_convert"  -> Oracle.currencyConvert,
+    "q05_curated_table"     -> Oracle.curatedTable,
+    "q06_weekly_avg_price"  -> Oracle.weeklyAvgListingPrice,
+    "q07_monthly_occupancy" -> Oracle.monthlyOccupancy,
+    "q08_popular_cities"    -> Oracle.weeklyPopularCities,
+    "q09_top_listings"      -> Oracle.weeklyTopListings,
+    "q10_bookings_per_user" -> Oracle.bookingsPerUser,
+    "q11_avg_duration"      -> Oracle.monthlyAvgDuration,
+    "q12_repeat_rate"       -> Oracle.monthlyRepeatRate,
+    "q13_weekly_engagement" -> Oracle.weeklyEngagement
+  )
 }

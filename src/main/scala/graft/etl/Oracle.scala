@@ -1,0 +1,190 @@
+package graft.etl
+
+/** DuckDB oracle SQL for every parity query (driver contract — see
+  * `SparkEntry.oracleSql`). Each statement reproduces the analog
+  * mapping (graft.etl.Analog) + pipeline semantics in ANSI-ish SQL
+  * runnable by DuckDB 1.x over the same parquet tables.
+  *
+  * Engine-portability rules (SURVEY §7.4):
+  *  - `money(x)` = floor(x*100+0.5)/100 — bit-exact on both engines
+  *    (never `round()` on doubles);
+  *  - double sums go through DECIMAL(18,2) (exact, order-independent);
+  *  - DuckDB `datediff('day', start, end)` ≡ Spark
+  *    `datediff(end, start)`;
+  *  - `date_trunc` is cast to DATE on both sides;
+  *  - every query ends in a total ORDER BY over a unique key.
+  */
+object Oracle {
+
+  /** floor(x*100+0.5)/100 rendered in SQL. */
+  def money(e: String): String = s"(floor(($e) * 100.0 + 0.5) / 100.0)"
+
+  /** Exact order-independent sum of a 2-decimal double. */
+  def decSum(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Shared CTE prefix: rates dim + raw analogs + curated wide table —
+    * mirrors Analog.bookingsRaw/apartmentsRaw/attributesRaw and
+    * Curate.curate step for step. */
+  val curatedCte: String = s"""
+WITH rates(currency, usd_rate) AS (
+  VALUES ('USD', 1.0), ('EUR', 1.1), ('INR', 0.012)),
+bk AS (
+  SELECT DISTINCT
+    o_orderkey AS booking_id,
+    o_custkey AS user_id,
+    o_orderkey % 2100 AS apartment_id,
+    CAST(o_orderdate AS DATE) AS booking_date,
+    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 3 AS INT) AS checkin_date,
+    CAST(o_orderdate AS DATE)
+      + CAST(o_orderkey % 3 + o_orderkey % 7 + 1 AS INT) AS checkout_date,
+    o_totalprice AS total_price,
+    CASE WHEN o_custkey % 97 = 0 THEN 'GBP'
+         WHEN o_custkey % 3 = 0 THEN 'USD'
+         WHEN o_custkey % 3 = 1 THEN 'EUR'
+         ELSE 'INR' END AS currency,
+    CASE WHEN o_orderstatus = 'F' THEN 'confirmed'
+         WHEN o_orderstatus = 'O' THEN 'pending'
+         ELSE 'canceled' END AS booking_status
+  FROM orders),
+apt AS (
+  SELECT DISTINCT
+    p_partkey AS id,
+    p_name AS title,
+    p_brand AS source,
+    p_retailprice AS price,
+    CASE WHEN p_partkey % 3 = 0 THEN 'USD'
+         WHEN p_partkey % 3 = 1 THEN 'EUR'
+         ELSE 'INR' END AS apt_currency,
+    DATE '1995-01-01' + CAST(p_partkey % 1000 AS INT) AS listing_created_on,
+    p_size % 2 = 0 AS is_active
+  FROM part),
+attr AS (
+  SELECT DISTINCT
+    p_partkey AS id,
+    p_type AS category,
+    p_size % 4 AS bathrooms,
+    p_size % 5 AS bedrooms,
+    p_size * 100 AS square_feet,
+    n_name AS cityname
+  FROM part JOIN nation ON p_partkey % 25 = n_nationkey
+  WHERE p_partkey % 10 <> 0),
+aptc AS (
+  SELECT a.*, ${money("a.price * r.usd_rate")} AS price_usd
+  FROM apt a LEFT JOIN rates r ON a.apt_currency = r.currency),
+curated AS (
+  SELECT
+    b.booking_id, b.user_id, b.apartment_id, b.booking_date,
+    b.checkin_date, b.checkout_date, b.booking_status, b.total_price,
+    ${money("b.total_price * r.usd_rate")} AS total_price_usd,
+    b.currency,
+    a.price, a.price_usd, a.title, a.source, a.is_active,
+    a.listing_created_on,
+    t.category, t.bedrooms, t.bathrooms, t.square_feet, t.cityname
+  FROM bk b
+  LEFT JOIN aptc a ON b.apartment_id = a.id
+  LEFT JOIN attr t ON a.id = t.id
+  LEFT JOIN rates r ON b.currency = r.currency)
+"""
+
+  val dedupOrders: String = """
+SELECT DISTINCT * FROM orders ORDER BY o_orderkey"""
+
+  val typedProjection: String = """
+SELECT CAST(p_partkey AS BIGINT) AS part_id,
+       CAST(p_name AS VARCHAR) AS title,
+       CAST(p_size AS INT) AS size,
+       CAST(p_retailprice AS DOUBLE) AS price
+FROM part ORDER BY part_id"""
+
+  val dateRoundtrip: String = """
+SELECT o_orderkey AS booking_id,
+       CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE)
+         AS booking_date
+FROM orders ORDER BY booking_id"""
+
+  val currencyConvert: String = s"""$curatedCte
+SELECT id, title, apt_currency AS currency, price, price_usd
+FROM aptc ORDER BY id"""
+
+  val curatedTable: String = s"""$curatedCte
+SELECT * FROM curated ORDER BY booking_id"""
+
+  val weeklyAvgListingPrice: String = s"""$curatedCte
+SELECT CAST(date_trunc('week', listing_created_on) AS DATE) AS week_start,
+       ${money(s"${decSum("price_usd")} / count(price_usd)")} AS avg_price_usd
+FROM aptc GROUP BY 1 ORDER BY week_start"""
+
+  val monthlyOccupancy: String = s"""$curatedCte
+SELECT CAST(date_trunc('month', checkin_date) AS DATE) AS month_start,
+       count(*) AS total_bookings,
+       sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT))
+         AS booked_nights,
+       ${money("""sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT)) * 100.0
+         / (count(DISTINCT apartment_id)
+            * day(last_day(CAST(date_trunc('month', checkin_date) AS DATE))))""")}
+         AS occupancy_rate
+FROM curated WHERE booking_status = 'confirmed'
+GROUP BY 1 ORDER BY month_start"""
+
+  val weeklyPopularCities: String = s"""$curatedCte
+SELECT CAST(date_trunc('week', booking_date) AS DATE) AS week_start,
+       cityname,
+       count(*) AS total_bookings
+FROM curated
+WHERE booking_status = 'confirmed' AND cityname IS NOT NULL
+GROUP BY 1, 2 ORDER BY week_start, total_bookings DESC, cityname"""
+
+  val weeklyTopListings: String = s"""$curatedCte
+SELECT CAST(date_trunc('week', booking_date) AS DATE) AS week_start,
+       apartment_id,
+       ${decSum("total_price_usd")} AS weekly_revenue
+FROM curated
+WHERE booking_status = 'confirmed' AND total_price_usd IS NOT NULL
+GROUP BY 1, 2 ORDER BY week_start, weekly_revenue DESC, apartment_id"""
+
+  val bookingsPerUser: String = s"""$curatedCte
+SELECT user_id, count(*) AS total_bookings
+FROM curated WHERE booking_status = 'confirmed'
+GROUP BY 1 ORDER BY user_id"""
+
+  val monthlyAvgDuration: String = s"""$curatedCte
+SELECT CAST(date_trunc('month', booking_date) AS DATE) AS month_start,
+       ${money("""CAST(sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT)) AS DOUBLE)
+         / count(*)""")} AS avg_duration_days
+FROM curated WHERE booking_status = 'confirmed'
+GROUP BY 1 ORDER BY month_start"""
+
+  val monthlyRepeatRate: String = s"""$curatedCte,
+ub AS (
+  SELECT user_id, booking_id, booking_date FROM curated
+  WHERE booking_status = 'confirmed'),
+lagged AS (
+  SELECT user_id, booking_date,
+         lag(booking_date) OVER (
+           PARTITION BY user_id ORDER BY booking_date, booking_id)
+           AS prev_date
+  FROM ub),
+flags AS (
+  SELECT user_id,
+         CAST(date_trunc('month', booking_date) AS DATE) AS month_start,
+         CASE WHEN prev_date IS NOT NULL
+                   AND datediff('day', prev_date, booking_date) <= 30
+              THEN 1 ELSE 0 END AS is_repeat
+  FROM lagged)
+SELECT month_start,
+       count(DISTINCT CASE WHEN is_repeat = 1 THEN user_id END)
+         AS repeat_customers,
+       count(DISTINCT user_id) AS total_customers,
+       ${money("""count(DISTINCT CASE WHEN is_repeat = 1 THEN user_id END) * 100.0
+         / count(DISTINCT user_id)""")} AS repeat_rate_pct
+FROM flags GROUP BY 1 ORDER BY month_start"""
+
+  val weeklyEngagement: String = """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY week_start, event_type"""
+}
