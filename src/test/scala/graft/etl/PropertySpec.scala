@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based invariants (SURVEY §5.3). Uses raw ScalaCheck Gen
+  * with fixed seeds (no scalatestplus bridge in the offline cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("money() output has at most 2 decimals and is within 0.01") {
+    val xs = sample(Gen.listOfN(200, Gen.chooseNum(0.0, 1e6)), 1L)
+    val out = xs.toDF("x").select(Curate.money($"x").as("m"), $"x")
+      .collect()
+    out.foreach { r =>
+      val m = r.getDouble(0); val x = r.getDouble(1)
+      assert(math.abs(m * 100 - math.rint(m * 100)) < 1e-6,
+        s"$m not a 2dp value")
+      assert(math.abs(m - x) <= 0.005 + 1e-9, s"money($x) = $m drifted")
+    }
+  }
+
+  test("dedup is idempotent and bounded by input size") {
+    val data = sample(Gen.listOfN(100,
+      Gen.zip(Gen.chooseNum(1, 10), Gen.oneOf("a", "b"))), 2L)
+    val df = data.toDF("k", "v")
+    val once = Curate.dedup(df)
+    assert(once.count() == Curate.dedup(once).count())
+    assert(once.count() <= df.count())
+  }
+
+  test("repeat-rate is within [0, 100] for random booking sets") {
+    val gen = Gen.listOfN(60, Gen.zip(
+      Gen.chooseNum(1L, 5L),                  // user
+      Gen.chooseNum(0, 365)))                 // day offset
+    (1L to 3L).foreach { seed =>
+      val rows = sample(gen, seed)
+      val df = rows.zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong, u, 100L, java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(d)), "confirmed")
+      }.toDF("booking_id", "user_id", "apartment_id", "booking_date",
+        "booking_status")
+        .withColumn("checkin_date", $"booking_date")
+        .withColumn("checkout_date", $"booking_date")
+      Present.monthlyRepeatRate(df).collect().foreach { r =>
+        val pct = r.getDouble(3)
+        assert(pct >= 0.0 && pct <= 100.0)
+        assert(r.getLong(1) <= r.getLong(2))
+      }
+    }
+  }
+}
