@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
+import graft.ops.{Dedup, Multimodal, Sessions, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,7 +75,59 @@ object SparkEntry {
       Present.monthlyRepeatRate(Analog.curated(s, dir))),
     // user_viewing/events engagement (SURVEY §2.10.1).
     "q13_weekly_engagement" -> ((s, dir) =>
-      Present.weeklyEngagement(Tables.events(s, dir)))
+      Present.weeklyEngagement(Tables.events(s, dir))),
+
+    // —— training-data pipeline extensions ————————————————————————
+    // Exact dedup by content hash.
+    "q20_exact_dedup" -> ((s, dir) =>
+      Dedup.exactByHash(Tables.documents(s, dir))),
+    // Token counting.
+    "q21_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(Tables.documents(s, dir))),
+    // Quality scoring (stopword ratio, word lengths).
+    "q22_quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(Tables.documents(s, dir))),
+    // Per-language corpus stats.
+    "q23_lang_stats" -> ((s, dir) =>
+      TextOps.langStats(Tables.documents(s, dir))),
+    // Language-ID heuristic (no SQL oracle — rows-only check).
+    "q24_lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir))),
+    // MinHash+LSH near-dup dedup (no SQL oracle — rows-only check).
+    "q25_minhash_dedup" -> ((s, dir) =>
+      Dedup.minHashDedup(Tables.documents(s, dir))),
+    // SimHash signatures (no SQL oracle — rows-only check).
+    "q26_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+    // Exact n-gram Jaccard top pairs — brute-force O(N²) baseline,
+    // bounded to a deterministic 1000-doc sample (the unbounded scale
+    // path is q25's MinHash-LSH); the oracle applies the same bound.
+    "q27_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardTopPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000), 100)),
+    // Brute-force cosine top-k ANN baseline.
+    "q28_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), 5)
+    }),
+    // Winnowing fingerprints (no SQL oracle — rows-only check).
+    "q29_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir))),
+    // Multimodal binary-column metadata extraction.
+    "q30_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMetaColumnar(
+        Multimodal.asBinaryAssets(Tables.documents(s, dir)))),
+    // Gap-based sessionization (batch twin of the streaming op).
+    "q31_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(Tables.events(s, dir))),
+    // LSH-bucketed approximate ANN (no SQL oracle — rows-only check).
+    "q32_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), 5,
+        numPlanes = 8, tables = 4)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,6 +145,14 @@ object SparkEntry {
     "q10_bookings_per_user" -> Oracle.bookingsPerUser,
     "q11_avg_duration"      -> Oracle.monthlyAvgDuration,
     "q12_repeat_rate"       -> Oracle.monthlyRepeatRate,
-    "q13_weekly_engagement" -> Oracle.weeklyEngagement
+    "q13_weekly_engagement" -> Oracle.weeklyEngagement,
+    "q20_exact_dedup"       -> Oracle.exactDedupDocs,
+    "q21_token_stats"       -> Oracle.tokenStats,
+    "q22_quality_score"     -> Oracle.qualityScore,
+    "q23_lang_stats"        -> Oracle.langStats,
+    "q27_jaccard_pairs"     -> Oracle.jaccardTopPairs,
+    "q28_cosine_topk"       -> Oracle.cosineTopK,
+    "q30_multimodal_meta"   -> Oracle.multimodalMeta,
+    "q31_sessionize"        -> Oracle.sessionize
   )
 }

@@ -187,4 +187,104 @@ SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
        count(DISTINCT user_id) AS n_users,
        max(value) AS max_value
 FROM events GROUP BY 1, 2 ORDER BY week_start, event_type"""
+
+  // —— extension operators (training-data pipeline) ————————————————
+
+  val exactDedupDocs: String = """
+SELECT doc_id, md5(text) AS text_hash FROM (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+  FROM documents)
+WHERE doc_id = keep ORDER BY doc_id"""
+
+  val tokenStats: String = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id"""
+
+  val qualityScore: String = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, text, toks,
+         len(list_filter(toks, x ->
+           list_contains(['the','a','of','and','is','to'], x))) AS n_stop
+  FROM t)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       CAST(n_stop AS DOUBLE) / len(toks) AS stopword_ratio,
+       CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+         AS avg_word_len
+FROM f ORDER BY doc_id"""
+
+  val langStats: String = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT))
+         AS total_tokens,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY 1 ORDER BY lang"""
+
+  val jaccardTopPairs: String = """
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+  FROM documents WHERE doc_id < 1000),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS n_inter,
+         len(a.toks) AS na, len(b.toks) AS nb
+  FROM s a, s b WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""
+
+  val cosineTopK: String = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 50),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS cosine_sim
+  FROM q, v c WHERE c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS "rank"
+  FROM scored)
+SELECT query_id, "rank", corpus_id, cosine_sim
+FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
+  val multimodalMeta: String = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha
+FROM documents ORDER BY asset_id"""
+
+  val sessionize: String = """
+WITH l AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM l),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2 ORDER BY user_id, session_id"""
 }

@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (content-hash), MinHash+LSH near-dup, SimHash, and n-gram Jaccard
+  * verification. Designed for the 100 TB shape:
+  *
+  *  - signatures are computed columnar (array transforms over the
+  *    token array — no explode until the LSH band join, no UDFs);
+  *  - candidate generation shuffles only (band_id, band_hash) pairs,
+  *    never document text;
+  *  - bucket joins cap bucket size ([[maxBucket]]) so a degenerate
+  *    band (boilerplate text) cannot produce a quadratic explosion —
+  *    the standard guard against LSH skew;
+  *  - exact Jaccard verification joins only the candidate pairs back
+  *    to the (broadcastable-or-bucketed) token sets.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keep the smallest doc_id per
+    * distinct text. At scale this shuffles (hash, doc_id) only —
+    * never the document body. */
+  def exactByHash(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val h = md5(col(textCol))
+    docs
+      .withColumn("text_hash", h)
+      .withColumn("keep_id",
+        min(col(idCol)).over(Window.partitionBy("text_hash")))
+      .filter(col(idCol) === col("keep_id"))
+      .select(col(idCol), col("text_hash"))
+      .orderBy(idCol)
+  }
+
+  /** SplitMix64 — deterministic parameter derivation for the affine
+    * hash family (public-domain mixing constants). */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash signature in ONE pass: shingle strings are hashed once
+    * (`xxhash64`), then the k permutations are cheap affine maps
+    * a_i*h + b_i (wrapping 64-bit arithmetic) folded into a k-slot
+    * running-min accumulator. A naive k×`array_min(transform(...))`
+    * formulation re-hashes every shingle string k times once
+    * CollapseProject inlines it — 64× the string work; measured 100×
+    * slower at sf0.1. */
+  def minHashSignature(text: Column, numHashes: Int = 64,
+                       shingleLen: Int = 3): Column = {
+    // 31-bit params and a 31-bit folded hash keep a*h+b < 2^62 —
+    // no overflow under ANSI mode (Spark 4 default).
+    val params = array((0 until numHashes).map { i =>
+      struct(
+        lit((splitmix64(i.toLong) & 0x7FFFFFFFL) | 1L).as("a"),
+        lit(splitmix64(i.toLong + 0x5eed) & 0x7FFFFFFFL).as("b"))
+    }: _*)
+    val hashed = transform(TextOps.shingles(text, shingleLen),
+      s => pmod(xxhash64(s), lit(1L << 31)))
+    aggregate(
+      hashed,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, params,
+        (m, p) => least(m, p.getField("a") * h + p.getField("b"))))
+  }
+
+  /** LSH banding of a MinHash signature: rows (doc_id, band_id,
+    * band_hash). bands*rowsPerBand must equal the signature length. */
+  def lshBands(docs: DataFrame, bands: Int, rowsPerBand: Int,
+               idCol: String = "doc_id",
+               sigCol: String = "minhash"): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band_id"),
+        xxhash64(array_join(
+          transform(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand),
+            _.cast("string")), ",")).as("band_hash"))
+    }: _*)
+    docs.select(col(idCol), explode(bandStructs).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate-pair cap per LSH bucket — guards against degenerate
+    * buckets (empty/boilerplate docs all landing in one band hash). */
+  val maxBucket = 50
+
+  /** Candidate near-dup pairs via MinHash LSH: docs sharing any band
+    * bucket. Returns distinct (id_a, id_b) with id_a < id_b. */
+  def minHashCandidates(docs: DataFrame, numHashes: Int = 64,
+                        bands: Int = 16, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = docs.select(col(idCol),
+      minHashSignature(col(textCol), numHashes).as("minhash"))
+    val banded = lshBands(sig, bands, numHashes / bands, idCol)
+    val capped = banded
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band_id", "band_hash")))
+      .filter(col("bn") <= maxBucket)
+    val a = capped.select(col(idCol).as("id_a"),
+      col("band_id"), col("band_hash"))
+    val b = capped.select(col(idCol).as("id_b"),
+      col("band_id"), col("band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity on distinct-token sets for candidate
+    * pairs. `candidates` carries (id_a, id_b). */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val sets = docs.select(col(idCol), TextOps.tokenSet(col(textCol)).as("toks"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("n_inter")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-dup dedup: drop the higher doc_id of every verified pair
+    * (jaccard ≥ threshold); return surviving ids. */
+  def minHashDedup(docs: DataFrame, threshold: Double = 0.8,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val dup = jaccardVerify(minHashCandidates(docs, textCol = textCol,
+        idCol = idCol), docs, textCol, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.select(col(idCol)).distinct()
+      .join(dup, Seq(idCol), "left_anti")
+      .orderBy(idCol)
+  }
+
+  /** Exact all-pairs n-gram Jaccard top-N — the brute-force baseline
+    * (O(N²): fine for corpus samples / oracle checks; the scale path
+    * is [[minHashCandidates]] + [[jaccardVerify]]). Deterministic
+    * total order: (jaccard desc, id_a, id_b). */
+  def jaccardTopPairs(docs: DataFrame, topN: Int,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val sets = docs.select(col(idCol), TextOps.tokenSet(col(textCol)).as("toks"))
+    val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
+    val b = sets.select(col(idCol).as("id_b"), col("toks").as("toks_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("n_inter")))
+      .select("id_a", "id_b", "jaccard")
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+
+  /** SimHash-64 of the token array, computed columnar: for each bit
+    * position, sum the ±1 contributions of every token's xxhash64 bit;
+    * bit set iff the sum is positive. `aggregate` + `zip_with` keep it
+    * one pass over the tokens with a 64-slot accumulator — no shuffle,
+    * no UDF. */
+  def simHash(text: Column): Column = {
+    // literal per-bit masks (1L << i) — shiftleft/shiftright only take
+    // Int shifts, so bit extraction uses bitwiseAND with the mask.
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    val contrib = aggregate(
+      TextOps.tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, masks,
+          (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(contrib, masks,
+        (c, m) => when(c > 0, m).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup candidates: exact match on any of 4 16-bit
+    * blocks (≤ 3-bit Hamming distance guarantee via pigeonhole when
+    * combined with verification). */
+  def simHashCandidates(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val sig = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
+    val blocks = array((0 until 4).map { b =>
+      struct(lit(b).as("block_id"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("block"))
+    }: _*)
+    val banded = sig.select(col(idCol), col("simhash"),
+        explode(blocks).as("blk"))
+      .select(col(idCol), col("simhash"),
+        col("blk.block_id"), col("blk.block"))
+    val capped = banded.withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("block_id", "block")))
+      .filter(col("bn") <= maxBucket)
+    val a = capped.select(col(idCol).as("id_a"),
+      col("simhash").as("sh_a"), col("block_id"), col("block"))
+    val b = capped.select(col(idCol).as("id_b"),
+      col("simhash").as("sh_b"), col("block_id"), col("block"))
+    a.join(b, Seq("block_id", "block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def vecs: DataFrame = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: ordering by cosine, self excluded") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), 3)
+      .collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 3L, 4L))
+    assert(out.head.getDouble(3) > 0.99)
+    assert(out.last.getDouble(3) == -1.0)
+    assert(!out.map(_.getLong(2)).contains(1L))
+  }
+
+  test("cosine of identical unit vectors is 1") {
+    val c = vecs.filter($"vec_id" === 1)
+      .select(Similarity.cosine(
+        transform($"embedding", _.cast("double")),
+        transform($"embedding", _.cast("double"))).as("c"))
+      .head().getDouble(0)
+    assert(c == 1.0)
+  }
+
+  test("signBucket: identical vectors share buckets; lshTopK finds the near pair") {
+    val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 1), 2,
+      numPlanes = 4, tables = 4).collect()
+    // vector 2 is in the same half-space as 1 for most hyperplanes;
+    // top candidate (if any survive bucketing) must be vector 2.
+    if (out.nonEmpty) assert(out.head.getLong(2) == 2L)
+  }
+
+  test("sessionize splits on >30min gaps, tie-broken deterministically") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:10:00")),  // same session
+      (3L, 10L, ts("2024-01-01 11:00:00")),  // 50min gap -> new session
+      (4L, 20L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Sessions.sessionize(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((10L, 1L) -> 2L, (10L, 2L) -> 1L, (20L, 1L) -> 1L))
+  }
+
+  test("multimodal: columnar meta matches partition-local decode") {
+    val docs = Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text")
+    val assets = Multimodal.asBinaryAssets(docs)
+    val colMeta = Multimodal.extractMetaColumnar(assets).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val decoded = Multimodal.decodeAssets(assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    assert(colMeta(1L)._1 == 11L)
+    decoded.values.foreach { m =>
+      assert(colMeta(m.asset_id) == ((m.byte_len, m.sha)))
+      assert(m.width >= 16 && m.height >= 16)
+    }
+    // deterministic stub: same content -> same dimensions
+    val again = Multimodal.decodeAssets(assets).collect()
+      .map(m => m.asset_id -> (m.width, m.height)).toMap
+    decoded.foreach { case (id, m) =>
+      assert(again(id) == ((m.width, m.height)))
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  def docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "a b")                                            // shorter than shingle
+  ).toDF("doc_id", "text")
+
+  test("shingles: 3-word windows; short docs yield one shingle") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(TextOps.shingles($"text", 3).as("s")).head().getSeq[String](0)
+    assert(sh.head == "the quick brown")
+    assert(sh.last == "the lazy dog")
+    assert(sh.length == 7)
+    val short = docs.filter($"doc_id" === 5)
+      .select(TextOps.shingles($"text", 3).as("s")).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("exactByHash keeps the smallest doc_id per distinct text") {
+    val kept = Dedup.exactByHash(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 2L, 3L, 5L)) // 4 dropped (dup of 1)
+  }
+
+  test("minHash near-dup: 1~2 similar, 3 unrelated") {
+    val sim = Dedup.jaccardVerify(
+      Dedup.minHashCandidates(docs), docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sim.contains((1L, 4L)) && sim((1L, 4L)) == 1.0)
+    assert(sim.get((1L, 2L)).forall(_ > 0.5))  // if candidate, high sim
+    assert(!sim.contains((1L, 3L)) || sim((1L, 3L)) < 0.2)
+  }
+
+  test("minHashDedup drops exact and near duplicates, keeps the rest") {
+    val kept = Dedup.minHashDedup(docs, threshold = 0.8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept.contains(3L) && kept.contains(5L) && kept.contains(1L))
+    assert(!kept.contains(4L))  // exact dup has jaccard 1.0
+  }
+
+  test("simHash: identical texts equal; near-dups close in Hamming") {
+    val sigs = docs.select($"doc_id", Dedup.simHash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("jaccardTopPairs ranks the exact dup first") {
+    val top = Dedup.jaccardTopPairs(docs, 3).head()
+    assert((top.getLong(0), top.getLong(1), top.getDouble(2)) == (1L, 4L, 1.0))
+  }
+
+  test("langId picks the language with most marker hits") {
+    val d = Seq(
+      (1L, "der hund und die katze", "de"),
+      (2L, "the cat of the house and a dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "de", 2L -> "en"))
+  }
+
+  test("quality + token stats arithmetic") {
+    val d = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val q = TextOps.qualityScore(d).head()
+    assert(q.getLong(1) == 3)                       // tokens
+    assert(q.getLong(2) == 1)                       // "the"
+    assert(q.getDouble(4) == 3.0)                   // (11-2)/3
+    val t = TextOps.tokenStats(d).head()
+    assert(t.getLong(1) == 3 && t.getLong(2) == 11)
+  }
+
+  test("fingerprint: identical docs share it, different docs do not") {
+    val fp = TextOps.fingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(3L))
+  }
+}
