@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two double arrays (built-ins-only
+    * baseline; kept for reference — the hot path uses the codegen'd
+    * [[graft.functions.DotProduct]] expression, which is semantically
+    * identical). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** L2 norm (sequential fold + sqrt). */
+  /** Codegen'd dot product (native Catalyst expression). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot_product(a, b)
+
+  /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two double arrays. */
+  /** Cosine similarity of two double arrays (codegen'd). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mirror of the events pipeline (SURVEY §2.8
+  * notes the reference is batch-only; this is the §7 extension).
+  *
+  * The transforms are source-agnostic: feed them any streaming
+  * DataFrame with the events schema (event_id, ts, user_id,
+  * event_type, value) — Kafka, file source, or MemoryStream in tests.
+  * Batch DataFrames run through them unchanged (same Catalyst plans),
+  * which is how the oracle checks the semantics.
+  *
+  * Scale notes: watermark + windowed aggregation keeps state bounded
+  * (late events beyond the watermark are dropped, window state is
+  * evicted on watermark advance); `approx_count_distinct` instead of
+  * exact distinct — exact per-key distinct state is unbounded on an
+  * infinite stream. Sessionization uses per-key GroupState with an
+  * event-time timeout so idle users' state is reclaimed.
+  */
+object EventStream {
+
+  /** Tumbling-window engagement per event type (streaming twin of
+    * Present.weeklyEngagement). */
+  def windowedEngagement(events: DataFrame,
+                         windowLen: String = "7 days",
+                         watermarkDelay: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("approx_users"),
+        max(col("value")).as("max_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"),
+        col("approx_users"), col("max_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp,
+                   user_id: Long, event_type: String, value: Double)
+  case class SessionState(sessionId: Long, nEvents: Long,
+                          startMicros: Long, lastMicros: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp)
+
+  /** Stateful gap-based sessionization (streaming twin of
+    * ops.Sessions.sessionize): a session closes after `gapMicros` of
+    * inactivity and is emitted once closed. State per active user is
+    * O(1); the timeout reclaims it. */
+  def sessionize(events: Dataset[Event],
+                 gapMicros: Long = 30L * 60 * 1000000): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // idle user: close and emit the open session
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionId, s.nEvents,
+              new java.sql.Timestamp(s.startMicros / 1000),
+              new java.sql.Timestamp(s.lastMicros / 1000)))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.lastMicros <= gapMicros =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMicros = t))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.sessionId, s.nEvents,
+                    new java.sql.Timestamp(s.startMicros / 1000),
+                    new java.sql.Timestamp(s.lastMicros / 1000))
+                  cur = Some(SessionState(s.sessionId + 1, 1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, 1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                s.lastMicros / 1000 + gapMicros / 1000, "1 minute")
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.Similarity
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def vecs = Seq(
+    (1L, Array(1.0, 2.0, 3.0)), (2L, Array(4.0, 5.0, 6.0)))
+    .toDF("id", "v")
+
+  test("DotProduct matches the built-in sequential fold bit-exactly") {
+    val both = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        VectorExpressions.dot_product($"a.v", $"b.v").as("native"),
+        Similarity.dotFold($"a.v", $"b.v").as("fold"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(both.map(_.getDouble(0)).contains(32.0)) // 1*4+2*5+3*6
+  }
+
+  test("DotProduct handles nulls and codegen/interpreted parity") {
+    val withNull = Seq((1L, Array(1.0, 2.0)), (2L, null))
+      .toDF("id", "v")
+    val out = withNull.as("a").crossJoin(withNull.as("b"))
+      .select(VectorExpressions.dot_product($"a.v", $"b.v").as("d"))
+      .collect()
+    assert(out.count(_.isNullAt(0)) == 3)   // any null side -> null
+    assert(out.filter(!_.isNullAt(0)).map(_.getDouble(0)).toSeq == Seq(5.0))
+  }
+
+  test("dot_product registers for SQL via GraftExtensions") {
+    // injectFunction path, applied to the live session's registry
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    vecs.createOrReplaceTempView("vecs_tmp")
+    val r = spark.sql(
+      "SELECT dot_product(a.v, b.v) AS d FROM vecs_tmp a, vecs_tmp b " +
+        "WHERE a.id = 1 AND b.id = 2").head()
+    assert(r.getDouble(0) == 32.0)
+  }
+
+  test("cosine_sim of a vector with itself is 1") {
+    val c = vecs.select(
+      VectorExpressions.cosine_sim($"v", $"v").as("c")).collect()
+    c.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-15))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import EventStream.Event
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedEngagement aggregates tumbling windows on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedEngagement(
+        input.toDF(), windowLen = "1 hour", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("eng")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 10:20:00"), 2, "view", 3.0),
+        Event(3, ts("2024-01-01 11:10:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, event_type, n_events, max_value " +
+          "FROM eng ORDER BY window_start, event_type").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(rows(0).getString(1) == "view")
+      assert(rows(0).getLong(2) == 2)
+      assert(rows(0).getDouble(3) == 3.0)
+      assert(rows(1).getString(1) == "click")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize closes sessions on gap and emits them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapMicros = 30L * 60 * 1000000)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 10: two events 10min apart (one session), then 50min gap
+      // -> second session; a later event far in the future advances
+      // the watermark so timeouts fire.
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 10, "view", 0),
+        Event(2, ts("2024-01-01 10:10:00"), 10, "view", 0),
+        Event(3, ts("2024-01-01 11:00:00"), 10, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts("2024-01-02 09:00:00"), 99, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts("2024-01-03 09:00:00"), 99, "view", 0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_id, n_events FROM sess " +
+          "WHERE user_id = 10 ORDER BY session_id").collect()
+      assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+        Seq((1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+}
