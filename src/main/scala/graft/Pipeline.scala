@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.etl.{Analog, Present}
+import graft.io.Tables
+
+/** X1 orchestration (SURVEY §2.9): the reference's two-state Step
+  * Function (CurateDataJob → PresenationSummaryJob,
+  * `scripts/aws/step_functions.json:3-19`) becomes same-session
+  * sequencing — curate, persist the Silver table, then run the Gold
+  * metrics off the persisted copy (so present reads columnar
+  * partition-pruned parquet, exactly like the reference reads the
+  * curated DB table).
+  *
+  * The curated table is written partitioned by booking month: the
+  * Gold queries all group by month/week, so partition pruning makes
+  * incremental-month reprocessing a metadata operation at scale.
+  *
+  * Config via env (X3) — no hardcoded credentials (the reference
+  * hardcodes its DB password, `curated_tranformation.py:89`).
+  */
+object Pipeline {
+
+  case class Outputs(curated: DataFrame, metrics: Map[String, DataFrame])
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Outputs = {
+    // ---- Curate job (Bronze → Silver) ----
+    val curated = Analog.curated(spark, sfDir)
+      .withColumn("booking_month",
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("booking_date"), "yyyy-MM"))
+    Tables.writeParquet(curated, s"$outDir/curated.apartment_bookings",
+      partitionBy = Seq("booking_month"))
+
+    // ---- Present job (Silver → Gold) off the persisted table ----
+    val silver = spark.read.parquet(s"$outDir/curated.apartment_bookings")
+    val aptConv = Analog.apartmentsConverted(spark, sfDir)
+    val metrics = Map(
+      "average_listing_price"  -> Present.weeklyAvgListingPrice(aptConv),
+      "occupancy_rate"         -> Present.monthlyOccupancy(silver),
+      "most_popular_location"  -> Present.weeklyPopularCities(silver),
+      "top_performing_listing" -> Present.weeklyTopListings(silver),
+      "bookings_per_user"      -> Present.bookingsPerUser(silver),
+      "avg_booking_duration"   -> Present.monthlyAvgDuration(silver),
+      "repeat_customer_rate"   -> Present.monthlyRepeatRate(silver))
+    metrics.foreach { case (name, df) =>
+      Tables.writeParquet(df, s"$outDir/presentation.$name")
+    }
+    Outputs(silver, metrics)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      sys.env.getOrElse("GRAFT_OUT_DIR", "/tmp/graft_pipeline"))
+    val spark = SparkSession.builder()
+      .master(sys.env.get("SPARK_GRAFT_CPUS").fold("local[4]")(c => s"local[$c]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = run(spark, sfDir, outDir)
+    println(s"curated rows: ${out.curated.count()}")
+    out.metrics.toSeq.sortBy(_._1).foreach { case (n, df) =>
+      println(s"$n rows: ${spark.read.parquet(s"$outDir/presentation.$n").count()}")
+    }
+    spark.stop()
+  }
+}

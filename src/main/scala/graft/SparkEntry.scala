@@ -76,6 +76,22 @@ object SparkEntry {
     // user_viewing/events engagement (SURVEY §2.10.1).
     "q13_weekly_engagement" -> ((s, dir) =>
       Present.weeklyEngagement(Tables.events(s, dir))),
+    // Fact-fact equi join (lineitem ⋈ orders) with a pushed-down scan
+    // filter — the shuffle-join shape AQE optimizes at scale.
+    "q14_order_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date"))
+      val o = Tables.orders(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(Present.weekOf(col("o_orderdate")).as("week_start"),
+          col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Present.decSum(Curate.money(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy("week_start", "o_orderstatus")
+    }),
 
     // —— training-data pipeline extensions ————————————————————————
     // Exact dedup by content hash.
@@ -146,6 +162,7 @@ object SparkEntry {
     "q11_avg_duration"      -> Oracle.monthlyAvgDuration,
     "q12_repeat_rate"       -> Oracle.monthlyRepeatRate,
     "q13_weekly_engagement" -> Oracle.weeklyEngagement,
+    "q14_order_revenue"     -> Oracle.orderRevenue,
     "q20_exact_dedup"       -> Oracle.exactDedupDocs,
     "q21_token_stats"       -> Oracle.tokenStats,
     "q22_quality_score"     -> Oracle.qualityScore,

@@ -188,6 +188,15 @@ SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
        max(value) AS max_value
 FROM events GROUP BY 1, 2 ORDER BY week_start, event_type"""
 
+  val orderRevenue: String = s"""
+SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       o_orderstatus,
+       count(*) AS n_items,
+       ${decSum(money("l_extendedprice * (1.0 - l_discount)"))} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01'
+GROUP BY 1, 2 ORDER BY week_start, o_orderstatus"""
+
   // —— extension operators (training-data pipeline) ————————————————
 
   val exactDedupDocs: String = """
