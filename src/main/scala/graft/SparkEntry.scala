@@ -93,6 +93,22 @@ object SparkEntry {
         .orderBy("week_start", "o_orderstatus")
     }),
 
+    // S7 + A8 + P8/P10: temp-view registration + SQL entry point with
+    // GROUP BY ordinals and CASE WHEN (the reference's present-job
+    // style, `present_summary.py:79-180`).
+    "q15_sql_tempview" -> ((s, dir) => {
+      Analog.curated(s, dir).createOrReplaceTempView("apartment_list_tb")
+      s.sql("""
+        SELECT CAST(date_trunc('month', booking_date) AS DATE) AS month_start,
+               CASE WHEN total_price_usd IS NULL THEN 'unpriced'
+                    ELSE 'priced' END AS price_class,
+               count(*) AS n_bookings
+        FROM apartment_list_tb
+        WHERE booking_status = 'confirmed'
+        GROUP BY 1, 2
+        ORDER BY month_start, price_class""")
+    }),
+
     // —— training-data pipeline extensions ————————————————————————
     // Exact dedup by content hash.
     "q20_exact_dedup" -> ((s, dir) =>
@@ -143,7 +159,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), 5,
         numPlanes = 8, tables = 4)
-    })
+    }),
+    // Embedding-cosine near-dup dedup (exact baseline; LSH-fed at
+    // scale). Bounded to a deterministic 2000-vector sample.
+    "q33_embedding_dedup" -> ((s, dir) =>
+      Similarity.cosineDedup(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000), 0.9))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,6 +184,8 @@ object SparkEntry {
     "q12_repeat_rate"       -> Oracle.monthlyRepeatRate,
     "q13_weekly_engagement" -> Oracle.weeklyEngagement,
     "q14_order_revenue"     -> Oracle.orderRevenue,
+    "q15_sql_tempview"      -> Oracle.sqlTempView,
+    "q33_embedding_dedup"   -> Oracle.embeddingDedup,
     "q20_exact_dedup"       -> Oracle.exactDedupDocs,
     "q21_token_stats"       -> Oracle.tokenStats,
     "q22_quality_score"     -> Oracle.qualityScore,

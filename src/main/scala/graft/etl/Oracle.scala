@@ -197,6 +197,31 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= DATE '1996-01-01'
 GROUP BY 1, 2 ORDER BY week_start, o_orderstatus"""
 
+  val sqlTempView: String = s"""$curatedCte
+SELECT CAST(date_trunc('month', booking_date) AS DATE) AS month_start,
+       CASE WHEN total_price_usd IS NULL THEN 'unpriced'
+            ELSE 'priced' END AS price_class,
+       count(*) AS n_bookings
+FROM curated
+WHERE booking_status = 'confirmed'
+GROUP BY 1, 2
+ORDER BY month_start, price_class"""
+
+  val embeddingDedup: String = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id < 2000),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a, v b
+  WHERE a.vec_id < b.vec_id
+    AND list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))) >= 0.9)
+SELECT vec_id FROM v
+WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+ORDER BY vec_id"""
+
   // —— extension operators (training-data pipeline) ————————————————
 
   val exactDedupDocs: String = """

@@ -119,6 +119,24 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup dedup: vectors whose cosine similarity
+    * to a lower-id vector is ≥ threshold are dropped; returns the
+    * surviving canonical ids. Exact all-pairs here (oracle baseline);
+    * at scale, feed candidates from [[signBucketTable]] buckets
+    * instead of the cross join — same verify/survive logic. */
+  def cosineDedup(vectors: DataFrame, threshold: Double,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val a = v.select(col(idCol).as("id_a"), col("v").as("va"))
+    val b = v.select(col(idCol).as("id_b"), col("v").as("vb"))
+    val dup = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    v.select(col(idCol)).join(dup, Seq(idCol), "left_anti").orderBy(idCol)
+  }
+
   /** Sign-LSH bucket for plane family `table` (independent families
     * via seed offset in the component hash). */
   def signBucketTable(vec: Column, numPlanes: Int, table: Int): Column = {

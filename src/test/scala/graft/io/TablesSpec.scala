@@ -1,0 +1,49 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Schemas
+
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S2: CSV scan with declared schema + header roundtrips (S4 sink)") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Seq(
+      (1, 10, 100, "31/01/2024", "31/01/2024", "02/02/2024",
+        BigDecimal("200.00"), "USD", "confirmed"))
+      .toDF("booking_id", "user_id", "apartment_id", "booking_date",
+        "checkin_date", "checkout_date", "total_price", "currency",
+        "booking_status")
+    // S4: single-file CSV sink (reference helper_func.py:30-33 shape)
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/bookings")
+    val back = Tables.csv(spark, s"$dir/bookings", Schemas.bookings)
+    assert(back.count() == 1)
+    val r = back.head()
+    assert(r.getAs[Int]("booking_id") == 1)
+    assert(r.getAs[String]("booking_date") == "31/01/2024")
+    assert(r.getAs[java.math.BigDecimal]("total_price")
+      .compareTo(new java.math.BigDecimal("200.00")) == 0)
+    assert(back.schema("total_price").dataType.typeName == "decimal(7,2)")
+  }
+
+  test("exchangeRates literal dim has the reference rows") {
+    val rows = Tables.exchangeRates(spark).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows == Map("USD" -> 1.0, "EUR" -> 1.1, "INR" -> 0.012))
+  }
+
+  test("writeParquet partitions by the given columns") {
+    val dir = Files.createTempDirectory("graft_pq").toString
+    val df = Seq((1, "2024-01"), (2, "2024-02")).toDF("id", "month")
+    Tables.writeParquet(df, s"$dir/t", partitionBy = Seq("month"))
+    val subdirs = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("month=2024-01", "month=2024-02"))
+    assert(spark.read.parquet(s"$dir/t").count() == 2)
+  }
+}
