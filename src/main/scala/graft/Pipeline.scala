@@ -24,14 +24,40 @@ object Pipeline {
 
   case class Outputs(curated: DataFrame, metrics: Map[String, DataFrame])
 
+  /** X2: per-stage structured logging (replaces the reference's Glue
+    * try/except logging, `curate_data_etl_job.py:84-112`). */
+  private def stage[A](name: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    try {
+      val r = body
+      println(f"[pipeline] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    } catch {
+      case e: Throwable =>
+        println(s"[pipeline] $name FAILED: ${e.getMessage}")
+        throw e
+    }
+  }
+
   def run(spark: SparkSession, sfDir: String, outDir: String): Outputs = {
+    // ---- Data-quality gate on the raw layer (readme.md:65 TODO) ----
+    stage("validate.bookings") {
+      val report = etl.Validate.run(
+        Analog.bookingsRaw(spark, sfDir), etl.Validate.bookingsChecks)
+      if (!report.clean)
+        println(s"[pipeline] quality violations: ${report.failed}")
+      report
+    }
+
     // ---- Curate job (Bronze → Silver) ----
     val curated = Analog.curated(spark, sfDir)
       .withColumn("booking_month",
         org.apache.spark.sql.functions.date_format(
           org.apache.spark.sql.functions.col("booking_date"), "yyyy-MM"))
-    Tables.writeParquet(curated, s"$outDir/curated.apartment_bookings",
-      partitionBy = Seq("booking_month"))
+    stage("curate.write") {
+      Tables.writeParquet(curated, s"$outDir/curated.apartment_bookings",
+        partitionBy = Seq("booking_month"))
+    }
 
     // ---- Present job (Silver → Gold) off the persisted table ----
     val silver = spark.read.parquet(s"$outDir/curated.apartment_bookings")
@@ -45,7 +71,9 @@ object Pipeline {
       "avg_booking_duration"   -> Present.monthlyAvgDuration(silver),
       "repeat_customer_rate"   -> Present.monthlyRepeatRate(silver))
     metrics.foreach { case (name, df) =>
-      Tables.writeParquet(df, s"$outDir/presentation.$name")
+      stage(s"present.$name") {
+        Tables.writeParquet(df, s"$outDir/presentation.$name")
+      }
     }
     Outputs(silver, metrics)
   }

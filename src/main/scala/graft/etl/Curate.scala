@@ -46,10 +46,23 @@ object Curate {
   def dedup(df: DataFrame): DataFrame = df.dropDuplicates()
 
   /** 100 TB alternative to [[dedup]]: dedup on a key subset — shuffles
-    * only the key hash, keeps an arbitrary-but-deterministic winner
-    * via min over the remaining ordering column. */
+    * the key hash only. NOTE: the surviving row per key is arbitrary
+    * (Spark `dropDuplicates` semantics); use
+    * [[dedupByKeyDeterministic]] when reproducibility matters. */
   def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
+
+  /** Keyed dedup with a deterministic winner: the minimal row under
+    * `orderCols` within each key group. One shuffle + one window —
+    * same cost shape as dropDuplicates(keys), reproducible results. */
+  def dedupByKeyDeterministic(df: DataFrame, keys: Seq[String],
+                              orderCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** P4: parse `dd/MM/yyyy` string columns to DateType in place. */
   def parseRawDates(df: DataFrame, cols: Seq[String]): DataFrame =
