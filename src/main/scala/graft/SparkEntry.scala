@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{Dedup, Multimodal, Sessions, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Sessions, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -109,6 +109,22 @@ object SparkEntry {
         ORDER BY month_start, price_class""")
     }),
 
+    // As-of join (operator Spark lacks natively): for each purchase,
+    // the latest preceding view by the same user. DuckDB's native
+    // ASOF JOIN is the oracle.
+    "q16_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOfJoin.asof(purchases, views, Seq("user_id"),
+        leftTime = "ts", rightTime = "view_ts",
+        rightCols = Seq("view_event_id", "view_value"))
+        .orderBy("event_id")
+    }),
+
     // —— training-data pipeline extensions ————————————————————————
     // Exact dedup by content hash.
     "q20_exact_dedup" -> ((s, dir) =>
@@ -185,6 +201,7 @@ object SparkEntry {
     "q13_weekly_engagement" -> Oracle.weeklyEngagement,
     "q14_order_revenue"     -> Oracle.orderRevenue,
     "q15_sql_tempview"      -> Oracle.sqlTempView,
+    "q16_asof_join"         -> Oracle.asofJoin,
     "q33_embedding_dedup"   -> Oracle.embeddingDedup,
     "q20_exact_dedup"       -> Oracle.exactDedupDocs,
     "q21_token_stats"       -> Oracle.tokenStats,

@@ -222,6 +222,19 @@ SELECT vec_id FROM v
 WHERE vec_id NOT IN (SELECT vec_id FROM dup)
 ORDER BY vec_id"""
 
+  val asofJoin: String = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_event_id,
+         value AS view_value
+  FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts,
+       v.view_event_id, v.view_value, v.view_ts
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.view_ts <= p.ts
+ORDER BY p.event_id"""
+
   // —— extension operators (training-data pipeline) ————————————————
 
   val exactDedupDocs: String = """

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-travel) join — an operator Spark's SQL surface lacks
+  * (pandas-on-Spark has merge_asof; Catalyst has no native node).
+  * For every left row, attach the LATEST right row with
+  * `rightTime <= leftTime` within the same key group.
+  *
+  * Implementation is the scalable union+window formulation, not a
+  * range join: tag both inputs, union, ONE shuffle by key, ONE sort
+  * by (time, side, tie), then `last(struct, ignoreNulls)` carries the
+  * most recent right payload forward onto each left row. Cost is
+  * O(shuffle(|L|+|R|)) regardless of time-range density — a
+  * range-condition join degenerates to O(|L|·|R|) per key on dense
+  * histories. The right payload travels as ONE struct so all carried
+  * columns come from the SAME right row.
+  *
+  * Right-side (key, time) duplicates must be resolved first (e.g.
+  * [[Curate.dedupByKeyDeterministic]]) — otherwise "the" latest row
+  * at a timestamp is undefined (DuckDB ASOF has the same caveat).
+  */
+object AsOfJoin {
+
+  /**
+   * @param left       left rows (preserved exactly — left-outer)
+   * @param right      right rows to look up as-of
+   * @param keys       equi-join key columns (same names both sides)
+   * @param leftTime   left timestamp column name
+   * @param rightTime  right timestamp column name
+   * @param rightCols  right payload columns to attach (aliased as-is)
+   */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct((rightTime +: rightCols).map(col): _*)
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("timestamp").as("__t"),
+        lit(0).as("__side"),
+        payload.as("__payload")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).cast("timestamp").as("__t"),
+        lit(1).as("__side"),
+        lit(null).cast(taggedRight.schema("__payload").dataType)
+          .as("__payload")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    // right rows sort before left rows at equal timestamps → the
+    // inclusive rightTime <= leftTime semantics.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(c)) :+
+        col(s"__asof.$rightTime").as(rightTime): _*)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof attaches the latest right row at or before left time") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05")),
+      (2L, "A", ts("2024-01-01 10:00:30")),
+      (3L, "B", ts("2024-01-01 10:00:10")),
+      (4L, "C", ts("2024-01-01 10:00:10")))   // no quotes for C
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:00:05"), 101.0),  // equal ts: inclusive
+      ("A", ts("2024-01-01 10:00:20"), 102.0),
+      ("B", ts("2024-01-01 10:00:50"), 200.0))  // after the trade
+      .toDF("sym", "qt", "px")
+
+    val out = AsOfJoin.asof(trades, quotes, Seq("sym"),
+        leftTime = "t", rightTime = "qt", rightCols = Seq("px"))
+      .orderBy("trade_id").collect()
+
+    assert(out.length == 4)                       // left rows preserved
+    assert(out(0).getAs[Double]("px") == 101.0)   // inclusive <=
+    assert(out(1).getAs[Double]("px") == 102.0)   // latest before
+    assert(out(2).isNullAt(out(2).fieldIndex("px")))  // only later quotes
+    assert(out(3).isNullAt(out(3).fieldIndex("px")))  // no right rows
+    // the carried timestamp comes from the SAME right row as px
+    assert(out(1).getAs[Timestamp]("qt") == ts("2024-01-01 10:00:20"))
+  }
+
+  test("payload columns stay consistent (one struct, one right row)") {
+    val l = Seq((1L, "K", ts("2024-01-01 00:00:10")))
+      .toDF("id", "k", "t")
+    val r = Seq(
+      ("K", ts("2024-01-01 00:00:01"), 1.0, "first"),
+      ("K", ts("2024-01-01 00:00:09"), 9.0, "ninth"))
+      .toDF("k", "rt", "v", "tag")
+    val row = AsOfJoin.asof(l, r, Seq("k"), "t", "rt",
+      Seq("v", "tag")).head()
+    assert(row.getAs[Double]("v") == 9.0)
+    assert(row.getAs[String]("tag") == "ninth")
+  }
+}
