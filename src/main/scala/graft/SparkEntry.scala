@@ -125,6 +125,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Hierarchical rollup (grouping sets family — beyond the
+    // reference's flat GROUP BYs): revenue by year ⊃ month ⊃ total.
+    "q17_rollup_revenue" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"),
+          Curate.money(col("o_totalprice")).as("price2"))
+        .rollup(col("order_year"), col("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          Present.decSum(col("price2")).as("revenue"))
+        .orderBy(col("order_year").asc_nulls_first,
+          col("order_month").asc_nulls_first)),
+
     // —— training-data pipeline extensions ————————————————————————
     // Exact dedup by content hash.
     "q20_exact_dedup" -> ((s, dir) =>
@@ -202,6 +217,7 @@ object SparkEntry {
     "q14_order_revenue"     -> Oracle.orderRevenue,
     "q15_sql_tempview"      -> Oracle.sqlTempView,
     "q16_asof_join"         -> Oracle.asofJoin,
+    "q17_rollup_revenue"    -> Oracle.rollupRevenue,
     "q33_embedding_dedup"   -> Oracle.embeddingDedup,
     "q20_exact_dedup"       -> Oracle.exactDedupDocs,
     "q21_token_stats"       -> Oracle.tokenStats,

@@ -222,6 +222,15 @@ SELECT vec_id FROM v
 WHERE vec_id NOT IN (SELECT vec_id FROM dup)
 ORDER BY vec_id"""
 
+  val rollupRevenue: String = s"""
+SELECT year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       count(*) AS n_orders,
+       ${decSum(money("o_totalprice"))} AS revenue
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY ROLLUP (order_year, order_month)
+ORDER BY order_year ASC NULLS FIRST, order_month ASC NULLS FIRST"""
+
   val asofJoin: String = """
 WITH p AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
