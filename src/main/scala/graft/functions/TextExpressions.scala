@@ -1,0 +1,309 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for the text-dedup hot loops. Spark's
+  * higher-order functions (`transform`/`aggregate`) interpret their
+  * lambda bodies per element — for MinHash that is
+  * |shingles| × k interpreted expression evaluations per document.
+  * These expressions run the same arithmetic as a generated tight
+  * loop (and a matching interpreted `eval` for non-codegen paths).
+  */
+
+/** k-permutation MinHash signature from pre-hashed shingles
+  * (array<long> → array<long>). Parameter derivation (SplitMix64,
+  * 31-bit) matches ops.Dedup.minHashSignature exactly — identical
+  * signatures, ~k× less interpretation overhead. */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  @transient lazy val aParams: Array[Long] =
+    (0 until numHashes).map(i => (splitmix64(i.toLong) & 0x7FFFFFFFL) | 1L).toArray
+  @transient lazy val bParams: Array[Long] =
+    (0 until numHashes).map(i => splitmix64(i.toLong + 0x5eed) & 0x7FFFFFFFL).toArray
+
+  private val Mask31 = (1L << 31) - 1  // pmod(h, 2^31) == h & mask
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j) & Mask31
+      var i = 0
+      while (i < numHashes) {
+        val v = aParams(i) * h + bParams(i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val a = ctx.addReferenceObj("minhashA", aParams, "long[]")
+      val b = ctx.addReferenceObj("minhashB", bParams, "long[]")
+      val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $hs.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $hs.getLong($j) & ${Mask31}L;
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = $a[$i] * $h + $b[$i];
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashFromHashes =
+    copy(child = c)
+}
+
+/** MinHash LSH band hashes straight from the TOKEN array, in one
+  * evaluation per document: per-token xxhash64 (computed once each),
+  * rolling `shingleLen`-token window hashes, k affine permutations
+  * into a running-min signature, then per-band combined hashes.
+  * Output: array<long> of `bands` band hashes.
+  *
+  * Why one expression: the composable formulation
+  * (`transform(shingles(text), xxhash64)` feeding a signature
+  * expression) spends its time building shingle STRINGS in
+  * interpreted higher-order lambdas (slice+array_join per window) —
+  * measured ~0.6ms/doc, dominating the whole dedup. Here tokens are
+  * hashed once and windows combine hashes — no string building.
+  * Window-hash semantics (vs hashing the joined string) only change
+  * bucket assignment, never verification results. */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int,
+                        shingleLen: Int) extends UnaryExpression {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  private val rows = numHashes / bands
+  private val Mask31 = (1L << 31) - 1
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  @transient private lazy val aParams: Array[Long] =
+    (0 until numHashes).map(i => (splitmix64(i.toLong) & 0x7FFFFFFFL) | 1L).toArray
+  @transient private lazy val bParams: Array[Long] =
+    (0 until numHashes).map(i => splitmix64(i.toLong + 0x5eed) & 0x7FFFFFFFL).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    // hash every token once
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val u = toks.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+        u.numBytes(), 42L)
+      i += 1
+    }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nWindows = math.max(n - shingleLen, 0) + 1
+    var w = 0
+    while (w < nWindows) {
+      // rolling window combine (order-sensitive mix)
+      var h = 0x9E3779B97F4A7C15L
+      var t = w
+      val end = math.min(w + shingleLen, n)
+      while (t < end) {
+        h = (h ^ th(t)) * 0xBF58476D1CE4E5B9L
+        h ^= (h >>> 29)
+        t += 1
+      }
+      val h31 = h & Mask31
+      var k = 0
+      while (k < numHashes) {
+        val v = aParams(k) * h31 + bParams(k)
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      w += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0x9E3779B97F4A7C15L * (b + 1)
+      var r = 0
+      while (r < rows) {
+        acc ^= mins(b * rows + r)
+        acc *= 0xBF58476D1CE4E5B9L
+        acc ^= (acc >>> 29)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // JIT-compiled Scala loop via one virtual call per row; keeps the
+  // operator inside whole-stage codegen (unlike CodegenFallback).
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashBands", this,
+      classOf[MinHashBands].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.nullSafeEval($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBands =
+    copy(child = c)
+}
+
+/** All ordered pairs (x < y) from a long-id array — the in-bucket
+  * candidate expansion, as one tight loop instead of nested
+  * interpreted `transform`/`slice` lambdas. Output:
+  * array<struct<id_a:long, id_b:long>>. */
+case class LongArrayPairs(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "long_array_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(ids)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0; i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // Interpreted eval is already a tight loop over tiny (≤ maxBucket)
+  // arrays; fall back to it instead of generating row-building code.
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pairsExpr", this,
+      classOf[LongArrayPairs].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.nullSafeEval($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): LongArrayPairs =
+    copy(child = c)
+}
+
+/** Intersection size of two SORTED string arrays (merge count).
+  * Inputs must be `array_sort(array_distinct(...))` — array_sort's
+  * UTF8String binary ordering matches the compare used here. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.numElements() && j < b.numElements()) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $n++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextExpressions {
+  def minhash_from_hashes(hashes: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      MinHashFromHashes(GraftSqlBridge.expression(hashes), k))
+
+  def minhash_bands(tokens: Column, k: Int, bands: Int,
+                    shingleLen: Int): Column =
+    GraftSqlBridge.column(
+      MinHashBands(GraftSqlBridge.expression(tokens), k, bands, shingleLen))
+
+  def long_array_pairs(ids: Column): Column =
+    GraftSqlBridge.column(LongArrayPairs(GraftSqlBridge.expression(ids)))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -45,29 +45,18 @@ object Dedup {
   }
 
   /** MinHash signature in ONE pass: shingle strings are hashed once
-    * (`xxhash64`), then the k permutations are cheap affine maps
-    * a_i*h + b_i (wrapping 64-bit arithmetic) folded into a k-slot
-    * running-min accumulator. A naive k×`array_min(transform(...))`
-    * formulation re-hashes every shingle string k times once
-    * CollapseProject inlines it — 64× the string work; measured 100×
-    * slower at sf0.1. */
+    * (`xxhash64`), then the k affine permutations run inside the
+    * codegen'd [[graft.functions.MinHashFromHashes]] expression — a
+    * tight |shingles|×k long-arithmetic loop. Two earlier
+    * formulations were each ~k× slower: k×`array_min(transform(...))`
+    * re-hashes every shingle string k times (CollapseProject inlines
+    * the shared subtree), and an `aggregate`+`zip_with` fold
+    * interprets its lambda body per (shingle, permutation). */
   def minHashSignature(text: Column, numHashes: Int = 64,
-                       shingleLen: Int = 3): Column = {
-    // 31-bit params and a 31-bit folded hash keep a*h+b < 2^62 —
-    // no overflow under ANSI mode (Spark 4 default).
-    val params = array((0 until numHashes).map { i =>
-      struct(
-        lit((splitmix64(i.toLong) & 0x7FFFFFFFL) | 1L).as("a"),
-        lit(splitmix64(i.toLong + 0x5eed) & 0x7FFFFFFFL).as("b"))
-    }: _*)
-    val hashed = transform(TextOps.shingles(text, shingleLen),
-      s => pmod(xxhash64(s), lit(1L << 31)))
-    aggregate(
-      hashed,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, params,
-        (m, p) => least(m, p.getField("a") * h + p.getField("b"))))
-  }
+                       shingleLen: Int = 3): Column =
+    graft.functions.TextExpressions.minhash_from_hashes(
+      transform(TextOps.shingles(text, shingleLen), xxhash64(_)),
+      numHashes)
 
   /** LSH banding of a MinHash signature: rows (doc_id, band_id,
     * band_hash). bands*rowsPerBand must equal the signature length. */
@@ -90,25 +79,31 @@ object Dedup {
   val maxBucket = 50
 
   /** Candidate near-dup pairs via MinHash LSH: docs sharing any band
-    * bucket. Returns distinct (id_a, id_b) with id_a < id_b. */
+    * bucket. Returns distinct (id_a, id_b) with id_a < id_b.
+    *
+    * Shape: one codegen'd expression computes shingle-hash →
+    * signature → band hashes per document (a separate signature
+    * column gets re-inlined into every band expression by
+    * CollapseProject — k× the work; measured as the dominant cost);
+    * ONE shuffle (groupBy band bucket, map-side combined); pairs
+    * expanded in-row by the codegen'd LongArrayPairs; bucket size
+    * capped ([[maxBucket]]) before the quadratic expansion. */
   def minHashCandidates(docs: DataFrame, numHashes: Int = 64,
                         bands: Int = 16, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sig = docs.select(col(idCol),
-      minHashSignature(col(textCol), numHashes).as("minhash"))
-    val banded = lshBands(sig, bands, numHashes / bands, idCol)
-    val capped = banded
-      .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy("band_id", "band_hash")))
-      .filter(col("bn") <= maxBucket)
-    val a = capped.select(col(idCol).as("id_a"),
-      col("band_id"), col("band_hash"))
-    val b = capped.select(col(idCol).as("id_b"),
-      col("band_id"), col("band_hash"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    import graft.functions.TextExpressions._
+    docs.select(col(idCol),
+        posexplode(minhash_bands(TextOps.tokens(col(textCol)),
+          numHashes, bands, 3)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+      .groupBy("band_id", "band_hash")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(long_array_pairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
   }
 
   /** Exact Jaccard similarity on distinct-token sets for candidate
@@ -116,11 +111,14 @@ object Dedup {
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val sets = docs.select(col(idCol), TextOps.tokenSet(col(textCol)).as("toks"))
+    val sets = docs.select(col(idCol),
+      TextOps.tokenSetSorted(col(textCol)).as("toks"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("n_inter",
+        graft.functions.TextExpressions.sorted_intersect_count(
+          col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) - col("n_inter")))
@@ -148,12 +146,14 @@ object Dedup {
   def jaccardTopPairs(docs: DataFrame, topN: Int,
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val sets = docs.select(col(idCol), TextOps.tokenSet(col(textCol)).as("toks"))
+    val sets = docs.select(col(idCol),
+      TextOps.tokenSetSorted(col(textCol)).as("toks"))
     val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
     val b = sets.select(col(idCol).as("id_b"), col("toks").as("toks_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("n_inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))))
+        graft.functions.TextExpressions.sorted_intersect_count(
+          col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) - col("n_inter")))
@@ -199,17 +199,22 @@ object Dedup {
         explode(blocks).as("blk"))
       .select(col(idCol), col("simhash"),
         col("blk.block_id"), col("blk.block"))
-    val capped = banded.withColumn("bn",
-        count(lit(1)).over(Window.partitionBy("block_id", "block")))
-      .filter(col("bn") <= maxBucket)
-    val a = capped.select(col(idCol).as("id_a"),
-      col("simhash").as("sh_a"), col("block_id"), col("block"))
-    val b = capped.select(col(idCol).as("id_b"),
-      col("simhash").as("sh_b"), col("block_id"), col("block"))
-    a.join(b, Seq("block_id", "block"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    // same no-self-join shape as minHashCandidates: carry (id, sig)
+    // structs into the bucket list, expand pairs in-row.
+    val entries = banded.groupBy("block_id", "block")
+      .agg(collect_list(struct(col(idCol), col("simhash"))).as("es"))
+      .filter(size(col("es")).between(2, maxBucket))
+    val sorted = array_sort(col("es"))
+    entries
+      .select(explode(flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + 2, size(sorted)),
+          y => struct(
+            x.getField(idCol).as("id_a"),
+            y.getField(idCol).as("id_b"),
+            bit_count(x.getField("simhash")
+              .bitwiseXOR(y.getField("simhash"))).as("hamming"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
   }
 }

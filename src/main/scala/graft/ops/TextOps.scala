@@ -17,6 +17,10 @@ object TextOps {
   /** Distinct token set (for Jaccard-style set similarity). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Sorted distinct token set — the input contract of the codegen'd
+    * merge-intersect (functions.SortedIntersectCount). */
+  def tokenSetSorted(text: Column): Column = array_sort(tokenSet(text))
+
   /** n-word shingles: ["a","b","c","d"] with n=3 →
     * ["a b c", "b c d"]. Documents shorter than n yield one
     * (shorter) shingle. Pure array ops — no explode, no shuffle. */
