@@ -195,7 +195,17 @@ object SparkEntry {
     // scale). Bounded to a deterministic 2000-vector sample.
     "q33_embedding_dedup" -> ((s, dir) =>
       Similarity.cosineDedup(
-        Tables.embeddings(s, dir).filter(col("vec_id") < 2000), 0.9))
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000), 0.9)),
+    // Native expression through the SQL surface: dot_product is
+    // registered by plans.GraftExtensions (spark.sql.extensions).
+    "q34_sql_dot_product" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("e", expr("transform(embedding, x -> cast(x as double))"))
+        .createOrReplaceTempView("embeddings_tb")
+      s.sql("""
+        SELECT vec_id, dot_product(e, e) AS self_dot
+        FROM embeddings_tb WHERE vec_id < 100 ORDER BY vec_id""")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,6 +229,7 @@ object SparkEntry {
     "q16_asof_join"         -> Oracle.asofJoin,
     "q17_rollup_revenue"    -> Oracle.rollupRevenue,
     "q33_embedding_dedup"   -> Oracle.embeddingDedup,
+    "q34_sql_dot_product"   -> Oracle.sqlDotProduct,
     "q20_exact_dedup"       -> Oracle.exactDedupDocs,
     "q21_token_stats"       -> Oracle.tokenStats,
     "q22_quality_score"     -> Oracle.qualityScore,

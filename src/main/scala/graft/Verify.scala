@@ -15,6 +15,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long, convert
       // in graft.io.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

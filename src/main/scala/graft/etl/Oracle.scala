@@ -321,6 +321,12 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
        sha256(text) AS sha
 FROM documents ORDER BY asset_id"""
 
+  val sqlDotProduct: String = """
+SELECT vec_id,
+       list_dot_product(CAST(embedding AS DOUBLE[]),
+                        CAST(embedding AS DOUBLE[])) AS self_dot
+FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"""
+
   val sessionize: String = """
 WITH l AS (
   SELECT user_id, event_id, ts,

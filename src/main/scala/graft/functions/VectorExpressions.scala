@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native Catalyst expression for the vector dot product — the hot
@@ -53,6 +53,72 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-LSH bucket ids for `tables` independent hyperplane families
+  * in ONE evaluation (array<double> → array<long> of `tables` bucket
+  * ids). Plane components are derived from SplitMix64 — the "model"
+  * is a hash function, zero stored state. The composable HOF
+  * formulation interprets planes × dims lambda evals per vector; this
+  * is a JIT'd loop (delegated eval, stays inside whole-stage
+  * codegen). */
+case class SignLshBuckets(child: Expression, numPlanes: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh_buckets"
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Component of plane p (within family t) at dimension i,
+    * in [-1, 1). */
+  private def component(t: Int, p: Int, i: Int): Double = {
+    val h = splitmix64(((t.toLong * 1000 + p) << 20) ^ i.toLong)
+    ((h & 0xFFFFFL).toDouble / 524288.0) - 1.0
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var proj = 0.0
+        var i = 0
+        while (i < n) { proj += v.getDouble(i) * component(t, p, i); i += 1 }
+        if (proj > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signLsh", this,
+      classOf[SignLshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.nullSafeEval($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignLshBuckets =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
@@ -64,4 +130,9 @@ object VectorExpressions {
     import org.apache.spark.sql.functions.sqrt
     dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
   }
+
+  /** Sign-LSH bucket ids (one per plane family). */
+  def sign_lsh_buckets(v: Column, numPlanes: Int, tables: Int): Column =
+    GraftSqlBridge.column(
+      SignLshBuckets(GraftSqlBridge.expression(v), numPlanes, tables))
 }

@@ -90,22 +90,18 @@ object Similarity {
               numPlanes: Int = 10, tables: Int = 4,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.sign_lsh_buckets
     val c = corpus.select(col(idCol).as("corpus_id"),
       asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
+    // one codegen'd expression yields all table buckets per vector
     val cB = c.select(col("corpus_id"), col("cv"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          signBucketTable(col("cv"), numPlanes, t).as("bucket"))): _*))
-        .as("bk"))
-      .select(col("corpus_id"), col("cv"), col("bk.tbl"), col("bk.bucket"))
+        posexplode(sign_lsh_buckets(col("cv"), numPlanes, tables)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val qB = q.select(col("query_id"), col("qv"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          signBucketTable(col("qv"), numPlanes, t).as("bucket"))): _*))
-        .as("bk"))
-      .select(col("query_id"), col("qv"), col("bk.tbl"), col("bk.bucket"))
+        posexplode(sign_lsh_buckets(col("qv"), numPlanes, tables)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val cand = cB.join(qB, Seq("tbl", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
