@@ -125,6 +125,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // user_viewing ingest+clean actually used (SURVEY §2.10.1): the
+    // raw analog carries dd/MM/yyyy strings through P1+P4 then
+    // aggregates a weekly wishlist funnel.
+    "q18_viewing_funnel" -> ((s, dir) => {
+      val uv = Curate.parseRawDates(
+        Curate.dedup(Analog.userViewingRaw(s, dir)), Seq("viewed_at"))
+      uv.groupBy(Present.weekOf(col("viewed_at")).as("week_start"),
+          col("call_to_action"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(col("is_wishlisted").cast("long")).as("n_wishlisted"))
+        .orderBy("week_start", "call_to_action")
+    }),
     // Hierarchical rollup (grouping sets family — beyond the
     // reference's flat GROUP BYs): revenue by year ⊃ month ⊃ total.
     "q17_rollup_revenue" -> ((s, dir) =>
@@ -182,6 +194,12 @@ object SparkEntry {
     "q30_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMetaColumnar(
         Multimodal.asBinaryAssets(Tables.documents(s, dir)))),
+    // Multimodal partition-local decode (stubbed codec; real batch
+    // shape — no SQL oracle, rows-only check).
+    "q35_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeAssets(
+        Multimodal.asBinaryAssets(Tables.documents(s, dir)))
+        .toDF().orderBy("asset_id")),
     // Gap-based sessionization (batch twin of the streaming op).
     "q31_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Tables.events(s, dir))),
@@ -228,6 +246,7 @@ object SparkEntry {
     "q15_sql_tempview"      -> Oracle.sqlTempView,
     "q16_asof_join"         -> Oracle.asofJoin,
     "q17_rollup_revenue"    -> Oracle.rollupRevenue,
+    "q18_viewing_funnel"    -> Oracle.viewingFunnel,
     "q33_embedding_dedup"   -> Oracle.embeddingDedup,
     "q34_sql_dot_product"   -> Oracle.sqlDotProduct,
     "q20_exact_dedup"       -> Oracle.exactDedupDocs,

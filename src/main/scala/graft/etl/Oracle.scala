@@ -222,6 +222,19 @@ SELECT vec_id FROM v
 WHERE vec_id NOT IN (SELECT vec_id FROM dup)
 ORDER BY vec_id"""
 
+  val viewingFunnel: String = """
+WITH uv AS (
+  SELECT DISTINCT user_id, event_id % 2100 AS apartment_id,
+         CAST(ts AS DATE) AS viewed_at,
+         event_type = 'view' AS is_wishlisted,
+         event_type AS call_to_action
+  FROM events)
+SELECT CAST(date_trunc('week', viewed_at) AS DATE) AS week_start,
+       call_to_action,
+       count(*) AS n_views,
+       sum(CASE WHEN is_wishlisted THEN 1 ELSE 0 END) AS n_wishlisted
+FROM uv GROUP BY 1, 2 ORDER BY week_start, call_to_action"""
+
   val rollupRevenue: String = s"""
 SELECT year(o_orderdate) AS order_year,
        month(o_orderdate) AS order_month,
