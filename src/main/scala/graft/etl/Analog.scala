@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -111,4 +111,13 @@ object Analog {
       apartmentsRaw(spark, dir),
       attributesRaw(spark, dir),
       Tables.exchangeRates(spark))
+
+  /** Typed Silver-layer view: compile-time field checks via the
+    * case-class Encoder (`Dataset[T]` at layer boundaries,
+    * `DataFrame` inside transforms — SURVEY §7.1). */
+  def curatedTyped(spark: SparkSession, dir: String)
+      : Dataset[graft.model.Schemas.CuratedBooking] = {
+    import spark.implicits._
+    curated(spark, dir).as[graft.model.Schemas.CuratedBooking]
+  }
 }
