@@ -18,15 +18,20 @@ object Bench {
     try spark.read.parquet(s"$sfDir/orders.parquet")
       .groupBy("o_orderstatus").count().count()
     catch { case _: Throwable => }
+    // a failed query records -1.0 (never a fake small timing), and the
+    // sorted Seq keeps the JSON keys in query order
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                   false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -39,13 +39,20 @@ object Pipeline {
     }
   }
 
-  def run(spark: SparkSession, sfDir: String, outDir: String): Outputs = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          failOnViolations: Boolean = true): Outputs = {
     // ---- Data-quality gate on the raw layer (readme.md:65 TODO) ----
+    // Fail fast by default: under ANSI mode (Spark 4) the flagged rows
+    // would otherwise crash mid-curate (to_date throws on malformed
+    // dates) — an uncontrolled failure instead of a gate decision.
     stage("validate.bookings") {
       val report = etl.Validate.run(
         Analog.bookingsRaw(spark, sfDir), etl.Validate.bookingsChecks)
-      if (!report.clean)
+      if (!report.clean) {
         println(s"[pipeline] quality violations: ${report.failed}")
+        if (failOnViolations) throw new IllegalStateException(
+          s"raw bookings failed quality gate: ${report.failed}")
+      }
       report
     }
 

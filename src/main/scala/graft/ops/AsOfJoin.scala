@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * histories. The right payload travels as ONE struct so all carried
   * columns come from the SAME right row.
   *
-  * Right-side (key, time) duplicates must be resolved first (e.g.
-  * [[Curate.dedupByKeyDeterministic]]) — otherwise "the" latest row
-  * at a timestamp is undefined (DuckDB ASOF has the same caveat).
+  * Among duplicate right (key, time) rows the lexicographically
+  * greatest payload wins, deterministically (engines with a native
+  * ASOF, e.g. DuckDB, leave that case implementation-defined —
+  * pre-dedup the right side when cross-engine parity matters).
   */
 object AsOfJoin {
 
@@ -53,9 +54,12 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(col): _*)
 
     // right rows sort before left rows at equal timestamps → the
-    // inclusive rightTime <= leftTime semantics.
+    // inclusive rightTime <= leftTime semantics. The payload struct
+    // is the final ordering key: among duplicate right (key, time)
+    // rows the lexicographically greatest payload deterministically
+    // wins (left rows carry null payloads, distinguished by __side).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedRight.unionByName(taggedLeft)

@@ -61,26 +61,6 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dimension i): a hash mapped to [-1, 1). Reproducible across
-    * sessions with zero stored state — the "model" is the hash seed. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (hash(lit(p), i) % 1000000).cast("double") / 500000.0
-
-  /** Sign-LSH bucket id from `numPlanes` random hyperplanes: bit p is
-    * the sign of <v, plane_p>. Vectors in the same bucket are likely
-    * cosine-close (probability rises with angle similarity). */
-  def signBucket(vec: Column, numPlanes: Int = 12): Column = {
-    val idx = sequence(lit(0), size(vec) - 1)
-    val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, idx, (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
-
   /** LSH-bucketed approximate top-k: candidates restricted to equal
     * sign buckets (multi-probe across `tables` independent plane
     * sets), then exact cosine rank within candidates. Recall is
@@ -95,18 +75,24 @@ object Similarity {
       asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
-    // one codegen'd expression yields all table buckets per vector
-    val cB = c.select(col("corpus_id"), col("cv"),
+    // one codegen'd expression yields all table buckets per vector;
+    // the bucket join carries IDS ONLY — shipping vectors through it
+    // would shuffle tables× copies of every embedding. Vectors are
+    // re-attached once per surviving distinct candidate pair.
+    val cB = c.select(col("corpus_id"),
         posexplode(sign_lsh_buckets(col("cv"), numPlanes, tables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val qB = q.select(col("query_id"), col("qv"),
+    val qB = q.select(col("query_id"),
         posexplode(sign_lsh_buckets(col("qv"), numPlanes, tables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val cand = cB.join(qB, Seq("tbl", "bucket"))
+    val candIds = cB.join(qB, Seq("tbl", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id").distinct()
+    val cand = candIds
+      .join(q, "query_id")
+      .join(c, "corpus_id")
       .select(col("query_id"), col("corpus_id"),
         cosine(col("qv"), col("cv")).as("cosine_sim"))
-      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("corpus_id"))
     cand.withColumn("rank", row_number().over(w))
@@ -118,7 +104,7 @@ object Similarity {
   /** Embedding-cosine near-dup dedup: vectors whose cosine similarity
     * to a lower-id vector is ≥ threshold are dropped; returns the
     * surviving canonical ids. Exact all-pairs here (oracle baseline);
-    * at scale, feed candidates from [[signBucketTable]] buckets
+    * at scale, feed candidates from functions.SignLshBuckets buckets
     * instead of the cross join — same verify/survive logic. */
   def cosineDedup(vectors: DataFrame, threshold: Double,
                   idCol: String = "vec_id",
@@ -133,17 +119,4 @@ object Similarity {
     v.select(col(idCol)).join(dup, Seq(idCol), "left_anti").orderBy(idCol)
   }
 
-  /** Sign-LSH bucket for plane family `table` (independent families
-    * via seed offset in the component hash). */
-  def signBucketTable(vec: Column, numPlanes: Int, table: Int): Column = {
-    val idx = sequence(lit(0), size(vec) - 1)
-    val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, idx,
-          (x, i) => x * planeComponent(table * 1000 + p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
 }

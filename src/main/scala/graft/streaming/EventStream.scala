@@ -23,13 +23,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Tumbling-window engagement per event type (streaming twin of
-    * Present.weeklyEngagement). */
+    * Present.weeklyEngagement). `startTime` defaults to "4 days" so
+    * the default 7-day windows align to ISO Monday like the batch
+    * twin's `date_trunc('week')` — `window()` alone is epoch-aligned,
+    * and 1970-01-01 was a Thursday. */
   def windowedEngagement(events: DataFrame,
                          windowLen: String = "7 days",
-                         watermarkDelay: String = "1 day"): DataFrame =
+                         watermarkDelay: String = "1 day",
+                         startTime: Option[String] = None): DataFrame = {
+    val offset = startTime.getOrElse(
+      if (windowLen == "7 days") "4 days" else "0 seconds")
     events
       .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, windowLen, offset),
+        col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         approx_count_distinct("user_id").as("approx_users"),
@@ -38,6 +45,7 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"),
         col("approx_users"), col("max_value"))
+  }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp,
                    user_id: Long, event_type: String, value: Double)
@@ -67,16 +75,23 @@ object EventStream {
         (userId: Long, batch: Iterator[Event],
          state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // idle user: close and emit the open session
+            // idle user: close and emit the open session. Keep a
+            // counter-only sentinel (nEvents = 0) instead of removing
+            // state, so the next session continues the monotonic id
+            // sequence — matching the batch twin; a removed state
+            // would restart at 1 and collide (user_id, session_id)
+            // keys downstream. Sentinel cost: a few longs per user.
             val s = state.get
-            state.remove()
+            state.update(s.copy(nEvents = 0))
             Iterator(SessionOut(userId, s.sessionId, s.nEvents,
               new java.sql.Timestamp(s.startMicros / 1000),
               new java.sql.Timestamp(s.lastMicros / 1000)))
           } else {
             val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var closed = List.empty[SessionOut]
-            var cur = state.getOption
+            // nEvents == 0 sentinel = no open session, counter only
+            var cur = state.getOption.filter(_.nEvents > 0)
+            var lastClosedId = state.getOption.map(_.sessionId).getOrElse(0L)
             sorted.foreach { e =>
               val t = micros(e.ts)
               cur match {
@@ -88,7 +103,7 @@ object EventStream {
                     new java.sql.Timestamp(s.lastMicros / 1000))
                   cur = Some(SessionState(s.sessionId + 1, 1, t, t))
                 case None =>
-                  cur = Some(SessionState(1, 1, t, t))
+                  cur = Some(SessionState(lastClosedId + 1, 1, t, t))
               }
             }
             cur.foreach { s =>

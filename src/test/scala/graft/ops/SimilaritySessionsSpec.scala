@@ -35,7 +35,7 @@ class SimilaritySessionsSpec extends SparkSpec {
     assert(c == 1.0)
   }
 
-  test("signBucket: identical vectors share buckets; lshTopK finds the near pair") {
+  test("lshTopK finds the near pair within shared sign buckets") {
     val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 1), 2,
       numPlanes = 4, tables = 4).collect()
     // vector 2 is in the same half-space as 1 for most hyperplanes;

@@ -62,6 +62,18 @@ class EventStreamSpec extends SparkSpec {
           "WHERE user_id = 10 ORDER BY session_id").collect()
       assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
         Seq((1L, 2L), (2L, 1L)))
+      // a session after the timeout-closed one must continue the
+      // monotonic id sequence (3), not restart at 1
+      input.addData(
+        Event(6, ts("2024-01-04 09:00:00"), 10, "view", 0),
+        Event(7, ts("2024-01-05 09:00:00"), 99, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(8, ts("2024-01-06 09:00:00"), 99, "view", 0))
+      q.processAllAvailable()
+      val later = spark.sql(
+        "SELECT session_id, n_events FROM sess " +
+          "WHERE user_id = 10 ORDER BY session_id").collect()
+      assert(later.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
 }
