@@ -209,6 +209,13 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), 5,
         numPlanes = 8, tables = 4)
     }),
+    // IVF-bucketed approximate ANN: deterministic coarse quantizer,
+    // query probes nProbe cells (no SQL oracle — rows-only check).
+    "q36_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), 5,
+        numCentroids = 32, nProbe = 8)
+    }),
     // Embedding-cosine near-dup dedup (exact baseline; LSH-fed at
     // scale). Bounded to a deterministic 2000-vector sample.
     "q33_embedding_dedup" -> ((s, dir) =>

@@ -136,6 +136,100 @@ case class SignLshBuckets(child: Expression, numPlanes: Int, tables: Int)
     copy(child = c)
 }
 
+/** IVF probe assignment: the `nProbe` coarse-quantizer cells nearest
+  * to the vector (by cosine against `numCentroids` deterministic
+  * pseudo-random centroids). Corpus vectors use nProbe=1 (their home
+  * cell); queries probe several cells for recall. The centroid
+  * "codebook" is a hash function — zero trained state, identical on
+  * every executor and every run. Output: array<int> of cell ids,
+  * best first. */
+case class IvfProbes(child: Expression, numCentroids: Int, nProbe: Int)
+    extends UnaryExpression {
+  require(nProbe <= numCentroids)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_probes"
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private def component(c: Int, i: Int): Double = {
+    val h = splitmix64((c.toLong << 32) ^ i.toLong)
+    ((h & 0xFFFFFL).toDouble / 524288.0) - 1.0
+  }
+
+  // centroid norms depend on dim — computed once per (expression
+  // instance, dim), deterministically.
+  @transient private var cachedDim = -1
+  @transient private var cachedNorms: Array[Double] = _
+  private def norms(dim: Int): Array[Double] = {
+    if (cachedDim != dim) {
+      val ns = new Array[Double](numCentroids)
+      var c = 0
+      while (c < numCentroids) {
+        var s = 0.0; var i = 0
+        while (i < dim) { val x = component(c, i); s += x * x; i += 1 }
+        ns(c) = math.sqrt(s)
+        c += 1
+      }
+      cachedNorms = ns
+      cachedDim = dim
+    }
+    cachedNorms
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val cn = norms(dim)
+    val scores = new Array[Double](numCentroids)
+    var c = 0
+    while (c < numCentroids) {
+      var dot = 0.0; var i = 0
+      while (i < dim) { dot += v.getDouble(i) * component(c, i); i += 1 }
+      scores(c) = if (cn(c) == 0) 0.0 else dot / cn(c)
+      c += 1
+    }
+    // top-nProbe by (score desc, id asc) — selection without full sort
+    val out = new Array[Int](nProbe)
+    val taken = new Array[Boolean](numCentroids)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var c2 = 0
+      while (c2 < numCentroids) {
+        if (!taken(c2) && (best < 0 || scores(c2) > scores(best))) best = c2
+        c2 += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ivfProbes", this,
+      classOf[IvfProbes].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.nullSafeEval($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): IvfProbes =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
@@ -152,4 +246,9 @@ object VectorExpressions {
   def sign_lsh_buckets(v: Column, numPlanes: Int, tables: Int): Column =
     GraftSqlBridge.column(
       SignLshBuckets(GraftSqlBridge.expression(v), numPlanes, tables))
+
+  /** IVF probe cell ids (best first). */
+  def ivf_probes(v: Column, numCentroids: Int, nProbe: Int): Column =
+    GraftSqlBridge.column(
+      IvfProbes(GraftSqlBridge.expression(v), numCentroids, nProbe))
 }

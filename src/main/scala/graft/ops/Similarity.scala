@@ -101,6 +101,41 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer
+    * (hash-derived centroid codebook — no training, identical
+    * everywhere) assigns each corpus vector to ONE home cell; queries
+    * probe their `nProbe` nearest cells and rank exactly within the
+    * candidates. Same ids-only join discipline as [[lshTopK]]. Recall
+    * rises with nProbe; corpus-side cost is one int per vector. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCentroids: Int = 64, nProbe: Int = 8,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.ivf_probes
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val cCell = c.select(col("corpus_id"),
+      element_at(ivf_probes(col("cv"), numCentroids, 1), 1).as("cell"))
+    val qCell = q.select(col("query_id"),
+        explode(ivf_probes(col("qv"), numCentroids, nProbe)).as("cell"))
+    val candIds = cCell.join(qCell, "cell")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id").distinct()
+    val cand = candIds
+      .join(q, "query_id")
+      .join(c, "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("cv")).as("cosine_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("corpus_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine_sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-dup dedup: vectors whose cosine similarity
     * to a lower-id vector is ≥ threshold are dropped; returns the
     * surviving canonical ids. Exact all-pairs here (oracle baseline);

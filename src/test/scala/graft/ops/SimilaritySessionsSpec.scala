@@ -43,6 +43,16 @@ class SimilaritySessionsSpec extends SparkSpec {
     if (out.nonEmpty) assert(out.head.getLong(2) == 2L)
   }
 
+  test("ivfTopK: identical home cells recall the near pair first") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1), 2,
+      numCentroids = 8, nProbe = 4).collect()
+    if (out.nonEmpty) assert(out.head.getLong(2) == 2L)
+    // determinism: same input -> same probes -> same output
+    val again = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1), 2,
+      numCentroids = 8, nProbe = 4).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("sessionize splits on >30min gaps, tie-broken deterministically") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(
