@@ -165,6 +165,12 @@ object SparkEntry {
     // Per-language corpus stats.
     "q23_lang_stats" -> ((s, dir) =>
       TextOps.langStats(Tables.documents(s, dir))),
+    // Deterministic stratified sampling (min-k md5 order per lang).
+    "q37_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(Tables.documents(s, dir), "lang", 10)),
+    // Exact per-language length quantiles.
+    "q38_length_quantiles" -> ((s, dir) =>
+      TextOps.lengthQuantiles(Tables.documents(s, dir), "lang")),
     // Language-ID heuristic (no SQL oracle — rows-only check).
     "q24_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir))),
@@ -261,6 +267,8 @@ object SparkEntry {
     "q22_quality_score"     -> Oracle.qualityScore,
     "q23_lang_stats"        -> Oracle.langStats,
     "q27_jaccard_pairs"     -> Oracle.jaccardTopPairs,
+    "q37_stratified_sample" -> Oracle.stratifiedSample,
+    "q38_length_quantiles"  -> Oracle.lengthQuantiles,
     "q28_cosine_topk"       -> Oracle.cosineTopK,
     "q30_multimodal_meta"   -> Oracle.multimodalMeta,
     "q31_sessionize"        -> Oracle.sessionize

@@ -298,6 +298,21 @@ SELECT lang,
        max(n_chars) AS max_chars
 FROM documents GROUP BY 1 ORDER BY lang"""
 
+  val stratifiedSample: String = """
+SELECT lang, doc_id, md5(text) AS sample_key FROM (
+  SELECT lang, doc_id, text,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 10 ORDER BY lang, doc_id"""
+
+  val lengthQuantiles: String = """
+SELECT lang,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY 1 ORDER BY lang"""
+
   val jaccardTopPairs: String = """
 WITH s AS (
   SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks

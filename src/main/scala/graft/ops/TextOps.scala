@@ -69,6 +69,33 @@ object TextOps {
       max(col("n_chars")).as("max_chars"))
       .orderBy("lang")
 
+  /** Deterministic stratified sample: the k rows with the smallest
+    * md5(text) per stratum — min-k hash-order sampling, the
+    * reproducible alternative to random sampling in training-data
+    * pipelines (same sample on every engine, cluster, and rerun;
+    * uniform because the hash order is content-random). One shuffle
+    * by stratum; `WindowGroupLimit` turns the rank filter into a
+    * per-partition top-k before the final window at scale. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, k: Int,
+                       textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(md5(col(textCol)), col("doc_id"))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(stratumCol), col("doc_id"), md5(col(textCol)).as("sample_key"))
+      .orderBy(stratumCol, "doc_id")
+  }
+
+  /** Exact per-stratum length quantiles (linear interpolation —
+    * matches ANSI percentile_cont). */
+  def lengthQuantiles(docs: DataFrame, stratumCol: String): DataFrame =
+    docs.groupBy(col(stratumCol))
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(stratumCol)
+
   /** Marker-token profiles for the language-ID heuristic. In a real
     * corpus these would be learned character n-gram profiles; the
     * principle (argmax over per-language evidence scores, computed
