@@ -171,6 +171,27 @@ object SparkEntry {
     // Exact per-language length quantiles.
     "q38_length_quantiles" -> ((s, dir) =>
       TextOps.lengthQuantiles(Tables.documents(s, dir), "lang")),
+    // BPE-ish subword counting: whitespace words then fixed-width
+    // subword chunks (the cheap token-budget estimator).
+    "q39_subword_counts" -> ((s, dir) => {
+      val words = TextOps.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(words, lit(0L),
+          (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+          .as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+    // JSON extraction from the events props column + aggregation.
+    "q40_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
     // Language-ID heuristic (no SQL oracle — rows-only check).
     "q24_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir))),
@@ -268,6 +289,8 @@ object SparkEntry {
     "q23_lang_stats"        -> Oracle.langStats,
     "q27_jaccard_pairs"     -> Oracle.jaccardTopPairs,
     "q37_stratified_sample" -> Oracle.stratifiedSample,
+    "q39_subword_counts"    -> Oracle.subwordCounts,
+    "q40_json_extract"      -> Oracle.jsonExtract,
     "q38_length_quantiles"  -> Oracle.lengthQuantiles,
     "q28_cosine_topk"       -> Oracle.cosineTopK,
     "q30_multimodal_meta"   -> Oracle.multimodalMeta,

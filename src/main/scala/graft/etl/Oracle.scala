@@ -298,6 +298,20 @@ SELECT lang,
        max(n_chars) AS max_chars
 FROM documents GROUP BY 1 ORDER BY lang"""
 
+  val subwordCounts: String = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(string_split_regex(trim(text), ' +'),
+         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+FROM documents ORDER BY doc_id"""
+
+  val jsonExtract: String = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+       max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY event_type"""
+
   val stratifiedSample: String = """
 SELECT lang, doc_id, md5(text) AS sample_key FROM (
   SELECT lang, doc_id, text,
