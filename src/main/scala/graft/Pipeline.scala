@@ -89,17 +89,7 @@ object Pipeline {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse(
       sys.env.getOrElse("GRAFT_OUT_DIR", "/tmp/graft_pipeline"))
-    val spark = SparkSession.builder()
-      .master(sys.env.get("SPARK_GRAFT_CPUS").fold("local[4]")(c => s"local[$c]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local()
     val out = run(spark, sfDir, outDir)
     println(s"curated rows: ${out.curated.count()}")
     out.metrics.toSeq.sortBy(_._1).foreach { case (n, df) =>

@@ -24,17 +24,8 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_from_hashes"
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
-  @transient lazy val aParams: Array[Long] =
-    (0 until numHashes).map(i => (splitmix64(i.toLong) & 0x7FFFFFFFL) | 1L).toArray
-  @transient lazy val bParams: Array[Long] =
-    (0 until numHashes).map(i => splitmix64(i.toLong + 0x5eed) & 0x7FFFFFFFL).toArray
+  @transient lazy val aParams: Array[Long] = DeterministicHash.minhashA(numHashes)
+  @transient lazy val bParams: Array[Long] = DeterministicHash.minhashB(numHashes)
 
   private val Mask31 = (1L << 31) - 1  // pmod(h, 2^31) == h & mask
 
@@ -111,17 +102,8 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int,
   private val rows = numHashes / bands
   private val Mask31 = (1L << 31) - 1
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
-  @transient private lazy val aParams: Array[Long] =
-    (0 until numHashes).map(i => (splitmix64(i.toLong) & 0x7FFFFFFFL) | 1L).toArray
-  @transient private lazy val bParams: Array[Long] =
-    (0 until numHashes).map(i => splitmix64(i.toLong + 0x5eed) & 0x7FFFFFFFL).toArray
+  @transient private lazy val aParams: Array[Long] = DeterministicHash.minhashA(numHashes)
+  @transient private lazy val bParams: Array[Long] = DeterministicHash.minhashB(numHashes)
 
   override def nullSafeEval(input: Any): Any = {
     import org.apache.spark.sql.catalyst.expressions.XXH64

@@ -85,17 +85,10 @@ case class SignLshBuckets(child: Expression, numPlanes: Int, tables: Int)
       org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "sign_lsh_buckets"
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
   /** Component of plane p (within family t) at dimension i,
     * in [-1, 1). */
   private def component(t: Int, p: Int, i: Int): Double = {
-    val h = splitmix64(((t.toLong * 1000 + p) << 20) ^ i.toLong)
+    val h = DeterministicHash.splitmix64(((t.toLong * 1000 + p) << 20) ^ i.toLong)
     ((h & 0xFFFFFL).toDouble / 524288.0) - 1.0
   }
 
@@ -152,15 +145,8 @@ case class IvfProbes(child: Expression, numCentroids: Int, nProbe: Int)
       org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def prettyName: String = "ivf_probes"
 
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
   private def component(c: Int, i: Int): Double = {
-    val h = splitmix64((c.toLong << 32) ^ i.toLong)
+    val h = DeterministicHash.splitmix64((c.toLong << 32) ^ i.toLong)
     ((h & 0xFFFFFL).toDouble / 524288.0) - 1.0
   }
 

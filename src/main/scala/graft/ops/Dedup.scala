@@ -35,15 +35,6 @@ object Dedup {
       .orderBy(idCol)
   }
 
-  /** SplitMix64 — deterministic parameter derivation for the affine
-    * hash family (public-domain mixing constants). */
-  private def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
   /** MinHash signature in ONE pass: shingle strings are hashed once
     * (`xxhash64`), then the k affine permutations run inside the
     * codegen'd [[graft.functions.MinHashFromHashes]] expression — a

@@ -37,6 +37,24 @@ object Similarity {
   private def asDouble(c: Column): Column =
     transform(c, _.cast("double"))
 
+  /** Exact-rank tail shared by every top-k variant: rank candidates
+    * per query by (cosine desc, id) and keep k. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Re-attach vectors to id-only candidate pairs and score them. */
+  private def scoreCandidates(candIds: DataFrame, q: DataFrame,
+                              c: DataFrame): DataFrame =
+    candIds.join(q, "query_id").join(c, "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("cv")).as("cosine_sim"))
+
   /** Brute-force exact cosine top-k: for each query vector, the k
     * nearest corpus vectors (self-match excluded). Queries are
     * broadcast — the corpus is never shuffled; at 100 TB the corpus
@@ -49,16 +67,10 @@ object Similarity {
       asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
-    val scored = c.crossJoin(broadcast(q))
+    rankTopK(c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("qv"), col("cv")).as("cosine_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine_sim")
-      .orderBy("query_id", "rank")
+        cosine(col("qv"), col("cv")).as("cosine_sim")), k)
   }
 
   /** LSH-bucketed approximate top-k: candidates restricted to equal
@@ -88,17 +100,7 @@ object Similarity {
     val candIds = cB.join(qB, Seq("tbl", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id").distinct()
-    val cand = candIds
-      .join(q, "query_id")
-      .join(c, "corpus_id")
-      .select(col("query_id"), col("corpus_id"),
-        cosine(col("qv"), col("cv")).as("cosine_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("corpus_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine_sim")
-      .orderBy("query_id", "rank")
+    rankTopK(scoreCandidates(candIds, q, c), k)
   }
 
   /** IVF-style approximate top-k: a deterministic coarse quantizer
@@ -123,17 +125,7 @@ object Similarity {
     val candIds = cCell.join(qCell, "cell")
       .filter(col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id").distinct()
-    val cand = candIds
-      .join(q, "query_id")
-      .join(c, "corpus_id")
-      .select(col("query_id"), col("corpus_id"),
-        cosine(col("qv"), col("cv")).as("cosine_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("corpus_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine_sim")
-      .orderBy("query_id", "rank")
+    rankTopK(scoreCandidates(candIds, q, c), k)
   }
 
   /** Embedding-cosine near-dup dedup: vectors whose cosine similarity
