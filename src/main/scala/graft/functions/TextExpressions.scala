@@ -175,11 +175,18 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int,
     copy(child = c)
 }
 
-/** All ordered pairs (x < y) from a long-id array — the in-bucket
-  * candidate expansion, as one tight loop instead of nested
-  * interpreted `transform`/`slice` lambdas. Output:
-  * array<struct<id_a:long, id_b:long>>. */
-case class LongArrayPairs(child: Expression) extends UnaryExpression {
+/** Candidate pairs (x < y) from a long-id array — the in-bucket
+  * expansion, as one tight loop instead of nested interpreted
+  * `transform`/`slice` lambdas. Buckets up to `maxAll` ids emit every
+  * pair; LARGER buckets emit star pairs to the minimum id — O(n)
+  * instead of O(n²), and still links every member to the bucket's
+  * canonical document (sufficient for dedup-by-canonical: a
+  * mass-duplicate flood all verifies against one doc). Dropping
+  * oversized buckets outright — the obvious cap — would exempt
+  * boilerplate floods, the single most duplicate-rich case, from
+  * dedup entirely. Output: array<struct<id_a:long, id_b:long>>. */
+case class LongArrayPairs(child: Expression, maxAll: Int)
+    extends UnaryExpression {
   import org.apache.spark.sql.types.{StructField, StructType}
 
   override def dataType: DataType = ArrayType(
@@ -195,16 +202,28 @@ case class LongArrayPairs(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) { ids(i) = arr.getLong(i); i += 1 }
     java.util.Arrays.sort(ids)
-    val out = new Array[Any](n * (n - 1) / 2)
-    var k = 0; i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        out(k) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
-        k += 1; j += 1
+    val out =
+      if (n <= maxAll) {
+        val o = new Array[Any](n * (n - 1) / 2)
+        var k = 0; i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            o(k) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+            k += 1; j += 1
+          }
+          i += 1
+        }
+        o
+      } else {
+        val o = new Array[Any](n - 1)
+        var j = 1
+        while (j < n) {
+          o(j - 1) = org.apache.spark.sql.catalyst.InternalRow(ids(0), ids(j))
+          j += 1
+        }
+        o
       }
-      i += 1
-    }
     new GenericArrayData(out)
   }
 
@@ -282,8 +301,9 @@ object TextExpressions {
     GraftSqlBridge.column(
       MinHashBands(GraftSqlBridge.expression(tokens), k, bands, shingleLen))
 
-  def long_array_pairs(ids: Column): Column =
-    GraftSqlBridge.column(LongArrayPairs(GraftSqlBridge.expression(ids)))
+  def long_array_pairs(ids: Column, maxAll: Int): Column =
+    GraftSqlBridge.column(
+      LongArrayPairs(GraftSqlBridge.expression(ids), maxAll))
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(

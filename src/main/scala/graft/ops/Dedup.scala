@@ -65,8 +65,11 @@ object Dedup {
       .select(col(idCol), col("band.band_id"), col("band.band_hash"))
   }
 
-  /** Candidate-pair cap per LSH bucket — guards against degenerate
-    * buckets (empty/boilerplate docs all landing in one band hash). */
+  /** All-pairs cap per LSH bucket: buckets up to this size expand to
+    * every pair; larger buckets fall back to O(n) star pairs against
+    * the minimum id (functions.LongArrayPairs) — boilerplate floods
+    * still dedup against their canonical doc without a quadratic
+    * blow-up. */
   val maxBucket = 50
 
   /** Candidate near-dup pairs via MinHash LSH: docs sharing any band
@@ -77,8 +80,8 @@ object Dedup {
     * column gets re-inlined into every band expression by
     * CollapseProject — k× the work; measured as the dominant cost);
     * ONE shuffle (groupBy band bucket, map-side combined); pairs
-    * expanded in-row by the codegen'd LongArrayPairs; bucket size
-    * capped ([[maxBucket]]) before the quadratic expansion. */
+    * expanded in-row by the codegen'd LongArrayPairs — all pairs up
+    * to [[maxBucket]], star pairs beyond it. */
   def minHashCandidates(docs: DataFrame, numHashes: Int = 64,
                         bands: Int = 16, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
@@ -91,8 +94,8 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
       .groupBy("band_id", "band_hash")
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(long_array_pairs(col("ids"))).as("p"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(long_array_pairs(col("ids"), maxBucket)).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
@@ -190,22 +193,21 @@ object Dedup {
         explode(blocks).as("blk"))
       .select(col(idCol), col("simhash"),
         col("blk.block_id"), col("blk.block"))
-    // same no-self-join shape as minHashCandidates: carry (id, sig)
-    // structs into the bucket list, expand pairs in-row.
-    val entries = banded.groupBy("block_id", "block")
-      .agg(collect_list(struct(col(idCol), col("simhash"))).as("es"))
-      .filter(size(col("es")).between(2, maxBucket))
-    val sorted = array_sort(col("es"))
-    entries
-      .select(explode(flatten(transform(sorted, (x, i) =>
-        transform(slice(sorted, i + 2, size(sorted)),
-          y => struct(
-            x.getField(idCol).as("id_a"),
-            y.getField(idCol).as("id_b"),
-            bit_count(x.getField("simhash")
-              .bitwiseXOR(y.getField("simhash"))).as("hamming"))))))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+    // same no-self-join shape as minHashCandidates (all pairs up to
+    // maxBucket, star pairs beyond); hamming distances attached after
+    // candidate generation by joining the signatures back — the sig
+    // table is (id, long), cheap to join twice.
+    import graft.functions.TextExpressions.long_array_pairs
+    val pairs = banded.groupBy("block_id", "block")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(long_array_pairs(col("ids"), maxBucket)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+    pairs
+      .join(sig.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sig.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
   }
 }

@@ -62,6 +62,19 @@ class TextDedupSpec extends SparkSpec {
     assert((top.getLong(0), top.getLong(1), top.getDouble(2)) == (1L, 4L, 1.0))
   }
 
+  test("minHashDedup collapses a mass-duplicate flood larger than maxBucket") {
+    // 120 identical docs (> maxBucket=50) + 2 distinct ones: the
+    // oversized bucket falls back to star pairs, so the flood still
+    // verifies against its canonical min id and dedups to one doc.
+    val flood = ((1L to 120L).map(i => (i, "copy pasta boilerplate text repeated again and again")) ++
+      Seq((200L, "a genuinely unique document about spark engines"),
+          (201L, "another unrelated text with different words entirely")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.minHashDedup(flood, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 200L, 201L))
+  }
+
   test("langId picks the language with most marker hits") {
     val d = Seq(
       (1L, "der hund und die katze", "de"),
