@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SortedIntersectCount}
 
 /** SparkSessionExtensions registrar: exposes graft's native Catalyst
   * expressions to SQL. Activate with
@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "dot_product expects exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "sorted_intersect_count expects exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
       }))
   }
 }
