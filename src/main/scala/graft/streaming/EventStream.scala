@@ -47,6 +47,18 @@ object EventStream {
         col("approx_users"), col("max_value"))
   }
 
+  /** Streaming exact dedup: drop repeats of the same key seen within
+    * the watermark horizon (`dropDuplicatesWithinWatermark` keeps
+    * state only until the watermark passes — bounded, unlike plain
+    * streaming dropDuplicates whose state grows forever). The
+    * streaming twin of ops.Dedup.exactByHash for event streams. */
+  def dedupWithinWatermark(events: DataFrame,
+                           keys: Seq[String],
+                           watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp,
                    user_id: Long, event_type: String, value: Double)
   case class SessionState(sessionId: Long, nEvents: Long,

@@ -38,6 +38,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops repeated keys on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupWithinWatermark(
+        input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0),   // dup key
+        Event(3, ts("2024-01-01 10:06:00"), 1, "click", 3.0),
+        Event(4, ts("2024-01-01 10:07:00"), 2, "view", 4.0))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup_stream").head().getLong(0)
+      assert(n == 3)   // (1,view) kept once, (1,click), (2,view)
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions on gap and emits them") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
