@@ -85,6 +85,21 @@ object Pipeline {
     Outputs(silver, metrics)
   }
 
+  /** Incremental reprocessing: Gold metrics for ONE booking month off
+    * the partitioned Silver table. The `booking_month` predicate is a
+    * partition filter — Spark lists only that month's directory, so
+    * reprocessing cost tracks the month's data, not the table's
+    * history (the point of partitioning the Silver layer). */
+  def monthMetrics(spark: SparkSession, outDir: String,
+                   month: String): Map[String, DataFrame] = {
+    val silver = spark.read.parquet(s"$outDir/curated.apartment_bookings")
+      .filter(org.apache.spark.sql.functions.col("booking_month") === month)
+    Map(
+      "occupancy_rate"       -> Present.monthlyOccupancy(silver),
+      "avg_booking_duration" -> Present.monthlyAvgDuration(silver),
+      "bookings_per_user"    -> Present.bookingsPerUser(silver))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse(
