@@ -137,6 +137,29 @@ object SparkEntry {
           sum(col("is_wishlisted").cast("long")).as("n_wishlisted"))
         .orderBy("week_start", "call_to_action")
     }),
+    // Semi/anti joins (EXISTS / NOT EXISTS): customers with vs
+    // without confirmed orders.
+    "q19_semi_anti" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val confirmed = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      val withO = cust.join(confirmed, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("active").as("segment"))
+      val withoutO = cust.join(confirmed, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("inactive").as("segment"))
+      withO.unionByName(withoutO).orderBy("c_custkey")
+    }),
+    // Pivot: bookings count by month × status (wide reshape).
+    "q41_pivot_status" -> ((s, dir) =>
+      Analog.curated(s, dir)
+        .groupBy(Present.monthOf(col("booking_date")).as("month_start"))
+        .pivot("booking_status", Seq("confirmed", "pending", "canceled"))
+        .count()
+        // empty pivot cells are NULL in Spark, 0 from the oracle's
+        // count(CASE ...) — normalize
+        .na.fill(0L, Seq("confirmed", "pending", "canceled"))
+        .orderBy("month_start")),
     // Hierarchical rollup (grouping sets family — beyond the
     // reference's flat GROUP BYs): revenue by year ⊃ month ⊃ total.
     "q17_rollup_revenue" -> ((s, dir) =>
@@ -281,6 +304,8 @@ object SparkEntry {
     "q16_asof_join"         -> Oracle.asofJoin,
     "q17_rollup_revenue"    -> Oracle.rollupRevenue,
     "q18_viewing_funnel"    -> Oracle.viewingFunnel,
+    "q19_semi_anti"         -> Oracle.semiAnti,
+    "q41_pivot_status"      -> Oracle.pivotStatus,
     "q33_embedding_dedup"   -> Oracle.embeddingDedup,
     "q34_sql_dot_product"   -> Oracle.sqlDotProduct,
     "q20_exact_dedup"       -> Oracle.exactDedupDocs,

@@ -222,6 +222,21 @@ SELECT vec_id FROM v
 WHERE vec_id NOT IN (SELECT vec_id FROM dup)
 ORDER BY vec_id"""
 
+  val semiAnti: String = """
+SELECT c_custkey,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM orders
+         WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+       THEN 'active' ELSE 'inactive' END AS segment
+FROM customer ORDER BY c_custkey"""
+
+  val pivotStatus: String = s"""$curatedCte
+SELECT CAST(date_trunc('month', booking_date) AS DATE) AS month_start,
+       count(CASE WHEN booking_status = 'confirmed' THEN 1 END) AS confirmed,
+       count(CASE WHEN booking_status = 'pending' THEN 1 END) AS pending,
+       count(CASE WHEN booking_status = 'canceled' THEN 1 END) AS canceled
+FROM curated GROUP BY 1 ORDER BY month_start"""
+
   val viewingFunnel: String = """
 WITH uv AS (
   SELECT DISTINCT user_id, event_id % 2100 AS apartment_id,
