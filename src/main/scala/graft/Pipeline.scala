@@ -85,19 +85,32 @@ object Pipeline {
     Outputs(silver, metrics)
   }
 
-  /** Incremental reprocessing: Gold metrics for ONE booking month off
-    * the partitioned Silver table. The `booking_month` predicate is a
-    * partition filter — Spark lists only that month's directory, so
-    * reprocessing cost tracks the month's data, not the table's
-    * history (the point of partitioning the Silver layer). */
+  /** Incremental reprocessing: recompute the Gold rows keyed by ONE
+    * month, reading only the Silver partitions that can contribute —
+    * the `booking_month` predicate is a partition filter, so cost
+    * tracks the month, not table history.
+    *
+    * Only metrics whose rows are exactly reproducible from a bounded
+    * partition window are offered: avg_booking_duration groups by
+    * booking month (≡ the partition key — one partition suffices);
+    * occupancy_rate groups by CHECKIN month, and checkins in month M
+    * come from bookings in M-1 or M (stay offsets ≤ 9 days in the
+    * analog), so it reads both partitions and keeps the M row. Both
+    * outputs are row-identical to the full `run` for the same keys.
+    * All-history metrics (bookings_per_user, repeat_customer_rate)
+    * are NOT incrementally recomputable from a month window and are
+    * deliberately absent. */
   def monthMetrics(spark: SparkSession, outDir: String,
                    month: String): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit, date_format, add_months, to_date, concat}
     val silver = spark.read.parquet(s"$outDir/curated.apartment_bookings")
-      .filter(org.apache.spark.sql.functions.col("booking_month") === month)
+    val own = silver.filter(col("booking_month") === month)
+    val prevMonth = java.time.YearMonth.parse(month).minusMonths(1).toString
+    val window2 = silver.filter(col("booking_month").isin(prevMonth, month))
     Map(
-      "occupancy_rate"       -> Present.monthlyOccupancy(silver),
-      "avg_booking_duration" -> Present.monthlyAvgDuration(silver),
-      "bookings_per_user"    -> Present.bookingsPerUser(silver))
+      "avg_booking_duration" -> Present.monthlyAvgDuration(own),
+      "occupancy_rate" -> Present.monthlyOccupancy(window2)
+        .filter(col("month_start") === to_date(lit(s"$month-01"))))
   }
 
   def main(args: Array[String]): Unit = {

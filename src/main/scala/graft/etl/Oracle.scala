@@ -320,11 +320,16 @@ SELECT doc_id,
          w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
 FROM documents ORDER BY doc_id"""
 
+  // NULLIF('') mirrors get_json_object's NULL on missing key; the
+  // -? covers negatives — keeps the regexp twin aligned with Spark's
+  // JSON semantics for any plausible props shape.
   val jsonExtract: String = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
-       max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+       sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+           AS BIGINT)) AS sum_k,
+       max(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+           AS BIGINT)) AS max_k
 FROM events GROUP BY 1 ORDER BY event_type"""
 
   val stratifiedSample: String = """

@@ -193,21 +193,28 @@ object Dedup {
         explode(blocks).as("blk"))
       .select(col(idCol), col("simhash"),
         col("blk.block_id"), col("blk.block"))
-    // same no-self-join shape as minHashCandidates (all pairs up to
-    // maxBucket, star pairs beyond); hamming distances attached after
-    // candidate generation by joining the signatures back — the sig
-    // table is (id, long), cheap to join twice.
-    import graft.functions.TextExpressions.long_array_pairs
-    val pairs = banded.groupBy("block_id", "block")
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(long_array_pairs(col("ids"), maxBucket)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // same no-self-join shape as minHashCandidates: carry (id, sig)
+    // structs through the bucket so the simHash aggregate — the
+    // dominant per-doc cost — is computed ONCE (joining the lazy sig
+    // plan back would re-evaluate it per join). All pairs up to
+    // maxBucket; star pairs against the min id beyond it.
+    val entries = banded.groupBy("block_id", "block")
+      .agg(collect_list(struct(col(idCol), col("simhash"))).as("es"))
+      .filter(size(col("es")) >= 2)
+    val sorted = array_sort(col("es"))  // struct sort = by id first
+    def pairStruct(x: Column, y: Column) = struct(
+      x.getField(idCol).as("id_a"),
+      y.getField(idCol).as("id_b"),
+      bit_count(x.getField("simhash")
+        .bitwiseXOR(y.getField("simhash"))).as("hamming"))
+    val allPairs = flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), y => pairStruct(x, y))))
+    val starPairs = transform(slice(sorted, lit(2), size(sorted)),
+      y => pairStruct(element_at(sorted, 1), y))
+    entries
+      .select(explode(when(size(sorted) <= maxBucket, allPairs)
+        .otherwise(starPairs)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
-    pairs
-      .join(sig.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), "id_a")
-      .join(sig.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
   }
 }

@@ -24,6 +24,13 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would preserve each unmatched REPLICATED small
+    // row saltFactor times — not equal to the unsalted join. Only
+    // large-side-preserving join types are sound under salting.
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(normalized),
+      s"saltedJoin supports inner/left/semi/anti join types, got $joinType")
     val salted = large.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",

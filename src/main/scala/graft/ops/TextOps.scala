@@ -77,13 +77,14 @@ object TextOps {
     * by stratum; `WindowGroupLimit` turns the rank filter into a
     * per-partition top-k before the final window at scale. */
   def stratifiedSample(docs: DataFrame, stratumCol: String, k: Int,
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(md5(col(textCol)), col("doc_id"))
+      .partitionBy(col(stratumCol)).orderBy(md5(col(textCol)), col(idCol))
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col(stratumCol), col("doc_id"), md5(col(textCol)).as("sample_key"))
-      .orderBy(stratumCol, "doc_id")
+      .select(col(stratumCol), col(idCol), md5(col(textCol)).as("sample_key"))
+      .orderBy(stratumCol, idCol)
   }
 
   /** Exact per-stratum length quantiles (linear interpolation —

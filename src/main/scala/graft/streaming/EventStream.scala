@@ -54,9 +54,10 @@ object EventStream {
     * streaming twin of ops.Dedup.exactByHash for event streams. */
   def dedupWithinWatermark(events: DataFrame,
                            keys: Seq[String],
-                           watermarkDelay: String = "1 hour"): DataFrame =
+                           watermarkDelay: String = "1 hour",
+                           eventTimeCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   case class Event(event_id: Long, ts: java.sql.Timestamp,

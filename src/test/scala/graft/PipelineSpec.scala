@@ -19,10 +19,18 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("booking_month"),
       s"expected partition pruning on booking_month:\n$plan")
-    // booking_month=1995-06 bookings can check in during June or (for
-    // late-June bookings) July — never outside that window
-    val months = occ.collect().map(_.getDate(0).toString).toSeq
-    assert(months.nonEmpty &&
-      months.forall(m => m == "1995-06-01" || m == "1995-07-01"))
+    // incremental rows must be VALUE-identical to the full-run rows
+    // for the same month keys (not just correctly labeled)
+    val fullOcc = res.metrics("occupancy_rate").collect()
+      .map(r => r.getDate(0).toString -> r.toSeq).toMap
+    val incOcc = occ.collect().map(r => r.getDate(0).toString -> r.toSeq).toMap
+    assert(incOcc.keySet == Set("1995-06-01"))
+    assert(incOcc("1995-06-01") == fullOcc("1995-06-01"))
+    val fullDur = res.metrics("avg_booking_duration").collect()
+      .map(r => r.getDate(0).toString -> r.toSeq).toMap
+    val incDur = m("avg_booking_duration").collect()
+      .map(r => r.getDate(0).toString -> r.toSeq).toMap
+    assert(incDur.keySet == Set("1995-06-01"))
+    assert(incDur("1995-06-01") == fullDur("1995-06-01"))
   }
 }
