@@ -12,6 +12,10 @@ package graft.etl
   *  - DuckDB `datediff('day', start, end)` ≡ Spark
   *    `datediff(end, start)`;
   *  - `date_trunc` is cast to DATE on both sides;
+  *  - every `sum` over an integer column is wrapped
+  *    `CAST(sum(..) AS BIGINT)` — DuckDB's sum(BIGINT) returns
+  *    HUGEINT, which fails the driver's type-sensitive value hash
+  *    against Spark's BIGINT;
   *  - every query ends in a total ORDER BY over a unique key.
   */
 object Oracle {
@@ -118,8 +122,8 @@ FROM aptc GROUP BY 1 ORDER BY week_start"""
   val monthlyOccupancy: String = s"""$curatedCte
 SELECT CAST(date_trunc('month', checkin_date) AS DATE) AS month_start,
        count(*) AS total_bookings,
-       sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT))
-         AS booked_nights,
+       CAST(sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT))
+         AS BIGINT) AS booked_nights,
        ${money("""sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT)) * 100.0
          / (count(DISTINCT apartment_id)
             * day(last_day(CAST(date_trunc('month', checkin_date) AS DATE))))""")}
@@ -247,12 +251,13 @@ WITH uv AS (
 SELECT CAST(date_trunc('week', viewed_at) AS DATE) AS week_start,
        call_to_action,
        count(*) AS n_views,
-       sum(CASE WHEN is_wishlisted THEN 1 ELSE 0 END) AS n_wishlisted
+       CAST(sum(CASE WHEN is_wishlisted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_wishlisted
 FROM uv GROUP BY 1, 2 ORDER BY week_start, call_to_action"""
 
   val rollupRevenue: String = s"""
-SELECT year(o_orderdate) AS order_year,
-       month(o_orderdate) AS order_month,
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
        count(*) AS n_orders,
        ${decSum(money("o_totalprice"))} AS revenue
 FROM orders WHERE o_orderstatus = 'F'
@@ -308,8 +313,8 @@ FROM f ORDER BY doc_id"""
   val langStats: String = """
 SELECT lang,
        count(*) AS n_docs,
-       sum(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT))
-         AS total_tokens,
+       CAST(sum(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT))
+         AS BIGINT) AS total_tokens,
        max(n_chars) AS max_chars
 FROM documents GROUP BY 1 ORDER BY lang"""
 
@@ -326,8 +331,8 @@ FROM documents ORDER BY doc_id"""
   val jsonExtract: String = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
-           AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+           AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
            AS BIGINT)) AS max_k
 FROM events GROUP BY 1 ORDER BY event_type"""
@@ -374,7 +379,7 @@ ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS "rank"
   FROM scored)
-SELECT query_id, "rank", corpus_id, cosine_sim
+SELECT query_id, CAST("rank" AS INT) AS "rank", corpus_id, cosine_sim
 FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank""""
 
   val multimodalMeta: String = """

@@ -13,13 +13,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Semantics are IDENTICAL to the sequential fold
   * `aggregate(zip_with(a,b,*), 0.0, +)` — ascending index order,
-  * double accumulation — so results stay bit-exact with the DuckDB
-  * oracle's `list_dot_product`.
+  * double accumulation, and NULL when the array lengths differ
+  * (zip_with null-pads the shorter side, which nulls the sum) — so
+  * results stay bit-exact with the DuckDB oracle's
+  * `list_dot_product` and a dimension mismatch surfaces instead of
+  * silently truncating.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   /** Both inputs must be array<double> — ArrayData.getDouble on a
@@ -42,11 +46,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -56,12 +63,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -151,11 +162,15 @@ case class IvfProbes(child: Expression, numCentroids: Int, nProbe: Int)
   }
 
   // centroid norms depend on dim — computed once per (expression
-  // instance, dim), deterministically.
-  @transient private var cachedDim = -1
-  @transient private var cachedNorms: Array[Double] = _
+  // instance, dim), deterministically. Published as ONE (dim, norms)
+  // pair through a volatile so concurrent evaluators never observe a
+  // dim from one write paired with norms from another; recomputation
+  // races are benign (both threads compute identical values).
+  @transient @volatile private var cached: (Int, Array[Double]) = _
   private def norms(dim: Int): Array[Double] = {
-    if (cachedDim != dim) {
+    val c0 = cached
+    if (c0 != null && c0._1 == dim) c0._2
+    else {
       val ns = new Array[Double](numCentroids)
       var c = 0
       while (c < numCentroids) {
@@ -164,10 +179,9 @@ case class IvfProbes(child: Expression, numCentroids: Int, nProbe: Int)
         ns(c) = math.sqrt(s)
         c += 1
       }
-      cachedNorms = ns
-      cachedDim = dim
+      cached = (dim, ns)
+      ns
     }
-    cachedNorms
   }
 
   override def nullSafeEval(input: Any): Any = {

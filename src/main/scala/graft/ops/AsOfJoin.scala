@@ -37,6 +37,15 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Seq("__t", "__side", "__payload", "__asof")
+    require(leftCols.intersect(reserved).isEmpty,
+      s"left columns may not use reserved names ${reserved.mkString(", ")}")
+    require((keys ++ rightCols :+ rightTime).intersect(reserved).isEmpty,
+      s"right/key columns may not use reserved names ${reserved.mkString(", ")}")
+    val clash = (rightCols :+ rightTime).toSet
+      .intersect(leftCols.filterNot(keys.contains).toSet)
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns: ${clash.mkString(", ")}")
     val payload = struct((rightTime +: rightCols).map(col): _*)
 
     val taggedRight = right.select(

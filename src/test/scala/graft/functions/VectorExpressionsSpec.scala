@@ -32,6 +32,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.filter(!_.isNullAt(0)).map(_.getDouble(0)).toSeq == Seq(5.0))
   }
 
+  test("DotProduct is null on mismatched array lengths (zip_with parity)") {
+    val mixed = Seq(
+      (1L, Array(1.0, 2.0, 3.0)), (2L, Array(1.0, 2.0)))
+      .toDF("id", "v")
+    val out = mixed.as("a").crossJoin(mixed.as("b"))
+      .select(
+        $"a.id", $"b.id",
+        VectorExpressions.dot_product($"a.v", $"b.v").as("native"),
+        Similarity.dotFold($"a.v", $"b.v").as("fold"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(2) == r.isNullAt(3)) // matches zip_with fold
+      assert(r.isNullAt(2) == (r.getLong(0) != r.getLong(1)))
+    }
+  }
+
   test("dot_product registers for SQL via GraftExtensions") {
     // injectFunction path, applied to the live session's registry
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -36,6 +36,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1).getAs[Timestamp]("qt") == ts("2024-01-01 10:00:20"))
   }
 
+  test("asof rejects reserved and colliding column names") {
+    val l = Seq((1L, "K", ts("2024-01-01 00:00:10"), 0.0))
+      .toDF("id", "k", "t", "px")
+    val r = Seq(("K", ts("2024-01-01 00:00:01"), 1.0))
+      .toDF("k", "rt", "px")
+    // right payload "px" collides with a left column
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, Seq("k"), "t", "rt", Seq("px"))
+    }
+    // reserved internal name on the left
+    val lReserved = l.withColumnRenamed("px", "__side")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asof(lReserved, r, Seq("k"), "t", "rt", Seq("px"))
+    }
+  }
+
   test("payload columns stay consistent (one struct, one right row)") {
     val l = Seq((1L, "K", ts("2024-01-01 00:00:10")))
       .toDF("id", "k", "t")

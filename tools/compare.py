@@ -19,12 +19,16 @@ def norm_cell(v):
         return repr(v)  # full precision
     return str(v)
 
-def norm_rows(cols, rows, sort_rows):
+def norm_rows(cols, types, rows, sort_rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     if sort_rows:
         out.sort()
-    return [sorted(cols), out]
+    # column types travel with the sorted columns: the driver's gate
+    # hashes typed values (HUGEINT vs BIGINT mismatch even when the
+    # stringified values agree), so the local compare must be
+    # type-sensitive too.
+    return [sorted(cols), [str(types[i]) for i in order], out]
 
 def main(sf_dir, out_dir, sort_rows=False):
     con = duckdb.connect()
@@ -39,22 +43,24 @@ def main(sf_dir, out_dir, sort_rows=False):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        rel = con.execute(
-            "SELECT * FROM read_parquet(" + repr(files) + ")")
-        s_cols = [d[0] for d in rel.description]
+        rel = con.sql("SELECT * FROM read_parquet(" + repr(files) + ")")
+        s_cols, s_types = rel.columns, rel.types
         s_rows = rel.fetchall()
         try:
-            orel = con.execute(oracle[name])
-            o_cols = [d[0] for d in orel.description]
+            orel = con.sql(oracle[name])
+            o_cols, o_types = orel.columns, orel.types
             o_rows = orel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
-        sc, sr = norm_rows(s_cols, s_rows, sort_rows)
-        oc, orows = norm_rows(o_cols, o_rows, sort_rows)
+        sc, st, sr = norm_rows(s_cols, s_types, s_rows, sort_rows)
+        oc, ot, orows = norm_rows(o_cols, o_types, o_rows, sort_rows)
         if sc != oc:
             print(f"FAIL {name}: columns {sc} vs {oc}")
+            n_fail += 1
+        elif st != ot:
+            print(f"FAIL {name}: column types {st} vs {ot}")
             n_fail += 1
         elif len(sr) != len(orows):
             print(f"FAIL {name}: rowcount {len(sr)} vs {len(orows)}")
