@@ -215,7 +215,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
-    // Language-ID heuristic (no SQL oracle — rows-only check).
+    // Language-ID heuristic (argmax over marker scores).
     "q24_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir))),
     // MinHash+LSH near-dup dedup (no SQL oracle — rows-only check).
@@ -244,8 +244,8 @@ object SparkEntry {
     "q30_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMetaColumnar(
         Multimodal.asBinaryAssets(Tables.documents(s, dir)))),
-    // Multimodal partition-local decode (stubbed codec; real batch
-    // shape — no SQL oracle, rows-only check).
+    // Multimodal partition-local decode (stubbed codec with
+    // sha-derived dimensions; real batch shape).
     "q35_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeAssets(
         Multimodal.asBinaryAssets(Tables.documents(s, dir)))
@@ -319,6 +319,8 @@ object SparkEntry {
     "q38_length_quantiles"  -> Oracle.lengthQuantiles,
     "q28_cosine_topk"       -> Oracle.cosineTopK,
     "q30_multimodal_meta"   -> Oracle.multimodalMeta,
-    "q31_sessionize"        -> Oracle.sessionize
+    "q31_sessionize"        -> Oracle.sessionize,
+    "q24_lang_id"           -> Oracle.langId,
+    "q35_multimodal_decode" -> Oracle.multimodalDecode
   )
 }

@@ -388,6 +388,42 @@ SELECT CAST(doc_id AS BIGINT) AS asset_id,
        sha256(text) AS sha
 FROM documents ORDER BY asset_id"""
 
+  /** Twin of Multimodal.decodeAssets: the decode stub derives
+    * width/height from sha256 hex digits, so DuckDB reproduces the
+    * full decoded row ('0x…'::BIGINT parses the hex substring). */
+  val multimodalDecode: String = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha,
+       CAST(16 + CAST('0x' || substr(sha256(text), 1, 5) AS BIGINT) % 1024
+         AS INT) AS width,
+       CAST(16 + CAST('0x' || substr(sha256(text), 6, 5) AS BIGINT) % 1024
+         AS INT) AS height,
+       'stub' AS format
+FROM documents ORDER BY asset_id"""
+
+  /** Twin of TextOps.langId: argmax over per-language marker-hit
+    * scores via list_max of (score, lang) structs — the same
+    * (max score, then max lang) total order Spark's array_max uses.
+    * Marker lists are generated from TextOps.LangMarkers so the two
+    * sides cannot drift. */
+  val langId: String = {
+    val branches = graft.ops.TextOps.LangMarkers.toSeq.sortBy(_._1)
+      .map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"struct_pack(score := len(list_filter(toks, t -> t IN ($inList)))," +
+          s" lang := '$lang')"
+      }.mkString(",\n         ")
+    s"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+  FROM documents)
+SELECT doc_id,
+       (list_max([$branches])).lang AS predicted_lang,
+       lang AS actual_lang
+FROM t ORDER BY doc_id"""
+  }
+
   val sqlDotProduct: String = """
 SELECT vec_id,
        list_dot_product(CAST(embedding AS DOUBLE[]),

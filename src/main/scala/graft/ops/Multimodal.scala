@@ -63,13 +63,15 @@ object Multimodal {
           require(decoderReady)
           val sha = java.security.MessageDigest.getInstance("SHA-256")
             .digest(payload).map("%02x".format(_)).mkString
-          // STUB decode: dimensions derived deterministically from
-          // content — stands in for actual pixel decode.
-          val h = java.util.Arrays.hashCode(payload)
+          // STUB decode: dimensions derived deterministically from the
+          // content hash — stands in for actual pixel decode, and is
+          // engine-portable (sha256 hex → int), so the whole decode
+          // output is oracle-checkable.
+          def dim(from: Int): Int =
+            16 + (java.lang.Long.parseLong(sha.substring(from, from + 5), 16)
+              % 1024).toInt
           AssetMeta(id, payload.length.toLong, sha,
-            width = 16 + math.floorMod(h, 1024),
-            height = 16 + math.floorMod(h / 1024, 1024),
-            format = "stub")
+            width = dim(0), height = dim(5), format = "stub")
         }
       }
   }
