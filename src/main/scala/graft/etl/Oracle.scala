@@ -410,7 +410,7 @@ FROM documents ORDER BY asset_id"""
   val langId: String = {
     val branches = graft.ops.TextOps.LangMarkers.toSeq.sortBy(_._1)
       .map { case (lang, ms) =>
-        val inList = ms.map(m => s"'$m'").mkString(", ")
+        val inList = ms.map(m => s"'${m.replace("'", "''")}'").mkString(", ")
         s"struct_pack(score := len(list_filter(toks, t -> t IN ($inList)))," +
           s" lang := '$lang')"
       }.mkString(",\n         ")

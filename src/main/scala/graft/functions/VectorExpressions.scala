@@ -14,10 +14,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Semantics are IDENTICAL to the sequential fold
   * `aggregate(zip_with(a,b,*), 0.0, +)` — ascending index order,
   * double accumulation, and NULL when the array lengths differ
-  * (zip_with null-pads the shorter side, which nulls the sum) — so
-  * results stay bit-exact with the DuckDB oracle's
-  * `list_dot_product` and a dimension mismatch surfaces instead of
-  * silently truncating.
+  * (zip_with null-pads the shorter side, which nulls the sum). On
+  * equal-length inputs results are bit-exact with DuckDB's
+  * `list_dot_product` (verified empirically); on mismatched lengths
+  * DuckDB errors ("list dimensions must be equal") while this
+  * returns NULL, so oracle queries must keep dimensions equal.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -42,6 +42,9 @@ object AsOfJoin {
       s"left columns may not use reserved names ${reserved.mkString(", ")}")
     require((keys ++ rightCols :+ rightTime).intersect(reserved).isEmpty,
       s"right/key columns may not use reserved names ${reserved.mkString(", ")}")
+    val keyAsPayload = keys.toSet.intersect((rightCols :+ rightTime).toSet)
+    require(keyAsPayload.isEmpty,
+      s"key columns may not be requested as right payload: ${keyAsPayload.mkString(", ")}")
     val clash = (rightCols :+ rightTime).toSet
       .intersect(leftCols.filterNot(keys.contains).toSet)
     require(clash.isEmpty,

@@ -57,12 +57,14 @@ object Multimodal {
     assets.select("asset_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder setup (stub): real code would
-        // initialize the codec context once here.
+        // initialize the codec context once here. The digest is the
+        // per-partition amortized resource this shape exists for.
         val decoderReady = true
+        val md = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, payload) =>
           require(decoderReady)
-          val sha = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(payload).map("%02x".format(_)).mkString
+          md.reset()
+          val sha = md.digest(payload).map("%02x".format(_)).mkString
           // STUB decode: dimensions derived deterministically from the
           // content hash — stands in for actual pixel decode, and is
           // engine-portable (sha256 hex → int), so the whole decode
