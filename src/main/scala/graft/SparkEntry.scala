@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Sessions, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sessions, Similarity, TextOps, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -175,6 +175,94 @@ object SparkEntry {
         .orderBy(col("order_year").asc_nulls_first,
           col("order_month").asc_nulls_first)),
 
+    // Point-in-interval range join (binned equi-join formulation —
+    // the scale path; see ops.RangeJoin): events inside 3-day promo
+    // windows derived from sampled orders.
+    "q42_range_join" -> ((s, dir) => {
+      val promos = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey").as("promo_id"),
+          col("o_orderdate").as("promo_start"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAY")).as("promo_end"))
+      RangeJoin.binned(Tables.events(s, dir), promos,
+          "ts", "promo_start", "promo_end")
+        .groupBy("promo_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Present.decSum(Curate.money(col("value"))).as("value_sum"))
+        .orderBy("promo_id")
+    }),
+    // Cube (all grouping-set combinations; rollup's sibling) with
+    // grouping_id to distinguish cube-nulls from data-nulls
+    // (cityname IS null for attribute-less apartments).
+    "q43_cube_revenue" -> ((s, dir) =>
+      Analog.curated(s, dir)
+        .cube(col("cityname"), col("booking_status"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_bookings"),
+          Present.decSum(col("total_price_usd")).as("revenue"))
+        .select(col("cityname"), col("booking_status"), col("gid"),
+          col("n_bookings"), col("revenue"))
+        .orderBy(col("gid"), col("cityname").asc_nulls_first,
+          col("booking_status").asc_nulls_first)),
+    // SCD-1 upsert: collapse the events changelog to the latest row
+    // per (user_id, event_type) via struct-max (map-side combinable —
+    // no window sort; see ops.Upsert.latestByKey).
+    "q44_scd_upsert" -> ((s, dir) =>
+      Upsert.latestByKey(Tables.events(s, dir),
+          keys = Seq("user_id", "event_type"),
+          versionCols = Seq("ts", "event_id"),
+          payloadCols = Seq("value"))
+        .orderBy("user_id", "event_type")),
+    // Custom TypedImperativeAggregate: bounded-heap top-k per group
+    // (O(k) state + map-side partials vs the window-rank full sort).
+    "q45_topk_per_city" -> ((s, dir) =>
+      Analog.curated(s, dir)
+        .filter(col("cityname").isNotNull &&
+          col("total_price_usd").isNotNull)
+        .groupBy("cityname")
+        .agg(graft.functions.TopKAggregate.topk_by_value(
+          col("total_price_usd"), col("booking_id").cast("long"), 3)
+          .as("top"))
+        .select(col("cityname"), posexplode(col("top")))
+        .select(col("cityname"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("booking_id"),
+          col("col.value").as("price_usd"))
+        .orderBy("cityname", "rank")),
+    // Running windows: cumulative count/revenue + ntile quartile per
+    // customer (frame-bounded windows beyond the reference's LAG).
+    "q46_running_totals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val order = Seq(col("o_orderdate"), col("o_orderkey"))
+      val cum = Window.partitionBy("o_custkey").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rank = Window.partitionBy("o_custkey").orderBy(order: _*)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(cum).as("running_n"),
+        sum(Curate.money(col("o_totalprice")).cast("decimal(18,2)"))
+          .over(cum).cast("double").as("running_rev"),
+        ntile(4).over(rank).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    // Array explode / unnest: word frequencies over part names.
+    "q47_word_counts" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("p_partkey")).as("n_parts"))
+        .orderBy("word")),
+    // Approximate aggregates: HLL++ distinct-user counts next to the
+    // exact answer (no SQL oracle — sketch internals differ per
+    // engine; spec asserts the error bound).
+    "q48_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+
     // —— training-data pipeline extensions ————————————————————————
     // Exact dedup by content hash.
     "q20_exact_dedup" -> ((s, dir) =>
@@ -321,6 +409,12 @@ object SparkEntry {
     "q30_multimodal_meta"   -> Oracle.multimodalMeta,
     "q31_sessionize"        -> Oracle.sessionize,
     "q24_lang_id"           -> Oracle.langId,
-    "q35_multimodal_decode" -> Oracle.multimodalDecode
+    "q35_multimodal_decode" -> Oracle.multimodalDecode,
+    "q42_range_join"        -> Oracle.rangeJoin,
+    "q43_cube_revenue"      -> Oracle.cubeRevenue,
+    "q44_scd_upsert"        -> Oracle.scdUpsert,
+    "q45_topk_per_city"     -> Oracle.topkPerCity,
+    "q46_running_totals"    -> Oracle.runningTotals,
+    "q47_word_counts"       -> Oracle.wordCounts
   )
 }

@@ -452,4 +452,82 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY 1, 2 ORDER BY user_id, session_id"""
+
+  /** Twin of q42 (ops.RangeJoin.binned): plain BETWEEN join — the
+    * bin quantization is internal, the visible semantics are the
+    * half-open interval. */
+  val rangeJoin: String = s"""
+WITH promo AS (
+  SELECT o_orderkey AS promo_id,
+         o_orderdate AS promo_start,
+         o_orderdate + INTERVAL 3 DAY AS promo_end
+  FROM orders WHERE o_orderkey % 1000 = 0)
+SELECT promo_id,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       ${decSum(money("value"))} AS value_sum
+FROM events e JOIN promo p
+  ON e.ts >= p.promo_start AND e.ts < p.promo_end
+GROUP BY promo_id ORDER BY promo_id"""
+
+  /** Twin of q43: GROUP BY CUBE with GROUPING() (first arg = MSB on
+    * both engines — verified empirically). */
+  val cubeRevenue: String = s"""
+$curatedCte
+SELECT cityname, booking_status,
+       GROUPING(cityname, booking_status) AS gid,
+       count(*) AS n_bookings,
+       ${decSum("total_price_usd")} AS revenue
+FROM curated
+GROUP BY CUBE (cityname, booking_status)
+ORDER BY gid, cityname NULLS FIRST, booking_status NULLS FIRST"""
+
+  /** Twin of q44 (ops.Upsert.latestByKey): the window formulation —
+    * the struct-max aggregate picks the same (max ts, max event_id)
+    * row as ORDER BY ts DESC, event_id DESC. */
+  val scdUpsert: String = """
+SELECT user_id, event_type, ts, event_id, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type
+  ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id, event_type"""
+
+  /** Twin of q45 (functions.TopKByValue): the window-rank
+    * formulation the aggregate replaces. */
+  val topkPerCity: String = s"""
+$curatedCte
+SELECT cityname, CAST(rn AS INT) AS rank,
+       CAST(booking_id AS BIGINT) AS booking_id,
+       total_price_usd AS price_usd
+FROM (
+  SELECT cityname, booking_id, total_price_usd,
+         row_number() OVER (
+           PARTITION BY cityname
+           ORDER BY total_price_usd DESC, booking_id) AS rn
+  FROM curated
+  WHERE cityname IS NOT NULL AND total_price_usd IS NOT NULL)
+WHERE rn <= 3
+ORDER BY cityname, rank"""
+
+  /** Twin of q46: frame-bounded running windows + ntile. */
+  val runningTotals: String = s"""
+SELECT o_orderkey, o_custkey,
+       count(*) OVER cum AS running_n,
+       CAST(sum(CAST(${money("o_totalprice")} AS DECIMAL(18,2)))
+         OVER cum AS DOUBLE) AS running_rev,
+       CAST(ntile(4) OVER rnk AS INT) AS quartile
+FROM orders
+WINDOW cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       rnk AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey"""
+
+  /** Twin of q47: UNNEST(string_split) word frequencies. */
+  val wordCounts: String = """
+SELECT word, count(*) AS n,
+       count(DISTINCT p_partkey) AS n_parts
+FROM (SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word
+      FROM part)
+GROUP BY word ORDER BY word"""
 }

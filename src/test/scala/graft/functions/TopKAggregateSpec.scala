@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TopKAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topk_by_value matches window-rank across many partitions (merge path)") {
+    // 5000 rows over 23 groups, shuffled into 17 partitions so the
+    // partial/merge/serialize path is genuinely exercised
+    val rows = (1 to 5000).map { i =>
+      (s"g${i % 23}", ((i * 2654435761L) % 997).toDouble / 7.0, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id").repartition(17)
+
+    val agg = df.groupBy("g")
+      .agg(TopKAggregate.topk_by_value(col("v"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("col.id").as("id"), col("col.value").as("v"))
+
+    val win = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("g"), col("rank").cast("int"), col("id"), col("v"))
+    }
+
+    val a = agg.orderBy("g", "rank").collect().map(_.toSeq).toSeq
+    val b = win.orderBy("g", "rank").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("value ties break by ascending id, deterministically") {
+    val df = Seq(("g", 1.0, 9L), ("g", 1.0, 3L), ("g", 1.0, 7L),
+      ("g", 2.0, 5L)).toDF("g", "v", "id")
+    val top = df.groupBy("g")
+      .agg(TopKAggregate.topk_by_value(col("v"), col("id"), 3).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.id"), col("e.value")).as[(Long, Double)]
+      .collect().toSeq
+    assert(top == Seq((5L, 2.0), (3L, 1.0), (7L, 1.0)))
+  }
+
+  test("groups smaller than k return all rows; null value/id rows are skipped") {
+    val df = Seq(
+      (java.lang.Double.valueOf(4.0), java.lang.Long.valueOf(1L)),
+      (null.asInstanceOf[java.lang.Double], java.lang.Long.valueOf(2L)),
+      (java.lang.Double.valueOf(6.0), null.asInstanceOf[java.lang.Long])
+    ).toDF("v", "id")
+    val top = df.agg(TopKAggregate.topk_by_value(col("v"), col("id"), 10)
+        .as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.id"), col("e.value")).as[(Long, Double)]
+      .collect().toSeq
+    assert(top == Seq((1L, 4.0)))
+  }
+
+  test("approx_count_distinct stays within 5% of exact on testdata events") {
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, approx, exact) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.05, s"$et: approx=$approx exact=$exact err=$err")
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("binned range join equals the naive nested-loop result") {
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")),   // exactly at a start (inclusive)
+      (2L, ts("2024-01-03 23:59:59")),   // last second of an interval
+      (3L, ts("2024-01-04 00:00:00")),   // exactly at an end (exclusive)
+      (4L, ts("2024-02-10 12:00:00")),   // inside a long interval
+      (5L, ts("2023-12-31 23:59:59")),   // before everything
+      (6L, ts("2024-01-02 05:00:00"))    // overlapping intervals → 2 rows
+    ).toDF("pid", "t")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-04 00:00:00")),
+      (11L, ts("2024-01-02 00:00:00"), ts("2024-01-02 12:00:00")),
+      (12L, ts("2024-02-01 00:00:00"), ts("2024-03-01 00:00:00"))
+    ).toDF("iid", "start_t", "end_t")
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+
+    val naive = key(RangeJoin.naive(points, intervals, "t", "start_t", "end_t"))
+    val binned = key(RangeJoin.binned(points, intervals, "t", "start_t", "end_t"))
+    assert(binned == naive)
+    assert(naive == Seq((1L, 10L), (2L, 10L), (4L, 12L), (6L, 10L), (6L, 11L)))
+
+    // also exact under a bin much smaller / larger than the intervals
+    assert(key(RangeJoin.binned(points, intervals, "t", "start_t", "end_t",
+      binSeconds = 3600L)) == naive)
+    assert(key(RangeJoin.binned(points, intervals, "t", "start_t", "end_t",
+      binSeconds = 604800L)) == naive)
+  }
+
+  test("latestByKey picks the (max version, max tiebreak) row with its payload") {
+    val changelog = Seq(
+      ("u1", 1L, 10L, "a"),
+      ("u1", 3L, 11L, "b"),   // winner: max ts
+      ("u1", 3L, 9L, "c"),    // same ts, lower id → loses
+      ("u2", 5L, 1L, "d")
+    ).toDF("k", "ts", "id", "v")
+    val got = Upsert.latestByKey(changelog, Seq("k"), Seq("ts", "id"), Seq("v"))
+      .as[(String, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("u1", 3L, 11L, "b"), ("u2", 5L, 1L, "d")))
+  }
+
+  test("latestByKey equals the window-rank formulation and map-side combines") {
+    val n = 2000
+    val changelog = (1 to n).map { i =>
+      (s"k${i % 37}", (i * 7919) % 101, i.toLong, s"v$i")
+    }.toDF("k", "ver", "id", "v").repartition(13)
+    val agg = Upsert.latestByKey(changelog, Seq("k"), Seq("ver", "id"), Seq("v"))
+    val win = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k")
+        .orderBy(col("ver").desc, col("id").desc)
+      changelog.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val a = agg.orderBy("k").collect().map(_.toSeq).toSeq
+    val b = win.select(agg.columns.map(col): _*)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // the aggregate plan must carry partial aggregation (map-side
+    // combine) — the scale rationale for preferring it to the window
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"expected a partial aggregate, got:\n$plan")
+  }
+
+  test("applyUpdates replaces matched keys and keeps the rest") {
+    val base = Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("k", "v")
+    val updates = Seq((2L, "new2"), (4L, "new4")).toDF("k", "v")
+    val got = Upsert.applyUpdates(base, updates, Seq("k"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "old1"), (2L, "new2"), (3L, "old3"), (4L, "new4")))
+  }
+}
