@@ -14,12 +14,15 @@ object Upsert {
     *
     * Formulated as `max(struct(version ++ payload))` under a groupBy —
     * NOT `row_number() over (partition by key order by version desc)`:
-    * the window form must shuffle and fully sort every changelog row,
-    * while the struct-max aggregate gets map-side partial aggregation
-    * (each input partition reduces to ≤ |distinct keys| rows before
-    * the shuffle) and no sort at all. On a 100 TB changelog with a
-    * bounded key space that is the difference between shuffling the
-    * dataset and shuffling the answer.
+    * the window form must shuffle EVERY changelog row to its key's
+    * partition and sort there, while the struct-max aggregate gets
+    * map-side partial aggregation — each input partition reduces to
+    * ≤ |distinct keys| rows BEFORE the shuffle (physically a partial
+    * SortAggregate: struct-max isn't hash-aggregable, so each input
+    * partition is sorted locally — but the exchange then carries only
+    * the per-partition maxima, not the data). On a 100 TB changelog
+    * with a bounded key space that is the difference between
+    * shuffling the dataset and shuffling the answer.
     *
     * `versionCols` are compared in order, descending-last-wins; make
     * the last one a unique id so ties are deterministic. `payloadCols`
