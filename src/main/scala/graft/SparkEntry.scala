@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sessions, Similarity, TextOps, Upsert}
+import graft.ops.{AsOfJoin, Dedup, Diff, Multimodal, RangeJoin, Sessions, Similarity, TextOps, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -263,6 +263,22 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
+    // Snapshot diff / CDC (ops.Diff): classify keys across two
+    // deterministic snapshot derivations of orders.
+    "q49_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val old = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val latest = o.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 5 === 0,
+            Curate.money(col("o_totalprice") * 1.05))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      Diff.changes(old, latest, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change_type"))
+        .orderBy("o_orderkey")
+    }),
+
     // —— training-data pipeline extensions ————————————————————————
     // Exact dedup by content hash.
     "q20_exact_dedup" -> ((s, dir) =>
@@ -415,6 +431,7 @@ object SparkEntry {
     "q44_scd_upsert"        -> Oracle.scdUpsert,
     "q45_topk_per_city"     -> Oracle.topkPerCity,
     "q46_running_totals"    -> Oracle.runningTotals,
-    "q47_word_counts"       -> Oracle.wordCounts
+    "q47_word_counts"       -> Oracle.wordCounts,
+    "q49_snapshot_diff"     -> Oracle.snapshotDiff
   )
 }

@@ -523,6 +523,30 @@ WINDOW cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
        rnk AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, o_orderkey"""
 
+  /** Twin of q49 (ops.Diff.changes): FULL OUTER JOIN + IS DISTINCT
+    * FROM classification. */
+  val snapshotDiff: String = s"""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN ${money("o_totalprice * 1.05")}
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0)
+SELECT o_orderkey, change_type FROM (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+              THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+WHERE change_type <> 'unchanged'
+ORDER BY o_orderkey"""
+
   /** Twin of q47: UNNEST(string_split) word frequencies. */
   val wordCounts: String = """
 SELECT word, count(*) AS n,

@@ -55,6 +55,13 @@ object Tables {
           header: Boolean = true): DataFrame =
     spark.read.option("header", header.toString).schema(schema).csv(path)
 
+  /** JSON-lines scan with declared schema (source-format extension —
+    * same declared-schema stance as S2: inference is a full extra
+    * pass at scale, so the schema is always explicit). */
+  def json(spark: SparkSession, path: String,
+           schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S1: JDBC table scan (ref `helper_func.py:55-63`). `partitioning`
     * turns the single-connection read into a parallel range scan —
     * mandatory at scale, absent in the reference. */

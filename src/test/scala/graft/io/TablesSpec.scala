@@ -37,6 +37,20 @@ class TablesSpec extends SparkSpec {
     assert(rows == Map("USD" -> 1.0, "EUR" -> 1.1, "INR" -> 0.012))
   }
 
+  test("JSON-lines scan with declared schema roundtrips") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val df = Seq((1L, "view", 2.5), (2L, "purchase", 9.0))
+      .toDF("event_id", "event_type", "value")
+    df.write.mode("overwrite").json(s"$dir/events")
+    val back = Tables.json(spark, s"$dir/events", df.schema)
+    // declared, not inferred (JSON reads are always nullable, so
+    // compare names + types)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "view", 2.5), (2L, "purchase", 9.0)))
+  }
+
   test("writeParquet partitions by the given columns") {
     val dir = Files.createTempDirectory("graft_pq").toString
     val df = Seq((1, "2024-01"), (2, "2024-02")).toDF("id", "month")
