@@ -279,6 +279,33 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Hopping (sliding) windows in batch: 7-day windows advancing
+    // daily — each event lands in 7 overlapping windows (the batch
+    // twin of streaming window(slide < len); epoch-aligned slides are
+    // date-aligned in UTC).
+    "q50_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "7 days", "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Present.decSum(Curate.money(col("value"))).as("value_sum"))
+        .select(col("window.start").cast("date").as("win_start"),
+          col("event_type"), col("n_events"), col("value_sum"))
+        .orderBy("win_start", "event_type")),
+    // Set operations (absent from the reference — SURVEY §2.6): users
+    // active in BOTH halves of the period vs only the first half.
+    "q51_set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mid = lit("2024-01-16").cast("timestamp")
+      val firstHalf = ev.filter(col("ts") < mid).select("user_id")
+      val secondHalf = ev.filter(col("ts") >= mid).select("user_id")
+      firstHalf.intersect(secondHalf)
+        .select(col("user_id"), lit("retained").as("segment"))
+        .unionByName(firstHalf.except(secondHalf)
+          .select(col("user_id"), lit("churned").as("segment")))
+        .orderBy("user_id")
+    }),
+
     // —— training-data pipeline extensions ————————————————————————
     // Exact dedup by content hash.
     "q20_exact_dedup" -> ((s, dir) =>
@@ -432,6 +459,8 @@ object SparkEntry {
     "q45_topk_per_city"     -> Oracle.topkPerCity,
     "q46_running_totals"    -> Oracle.runningTotals,
     "q47_word_counts"       -> Oracle.wordCounts,
-    "q49_snapshot_diff"     -> Oracle.snapshotDiff
+    "q49_snapshot_diff"     -> Oracle.snapshotDiff,
+    "q50_hopping_window"    -> Oracle.hoppingWindow,
+    "q51_set_ops"           -> Oracle.setOps
   )
 }

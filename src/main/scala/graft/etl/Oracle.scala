@@ -547,6 +547,35 @@ SELECT o_orderkey, change_type FROM (
 WHERE change_type <> 'unchanged'
 ORDER BY o_orderkey"""
 
+  /** Twin of q50: hopping windows expanded per event — an event at
+    * ts belongs to the 7 daily-aligned 7-day windows starting in
+    * [trunc_day(ts)-6d, trunc_day(ts)] (Spark's epoch-aligned slide
+    * is date-aligned in UTC). */
+  val hoppingWindow: String = s"""
+WITH w AS (
+  SELECT UNNEST(generate_series(
+           CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 6 DAY,
+           CAST(date_trunc('day', ts) AS TIMESTAMP),
+           INTERVAL 1 DAY)) AS win_start_ts,
+         event_type, value
+  FROM events WHERE event_type = 'purchase')
+SELECT CAST(win_start_ts AS DATE) AS win_start, event_type,
+       count(*) AS n_events,
+       ${decSum(money("value"))} AS value_sum
+FROM w GROUP BY 1, 2 ORDER BY win_start, event_type"""
+
+  /** Twin of q51: INTERSECT / EXCEPT (both distinct-set semantics on
+    * both engines). */
+  val setOps: String = """
+WITH fh AS (SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+sh AS (SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+SELECT user_id, 'retained' AS segment
+FROM (SELECT user_id FROM fh INTERSECT SELECT user_id FROM sh)
+UNION ALL
+SELECT user_id, 'churned' AS segment
+FROM (SELECT user_id FROM fh EXCEPT SELECT user_id FROM sh)
+ORDER BY user_id"""
+
   /** Twin of q47: UNNEST(string_split) word frequencies. */
   val wordCounts: String = """
 SELECT word, count(*) AS n,
