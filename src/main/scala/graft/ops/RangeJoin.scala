@@ -55,9 +55,15 @@ object RangeJoin {
     // end-1s keeps the sequence exact for second-aligned intervals
     // and merely admits one extra candidate bin otherwise — the
     // residual predicate removes any false positives).
-    val i = intervals.withColumn("__bin",
-      explode(sequence(binOf(col(startCol)),
-        binOf(col(endCol) - expr("INTERVAL 1 SECOND")))))
+    // empty/inverted intervals ([start,end) with end <= start) match
+    // nothing — drop them BEFORE the explode: sequence(hi, lo) counts
+    // DOWNWARD in Spark, so an inverted interval would otherwise fan
+    // out to spurious bins (filtered later, but paid for in the join)
+    val i = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(startCol)),
+          binOf(col(endCol) - expr("INTERVAL 1 SECOND")))))
 
     p.join(i, Seq("__bin"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))

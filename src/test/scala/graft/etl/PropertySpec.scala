@@ -34,6 +34,34 @@ class PropertySpec extends SparkSpec {
     assert(once.count() <= df.count())
   }
 
+  test("binned range join ≡ naive for random points/intervals/bin widths") {
+    import org.apache.spark.sql.functions.col
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    val pointGen = Gen.listOfN(120, Gen.chooseNum(0L, 40L * 86400))
+    val ivGen = Gen.listOfN(15, Gen.zip(
+      Gen.chooseNum(0L, 35L * 86400),        // start offset
+      Gen.chooseNum(1L, 10L * 86400)))       // length (seconds)
+    (10L to 12L).foreach { seed =>
+      val points = sample(pointGen, seed).zipWithIndex.map { case (off, i) =>
+        (i.toLong, new java.sql.Timestamp((base + off) * 1000))
+      }.toDF("pid", "t")
+      val intervals = sample(ivGen, seed + 100).zipWithIndex.map {
+        case ((off, len), i) =>
+          (i.toLong, new java.sql.Timestamp((base + off) * 1000),
+            new java.sql.Timestamp((base + off + len) * 1000))
+      }.toDF("iid", "start_t", "end_t")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val naive = key(graft.ops.RangeJoin.naive(
+        points, intervals, "t", "start_t", "end_t"))
+      Seq(3600L, 86400L, 7L * 86400).foreach { bin =>
+        assert(key(graft.ops.RangeJoin.binned(
+          points, intervals, "t", "start_t", "end_t", bin)) == naive,
+          s"bin=$bin seed=$seed diverged")
+      }
+    }
+  }
+
   test("repeat-rate is within [0, 100] for random booking sets") {
     val gen = Gen.listOfN(60, Gen.zip(
       Gen.chooseNum(1L, 5L),                  // user
