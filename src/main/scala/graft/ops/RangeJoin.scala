@@ -3,6 +3,10 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types.StructType
+
 /** Point-in-interval (range) join — an operator family the reference
   * never needed (its joins are all equi, SURVEY §2.3) but any
   * time-series / promo-window / slowly-changing-dimension workload
@@ -68,5 +72,79 @@ object RangeJoin {
     p.join(i, Seq("__bin"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bin")
+  }
+
+  /** Broadcast interval-index join: collect the (small) interval side,
+    * sort by start, precompute a running max-end, broadcast, and scan
+    * points partition-locally with binary search — O(log |I| + hits)
+    * per point vs the nested-loop's O(|I|). The prefix-max-end array
+    * bounds the leftward walk: scanning stops at the first prefix
+    * whose max end ≤ t (everything earlier ends even sooner only if
+    * max says so — the classic sweep shortcut for mostly-disjoint
+    * interval sets; worst case (all intervals overlap t) degrades to
+    * the hit count, which is output size anyway).
+    *
+    * Same contract as [[naive]]/[[binned]]: output = point columns ++
+    * interval columns, half-open `[start, end)`. Use when intervals
+    * fit comfortably on the driver (≤ ~10⁶ rows); otherwise
+    * [[binned]]. */
+  def broadcastIndexed(points: DataFrame, intervals: DataFrame,
+                       pointTs: String, startCol: String,
+                       endCol: String): DataFrame = {
+    val spark = points.sparkSession
+    val ivCols = intervals.columns.toSeq
+    // collect as (startMicros, endMicros, full row), sorted by start
+    val collected = intervals
+      .select(col(startCol).cast("timestamp") +: col(endCol)
+        .cast("timestamp") +: ivCols.map(col): _*)
+      .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map { r =>
+        (r.getTimestamp(0).getTime * 1000 + r.getTimestamp(0).getNanos / 1000 % 1000,
+          r.getTimestamp(1).getTime * 1000 + r.getTimestamp(1).getNanos / 1000 % 1000,
+          Row(r.toSeq.drop(2): _*))
+      }
+      .filter { case (s, e, _) => e > s }
+      .sortBy(_._1)
+    val starts = collected.map(_._1)
+    val prefixMaxEnd = collected.scanLeft(Long.MinValue) {
+      case (m, (_, e, _)) => math.max(m, e)
+    }.drop(1)
+    val bc = spark.sparkContext.broadcast((starts, prefixMaxEnd,
+      collected.map { case (s, e, row) => (s, e, row) }))
+
+    val outSchema = StructType(points.schema.fields ++
+      intervals.schema.fields)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val tsIdx = points.schema.fieldIndex(pointTs)
+    val pointsTyped = points
+    pointsTyped.mapPartitions { it =>
+      val (ss, maxEnds, ivs) = bc.value
+      it.flatMap { row =>
+        val t = row.getTimestamp(tsIdx)
+        if (t == null) Iterator.empty
+        else {
+          val tm = t.getTime * 1000 + t.getNanos / 1000 % 1000
+          // rightmost interval with start <= tm
+          var lo = 0; var hi = ss.length - 1; var last = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (ss(mid) <= tm) { last = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          // walk left while some interval in the prefix may still
+          // cover tm (prefix max end > tm)
+          val hits = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var i = last
+          while (i >= 0 && maxEnds(i) > tm) {
+            val (s, e, ivRow) = ivs(i)
+            if (s <= tm && tm < e)
+              hits += Row.merge(row, ivRow)
+            i -= 1
+          }
+          hits.iterator
+        }
+      }
+    }(enc)
   }
 }

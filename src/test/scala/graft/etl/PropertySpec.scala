@@ -59,6 +59,9 @@ class PropertySpec extends SparkSpec {
           points, intervals, "t", "start_t", "end_t", bin)) == naive,
           s"bin=$bin seed=$seed diverged")
       }
+      assert(key(graft.ops.RangeJoin.broadcastIndexed(
+        points, intervals, "t", "start_t", "end_t")) == naive,
+        s"broadcastIndexed seed=$seed diverged")
     }
   }
 

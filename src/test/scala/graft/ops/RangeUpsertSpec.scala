@@ -39,6 +39,13 @@ class RangeUpsertSpec extends SparkSpec {
       binSeconds = 3600L)) == naive)
     assert(key(RangeJoin.binned(points, intervals, "t", "start_t", "end_t",
       binSeconds = 604800L)) == naive)
+    // broadcast interval-index formulation agrees too (same schema
+    // contract: point columns ++ interval columns)
+    val indexed = RangeJoin.broadcastIndexed(
+      points, intervals, "t", "start_t", "end_t")
+    assert(indexed.columns.toSeq ==
+      points.columns.toSeq ++ intervals.columns.toSeq)
+    assert(key(indexed) == naive)
   }
 
   test("latestByKey picks the (max version, max tiebreak) row with its payload") {
