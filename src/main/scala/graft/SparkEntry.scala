@@ -179,11 +179,17 @@ object SparkEntry {
     // the scale path; see ops.RangeJoin): events inside 3-day promo
     // windows derived from sampled orders.
     "q42_range_join" -> ((s, dir) => {
+      // promo windows anchored INSIDE the events' time range (events
+      // are Jan 2024): start staggered by key over 28 days + 3-hour
+      // offsets, 3-day length → windows overlap events and each other
       val promos = Tables.orders(s, dir)
         .filter(col("o_orderkey") % 1000 === 0)
         .select(col("o_orderkey").as("promo_id"),
-          col("o_orderdate").as("promo_start"),
-          (col("o_orderdate") + expr("INTERVAL 3 DAY")).as("promo_end"))
+          (lit("2024-01-01").cast("timestamp")
+            + expr("INTERVAL 1 DAY * CAST(o_orderkey % 28 AS INT)")
+            + expr("INTERVAL 3 HOUR * CAST(o_orderkey % 5 AS INT)"))
+            .as("promo_start"))
+        .withColumn("promo_end", col("promo_start") + expr("INTERVAL 3 DAY"))
       RangeJoin.binned(Tables.events(s, dir), promos,
           "ts", "promo_start", "promo_end")
         .groupBy("promo_id")

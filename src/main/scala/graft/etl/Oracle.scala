@@ -459,8 +459,12 @@ FROM s GROUP BY 1, 2 ORDER BY user_id, session_id"""
   val rangeJoin: String = s"""
 WITH promo AS (
   SELECT o_orderkey AS promo_id,
-         o_orderdate AS promo_start,
-         o_orderdate + INTERVAL 3 DAY AS promo_end
+         TIMESTAMP '2024-01-01'
+           + INTERVAL (o_orderkey % 28) DAY
+           + INTERVAL ((o_orderkey % 5) * 3) HOUR AS promo_start,
+         TIMESTAMP '2024-01-01'
+           + INTERVAL (o_orderkey % 28 + 3) DAY
+           + INTERVAL ((o_orderkey % 5) * 3) HOUR AS promo_end
   FROM orders WHERE o_orderkey % 1000 = 0)
 SELECT promo_id,
        count(*) AS n_events,

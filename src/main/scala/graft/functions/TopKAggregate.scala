@@ -31,6 +31,11 @@ case class TopKByValue(
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
   require(k > 0, "k must be positive")
+  // update() reads the children as Double/Long; the Column API
+  // (TopKAggregate.topk_by_value) casts both inputs, so any numeric
+  // column coerces there instead of ClassCastException-ing mid-job.
+  // (No constructor require: pre-resolution children report unstable
+  // dataTypes under Spark 4's column-node bridge.)
 
   override def children: Seq[Expression] = Seq(valueExpr, idExpr)
   override def nullable: Boolean = false
@@ -111,9 +116,12 @@ case class TopKByValue(
 
 object TopKAggregate {
   /** Column API: `topk_by_value(value, id, k)` → best-first
-    * `array<struct<id, value>>` (value DESC, id ASC, size ≤ k). */
+    * `array<struct<id, value>>` (value DESC, id ASC, size ≤ k).
+    * Inputs are cast to double/bigint here, so int/decimal columns
+    * coerce instead of failing the expression's type check. */
   def topk_by_value(value: Column, id: Column, k: Int): Column =
     GraftSqlBridge.column(
-      TopKByValue(GraftSqlBridge.expression(value),
-        GraftSqlBridge.expression(id), k).toAggregateExpression())
+      TopKByValue(GraftSqlBridge.expression(value.cast("double")),
+        GraftSqlBridge.expression(id.cast("bigint")), k)
+        .toAggregateExpression())
 }

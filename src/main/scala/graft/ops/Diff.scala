@@ -25,8 +25,12 @@ object Diff {
   def snapshotDiff(old: DataFrame, latest: DataFrame,
                    keys: Seq[String]): DataFrame = {
     val payloadCols = old.columns.filterNot(keys.contains).toSeq
-    require(latest.columns.filterNot(keys.contains).toSeq == payloadCols,
-      "snapshots must share the same schema")
+    def shape(df: DataFrame) =
+      df.schema.fields.filterNot(f => keys.contains(f.name))
+        .map(f => (f.name, f.dataType)).toSeq
+    require(shape(old) == shape(latest),
+      s"snapshots must share the same schema (names AND types); " +
+        s"got ${shape(old)} vs ${shape(latest)}")
     val reserved = Seq("old", "new", "change_type", "__in_old", "__in_new")
     require(old.columns.intersect(reserved).isEmpty,
       s"columns may not use reserved names ${reserved.mkString(", ")}")

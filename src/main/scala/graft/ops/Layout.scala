@@ -30,7 +30,10 @@ object Layout {
     * interleave via pure codegen'd expressions (no UDF). Sorting by
     * the z-value clusters BOTH dimensions at once — the multi-column
     * layout when queries filter on either column (range clustering
-    * on (a, b) only prunes on `a`). 32 bits per dimension. */
+    * on (a, b) only prunes on `a`). 32 bits per dimension; the raw
+    * code's SIGNED order is correct only while b < 2³¹ (b's bit 31
+    * maps to the long sign bit) — [[writeZOrdered]] flips the sign
+    * bit to order the full domain unsigned. */
   def zValue2(a: Column, b: Column): Column = {
     // spread the low 32 bits of x to even bit positions (classic
     // Morton spreading with shift/mask steps — all long arithmetic,
@@ -52,10 +55,16 @@ object Layout {
 
   /** Z-order-cluster on two int columns and write: range partition +
     * sort by the z-value, so files are clustered in BOTH dimensions
-    * and min/max pruning works for filters on either column. */
+    * and min/max pruning works for filters on either column.
+    *
+    * Ordering uses the z-value with the sign bit flipped: for inputs
+    * with bit 31 set, `spread(b) << 1` lands in the long's sign bit,
+    * so the RAW Morton code sorts negative-first — the XOR restores
+    * the unsigned order across the full 32-bit domain. */
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
                     colA: String, colB: String): Unit = {
-    val z = zValue2(col(colA), col(colB)).as("__z")
+    require(!df.columns.contains("__z"), "__z is reserved")
+    val z = zValue2(col(colA), col(colB)).bitwiseXOR(lit(Long.MinValue))
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -40,26 +40,28 @@ object RangeJoin {
     * half-open `[start, end)`. Output columns = points ++ intervals.
     *
     * Each interval row is exploded to `sequence(bin(start),
-    * bin(end - 1µs))` bin ids — the ONLY row multiplication, bounded
+    * bin(end − 1µs))` bin ids — the ONLY row multiplication, bounded
     * by interval_len/binSeconds — then the join is a plain equi-join
     * on `__bin` with the exact range predicate as a residual filter.
-    * Reserved column `__bin` is dropped from the output. */
+    * All bin arithmetic runs on `unix_micros` (never `unix_timestamp`,
+    * whose second truncation would drop the final bin of an interval
+    * whose end carries a sub-second fraction just past a bin
+    * boundary). Reserved column `__bin` is dropped from the output. */
   def binned(points: DataFrame, intervals: DataFrame,
              pointTs: String, startCol: String, endCol: String,
              binSeconds: Long = 86400L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
     require(!(points.columns ++ intervals.columns).contains("__bin"),
       "__bin is reserved")
-    def binOf(t: Column): Column =
-      floor(unix_timestamp(t) / lit(binSeconds.toDouble)).cast("long")
+    val binMicros = binSeconds * 1000000L
+    def binOfMicros(us: Column): Column =
+      floor(us / lit(binMicros.toDouble)).cast("long")
+    def binOf(t: Column): Column = binOfMicros(unix_micros(t))
 
     val p = points.withColumn("__bin", binOf(col(pointTs)))
-    // end is exclusive: the last covered bin is bin(end - 1 second)
-    // (timestamps here have second granularity at coarsest; using
-    // end-1s keeps the sequence exact for second-aligned intervals
-    // and merely admits one extra candidate bin otherwise — the
-    // residual predicate removes any false positives).
-    // empty/inverted intervals ([start,end) with end <= start) match
+    // end is exclusive: the last covered bin is bin(end − 1µs),
+    // computed exactly in microseconds (timestamp precision).
+    // Empty/inverted intervals ([start,end) with end <= start) match
     // nothing — drop them BEFORE the explode: sequence(hi, lo) counts
     // DOWNWARD in Spark, so an inverted interval would otherwise fan
     // out to spurious bins (filtered later, but paid for in the join)
@@ -67,7 +69,7 @@ object RangeJoin {
       .filter(col(endCol) > col(startCol))
       .withColumn("__bin",
         explode(sequence(binOf(col(startCol)),
-          binOf(col(endCol) - expr("INTERVAL 1 SECOND")))))
+          binOfMicros(unix_micros(col(endCol)) - lit(1L)))))
 
     p.join(i, Seq("__bin"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
@@ -107,19 +109,18 @@ object RangeJoin {
       .filter { case (s, e, _) => e > s }
       .sortBy(_._1)
     val starts = collected.map(_._1)
-    val prefixMaxEnd = collected.scanLeft(Long.MinValue) {
-      case (m, (_, e, _)) => math.max(m, e)
-    }.drop(1)
-    val bc = spark.sparkContext.broadcast((starts, prefixMaxEnd,
-      collected.map { case (s, e, row) => (s, e, row) }))
+    val ends = collected.map(_._2)
+    val ivRows = collected.map(_._3)
+    val prefixMaxEnd = ends.scanLeft(Long.MinValue)(math.max).drop(1)
+    val bc = spark.sparkContext.broadcast(
+      (starts, ends, prefixMaxEnd, ivRows))
 
     val outSchema = StructType(points.schema.fields ++
       intervals.schema.fields)
     val enc = RowEncoder.encoderFor(outSchema)
     val tsIdx = points.schema.fieldIndex(pointTs)
-    val pointsTyped = points
-    pointsTyped.mapPartitions { it =>
-      val (ss, maxEnds, ivs) = bc.value
+    points.mapPartitions { it =>
+      val (ss, es, maxEnds, ivs) = bc.value
       it.flatMap { row =>
         val t = row.getTimestamp(tsIdx)
         if (t == null) Iterator.empty
@@ -137,9 +138,8 @@ object RangeJoin {
           val hits = scala.collection.mutable.ArrayBuffer.empty[Row]
           var i = last
           while (i >= 0 && maxEnds(i) > tm) {
-            val (s, e, ivRow) = ivs(i)
-            if (s <= tm && tm < e)
-              hits += Row.merge(row, ivRow)
+            if (es(i) > tm)  // ss(i) <= tm holds for all i <= last
+              hits += Row.merge(row, ivs(i))
             i -= 1
           }
           hits.iterator

@@ -80,7 +80,11 @@ object NearDupStream {
             Iterator.empty
           } else {
             val docsSorted = batch.toSeq.sortBy(_.doc_id)
-            val last = docsSorted.map(b => micros(b.ts)).max
+            // max over batch AND prior state: an in-watermark
+            // out-of-order batch must never move the timeout backwards
+            // (earlier eviction would silently drop the canonical doc)
+            val last = (docsSorted.map(b => micros(b.ts)) ++
+              state.getOption.map(_.lastMicros)).max
             val canon = state.getOption.map(_.canonId)
               .getOrElse(docsSorted.head.doc_id)
             state.update(BucketState(canon, last))

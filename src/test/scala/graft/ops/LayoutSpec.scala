@@ -52,6 +52,16 @@ class LayoutSpec extends SparkSpec {
     assert(got == cases.map { case (a, b) => model(a, b) })
   }
 
+  test("z ordering covers the full 32-bit domain (sign-bit flip)") {
+    // raw Morton code of b = 2^31 lands in the long sign bit; the
+    // XOR writeZOrdered applies must keep the unsigned order
+    val df = Seq((0L, (1L << 31) - 1), (0L, 1L << 31)).toDF("a", "b")
+    val z = df.select(Layout.zValue2(col("a"), col("b"))
+        .bitwiseXOR(lit(Long.MinValue)).as("z"))
+      .as[Long].collect()
+    assert(z(0) < z(1), s"2^31-1 must order before 2^31: ${z.toSeq}")
+  }
+
   test("writeZOrdered clusters BOTH dimensions") {
     val dir = Files.createTempDirectory("graft_z").toString + "/t"
     // 64x64 grid; z-order into 4 files -> each file is one quadrant,
@@ -61,12 +71,31 @@ class LayoutSpec extends SparkSpec {
     val stats = fileStats(dir, Seq("a", "b")).map(r =>
       (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
     assert(stats.length == 4)
+    // files carry DISJOINT z ranges by construction (exact, however
+    // the sampled range boundaries land)
+    val zOf = (a: Int, b: Int) => {
+      var z = 0L
+      for (i <- 0 until 32) {
+        z |= ((a.toLong >> i) & 1L) << (2 * i)
+        z |= ((b.toLong >> i) & 1L) << (2 * i + 1)
+      }
+      z ^ Long.MinValue
+    }
+    val zRanges = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val zs = spark.read.parquet(f.getAbsolutePath)
+          .as[(Int, Int)].collect().map((zOf.apply _).tupled)
+        (zs.min, zs.max)
+      }.sortBy(_._1)
+    zRanges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping z ranges: ${zRanges.toSeq}")
+    }
     // ideal quadrants span 32; repartitionByRange boundaries are
-    // sample-estimated so allow slack — the point is both spans stay
-    // FAR below the unclustered span of 63
+    // SAMPLED (random seed per run) so allow slack — the point is
+    // both spans stay far below the unclustered span of 63
     stats.foreach { case (minA, maxA, minB, maxB) =>
-      assert(maxA - minA <= 40, s"a span too wide: ${stats.toSeq}")
-      assert(maxB - minB <= 40, s"b span too wide: ${stats.toSeq}")
+      assert(maxA - minA <= 48, s"a span too wide: ${stats.toSeq}")
+      assert(maxB - minB <= 48, s"b span too wide: ${stats.toSeq}")
     }
     assert(spark.read.parquet(dir).count() == 4096)
   }

@@ -48,6 +48,25 @@ class RangeUpsertSpec extends SparkSpec {
     assert(key(indexed) == naive)
   }
 
+  test("binned keeps matches when the interval end has a sub-second " +
+      "fraction just past a bin boundary") {
+    // end = 00:00:00.500 on day 2: the final covered bin is day 2
+    // itself — second-truncating bin arithmetic dropped it (regression)
+    val points = Seq((1L, ts("2024-01-02 00:00:00.2")))
+      .toDF("pid", "t")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 23:00:00"), ts("2024-01-02 00:00:00.5")))
+      .toDF("iid", "start_t", "end_t")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(key(RangeJoin.naive(points, intervals, "t", "start_t", "end_t"))
+      == Seq((1L, 10L)))
+    assert(key(RangeJoin.binned(points, intervals, "t", "start_t", "end_t"))
+      == Seq((1L, 10L)))
+    assert(key(RangeJoin.broadcastIndexed(
+      points, intervals, "t", "start_t", "end_t")) == Seq((1L, 10L)))
+  }
+
   test("latestByKey picks the (max version, max tiebreak) row with its payload") {
     val changelog = Seq(
       ("u1", 1L, 10L, "a"),
