@@ -312,6 +312,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // The custom aggregate through the SQL surface: topk_by_value is
+    // registered by plans.GraftExtensions, so plain SQL users get the
+    // bounded-heap top-k too. Same oracle as q45 (identical output).
+    "q52_sql_topk" -> ((s, dir) => {
+      Analog.curated(s, dir)
+        .filter(col("cityname").isNotNull &&
+          col("total_price_usd").isNotNull)
+        .createOrReplaceTempView("curated_topk_tb")
+      s.sql("""
+        SELECT cityname, CAST(pos + 1 AS INT) AS rank,
+               e.id AS booking_id, e.value AS price_usd
+        FROM (SELECT cityname,
+                     topk_by_value(total_price_usd, booking_id, 3) AS top
+              FROM curated_topk_tb GROUP BY cityname) t
+        LATERAL VIEW posexplode(top) x AS pos, e
+        ORDER BY cityname, rank""")
+    }),
+
     // —— training-data pipeline extensions ————————————————————————
     // Exact dedup by content hash.
     "q20_exact_dedup" -> ((s, dir) =>
@@ -467,6 +485,7 @@ object SparkEntry {
     "q47_word_counts"       -> Oracle.wordCounts,
     "q49_snapshot_diff"     -> Oracle.snapshotDiff,
     "q50_hopping_window"    -> Oracle.hoppingWindow,
-    "q51_set_ops"           -> Oracle.setOps
+    "q51_set_ops"           -> Oracle.setOps,
+    "q52_sql_topk"          -> Oracle.topkPerCity
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SortedIntersectCount}
+import graft.functions.{DotProduct, SortedIntersectCount, TopKByValue}
 
 /** SparkSessionExtensions registrar: exposes graft's native Catalyst
   * expressions to SQL. Activate with
@@ -24,6 +24,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "dot_product expects exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    // aggregate expressions register the same way — the analyzer
+    // wraps a declared AggregateFunction in AggregateExpression when
+    // it appears in an aggregation context:
+    //   SELECT g, topk_by_value(v, id, 3) FROM t GROUP BY g
+    e.injectFunction((
+      new FunctionIdentifier("topk_by_value"),
+      new ExpressionInfo(classOf[TopKByValue].getName, "topk_by_value"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "topk_by_value expects (value, id, k)")
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by_value k must be an integer literal, got $other")
+        }
+        TopKByValue(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head, org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(1), org.apache.spark.sql.types.LongType), k)
       }))
     e.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
