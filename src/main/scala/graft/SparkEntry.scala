@@ -405,6 +405,21 @@ object SparkEntry {
       Multimodal.decodeAssets(
         Multimodal.asBinaryAssets(Tables.documents(s, dir)))
         .toDF().orderBy("asset_id")),
+    // Multimodal frame sampling: per-asset frame fan-out with capped
+    // explode; payload bytes never enter the explode.
+    // everyBytes=64 so the harness docs (48-553 bytes) genuinely fan
+    // out to 1-8 frames — not a 1-frame-per-doc vacuous explode.
+    "q53_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.asBinaryAssets(Tables.documents(s, dir)),
+        everyBytes = 64L)
+        .orderBy("asset_id", "frame_idx")),
+    // Multimodal resize planning: aspect-preserving integer-arithmetic
+    // target dimensions from the stub-decoded sizes.
+    "q54_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.asBinaryAssets(Tables.documents(s, dir)))
+        .orderBy("asset_id")),
     // Gap-based sessionization (batch twin of the streaming op).
     "q31_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Tables.events(s, dir))),
@@ -486,6 +501,8 @@ object SparkEntry {
     "q49_snapshot_diff"     -> Oracle.snapshotDiff,
     "q50_hopping_window"    -> Oracle.hoppingWindow,
     "q51_set_ops"           -> Oracle.setOps,
-    "q52_sql_topk"          -> Oracle.topkPerCity
+    "q52_sql_topk"          -> Oracle.topkPerCity,
+    "q53_frame_sample"      -> Oracle.frameSample,
+    "q54_resize_plan"       -> Oracle.resizePlan
   )
 }

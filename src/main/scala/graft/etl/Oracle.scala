@@ -551,6 +551,42 @@ SELECT o_orderkey, change_type FROM (
 WHERE change_type <> 'unchanged'
 ORDER BY o_orderkey"""
 
+  /** Twin of q53 (Multimodal.frameSample): per-asset frame fan-out
+    * via generate_series; n_frames = clamp(byte_len/64, 1, 16). */
+  val frameSample: String = """
+WITH a AS (
+  SELECT CAST(doc_id AS BIGINT) AS asset_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents),
+n AS (
+  SELECT asset_id, byte_len,
+         least(greatest(byte_len // 64, 1), 16) AS n_frames
+  FROM a)
+SELECT asset_id, byte_len, n_frames,
+       UNNEST(generate_series(0, n_frames - 1)) AS frame_idx,
+       UNNEST(generate_series(0, n_frames - 1)) * 64 AS frame_offset
+FROM n ORDER BY asset_id, frame_idx"""
+
+  /** Twin of q54 (Multimodal.resizePlan): sha-derived stub dims +
+    * aspect-preserving integer resize (// = floor division, matching
+    * Spark's DIV on non-negative ints). */
+  val resizePlan: String = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS asset_id,
+         CAST(16 + CAST('0x' || substr(sha256(text), 1, 5) AS BIGINT) % 1024
+           AS INT) AS width,
+         CAST(16 + CAST('0x' || substr(sha256(text), 6, 5) AS BIGINT) % 1024
+           AS INT) AS height
+  FROM documents)
+SELECT asset_id, width, height,
+       CAST(CASE WHEN greatest(width, height) <= 512 THEN width
+            ELSE (CAST(width AS BIGINT) * 512) // greatest(width, height)
+            END AS INT) AS out_w,
+       CAST(CASE WHEN greatest(width, height) <= 512 THEN height
+            ELSE (CAST(height AS BIGINT) * 512) // greatest(width, height)
+            END AS INT) AS out_h
+FROM d ORDER BY asset_id"""
+
   /** Twin of q50: hopping windows expanded per event — an event at
     * ts belongs to the 7 daily-aligned 7-day windows starting in
     * [trunc_day(ts)-6d, trunc_day(ts)] (Spark's epoch-aligned slide

@@ -46,6 +46,50 @@ object Multimodal {
       sha2(col("payload"), 256).as("sha"))
       .orderBy("asset_id")
 
+  /** Frame sampling for video-like payloads: explode each asset to
+    * its sampled frame index rows WITHOUT the payload bytes entering
+    * the explode (only (id, byte_len) fan out; a real decoder would
+    * seek to frame_offset per row downstream). One frame per
+    * `everyBytes` bytes, at least 1, capped at `maxFrames` — the cap
+    * is the standard guard against a pathological asset exploding the
+    * row count. */
+  def frameSample(assets: DataFrame, everyBytes: Long = 997L,
+                  maxFrames: Int = 16): DataFrame = {
+    require(everyBytes > 0 && maxFrames > 0,
+      "everyBytes and maxFrames must be positive")
+    val nFrames = least(greatest(
+      (length(col("payload")).cast(LongType) / lit(everyBytes))
+        .cast(LongType), lit(1L)), lit(maxFrames.toLong))
+    assets.select(col("asset_id"),
+        length(col("payload")).cast(LongType).as("byte_len"),
+        nFrames.as("n_frames"))
+      .select(col("asset_id"), col("byte_len"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("frame_offset", col("frame_idx") * lit(everyBytes))
+  }
+
+  /** Resize planning from the sha-derived stub dimensions: compute
+    * target (out_w, out_h) bounded by `maxDim` with aspect preserved,
+    * in pure integer arithmetic (`div`) so the plan is deterministic
+    * and engine-portable. Columnar — a real implementation would hand
+    * (payload, out_w, out_h) to the decoder in mapPartitions. */
+  def resizePlan(assets: DataFrame, maxDim: Int = 512): DataFrame = {
+    val sha = sha2(col("payload"), 256)
+    def dim(from: Int) =
+      (conv(substring(sha, from, 5), 16, 10).cast(LongType) % 1024 + 16)
+        .cast("int")
+    val w = dim(1); val h = dim(6)
+    assets.select(col("asset_id"), w.as("width"), h.as("height"))
+      .withColumn("out_w",
+        when(greatest(col("width"), col("height")) <= maxDim, col("width"))
+          .otherwise(expr(s"CAST((CAST(width AS BIGINT) * $maxDim) DIV " +
+            s"greatest(width, height) AS INT)")))
+      .withColumn("out_h",
+        when(greatest(col("width"), col("height")) <= maxDim, col("height"))
+          .otherwise(expr(s"CAST((CAST(height AS BIGINT) * $maxDim) DIV " +
+            s"greatest(width, height) AS INT)")))
+  }
+
   /** Partition-local "decode" — the mapPartitions batch shape a real
     * decoder plugs into. The decode body is a deterministic stub:
     * width/height derive from the payload hash (a real impl would
