@@ -62,6 +62,38 @@ object EventStream {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp,
                    user_id: Long, event_type: String, value: Double)
+  case class LatestState(tsMicros: Long, eventId: Long, value: Double)
+  case class LatestOut(user_id: Long, event_type: String,
+                       ts: java.sql.Timestamp, event_id: Long,
+                       value: Double)
+
+  /** Streaming SCD-1 — the stream twin of ops.Upsert.latestByKey:
+    * maintain the latest (max (ts, event_id)) row per
+    * (user_id, event_type) and re-emit it whenever it changes
+    * (Update mode). State is O(1) per key — a version tuple and the
+    * payload — and out-of-order arrivals within the watermark cannot
+    * regress the winner because the comparison is on the SAME
+    * (version, tiebreak) order the batch operator uses. */
+  def latestByKeyStream(events: Dataset[Event]): Dataset[LatestOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[LatestState, LatestOut](
+        GroupStateTimeout.NoTimeout) {
+        case ((userId, eventType), batch, state) =>
+          val candidates = batch.map(e =>
+            LatestState(micros(e.ts), e.event_id, e.value)) ++
+            state.getOption.iterator
+          val best = candidates.maxBy(s => (s.tsMicros, s.eventId))
+          state.update(best)
+          LatestOut(userId, eventType,
+            new java.sql.Timestamp(best.tsMicros / 1000),
+            best.eventId, best.value)
+      }
+  }
   case class SessionState(sessionId: Long, nEvents: Long,
                           startMicros: Long, lastMicros: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

@@ -57,6 +57,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestByKeyStream tracks the batch upsert winner across " +
+      "out-of-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.latestByKeyStream(input.toDS())
+      .writeStream.format("memory").queryName("latest_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 11:00:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // out-of-order older event must NOT displace the winner
+      input.addData(Event(3, ts("2024-01-01 10:30:00"), 1, "view", 9.9))
+      q.processAllAvailable()
+      // same ts as winner, higher event_id -> displaces (tiebreak)
+      input.addData(Event(4, ts("2024-01-01 11:00:00"), 1, "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, value FROM latest_stream " +
+          "WHERE user_id = 1 AND event_type = 'view'").collect()
+      // Update mode memory sink appends each update; the LAST row is
+      // the current state
+      assert(rows.last.getLong(0) == 4L && rows.last.getDouble(1) == 7.0)
+      // and it must equal the batch operator on the same data
+      val batch = graft.ops.Upsert.latestByKey(
+        Seq(
+          (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+          (2L, ts("2024-01-01 11:00:00"), 1L, "view", 2.0),
+          (3L, ts("2024-01-01 10:30:00"), 1L, "view", 9.9),
+          (4L, ts("2024-01-01 11:00:00"), 1L, "view", 7.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        keys = Seq("user_id", "event_type"),
+        versionCols = Seq("ts", "event_id"),
+        payloadCols = Seq("value"))
+      val b = batch.select("event_id", "value").head()
+      assert(b.getLong(0) == 4L && b.getDouble(1) == 7.0)
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions on gap and emits them") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
