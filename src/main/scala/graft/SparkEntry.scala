@@ -259,6 +259,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("p_partkey")).as("n_parts"))
         .orderBy("word")),
+    // Approximate quantiles (KLL-style sketch) next to the exact
+    // answer — the bounded-memory path when exact per-group sort
+    // (q38) is too expensive (no SQL oracle — sketch internals differ
+    // per engine; spec asserts the error bound).
+    "q55_approx_quantiles" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)),
+            lit(10000)).as("approx_q"),
+          expr("percentile(n_chars, array(0.5, 0.9))").as("exact_q"))
+        .orderBy("lang")),
     // Approximate aggregates: HLL++ distinct-user counts next to the
     // exact answer (no SQL oracle — sketch internals differ per
     // engine; spec asserts the error bound).

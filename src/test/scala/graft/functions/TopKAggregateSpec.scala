@@ -58,6 +58,20 @@ class TopKAggregateSpec extends SparkSpec {
     assert(top == Seq((1L, 4.0)))
   }
 
+  test("percentile_approx stays within 5% of exact on testdata documents") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = docs.groupBy("lang")
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000))
+          .as("approx_p50"),
+        expr("percentile(n_chars, 0.5)").as("exact_p50"))
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, approx, exact) =>
+      val err = math.abs(approx - exact) / exact
+      assert(err < 0.05, s"$lang: approx=$approx exact=$exact err=$err")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact on testdata events") {
     val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
     val rows = ev.groupBy("event_type")
