@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"topk_by_value k must be an integer literal, got $other")
         }
+        require(k >= 1, s"topk_by_value k must be >= 1, got $k")
         TopKByValue(
           org.apache.spark.sql.catalyst.expressions.Cast(
             children.head, org.apache.spark.sql.types.DoubleType),

@@ -71,26 +71,26 @@ object EventStream {
     * maintain the latest (max (ts, event_id)) row per
     * (user_id, event_type) and re-emit it whenever it changes
     * (Update mode). State is O(1) per key — a version tuple and the
-    * payload — and out-of-order arrivals within the watermark cannot
-    * regress the winner because the comparison is on the SAME
-    * (version, tiebreak) order the batch operator uses. */
+    * payload — and out-of-order arrivals of ANY lateness (no
+    * watermark; NoTimeout state) cannot regress the winner because
+    * the comparison is on the SAME (version, tiebreak) order the
+    * batch operator uses. Keys live forever by design: the latest
+    * value per key IS the product. */
   def latestByKeyStream(events: Dataset[Event]): Dataset[LatestOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000 + (t.getNanos / 1000) % 1000
     events
       .groupByKey(e => (e.user_id, e.event_type))
       .mapGroupsWithState[LatestState, LatestOut](
         GroupStateTimeout.NoTimeout) {
         case ((userId, eventType), batch, state) =>
           val candidates = batch.map(e =>
-            LatestState(micros(e.ts), e.event_id, e.value)) ++
+            LatestState(StreamTime.micros(e.ts), e.event_id, e.value)) ++
             state.getOption.iterator
           val best = candidates.maxBy(s => (s.tsMicros, s.eventId))
           state.update(best)
           LatestOut(userId, eventType,
-            new java.sql.Timestamp(best.tsMicros / 1000),
+            StreamTime.toTimestamp(best.tsMicros),
             best.eventId, best.value)
       }
   }
@@ -108,9 +108,7 @@ object EventStream {
                  gapMicros: Long = 30L * 60 * 1000000): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    import StreamTime.micros
 
     events
       .withWatermark("ts", "1 hour")

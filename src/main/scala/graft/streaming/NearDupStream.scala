@@ -64,9 +64,7 @@ object NearDupStream {
                      idleTimeout: String = "1 hour"): Dataset[CandidatePair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    import StreamTime.micros
 
     banded(docs, numHashes, bands)
       .withWatermark("ts", watermarkDelay)

@@ -75,12 +75,18 @@ class EventStreamSpec extends SparkSpec {
       // same ts as winner, higher event_id -> displaces (tiebreak)
       input.addData(Event(4, ts("2024-01-01 11:00:00"), 1, "view", 7.0))
       q.processAllAvailable()
+      // sub-millisecond micros must survive the state roundtrip
+      input.addData(Event(5, ts("2024-01-01 11:00:00.000123"), 1, "view", 5.0))
+      q.processAllAvailable()
       val rows = spark.sql(
-        "SELECT event_id, value FROM latest_stream " +
+        "SELECT event_id, value, ts FROM latest_stream " +
           "WHERE user_id = 1 AND event_type = 'view'").collect()
       // Update mode memory sink appends each update; the LAST row is
       // the current state
-      assert(rows.last.getLong(0) == 4L && rows.last.getDouble(1) == 7.0)
+      assert(rows.last.getLong(0) == 5L && rows.last.getDouble(1) == 5.0)
+      assert(rows.last.getTimestamp(2) == ts("2024-01-01 11:00:00.000123"))
+      // the displaced-by-tiebreak update was emitted too
+      assert(rows.map(_.getLong(0)).contains(4L))
       // and it must equal the batch operator on the same data
       val batch = graft.ops.Upsert.latestByKey(
         Seq(
