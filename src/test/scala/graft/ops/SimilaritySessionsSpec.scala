@@ -43,6 +43,33 @@ class SimilaritySessionsSpec extends SparkSpec {
     if (out.nonEmpty) assert(out.head.getLong(2) == 2L)
   }
 
+  test("ANN recall@5 vs brute force on real testdata embeddings") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 20)
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val truth = neighbors(Similarity.bruteForceTopK(emb, queries, 5))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    // the q32/q36 production parameters on the real corpus — this
+    // harness is what caught planes=8/tables=4 at recall 0.06 and
+    // drove the retune (deterministic: hash codebooks + fixed data).
+    val lsh = recall(neighbors(
+      Similarity.lshTopK(emb, queries, 5, numPlanes = 4, tables = 8)))
+    val ivf = recall(neighbors(
+      Similarity.ivfTopK(emb, queries, 5, numCentroids = 32, nProbe = 16)))
+    assert(lsh >= 0.5, s"LSH recall@5 too low: $lsh")
+    assert(ivf >= 0.5, s"IVF recall@5 too low: $ivf")
+    // recall must improve as the probe fraction grows (the knob works)
+    val lshMore = recall(neighbors(
+      Similarity.lshTopK(emb, queries, 5, numPlanes = 4, tables = 16)))
+    assert(lshMore >= lsh, s"more tables must not lose recall: $lshMore < $lsh")
+  }
+
   test("ivfTopK: identical home cells recall the near pair first") {
     val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1), 2,
       numCentroids = 8, nProbe = 4).collect()
