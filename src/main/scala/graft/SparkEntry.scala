@@ -259,26 +259,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("p_partkey")).as("n_parts"))
         .orderBy("word")),
-    // Approximate quantiles (KLL-style sketch) next to the exact
-    // answer — the bounded-memory path when exact per-group sort
-    // (q38) is too expensive (no SQL oracle — sketch internals differ
-    // per engine; spec asserts the error bound).
-    "q55_approx_quantiles" -> ((s, dir) =>
+    // Approximate quantiles (GK sketch) next to the exact answer —
+    // the bounded-memory path when exact per-group sort (q38) is too
+    // expensive. Exploded to scalar rows (lang, quantile, approx_val,
+    // exact_val). Oracle-gated: at accuracy=10000 the GK summary
+    // retains every sample while n/group < 5000 (true at every test
+    // SF), so percentile_approx deterministically returns the element
+    // at ascending rank ceil(q·n) — reproducible in DuckDB SQL; the
+    // spec's ≤5% error bound still covers the sketch in general.
+    "q55_approx_quantiles" -> ((s, dir) => {
+      val qs = array(lit(0.5), lit(0.9))
       Tables.documents(s, dir)
         .groupBy("lang")
         .agg(
-          percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)),
-            lit(10000)).as("approx_q"),
-          expr("percentile(n_chars, array(0.5, 0.9))").as("exact_q"))
-        .orderBy("lang")),
+          percentile_approx(col("n_chars"), qs, lit(10000)).as("aq"),
+          expr("percentile(n_chars, array(0.5D, 0.9D))").as("eq"))
+        .select(col("lang"), col("aq"), col("eq"), posexplode(qs))
+        .select(col("lang"), col("col").as("quantile"),
+          element_at(col("aq"), (col("pos") + 1).cast("int"))
+            .cast("long").as("approx_val"),
+          element_at(col("eq"), (col("pos") + 1).cast("int"))
+            .as("exact_val"))
+        .orderBy("lang", "quantile")
+    }),
     // Approximate aggregates: HLL++ distinct-user counts next to the
     // exact answer (no SQL oracle — sketch internals differ per
-    // engine; spec asserts the error bound).
+    // engine; spec asserts the error bound). The exact column is
+    // oracle-gated separately as q57.
     "q48_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+    // q48's exact companion, split out so the distinct-aggregation
+    // path (partial de-dup expand + final count) gets a hash-exact
+    // oracle row of its own.
+    "q57_exact_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))
         .orderBy("event_type")),
 
     // Snapshot diff / CDC (ops.Diff): classify keys across two
@@ -454,11 +475,29 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), 5,
         numCentroids = 32, nProbe = 16)
     }),
-    // Embedding-cosine near-dup dedup (exact baseline; LSH-fed at
-    // scale). Bounded to a deterministic 2000-vector sample.
+    // Embedding-cosine near-dup dedup (exact baseline; q56 is the
+    // LSH-fed scale path). Bounded to a deterministic 2000-vector
+    // sample.
     "q33_embedding_dedup" -> ((s, dir) =>
       Similarity.cosineDedup(
         Tables.embeddings(s, dir).filter(col("vec_id") < 2000), 0.9)),
+    // LSH-fed embedding dedup — the scale path — on a near-dup-
+    // injected corpus (the testdata embeddings have no natural
+    // cos≥0.9 pair, max ≈0.46, so q33's corpus would leave the drop
+    // branch untested): every 5th vector is re-added as a scaled copy
+    // (cosine is magnitude-invariant, so ×1.25 is a true near-dup
+    // with identical LSH sign buckets). Oracle-gated — the oracle is
+    // exact all-pairs dedup on the same corpus, so this row proves
+    // LSH-fed ≡ exact end-to-end, not just rows>0.
+    "q56_lsh_dedup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+      val dups = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.25)).as("embedding"))
+      Similarity.cosineDedupLsh(base.unionByName(dups), 0.9)
+    }),
     // Native expression through the SQL surface: dot_product is
     // registered by plans.GraftExtensions (spark.sql.extensions).
     "q34_sql_dot_product" -> ((s, dir) => {
@@ -521,6 +560,9 @@ object SparkEntry {
     "q51_set_ops"           -> Oracle.setOps,
     "q52_sql_topk"          -> Oracle.topkPerCity,
     "q53_frame_sample"      -> Oracle.frameSample,
-    "q54_resize_plan"       -> Oracle.resizePlan
+    "q54_resize_plan"       -> Oracle.resizePlan,
+    "q55_approx_quantiles"  -> Oracle.approxQuantiles,
+    "q56_lsh_dedup"         -> Oracle.lshDedup,
+    "q57_exact_distinct"    -> Oracle.exactDistinct
   )
 }

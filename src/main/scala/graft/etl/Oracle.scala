@@ -226,6 +226,73 @@ SELECT vec_id FROM v
 WHERE vec_id NOT IN (SELECT vec_id FROM dup)
 ORDER BY vec_id"""
 
+  /** q56 oracle: exact all-pairs dedup over the SAME near-dup-injected
+    * corpus the Spark side feeds through the LSH-bucketed path — a
+    * hash match proves LSH-fed ≡ exact end-to-end. The ×1.25 scaled
+    * copies round identically in both engines (IEEE double). */
+  val lshDedup: String = """
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id < 2000),
+v AS (
+  SELECT * FROM b
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(e, x -> x * 1.25) FROM b
+  WHERE vec_id % 5 = 0),
+dup AS (
+  SELECT DISTINCT y.vec_id
+  FROM v x, v y
+  WHERE x.vec_id < y.vec_id
+    AND list_dot_product(x.e, y.e)
+        / (sqrt(list_dot_product(x.e, x.e))
+           * sqrt(list_dot_product(y.e, y.e))) >= 0.9)
+SELECT vec_id FROM v
+WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+ORDER BY vec_id"""
+
+  /** q55 oracle. approx_val replicates percentile_approx's
+    * full-retention GK rule — the element at ascending rank ceil(q·n)
+    * (verified empirically across group sizes and partitionings; holds
+    * while n/group < accuracy/2 so the summary never compresses).
+    * exact_val replicates Spark's `percentile` interpolation at
+    * position q·(n−1) — the two-sided weighted form
+    * (hi−pos)·v_lo + (pos−lo)·v_hi, evaluated on identical doubles in
+    * the same order, so the match is bit-exact (the algebraically
+    * equal v_lo + frac·(v_hi−v_lo) differs in the last ulp). */
+  val approxQuantiles: String = """
+WITH v AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents),
+q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS quantile),
+g AS (
+  SELECT lang, quantile, cnt,
+         CAST(ceil(quantile * cnt) AS BIGINT) AS arn,
+         quantile * (cnt - 1) AS pos,
+         floor(quantile * (cnt - 1)) AS lo,
+         ceil(quantile * (cnt - 1)) AS hi
+  FROM (SELECT DISTINCT lang, cnt FROM v) CROSS JOIN q)
+SELECT g.lang, g.quantile,
+       CAST(av.n_chars AS BIGINT) AS approx_val,
+       CASE WHEN g.hi = g.lo THEN CAST(lv.n_chars AS DOUBLE)
+            ELSE (g.hi - g.pos) * CAST(lv.n_chars AS DOUBLE)
+                 + (g.pos - g.lo) * CAST(hv.n_chars AS DOUBLE) END
+         AS exact_val
+FROM g
+JOIN v av ON av.lang = g.lang AND av.rn = GREATEST(g.arn, 1)
+JOIN v lv ON lv.lang = g.lang AND lv.rn = CAST(g.lo AS BIGINT) + 1
+JOIN v hv ON hv.lang = g.lang AND hv.rn = CAST(g.hi AS BIGINT) + 1
+ORDER BY g.lang, g.quantile"""
+
+  /** q57 oracle: exact distinct-user counts (q48's oracle-gatable
+    * half). */
+  val exactDistinct: String = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type"""
+
   val semiAnti: String = """
 SELECT c_custkey,
        CASE WHEN EXISTS (

@@ -54,8 +54,14 @@ object RangeJoin {
     require(!(points.columns ++ intervals.columns).contains("__bin"),
       "__bin is reserved")
     val binMicros = binSeconds * 1000000L
-    def binOfMicros(us: Column): Column =
-      floor(us / lit(binMicros.toDouble)).cast("long")
+    // bin id = the bin's start in micros (us − us mod width), computed
+    // in pure long arithmetic — a double floor(us / width) is only
+    // exact while |us| < 2^53 and can mis-bin a point sitting just
+    // below a bin boundary outside that range. pmod keeps floor
+    // semantics for negative (pre-1970) timestamps; any
+    // order-preserving injection of the quotient is a valid join key,
+    // so the division itself is never needed.
+    def binOfMicros(us: Column): Column = us - pmod(us, lit(binMicros))
     def binOf(t: Column): Column = binOfMicros(unix_micros(t))
 
     val p = points.withColumn("__bin", binOf(col(pointTs)))
@@ -69,7 +75,8 @@ object RangeJoin {
       .filter(col(endCol) > col(startCol))
       .withColumn("__bin",
         explode(sequence(binOf(col(startCol)),
-          binOfMicros(unix_micros(col(endCol)) - lit(1L)))))
+          binOfMicros(unix_micros(col(endCol)) - lit(1L)),
+          lit(binMicros))))
 
     p.join(i, Seq("__bin"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))

@@ -130,9 +130,9 @@ object Similarity {
 
   /** Embedding-cosine near-dup dedup: vectors whose cosine similarity
     * to a lower-id vector is ≥ threshold are dropped; returns the
-    * surviving canonical ids. Exact all-pairs here (oracle baseline);
-    * at scale, feed candidates from functions.SignLshBuckets buckets
-    * instead of the cross join — same verify/survive logic. */
+    * surviving canonical ids. Exact all-pairs here (oracle baseline —
+    * bound the input at the call site); [[cosineDedupLsh]] is the
+    * scale path with the same verify/survive logic. */
   def cosineDedup(vectors: DataFrame, threshold: Double,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
@@ -141,6 +141,41 @@ object Similarity {
     val b = v.select(col(idCol).as("id_b"), col("v").as("vb"))
     val dup = a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    v.select(col(idCol)).join(dup, Seq(idCol), "left_anti").orderBy(idCol)
+  }
+
+  /** LSH-fed embedding dedup — [[cosineDedup]]'s scale path. Candidate
+    * pairs come from equal sign-LSH buckets (multi-probe across
+    * `tables` plane sets) instead of the all-pairs cross join; each
+    * candidate is then verified with the exact cosine before the
+    * survivor anti-join, so false bucket collisions never cause a
+    * false drop — only a missed bucket can miss a true near-dup (miss
+    * probability (1−p^planes)^tables where p = 1 − θ/π; ≈0 for the
+    * near-1 cosines dedup targets, e.g. <1e-12 at cos ≥ 0.99 with
+    * planes=4/tables=8). The bucket join carries IDS ONLY (the same
+    * discipline as [[lshTopK]]) — vectors are re-attached once per
+    * surviving distinct pair, so the shuffle never ships tables×
+    * copies of the embeddings. Cost: O(shuffle(ids×tables) +
+    * bucket-local pairs), vs the cross join's O(N²). */
+  def cosineDedupLsh(vectors: DataFrame, threshold: Double,
+                     numPlanes: Int = 4, tables: Int = 8,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.sign_lsh_buckets
+    val v = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val buckets = v.select(col(idCol).as("id"),
+        posexplode(sign_lsh_buckets(col("v"), numPlanes, tables)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val candIds = buckets.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val dup = candIds
+      .join(v.select(col(idCol).as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("v").as("vb")), "id_b")
       .filter(cosine(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     v.select(col(idCol)).join(dup, Seq(idCol), "left_anti").orderBy(idCol)

@@ -47,8 +47,14 @@ object Upsert {
     * union+left_anti — one shuffle each side on the key, no window. */
   def applyUpdates(base: DataFrame, updates: DataFrame,
                    keys: Seq[String]): DataFrame = {
-    require(base.columns.sameElements(updates.columns),
-      "base and updates must share the same schema")
+    // name AND type must match (same shape check as Diff.snapshotDiff):
+    // unionByName would silently widen mismatched numeric types,
+    // yielding an output schema that differs from base.
+    val shape = (df: DataFrame) =>
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(shape(base) == shape(updates),
+      s"base and updates must share the same schema; got " +
+        s"${base.schema.simpleString} vs ${updates.schema.simpleString}")
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
   }

@@ -70,6 +70,31 @@ class SimilaritySessionsSpec extends SparkSpec {
     assert(lshMore >= lsh, s"more tables must not lose recall: $lshMore < $lsh")
   }
 
+  test("cosineDedupLsh ≡ exact cosineDedup on a near-dup-injected corpus") {
+    // the raw testdata embeddings have no cos≥0.9 pair (max ≈0.46), so
+    // scaled copies are injected — same construction as q56 — to make
+    // the drop branch real; everything is deterministic (fixed data,
+    // hash-derived planes), so equality here is stable, not a recall
+    // gamble.
+    val base = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id",
+        transform($"embedding", _.cast("double")).as("embedding"))
+    val dups = base.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => x * lit(1.25)).as("embedding"))
+    val corpus = base.unionByName(dups)
+    val nIn = corpus.count()
+    val exact = Similarity.cosineDedup(corpus, 0.9)
+      .as[Long].collect().toSeq
+    val lshFed = Similarity.cosineDedupLsh(corpus, 0.9)
+      .as[Long].collect().toSeq
+    assert(lshFed == exact, "LSH-fed dedup must agree with exact dedup")
+    assert(exact.size < nIn, "the corpus must contain real near-dups")
+    // verification step means bucket collisions can never over-drop
+    assert(lshFed.toSet.subsetOf(
+      corpus.select("vec_id").as[Long].collect().toSet))
+  }
+
   test("ivfTopK: identical home cells recall the near pair first") {
     val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1), 2,
       numCentroids = 8, nProbe = 4).collect()
