@@ -22,6 +22,82 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The curated-family queries, parameterized by an already-built
+    * Silver DataFrame. [[queries]] wires each through a fresh
+    * `Analog.curated` rebuild (self-contained for the correctness
+    * gate); Bench's amortized mode times the same definitions against
+    * the materialized partitioned Silver instead — at scale you build
+    * Silver once and fan the Gold queries off the stored table
+    * (exactly what [[Pipeline.run]] does), so both numbers are
+    * reported. */
+  def curatedQueries: Map[String, (SparkSession, DataFrame) => DataFrame] =
+    Map[String, (SparkSession, DataFrame) => DataFrame](
+      "q05_curated_table" -> ((_, c) => c.orderBy("booking_id")),
+      "q07_monthly_occupancy" -> ((_, c) => Present.monthlyOccupancy(c)),
+      "q08_popular_cities" -> ((_, c) => Present.weeklyPopularCities(c)),
+      "q09_top_listings" -> ((_, c) => Present.weeklyTopListings(c)),
+      "q10_bookings_per_user" -> ((_, c) => Present.bookingsPerUser(c)),
+      "q11_avg_duration" -> ((_, c) => Present.monthlyAvgDuration(c)),
+      "q12_repeat_rate" -> ((_, c) => Present.monthlyRepeatRate(c)),
+      "q15_sql_tempview" -> ((s, c) => {
+        c.createOrReplaceTempView("apartment_list_tb")
+        s.sql("""
+          SELECT CAST(date_trunc('month', booking_date) AS DATE) AS month_start,
+                 CASE WHEN total_price_usd IS NULL THEN 'unpriced'
+                      ELSE 'priced' END AS price_class,
+                 count(*) AS n_bookings
+          FROM apartment_list_tb
+          WHERE booking_status = 'confirmed'
+          GROUP BY 1, 2
+          ORDER BY month_start, price_class""")
+      }),
+      "q41_pivot_status" -> ((_, c) =>
+        c.groupBy(Present.monthOf(col("booking_date")).as("month_start"))
+          .pivot("booking_status", Seq("confirmed", "pending", "canceled"))
+          .count()
+          // empty pivot cells are NULL in Spark, 0 from the oracle's
+          // count(CASE ...) — normalize
+          .na.fill(0L, Seq("confirmed", "pending", "canceled"))
+          .orderBy("month_start")),
+      "q43_cube_revenue" -> ((_, c) =>
+        c.cube(col("cityname"), col("booking_status"))
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n_bookings"),
+            Present.decSum(col("total_price_usd")).as("revenue"))
+          .select(col("cityname"), col("booking_status"), col("gid"),
+            col("n_bookings"), col("revenue"))
+          .orderBy(col("gid"), col("cityname").asc_nulls_first,
+            col("booking_status").asc_nulls_first)),
+      "q45_topk_per_city" -> ((_, c) =>
+        c.filter(col("cityname").isNotNull &&
+            col("total_price_usd").isNotNull)
+          .groupBy("cityname")
+          .agg(graft.functions.TopKAggregate.topk_by_value(
+            col("total_price_usd"), col("booking_id").cast("long"), 3)
+            .as("top"))
+          .select(col("cityname"), posexplode(col("top")))
+          .select(col("cityname"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.id").as("booking_id"),
+            col("col.value").as("price_usd"))
+          .orderBy("cityname", "rank")),
+      "q52_sql_topk" -> ((s, c) => {
+        c.filter(col("cityname").isNotNull &&
+            col("total_price_usd").isNotNull)
+          .createOrReplaceTempView("curated_topk_tb")
+        s.sql("""
+          SELECT cityname, CAST(pos + 1 AS INT) AS rank,
+                 e.id AS booking_id, e.value AS price_usd
+          FROM (SELECT cityname,
+                       topk_by_value(total_price_usd, booking_id, 3) AS top
+                FROM curated_topk_tb GROUP BY cityname) t
+          LATERAL VIEW posexplode(top) x AS pos, e
+          ORDER BY cityname, rank""")
+      })
+    )
+
+  private def curatedQ(name: String): Q =
+    (s, dir) => curatedQueries(name)(s, Analog.curated(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map[String, Q](
     // —— parity surface (SURVEY §2.1–§2.6) ——————————————————————————
@@ -50,29 +126,22 @@ object SparkEntry {
         col("price"), col("price_usd"))
         .orderBy("id")),
     // J2+J3+J4 + P1-P7: the full curated wide table.
-    "q05_curated_table" -> ((s, dir) =>
-      Analog.curated(s, dir).orderBy("booking_id")),
+    "q05_curated_table" -> curatedQ("q05_curated_table"),
     // A1: weekly average listing price.
     "q06_weekly_avg_price" -> ((s, dir) =>
       Present.weeklyAvgListingPrice(Analog.apartmentsConverted(s, dir))),
     // A2: monthly occupancy rate.
-    "q07_monthly_occupancy" -> ((s, dir) =>
-      Present.monthlyOccupancy(Analog.curated(s, dir))),
+    "q07_monthly_occupancy" -> curatedQ("q07_monthly_occupancy"),
     // A3: weekly popular cities.
-    "q08_popular_cities" -> ((s, dir) =>
-      Present.weeklyPopularCities(Analog.curated(s, dir))),
+    "q08_popular_cities" -> curatedQ("q08_popular_cities"),
     // A4: weekly top-revenue listings.
-    "q09_top_listings" -> ((s, dir) =>
-      Present.weeklyTopListings(Analog.curated(s, dir))),
+    "q09_top_listings" -> curatedQ("q09_top_listings"),
     // A5: bookings per user.
-    "q10_bookings_per_user" -> ((s, dir) =>
-      Present.bookingsPerUser(Analog.curated(s, dir))),
+    "q10_bookings_per_user" -> curatedQ("q10_bookings_per_user"),
     // A6: monthly average booking duration.
-    "q11_avg_duration" -> ((s, dir) =>
-      Present.monthlyAvgDuration(Analog.curated(s, dir))),
+    "q11_avg_duration" -> curatedQ("q11_avg_duration"),
     // A7 + W1 + P10 + O3: monthly repeat-customer rate (LAG chain).
-    "q12_repeat_rate" -> ((s, dir) =>
-      Present.monthlyRepeatRate(Analog.curated(s, dir))),
+    "q12_repeat_rate" -> curatedQ("q12_repeat_rate"),
     // user_viewing/events engagement (SURVEY §2.10.1).
     "q13_weekly_engagement" -> ((s, dir) =>
       Present.weeklyEngagement(Tables.events(s, dir))),
@@ -96,18 +165,7 @@ object SparkEntry {
     // S7 + A8 + P8/P10: temp-view registration + SQL entry point with
     // GROUP BY ordinals and CASE WHEN (the reference's present-job
     // style, `present_summary.py:79-180`).
-    "q15_sql_tempview" -> ((s, dir) => {
-      Analog.curated(s, dir).createOrReplaceTempView("apartment_list_tb")
-      s.sql("""
-        SELECT CAST(date_trunc('month', booking_date) AS DATE) AS month_start,
-               CASE WHEN total_price_usd IS NULL THEN 'unpriced'
-                    ELSE 'priced' END AS price_class,
-               count(*) AS n_bookings
-        FROM apartment_list_tb
-        WHERE booking_status = 'confirmed'
-        GROUP BY 1, 2
-        ORDER BY month_start, price_class""")
-    }),
+    "q15_sql_tempview" -> curatedQ("q15_sql_tempview"),
 
     // As-of join (operator Spark lacks natively): for each purchase,
     // the latest preceding view by the same user. DuckDB's native
@@ -151,15 +209,7 @@ object SparkEntry {
       withO.unionByName(withoutO).orderBy("c_custkey")
     }),
     // Pivot: bookings count by month × status (wide reshape).
-    "q41_pivot_status" -> ((s, dir) =>
-      Analog.curated(s, dir)
-        .groupBy(Present.monthOf(col("booking_date")).as("month_start"))
-        .pivot("booking_status", Seq("confirmed", "pending", "canceled"))
-        .count()
-        // empty pivot cells are NULL in Spark, 0 from the oracle's
-        // count(CASE ...) — normalize
-        .na.fill(0L, Seq("confirmed", "pending", "canceled"))
-        .orderBy("month_start")),
+    "q41_pivot_status" -> curatedQ("q41_pivot_status"),
     // Hierarchical rollup (grouping sets family — beyond the
     // reference's flat GROUP BYs): revenue by year ⊃ month ⊃ total.
     "q17_rollup_revenue" -> ((s, dir) =>
@@ -201,16 +251,7 @@ object SparkEntry {
     // Cube (all grouping-set combinations; rollup's sibling) with
     // grouping_id to distinguish cube-nulls from data-nulls
     // (cityname IS null for attribute-less apartments).
-    "q43_cube_revenue" -> ((s, dir) =>
-      Analog.curated(s, dir)
-        .cube(col("cityname"), col("booking_status"))
-        .agg(grouping_id().as("gid"),
-          count(lit(1)).as("n_bookings"),
-          Present.decSum(col("total_price_usd")).as("revenue"))
-        .select(col("cityname"), col("booking_status"), col("gid"),
-          col("n_bookings"), col("revenue"))
-        .orderBy(col("gid"), col("cityname").asc_nulls_first,
-          col("booking_status").asc_nulls_first)),
+    "q43_cube_revenue" -> curatedQ("q43_cube_revenue"),
     // SCD-1 upsert: collapse the events changelog to the latest row
     // per (user_id, event_type) via struct-max (map-side combinable —
     // no window sort; see ops.Upsert.latestByKey).
@@ -222,19 +263,7 @@ object SparkEntry {
         .orderBy("user_id", "event_type")),
     // Custom TypedImperativeAggregate: bounded-heap top-k per group
     // (O(k) state + map-side partials vs the window-rank full sort).
-    "q45_topk_per_city" -> ((s, dir) =>
-      Analog.curated(s, dir)
-        .filter(col("cityname").isNotNull &&
-          col("total_price_usd").isNotNull)
-        .groupBy("cityname")
-        .agg(graft.functions.TopKAggregate.topk_by_value(
-          col("total_price_usd"), col("booking_id").cast("long"), 3)
-          .as("top"))
-        .select(col("cityname"), posexplode(col("top")))
-        .select(col("cityname"), (col("pos") + 1).cast("int").as("rank"),
-          col("col.id").as("booking_id"),
-          col("col.value").as("price_usd"))
-        .orderBy("cityname", "rank")),
+    "q45_topk_per_city" -> curatedQ("q45_topk_per_city"),
     // Running windows: cumulative count/revenue + ntile quartile per
     // customer (frame-bounded windows beyond the reference's LAG).
     "q46_running_totals" -> ((s, dir) => {
@@ -348,20 +377,7 @@ object SparkEntry {
     // The custom aggregate through the SQL surface: topk_by_value is
     // registered by plans.GraftExtensions, so plain SQL users get the
     // bounded-heap top-k too. Same oracle as q45 (identical output).
-    "q52_sql_topk" -> ((s, dir) => {
-      Analog.curated(s, dir)
-        .filter(col("cityname").isNotNull &&
-          col("total_price_usd").isNotNull)
-        .createOrReplaceTempView("curated_topk_tb")
-      s.sql("""
-        SELECT cityname, CAST(pos + 1 AS INT) AS rank,
-               e.id AS booking_id, e.value AS price_usd
-        FROM (SELECT cityname,
-                     topk_by_value(total_price_usd, booking_id, 3) AS top
-              FROM curated_topk_tb GROUP BY cityname) t
-        LATERAL VIEW posexplode(top) x AS pos, e
-        ORDER BY cityname, rank""")
-    }),
+    "q52_sql_topk" -> curatedQ("q52_sql_topk"),
 
     // —— training-data pipeline extensions ————————————————————————
     // Exact dedup by content hash.

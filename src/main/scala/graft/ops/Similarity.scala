@@ -128,6 +128,19 @@ object Similarity {
     rankTopK(scoreCandidates(candIds, q, c), k)
   }
 
+  /** recall@k of an approximate top-k result against the exact one:
+    * the fraction of true (query, neighbor) pairs the approximate
+    * index recovered. Computed distributed (pair intersection — no
+    * driver collect), so it works at any query-set size; Bench emits
+    * it per round so recall regressions gate like correctness ones. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val t = exact.select(col("query_id"), col("corpus_id"))
+    val total = t.count()
+    if (total == 0) 0.0
+    else t.intersect(approx.select(col("query_id"), col("corpus_id")))
+      .count().toDouble / total
+  }
+
   /** Embedding-cosine near-dup dedup: vectors whose cosine similarity
     * to a lower-id vector is ≥ threshold are dropped; returns the
     * surviving canonical ids. Exact all-pairs here (oracle baseline —

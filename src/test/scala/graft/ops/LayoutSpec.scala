@@ -65,9 +65,17 @@ class LayoutSpec extends SparkSpec {
   test("writeZOrdered clusters BOTH dimensions") {
     val dir = Files.createTempDirectory("graft_z").toString + "/t"
     // 64x64 grid; z-order into 4 files -> each file is one quadrant,
-    // so BOTH a and b spans per file are half the global span
+    // so BOTH a and b spans per file are half the global span.
+    // repartitionByRange samples boundaries with a per-run seed
+    // (default 100 rows/partition) — sample ≥ all 4096 rows so the
+    // boundaries are the exact z quantiles and the quadrant assertion
+    // is deterministic, not a sampling gamble.
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.get(sampleKey)
+    spark.conf.set(sampleKey, 8192)
     val df = (0 until 4096).map(i => (i % 64, i / 64)).toDF("a", "b")
-    Layout.writeZOrdered(df, dir, numFiles = 4, "a", "b")
+    try Layout.writeZOrdered(df, dir, numFiles = 4, "a", "b")
+    finally spark.conf.set(sampleKey, prevSample)
     val stats = fileStats(dir, Seq("a", "b")).map(r =>
       (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
     assert(stats.length == 4)
@@ -90,12 +98,12 @@ class LayoutSpec extends SparkSpec {
     zRanges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
       assert(hi <= lo, s"overlapping z ranges: ${zRanges.toSeq}")
     }
-    // ideal quadrants span 32; repartitionByRange boundaries are
-    // SAMPLED (random seed per run) so allow slack — the point is
-    // both spans stay far below the unclustered span of 63
+    // with exact (full-sample) boundaries each file is one true
+    // quadrant: both spans are half the 63-wide global span (±1 row
+    // at a boundary tie)
     stats.foreach { case (minA, maxA, minB, maxB) =>
-      assert(maxA - minA <= 48, s"a span too wide: ${stats.toSeq}")
-      assert(maxB - minB <= 48, s"b span too wide: ${stats.toSeq}")
+      assert(maxA - minA <= 33, s"a span too wide: ${stats.toSeq}")
+      assert(maxB - minB <= 33, s"b span too wide: ${stats.toSeq}")
     }
     assert(spark.read.parquet(dir).count() == 4096)
   }

@@ -58,10 +58,15 @@ class SimilaritySessionsSpec extends SparkSpec {
     // the q32/q36 production parameters on the real corpus — this
     // harness is what caught planes=8/tables=4 at recall 0.06 and
     // drove the retune (deterministic: hash codebooks + fixed data).
-    val lsh = recall(neighbors(
-      Similarity.lshTopK(emb, queries, 5, numPlanes = 4, tables = 8)))
+    val truthDf = Similarity.bruteForceTopK(emb, queries, 5)
+    val lshDf = Similarity.lshTopK(emb, queries, 5, numPlanes = 4, tables = 8)
+    val lsh = recall(neighbors(lshDf))
     val ivf = recall(neighbors(
       Similarity.ivfTopK(emb, queries, 5, numCentroids = 32, nProbe = 16)))
+    // the distributed recall helper Bench emits per round must agree
+    // with this independent collect-based computation
+    assert(Similarity.recallAtK(truthDf, lshDf) == lsh,
+      "recallAtK must agree with the collect-based recall")
     assert(lsh >= 0.5, s"LSH recall@5 too low: $lsh")
     assert(ivf >= 0.5, s"IVF recall@5 too low: $ivf")
     // recall must improve as the probe fraction grows (the knob works)
