@@ -51,6 +51,34 @@ class TablesSpec extends SparkSpec {
       Seq((1L, "view", 2.5), (2L, "purchase", 9.0)))
   }
 
+  test("S3→S1: JDBC append sink + partitioned scan roundtrip (embedded Derby)") {
+    // Spark ships the Derby embedded driver (it backs the Hive
+    // metastore), so the JDBC source/sink pair gets a real runtime
+    // check — the same Tables.writeJdbc / Tables.jdbc entry points a
+    // warehouse deployment would call, minus only the network.
+    System.setProperty("derby.stream.error.file",
+      Files.createTempDirectory("graft_derby_log").toString + "/derby.log")
+    val db = Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val df = spark.range(1, 101).select(
+      col("id"), concat(lit("name_"), col("id")).as("name"),
+      (col("id") * 1.5).as("score"))
+    Tables.writeJdbc(df, url, "bookings_sink", props)          // creates
+    Tables.writeJdbc(df.filter(col("id") <= 10), url,          // appends
+      "bookings_sink", props)
+    val back = Tables.jdbc(spark, url, "bookings_sink", props,
+      partitioning = Some(("id", 1L, 101L, 4)))
+    // the partitioned read really is a 4-way parallel range scan
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 110)
+    val byId = back.groupBy("id").count()
+    assert(byId.filter(col("count") === 2).count() == 10)   // appended ids
+    val r = back.filter(col("id") === 7).orderBy("id").head()
+    assert(r.getAs[String]("name") == "name_7")
+    assert(r.getAs[Double]("score") == 10.5)
+  }
+
   test("writeParquet partitions by the given columns") {
     val dir = Files.createTempDirectory("graft_pq").toString
     val df = Seq((1, "2024-01"), (2, "2024-02")).toDF("id", "month")
