@@ -514,6 +514,36 @@ object SparkEntry {
           transform(col("embedding"), x => x * lit(1.25)).as("embedding"))
       Similarity.cosineDedupLsh(base.unionByName(dups), 0.9)
     }),
+    // Connected components (ops.Components, large-star/small-star —
+    // O(log n) shuffle rounds): the transitive-closure tail of near-
+    // dup dedup, run over a deterministic arithmetic edge set so the
+    // DuckDB recursive-CTE oracle can replay it exactly. Edges live
+    // inside 8-aligned key blocks plus sparse cross-block links —
+    // components of varied shape (chains, stars, merged blocks).
+    "q58_components" -> ((s, dir) => {
+      val k = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val intra = k.select(col("k").as("src"),
+        (col("k") - col("k") % 8 + (col("k") * 5 + 3) % 8).as("dst"))
+      val links = k.filter(col("k") % 100 === 0)
+        .select(col("k").as("src"), (col("k") + 8).as("dst"))
+      graft.ops.Components.connectedComponents(intra.unionByName(links))
+        .orderBy("id")
+    }),
+    // Sequence packing: contiguous token-budget bins per (lang,
+    // shard) — the pretraining batch-assembly op; sharded cumsum is
+    // the scale path (no per-stratum serialization).
+    "q59_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(Tables.documents(s, dir), budget = 256L)),
+    // Vocabulary building: corpus token frequencies pruned at
+    // minCount, ranked into contiguous vocab ids.
+    "q60_build_vocab" -> ((s, dir) =>
+      TextOps.buildVocab(Tables.documents(s, dir), minCount = 5L)),
+    // Weighted corpus interleave (data mixing): first 100 positions
+    // of the WFQ-merged stream at fixed per-language proportions.
+    "q61_interleave" -> ((s, dir) =>
+      TextOps.weightedInterleave(Tables.documents(s, dir),
+        Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+          "fr" -> 0.125, "zh" -> 0.125), k = 100)),
     // Native expression through the SQL surface: dot_product is
     // registered by plans.GraftExtensions (spark.sql.extensions).
     "q34_sql_dot_product" -> ((s, dir) => {
@@ -579,6 +609,10 @@ object SparkEntry {
     "q54_resize_plan"       -> Oracle.resizePlan,
     "q55_approx_quantiles"  -> Oracle.approxQuantiles,
     "q56_lsh_dedup"         -> Oracle.lshDedup,
-    "q57_exact_distinct"    -> Oracle.exactDistinct
+    "q57_exact_distinct"    -> Oracle.exactDistinct,
+    "q58_components"        -> Oracle.components,
+    "q59_pack_sequences"    -> Oracle.packSequences,
+    "q60_build_vocab"       -> Oracle.buildVocab,
+    "q61_interleave"        -> Oracle.interleave
   )
 }

@@ -293,6 +293,75 @@ SELECT event_type,
        count(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** q58 oracle: connected components by recursive transitive closure
+    * over the same deterministic edge set — component = min reachable
+    * id. Components are bounded (8-blocks + sparse links), so the
+    * closure stays linear in nodes. */
+  val components: String = """
+WITH RECURSIVE e0 AS (
+  SELECT o_orderkey AS src,
+         o_orderkey - o_orderkey % 8 + (o_orderkey * 5 + 3) % 8 AS dst
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderkey + 8 FROM orders WHERE o_orderkey % 100 = 0),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r)
+SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id"""
+
+  /** q59 oracle: identical sharded streaming-fill packing — exclusive
+    * running token total, floor-divided by the budget (floor(), not
+    * CAST: DuckDB's double→int cast rounds while Spark's truncates). */
+  val packSequences: String = """
+WITH t AS (
+  SELECT lang, doc_id, doc_id % 4 AS shard,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok
+  FROM documents),
+b AS (
+  SELECT lang, doc_id, shard, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY lang, shard
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+           / 256) AS BIGINT) AS bin
+  FROM t)
+SELECT lang, shard, bin,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""
+
+  /** q60 oracle: vocabulary ranking (count desc, token asc). */
+  val buildVocab: String = """
+WITH c AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+  FROM documents),
+n AS (SELECT token, count(*) AS n FROM c GROUP BY token HAVING count(*) >= 5)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS vocab_id,
+       token, n
+FROM n ORDER BY vocab_id"""
+
+  /** q61 oracle: weighted-fair-queueing interleave — per-lang rank in
+    * id order, virtual finish time rank/weight, first 100 of the
+    * merged stream. rank and weight are identical values in both
+    * engines, so the IEEE division ties out bit-exactly. */
+  val interleave: String = """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS r
+  FROM documents),
+w(lang, wt) AS (VALUES ('de', 0.125), ('en', 0.5), ('es', 0.125),
+                       ('fr', 0.125), ('zh', 0.125)),
+v AS (
+  SELECT r.lang, r.doc_id, r.r,
+         r.r / CAST(w.wt AS DOUBLE) AS vft  -- bare 0.125 is DECIMAL
+  FROM r JOIN w ON r.lang = w.lang),
+sel AS (SELECT * FROM v ORDER BY vft, lang, r LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY vft, lang, r) AS INTEGER) AS mix_pos,
+       doc_id, lang
+FROM sel ORDER BY mix_pos"""
+
   val semiAnti: String = """
 SELECT c_custkey,
        CASE WHEN EXISTS (

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the principled
+  * tail of every near-dup dedup: candidate pairs (from MinHash /
+  * SimHash / embedding LSH buckets) form a graph, and "keep one doc
+  * per duplicate CLUSTER" means one representative per connected
+  * component, not per pairwise match (pair-greedy keeps every local
+  * minimum: for a chain a–b–c it keeps both a and c even though all
+  * three are transitive dups).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", ACM SoCC'14) —
+  * each half-round is one groupBy-min plus a re-keyed edge emit (two
+  * shuffles), and the edge set contracts onto stars rooted at the
+  * component minimum in O(log n) rounds. No driver-side graph state,
+  * no linear-diameter label chasing — this is the formulation that
+  * survives 100 TB edge lists. Deterministic: pure min/groupBy
+  * arithmetic, so the result is reproducible in SQL (the q58 oracle
+  * is a DuckDB recursive CTE over the same edges).
+  *
+  * Reference scope note: the reference engine has no graph operator;
+  * this extends the training-data surface (SURVEY.md north star).
+  */
+object Components {
+
+  /** (id, component) for every edge endpoint, where component is the
+    * minimum id in the node's connected component. Self-loops are
+    * dropped; edges may appear in either or both directions. */
+  def connectedComponents(edges: DataFrame,
+                          srcCol: String = "src", dstCol: String = "dst",
+                          maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val spark = edges.sparkSession
+
+    // canonical undirected edge set (small, large) — dedup'd so the
+    // contraction never re-inflates multiplicity
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("src"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // iterative joins: truncate lineage per round
+                         // (cluster deployments: spark.checkpoint.dir)
+
+    // large-star: for u's neighborhood Γ(u) (edges in both
+    // directions), connect every v ∈ Γ(u) with v > u to
+    // m = min(Γ(u) ∪ {u}); small-star: connect every v ∈ Γ(u) with
+    // v ≤ u, plus u itself, to m (skipping m's self-loop).
+    def star(large: Boolean)(edges0: DataFrame): DataFrame = {
+      val sym = edges0.union(
+        edges0.select(col("dst").as("src"), col("src").as("dst")))
+      val withM = sym.withColumn("m",
+        least(col("src"), min(col("dst")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src"))))
+      val out =
+        if (large) withM.filter(col("dst") > col("src"))
+          .select(col("dst").as("a"), col("m").as("b"))
+        else withM.filter(col("dst") <= col("src"))
+          .select(col("dst").as("a"), col("m").as("b"))
+          .union(withM.select(col("src").as("a"), col("m").as("b")))
+      // NO distinct here: duplicate edges don't change neighborhood
+      // minima, and growth within one round is bounded (each half-
+      // round emits ≤ |sym| + |nodes| rows) — deduping once per full
+      // round (in the iteration loop) halves the shuffles per round
+      out.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst"))
+    }
+
+    // convergence check: deterministic edge-set signature (count +
+    // bit_xor of pair hashes) — one cheap aggregate per round; the
+    // fixpoint is stable so a stop is never premature (collision
+    // probability 2^-64)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst"))))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(e)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = star(large = false)(star(large = true)(e))
+        .distinct().localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      e = next; sig = nextSig; iter += 1
+    }
+    println(s"[components] ${if (converged) "converged" else "maxIter hit"}" +
+      s" after $iter round(s), ${sig._1} star edges")
+    // at the fixpoint every edge is (root, member): component(member)
+    // = root, component(root) = root. min-agg guards the (impossible
+    // at fixpoint, cheap anyway) case of residual multi-edges.
+    val members = e.groupBy(col("dst").as("id")).agg(min("src").as("component"))
+    val roots = e.select(col("src").as("id")).distinct()
+      .join(members, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    members.unionByName(roots)
+  }
+
+  /** Cluster-aware dedup: given the full id universe and near-dup
+    * candidate pairs, keep ONE representative (the minimum id) per
+    * connected component plus every unpaired id. This is the
+    * transitive closure pair-greedy dedup approximates. */
+  def componentDedup(ids: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id",
+                     srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val dropped = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    ids.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
+      .orderBy(idCol)
+  }
+}

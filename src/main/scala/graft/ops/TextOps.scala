@@ -124,6 +124,96 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing: assign documents to contiguous token-budget
+    * bins — the pretraining step that turns a shuffled corpus into
+    * fixed-budget training sequences. Within each (stratum, shard),
+    * documents are taken in id order and a document whose exclusive
+    * running token total has consumed the budget opens the next bin
+    * (bins may overflow by one document's tail — the deterministic
+    * streaming-fill rule; real packers then truncate/wrap inside the
+    * bin, which is a per-bin local op).
+    *
+    * Scale shape: the running sum is a window per (stratum, shard) —
+    * sharding (`pmod(id, shards)`) bounds every window partition so
+    * no single stratum serializes the cumsum at 100 TB; shards are
+    * independent streams, which is exactly how parallel packers run.
+    */
+  def packSequences(docs: DataFrame, budget: Long, shards: Int = 4,
+                    stratumCol: String = "lang",
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(stratumCol), col(idCol),
+        pmod(col(idCol), lit(shards.toLong)).as("shard"),
+        size(tokens(col(textCol))).cast(LongType).as("n_tok"))
+      // explicit floor: Spark's double→long cast truncates but
+      // DuckDB's CAST rounds — floor() agrees everywhere (exclusive
+      // cumsum is non-negative and ≪ 2^53, so the double is exact)
+      .withColumn("bin",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / budget)
+          .cast(LongType))
+      .groupBy(col(stratumCol), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+      .orderBy(stratumCol, "shard", "bin")
+  }
+
+  /** Vocabulary building: token frequencies over the corpus, pruned
+    * at `minCount`, ranked into contiguous ids (count desc, token asc
+    * — the deterministic tie-break). The explode→count is one
+    * partial-aggregated shuffle on the token; the id assignment ranks
+    * the (tiny) surviving vocabulary. */
+  def buildVocab(docs: DataFrame, minCount: Long = 2,
+                 textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    counts.withColumn("vocab_id", row_number().over(w).cast("int"))
+      .select("vocab_id", "token", "n")
+      .orderBy("vocab_id")
+  }
+
+  /** Weighted corpus interleave: the data-mixing step that feeds a
+    * training run a deterministic stream with fixed per-source
+    * proportions. Each source's documents are ranked in id order and
+    * scheduled at virtual finish time rank/weight (weighted fair
+    * queueing) — the first k positions of the merged stream then
+    * contain ≈ weight share of each source. Ties break on
+    * (source, rank), so the order is total and engine-independent.
+    *
+    * Scale shape: per-source ranking is a partitioned window; the
+    * global "first k by vft" is TakeOrderedAndProject (per-partition
+    * top-k, no full sort); only the k survivors see the final
+    * single-partition position numbering. */
+  def weightedInterleave(docs: DataFrame, weights: Map[String, Double],
+                         k: Int, sourceCol: String = "lang",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val ranked = docs.select(col(sourceCol), col(idCol))
+      .withColumn("w", wExpr).filter(col("w").isNotNull)
+      .withColumn("r", row_number().over(rankW))
+      .withColumn("vft", col("r") / col("w"))
+      .orderBy(col("vft"), col(sourceCol), col("r")).limit(k)
+    ranked.withColumn("mix_pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vft"), col(sourceCol), col("r"))).cast("int"))
+      .select(col("mix_pos"), col(idCol), col(sourceCol))
+      .orderBy("mix_pos")
+  }
+
   /** Winnowing-style document fingerprint: the k smallest 64-bit
     * shingle hashes, collapsed to one signature hash. Near-identical
     * documents share most minima → close fingerprints; robust to

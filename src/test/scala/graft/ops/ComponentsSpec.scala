@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference union-find, the independent model the distributed
+    * algorithm must agree with. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chains, triangle, isolated pair, self-loop") {
+    // chain 1-2-3-4-5 (diameter > 1 round), triangle 10-11-12,
+    // pair 20-21, self-loop 30 (dropped), reversed-direction edge
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L), (30L, 30L))
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges within O(log n) rounds (not diameter)") {
+    // a 200-node path has diameter 199: linear label propagation
+    // would need ~199 rounds; star contraction must finish well
+    // inside maxIter=25 = default
+    val edges = (1L until 200L).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got == (1L to 200L).map(_ -> 1L).toMap)
+  }
+
+  test("agrees with union-find on pseudo-random graphs") {
+    // deterministic LCG so the case is reproducible
+    var seed = 0x5DEECE66DL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (Math.floorMod(seed >>> 16, bound.toLong)).toInt
+    }
+    for (trial <- 1 to 3) {
+      val n = 300
+      val edges = (1 to 250).map(_ => (next(n).toLong, next(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(edges) == unionFind(edges), s"trial $trial mismatch")
+    }
+  }
+
+  test("componentDedup keeps one representative per cluster") {
+    val ids = (1L to 10L).toDF("doc_id")
+    // clusters {1,2,3} (chain), {5,6}; 4,7..10 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val kept = Components.componentDedup(ids, pairs)
+      .as[Long].collect().toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L, 8L, 9L, 10L))
+    // pair-greedy (drop anything with a smaller partner) keeps the
+    // same set here, but on a chain a-b-c it keeps c; components do
+    // not: transitive-dup c must go
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val keptChain = Components.componentDedup(
+      Seq(1L, 2L, 3L).toDF("doc_id"), chain).as[Long].collect().toSeq
+    assert(keptChain == Seq(1L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the pretraining-pipeline ops added in round 4: sequence
+  * packing, vocabulary building, weighted corpus interleave. */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "en", "a b c d"),          // 4 tokens
+    (1L, "en", "a b c d e f"),      // 6
+    (2L, "en", "a b"),              // 2
+    (3L, "en", "a b c d e"),        // 5
+    (4L, "en", "a"),                // 1
+    (5L, "de", "x y z"),            // 3
+    (6L, "de", "x y"),              // 2
+    (7L, "de", "x")                 // 1
+  ).toDF("doc_id", "lang", "text")
+
+  test("packSequences follows the streaming-fill rule per shard") {
+    // shards=1 so the fill order is just doc_id order per lang;
+    // budget=6: en cumsum(excl) = 0,4,10,12,17 -> bins 0,0,1,2,2
+    val out = TextOps.packSequences(docs, budget = 6L, shards = 1)
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("de", 0L, 3L, 6L, 5L, 7L),            // all de docs, 6 tokens
+      ("en", 0L, 2L, 10L, 0L, 1L),           // docs 0,1 (overflow tail)
+      ("en", 1L, 1L, 2L, 2L, 2L),
+      ("en", 2L, 2L, 6L, 3L, 4L)))
+    // every bin except a group's last starts because the budget was
+    // consumed: its exclusive start total is >= bin * budget
+    out.groupBy(_._1).foreach { case (_, bins) =>
+      assert(bins.map(_._2).sorted.toSeq == bins.indices.map(_.toLong))
+    }
+  }
+
+  test("packSequences shards bound the window partitions") {
+    val out = TextOps.packSequences(docs, budget = 4L, shards = 4)
+    // doc_id % 4 spreads en's 5 docs over 4 independent streams
+    assert(out.select("shard").distinct().count() == 4)
+    // token totals are conserved across the sharding
+    assert(out.agg(sum("n_tokens")).head().getLong(0) == 24L)
+  }
+
+  test("buildVocab ranks by count desc then token, contiguous ids") {
+    val out = TextOps.buildVocab(docs, minCount = 3L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // counts: a=5, b=4, c=3, d=3, x=3, (e=2, f=1, y=2, z=1 pruned)
+    assert(out.toSeq == Seq((1, "a", 5L), (2, "b", 4L), (3, "c", 3L),
+      (4, "d", 3L), (5, "x", 3L)))
+  }
+
+  test("weightedInterleave honors proportions and is deterministic") {
+    val mix = TextOps.weightedInterleave(docs,
+      Map("en" -> 0.5, "de" -> 0.25), k = 6)
+    val rows = mix.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getString(2)))
+    // vft: en ranks 1..5 -> 2,4,6,8,10; de ranks 1..3 -> 4,8,12
+    // merged (ties lang asc): en@2, de@4, en@4, en@6, de@8, en@8
+    assert(rows.toSeq == Seq(
+      (1, 0L, "en"), (2, 5L, "de"), (3, 1L, "en"),
+      (4, 2L, "en"), (5, 6L, "de"), (6, 3L, "en")))
+    // 2:1 weight ratio -> 4 en / 2 de in the first 6
+    assert(rows.count(_._3 == "en") == 4 && rows.count(_._3 == "de") == 2)
+    // sources without a weight are excluded
+    val noZh = TextOps.weightedInterleave(docs, Map("de" -> 1.0), k = 10)
+    assert(noZh.select("lang").distinct().as[String].collect().toSeq == Seq("de"))
+  }
+}
