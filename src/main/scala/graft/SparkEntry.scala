@@ -544,6 +544,21 @@ object SparkEntry {
       TextOps.weightedInterleave(Tables.documents(s, dir),
         Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
           "fr" -> 0.125, "zh" -> 0.125), k = 100)),
+    // PII scrubbing over a deterministically PII-salted corpus (the
+    // synthetic documents contain no natural emails, so salting in
+    // the query keeps the redaction branch genuinely exercised —
+    // both engines inject identical strings).
+    "q62_pii_scrub" -> ((s, dir) => {
+      val salted = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ref 99"), col("doc_id").cast("string"),
+              lit("0042"))).otherwise(lit(""))))
+      TextOps.piiScrub(salted)
+    }),
     // Native expression through the SQL surface: dot_product is
     // registered by plans.GraftExtensions (spark.sql.extensions).
     "q34_sql_dot_product" -> ((s, dir) => {
@@ -613,6 +628,7 @@ object SparkEntry {
     "q58_components"        -> Oracle.components,
     "q59_pack_sequences"    -> Oracle.packSequences,
     "q60_build_vocab"       -> Oracle.buildVocab,
-    "q61_interleave"        -> Oracle.interleave
+    "q61_interleave"        -> Oracle.interleave,
+    "q62_pii_scrub"         -> Oracle.piiScrub
   )
 }

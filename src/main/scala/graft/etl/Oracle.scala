@@ -342,6 +342,34 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS vocab_id,
        token, n
 FROM n ORDER BY vocab_id"""
 
+  /** q62 oracle: identical PII salt + scrub. The patterns use only
+    * syntax Java regex (Spark) and RE2 (DuckDB) agree on; the 'g'
+    * flag matches Spark's replace-all default; numbers are counted
+    * after email removal, mirroring the Spark expression tree. */
+  val piiScrub: String = """
+WITH s AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ref 99' || CAST(doc_id AS VARCHAR) || '0042'
+                 ELSE '' END AS t
+  FROM documents),
+e AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS te
+  FROM s)
+SELECT doc_id,
+       regexp_replace(te, '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(te, '[0-9]{6,}')) AS BIGINT) AS n_numbers
+FROM e ORDER BY doc_id"""
+
   /** q61 oracle: weighted-fair-queueing interleave — per-lang rank in
     * id order, virtual finish time rank/weight, first 100 of the
     * merged stream. rank and weight are identical values in both

@@ -214,6 +214,30 @@ object TextOps {
       .orderBy("mix_pos")
   }
 
+  /** PII patterns, deliberately restricted to syntax Java regex and
+    * RE2 interpret identically (explicit char classes, no \d, no
+    * lookaround, greedy quantifiers) so any engine reproduces the
+    * scrub byte-for-byte. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberRe: String = "[0-9]{6,}"
+
+  /** PII scrubbing: redact email addresses then long digit runs
+    * (phone/account-number shaped), with per-document match counts
+    * for audit. Emails are removed FIRST so their digits never count
+    * as numbers. Pure columnar regexp expressions — codegen'd,
+    * shuffle-free, linear scan at any scale. */
+  def piiScrub(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val deEmailed = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    docs.select(col(idCol),
+      regexp_replace(deEmailed, LongNumberRe, "<NUM>").as("scrubbed"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast(LongType).as("n_emails"),
+      size(regexp_extract_all(deEmailed, lit(LongNumberRe), lit(0)))
+        .cast(LongType).as("n_numbers"))
+      .orderBy(idCol)
+  }
+
   /** Winnowing-style document fingerprint: the k smallest 64-bit
     * shingle hashes, collapsed to one signature hash. Near-identical
     * documents share most minima → close fingerprints; robust to

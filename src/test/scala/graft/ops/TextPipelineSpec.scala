@@ -54,6 +54,31 @@ class TextPipelineSpec extends SparkSpec {
       (4, "d", 3L), (5, "x", 3L)))
   }
 
+  test("piiScrub redacts emails then digit runs, counts for audit") {
+    val pii = Seq(
+      (1L, "mail a.b+c@ex-1.co and 12345678 done"),
+      (2L, "short 12345 stays; 123456 goes"),
+      (3L, "two bob@x.io carol@y.org"),
+      (4L, "clean text")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(pii).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("mail <EMAIL> and <NUM> done", 1L, 1L)))
+    // 5-digit run is below the threshold, 6-digit run is redacted
+    assert(out(2L) == (("short 12345 stays; <NUM> goes", 0L, 1L)))
+    assert(out(3L) == (("two <EMAIL> <EMAIL>", 2L, 0L)))
+    assert(out(4L) == (("clean text", 0L, 0L)))
+    // idempotent: scrubbing scrubbed text changes nothing
+    val scrubbed = TextOps.piiScrub(pii)
+      .select($"doc_id", $"scrubbed".as("text"))
+    val twice = TextOps.piiScrub(scrubbed).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(twice.view.mapValues(v => (v._1, v._2, v._3)).toMap ==
+      out.map { case (k, (s, _, _)) => k -> ((s, 0L, 0L)) })
+  }
+
   test("weightedInterleave honors proportions and is deterministic") {
     val mix = TextOps.weightedInterleave(docs,
       Map("en" -> 0.5, "de" -> 0.25), k = 6)
