@@ -544,6 +544,16 @@ object SparkEntry {
       TextOps.weightedInterleave(Tables.documents(s, dir),
         Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
           "fr" -> 0.125, "zh" -> 0.125), k = 100)),
+    // The full curation composite (quality filter → exact dedup →
+    // stratified sample → packing) over a dup-salted corpus — one
+    // declarative plan, one oracle replaying every stage.
+    "q63_curation_pipeline" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val salted = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      TextOps.curateCorpus(salted, minTokens = 30L, maxStopRatio = 0.10,
+        samplePerLang = 10, budget = 256L)
+    }),
     // PII scrubbing over a deterministically PII-salted corpus (the
     // synthetic documents contain no natural emails, so salting in
     // the query keeps the redaction branch genuinely exercised —
@@ -629,6 +639,7 @@ object SparkEntry {
     "q59_pack_sequences"    -> Oracle.packSequences,
     "q60_build_vocab"       -> Oracle.buildVocab,
     "q61_interleave"        -> Oracle.interleave,
-    "q62_pii_scrub"         -> Oracle.piiScrub
+    "q62_pii_scrub"         -> Oracle.piiScrub,
+    "q63_curation_pipeline" -> Oracle.curationPipeline
   )
 }

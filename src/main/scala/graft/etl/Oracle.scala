@@ -342,6 +342,50 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS vocab_id,
        token, n
 FROM n ORDER BY vocab_id"""
 
+  /** q63 oracle: the curation composite replayed stage by stage —
+    * dup salt, quality gate (token floor + stopword-ratio ceiling),
+    * min-id-per-md5 dedup, md5-ordered per-lang sample, streaming-
+    * fill packing (q59's rule with shards=1, budget=256). */
+  val curationPipeline: String = """
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, lang, text FROM documents WHERE doc_id % 10 = 0),
+t AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM base),
+q AS (
+  SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n_tok
+  FROM t
+  WHERE len(toks) >= 30
+    AND CAST(len(list_filter(toks, x ->
+          list_contains(['the','a','of','and','is','to'], x))) AS DOUBLE)
+        / len(toks) <= 0.10),
+d AS (
+  SELECT doc_id, lang, text, n_tok FROM (
+    SELECT doc_id, lang, text, n_tok,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM q)
+  WHERE doc_id = keep),
+s AS (
+  SELECT doc_id, lang, n_tok FROM (
+    SELECT doc_id, lang, n_tok,
+           row_number() OVER (
+             PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+    FROM d)
+  WHERE rn <= 10),
+b AS (
+  SELECT lang, doc_id, doc_id % 1 AS shard, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY lang, doc_id % 1
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+           / 256) AS BIGINT) AS bin
+  FROM s)
+SELECT lang, shard, bin,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""
+
   /** q62 oracle: identical PII salt + scrub. The patterns use only
     * syntax Java regex (Spark) and RE2 (DuckDB) agree on; the 'g'
     * flag matches Spark's replace-all default; numbers are counted

@@ -214,6 +214,35 @@ object TextOps {
       .orderBy("mix_pos")
   }
 
+  /** End-to-end curation composite — the whole batch-assembly story
+    * as ONE declarative plan: quality filter (token floor + stopword
+    * ceiling) → exact dedup (min id per md5) → deterministic
+    * stratified sample (md5 order per stratum) → sequence packing.
+    * Each stage is the library op's formula; chaining them keeps
+    * Catalyst free to fuse the filters into the scan and share the
+    * md5 computation across dedup and sampling. */
+  def curateCorpus(docs: DataFrame, minTokens: Long, maxStopRatio: Double,
+                   samplePerLang: Int, budget: Long,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast(LongType)
+    val nStop = size(filter(toks,
+      t => t.isin(Stopwords.map(x => x: Any): _*))).cast(LongType)
+    val quality = docs.filter(nTok >= minTokens &&
+      nStop.cast(DoubleType) / nTok <= maxStopRatio)
+    val deduped = quality.withColumn("__keep",
+        min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
+      .filter(col(idCol) === col("__keep")).drop("__keep")
+    val sampleW = Window.partitionBy(col("lang"))
+      .orderBy(md5(col(textCol)), col(idCol))
+    val sampled = deduped.withColumn("__rn", row_number().over(sampleW))
+      .filter(col("__rn") <= samplePerLang).drop("__rn")
+    packSequences(sampled, budget, shards = 1,
+      textCol = textCol, idCol = idCol)
+  }
+
   /** PII patterns, deliberately restricted to syntax Java regex and
     * RE2 interpret identically (explicit char classes, no \d, no
     * lookaround, greedy quantifiers) so any engine reproduces the
