@@ -54,14 +54,20 @@ object Bench {
             date_format(col("booking_date"), "yyyy-MM")),
           silverDir, partitionBy = Seq("booking_month"))
       }
+      // same failure isolation as the main loop: one bad query records
+      // -1.0, it doesn't void silver_build and the other timings
       val aq = SparkEntry.curatedQueries.toSeq.sortBy(_._1).map {
         case (name, fn) =>
-          name -> timed {
+          name -> (try timed {
             fn(spark, spark.read.parquet(silverDir).drop("booking_month"))
               .count()
-          }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] amortized $name failed: ${e.getMessage}")
+            -1.0
+          })
       }
-      s""""amortized":{"silver_build":$silverBuild,"total":${aq.map(_._2).sum},"queries":${jsonMap(aq)}}"""
+      val aTotal = aq.map(_._2).filter(_ >= 0).sum
+      s""""amortized":{"silver_build":$silverBuild,"total":$aTotal,"queries":${jsonMap(aq)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] amortized failed: ${e.getMessage}")
       s""""amortized":{"silver_build":-1.0,"total":-1.0,"queries":{}}"""

@@ -90,8 +90,17 @@ object Components {
       converged = nextSig == sig
       e = next; sig = nextSig; iter += 1
     }
-    println(s"[components] ${if (converged) "converged" else "maxIter hit"}" +
-      s" after $iter round(s), ${sig._1} star edges")
+    // a non-fixpoint edge set is NOT a star set — extracting labels
+    // from it would silently mislabel components (and componentDedup
+    // would keep/drop the wrong docs), so an exhausted budget is an
+    // error, never a warning. Rounds grow O(log n): the default 25
+    // covers any realistic edge list; raise maxIter explicitly if a
+    // pathological input ever needs more.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not reach the star fixpoint in " +
+        s"$maxIter rounds (${sig._1} edges remain) — raise maxIter")
+    println(s"[components] converged after $iter round(s), " +
+      s"${sig._1} star edges")
     // at the fixpoint every edge is (root, member): component(member)
     // = root, component(root) = root. min-agg guards the (impossible
     // at fixpoint, cheap anyway) case of residual multi-edges.

@@ -58,6 +58,21 @@ class TopKAggregateSpec extends SparkSpec {
     assert(top == Seq((1L, 4.0)))
   }
 
+  test("q55 oracle precondition: every group fits the GK full-retention bound") {
+    // the q55 oracle replays percentile_approx as "element at rank
+    // ceil(q*n)", which is exact ONLY while n/group < accuracy/2 =
+    // 5000 (the GK summary never compresses). Guard the invariant at
+    // the largest shipped SF so a future testdata refresh crossing it
+    // fails HERE with the explanation, not as a confusing q55
+    // correctness flap (compression depends on partition merge order).
+    val maxGroup = graft.io.Tables.documents(spark, "/root/testdata/sf0.1")
+      .groupBy("lang").count().agg(max("count")).as[Long].head()
+    assert(maxGroup < 5000,
+      s"largest lang group $maxGroup >= 5000: percentile_approx may " +
+        "compress and the q55 oracle's rank rule no longer applies — " +
+        "lower q55's group sizes or drop its approx_val oracle column")
+  }
+
   test("percentile_approx stays within 5% of exact on testdata documents") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = docs.groupBy("lang")
