@@ -544,6 +544,12 @@ object SparkEntry {
       TextOps.weightedInterleave(Tables.documents(s, dir),
         Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
           "fr" -> 0.125, "zh" -> 0.125), k = 100)),
+    // Weighted sampling as systematic PPS (libm-free — window sums +
+    // floor, bit-reproducible cross-engine): 8 picks per lang,
+    // inclusion proportional to document length.
+    "q64_pps_sample" -> ((s, dir) =>
+      TextOps.ppsSample(Tables.documents(s, dir), k = 8,
+        weightCol = "n_chars")),
     // The full curation composite (quality filter → exact dedup →
     // stratified sample → packing) over a dup-salted corpus — one
     // declarative plan, one oracle replaying every stage.
@@ -640,6 +646,7 @@ object SparkEntry {
     "q60_build_vocab"       -> Oracle.buildVocab,
     "q61_interleave"        -> Oracle.interleave,
     "q62_pii_scrub"         -> Oracle.piiScrub,
-    "q63_curation_pipeline" -> Oracle.curationPipeline
+    "q63_curation_pipeline" -> Oracle.curationPipeline,
+    "q64_pps_sample"        -> Oracle.ppsSample
   )
 }

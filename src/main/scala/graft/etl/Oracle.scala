@@ -386,6 +386,26 @@ SELECT lang, shard, bin,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""
 
+  /** q64 oracle: systematic PPS sampling replayed — same cumulative-
+    * weight grid, floor() (never CAST: rounding differs), identical
+    * IEEE divisions. */
+  val ppsSample: String = """
+WITH c AS (
+  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+         sum(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum,
+         sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang) AS total
+  FROM documents),
+p AS (
+  SELECT lang, doc_id, w,
+         CAST(floor(CAST(cum AS DOUBLE) / (CAST(total AS DOUBLE) / 8))
+            - floor(CAST(cum - w AS DOUBLE) / (CAST(total AS DOUBLE) / 8))
+           AS BIGINT) AS n_picks
+  FROM c)
+SELECT lang, doc_id, w AS weight, n_picks
+FROM p WHERE n_picks > 0 ORDER BY lang, doc_id"""
+
   /** q62 oracle: identical PII salt + scrub. The patterns use only
     * syntax Java regex (Spark) and RE2 (DuckDB) agree on; the 'g'
     * flag matches Spark's replace-all default; numbers are counted

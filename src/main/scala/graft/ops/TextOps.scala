@@ -214,6 +214,48 @@ object TextOps {
       .orderBy("mix_pos")
   }
 
+  /** Weighted sampling without libm: per-stratum SYSTEMATIC
+    * probability-proportional-to-size sampling. Documents are laid on
+    * the stratum's cumulative-weight line in id order; a document is
+    * picked once per sampling-grid point (step = total/k) its weight
+    * interval covers, so inclusion probability is proportional to
+    * weight — the classic systematic PPS design. Everything is
+    * window sums + floor + one IEEE division: no ln/pow (whose
+    * last-ulp rounding differs across engines), so the sample is
+    * bit-reproducible anywhere — the property that makes weighted
+    * sampling auditable in a training-data pipeline.
+    *
+    * Scale shape: one window per stratum (same discipline as
+    * [[packSequences]] — strata bound the partitions); the per-
+    * stratum totals join back as a broadcast. */
+  def ppsSample(docs: DataFrame, k: Int,
+                weightCol: String, stratumCol: String = "lang",
+                idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = docs.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol).cast(LongType)).as("__total"))
+    docs.select(col(stratumCol), col(idCol),
+        col(weightCol).cast(LongType).as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .join(broadcast(totals), Seq(stratumCol))
+      // grid points at multiples of total/k: picks = how many fall
+      // inside (cum_excl, cum_incl] — floor() both engines (casts
+      // disagree on rounding, floor never does)
+      .withColumn("__step", col("__total").cast(DoubleType) / k)
+      .withColumn("n_picks",
+        (floor(col("__cum").cast(DoubleType) / col("__step")) -
+          floor((col("__cum") - col("__w")).cast(DoubleType) / col("__step")))
+          .cast(LongType))
+      .filter(col("n_picks") > 0)
+      .select(col(stratumCol), col(idCol), col("__w").as("weight"),
+        col("n_picks"))
+      .orderBy(stratumCol, idCol)
+  }
+
   /** End-to-end curation composite — the whole batch-assembly story
     * as ONE declarative plan: quality filter (token floor + stopword
     * ceiling) → exact dedup (min id per md5) → deterministic

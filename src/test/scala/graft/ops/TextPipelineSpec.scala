@@ -54,6 +54,34 @@ class TextPipelineSpec extends SparkSpec {
       (4, "d", 3L), (5, "x", 3L)))
   }
 
+  test("ppsSample picks proportional to weight, libm-free deterministic") {
+    // one stratum, weights 1,1,1,1,96 (total 100), k=4 -> step 25:
+    // grid points 25,50,75,100 all land inside the heavy doc's
+    // interval (4,100] -> it is picked 4 times, light docs never
+    val docs = Seq((1L, "en", 1L), (2L, "en", 1L), (3L, "en", 1L),
+      (4L, "en", 1L), (5L, "en", 96L)).toDF("doc_id", "lang", "w")
+    val out = TextOps.ppsSample(docs, k = 4, weightCol = "w")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(out == Seq((5L, 4L)))
+    // balanced weights -> one pick per doc
+    val even = Seq((1L, "en", 10L), (2L, "en", 10L), (3L, "en", 10L),
+      (4L, "en", 10L)).toDF("doc_id", "lang", "w")
+    val picks = TextOps.ppsSample(even, k = 4, weightCol = "w")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(picks == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    // total picks per stratum == k (grid has k points on (0, total])
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sums = TextOps.ppsSample(real, k = 8, weightCol = "n_chars")
+      .groupBy("lang").agg(sum("n_picks").as("s"))
+      .select("s").as[Long].collect()
+    assert(sums.nonEmpty && sums.forall(s => s >= 7 && s <= 9),
+      s"per-stratum picks should be ~k: ${sums.toSeq}")
+    // deterministic: same input -> identical sample
+    val a = TextOps.ppsSample(real, 8, "n_chars").collect().map(_.toSeq)
+    val b = TextOps.ppsSample(real, 8, "n_chars").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("piiScrub redacts emails then digit runs, counts for audit") {
     val pii = Seq(
       (1L, "mail a.b+c@ex-1.co and 12345678 done"),
