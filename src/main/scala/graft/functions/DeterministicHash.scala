@@ -14,6 +14,15 @@ object DeterministicHash {
     x ^ (x >>> 31)
   }
 
+  /** Smallest prime above 2^31 — the modulus that turns the affine
+    * maps into genuine (near-)permutations of the 31-bit hash domain.
+    * WITHOUT the mod, a*x+b is monotone in x, so all k "permutations"
+    * share one argmin and the MinHash signature degenerates to k
+    * affine images of the single minimum shingle (two docs then agree
+    * on ALL bands or NONE — caught by ComponentsSpec's chain test).
+    * Operands stay ANSI-safe: a, b, x < 2^31 → a*x+b < 2^62. */
+  val MinhashP: Long = 2147483659L
+
   /** 31-bit odd multipliers for the k affine MinHash permutations
     * (31-bit so a*h+b stays < 2^62 under ANSI mode). */
   def minhashA(k: Int): Array[Long] =

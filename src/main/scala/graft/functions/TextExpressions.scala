@@ -38,7 +38,8 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
       val h = hs.getLong(j) & Mask31
       var i = 0
       while (i < numHashes) {
-        val v = aParams(i) * h + bParams(i)
+        // the % MinhashP is load-bearing: see DeterministicHash.MinhashP
+        val v = (aParams(i) * h + bParams(i)) % DeterministicHash.MinhashP
         if (v < mins(i)) mins(i) = v
         i += 1
       }
@@ -65,7 +66,7 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
          |for (int $j = 0; $j < $n; $j++) {
          |  long $h = $hs.getLong($j) & ${Mask31}L;
          |  for (int $i = 0; $i < $numHashes; $i++) {
-         |    long $v = $a[$i] * $h + $b[$i];
+         |    long $v = ($a[$i] * $h + $b[$i]) % ${DeterministicHash.MinhashP}L;
          |    if ($v < $mins[$i]) $mins[$i] = $v;
          |  }
          |}
@@ -134,7 +135,8 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int,
       val h31 = h & Mask31
       var k = 0
       while (k < numHashes) {
-        val v = aParams(k) * h31 + bParams(k)
+        // the % MinhashP is load-bearing: see DeterministicHash.MinhashP
+        val v = (aParams(k) * h31 + bParams(k)) % DeterministicHash.MinhashP
         if (v < mins(k)) mins(k) = v
         k += 1
       }

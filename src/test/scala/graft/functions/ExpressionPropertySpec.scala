@@ -51,7 +51,8 @@ class ExpressionPropertySpec extends SparkSpec {
     sample(gen, 9L).map { hs =>
       val expected = (0 until k).map { i =>
         if (hs.isEmpty) Long.MaxValue
-        else hs.map(h => aP(i) * (h & mask) + bP(i)).min
+        else hs.map(h =>
+          (aP(i) * (h & mask) + bP(i)) % DeterministicHash.MinhashP).min
       }
       (hs, expected)
     }.toDF("hs", "expected")

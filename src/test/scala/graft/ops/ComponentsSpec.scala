@@ -60,6 +60,31 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("componentDedup over real MinHash candidates collapses dup CHAINS") {
+    // a near-dup chain A~B~C where A and C differ enough to share no
+    // band: pair-greedy (drop anyone with a smaller partner) would
+    // keep A and might keep C if the (A,C) pair never surfaces;
+    // component dedup keeps exactly one doc per transitive cluster.
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the evening comes down on the quiet field"
+    val b = base.replace("quick", "swift")
+    val c = b.replace("evening", "morning")
+    val docs = Seq((1L, base), (2L, b), (3L, c),
+      (10L, "completely unrelated text about spark physical plans " +
+        "and shuffle exchanges in a distributed engine")
+    ).toDF("doc_id", "text")
+    val cands = Dedup.minHashCandidates(docs)
+    val pairs = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the chain links must exist; the far pair (1,3) may or may not
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)),
+      s"expected chain candidates, got $pairs")
+    val kept = Components.componentDedup(
+      docs.select("doc_id"), cands, srcCol = "id_a", dstCol = "id_b")
+      .as[Long].collect().toSeq
+    assert(kept == Seq(1L, 10L),
+      s"one representative per cluster expected, got $kept")
+  }
+
   test("componentDedup keeps one representative per cluster") {
     val ids = (1L to 10L).toDF("doc_id")
     // clusters {1,2,3} (chain), {5,6}; 4,7..10 unpaired
