@@ -100,13 +100,24 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard similarity on distinct-token sets for candidate
-    * pairs. `candidates` carries (id_a, id_b). */
+  /** Exact Jaccard similarity for candidate pairs. `shingleLen` = 0
+    * compares distinct-TOKEN sets (order-blind — the q27 baseline's
+    * measure); n > 0 compares distinct n-token SHINGLE sets — the
+    * standard w-shingling near-dup measure, and the SAME item family
+    * the MinHash signature hashes, so candidates and verification
+    * grade one quantity (verifying a shingle-LSH candidate with
+    * token-set Jaccard silently under-delivers the threshold
+    * contract: this corpus has 30k token-set-0.8 pairs but far fewer
+    * shingle-0.8 ones). `candidates` carries (id_a, id_b). */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
-    val sets = docs.select(col(idCol),
-      TextOps.tokenSetSorted(col(textCol)).as("toks"))
+                    idCol: String = "doc_id",
+                    shingleLen: Int = 0): DataFrame = {
+    val items =
+      if (shingleLen == 0) TextOps.tokenSetSorted(col(textCol))
+      else array_sort(array_distinct(
+        TextOps.shingles(col(textCol), shingleLen)))
+    val sets = docs.select(col(idCol), items.as("toks"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
@@ -120,12 +131,15 @@ object Dedup {
   }
 
   /** Near-dup dedup: drop the higher doc_id of every verified pair
-    * (jaccard ≥ threshold); return surviving ids. */
+    * (SHINGLE Jaccard ≥ threshold — the same 3-token shingle family
+    * the candidate signature hashes, so the LSH miss probability for
+    * a qualifying pair is the banding bound (≈0.04% at j = 0.8 with
+    * 16×4), not an unrelated measure's); return surviving ids. */
   def minHashDedup(docs: DataFrame, threshold: Double = 0.8,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val dup = jaccardVerify(minHashCandidates(docs, textCol = textCol,
-        idCol = idCol), docs, textCol, idCol)
+        idCol = idCol), docs, textCol, idCol, shingleLen = 3)
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     docs.select(col(idCol)).distinct()

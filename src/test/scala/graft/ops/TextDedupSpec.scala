@@ -49,6 +49,27 @@ class TextDedupSpec extends SparkSpec {
     assert(!kept.contains(4L))  // exact dup has jaccard 1.0
   }
 
+  test("minHashDedup ≡ exact shingle-Jaccard dedup on real testdata") {
+    // end-to-end recall of the LSH stack against the brute-force
+    // baseline MEASURING THE SAME QUANTITY (3-shingle Jaccard — the
+    // item family the signature hashes). This is the assertion that
+    // would have caught both round-4 finds: the degenerate affine
+    // permutations (no mod) and the token-set/shingle verify
+    // mismatch.
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ids = real.select("doc_id")
+    val allPairs = ids.select($"doc_id".as("id_a"))
+      .crossJoin(ids.select($"doc_id".as("id_b")))
+      .filter($"id_a" < $"id_b")
+    val dupExact = Dedup.jaccardVerify(allPairs, real, shingleLen = 3)
+      .filter($"jaccard" >= 0.8).select($"id_b".as("doc_id")).distinct()
+    val exact = ids.join(dupExact, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id").as[Long].collect().toSeq
+    val lsh = Dedup.minHashDedup(real).as[Long].collect().toSeq
+    assert(lsh == exact, s"LSH missed ${exact.size - lsh.size} vs exact")
+    assert(exact.size < 500, "corpus must contain real shingle near-dups")
+  }
+
   test("simHash: identical texts equal; near-dups close in Hamming") {
     val sigs = docs.select($"doc_id", Dedup.simHash($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
