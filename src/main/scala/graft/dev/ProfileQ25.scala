@@ -30,7 +30,7 @@ object ProfileQ25 {
     val cand = Dedup.minHashCandidates(docs)
     val nc = time("candidates")(cand.count())
     println(s"[prof] n_candidates=$nc")
-    val ver = Dedup.jaccardVerify(cand, docs)
+    val ver = Dedup.jaccardVerify(cand, docs, shingleLen = Dedup.ShingleLen)
     time("verify")(ver.count())
     time("full_dedup")(Dedup.minHashDedup(docs).count())
     spark.stop()

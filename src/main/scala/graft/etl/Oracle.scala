@@ -402,7 +402,7 @@ p AS (
          CAST(floor(CAST(cum AS DOUBLE) / (CAST(total AS DOUBLE) / 8))
             - floor(CAST(cum - w AS DOUBLE) / (CAST(total AS DOUBLE) / 8))
            AS BIGINT) AS n_picks
-  FROM c)
+  FROM c WHERE total > 0)
 SELECT lang, doc_id, w AS weight, n_picks
 FROM p WHERE n_picks > 0 ORDER BY lang, doc_id"""
 

@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The shingle length every stage of the near-dup stack shares —
+    * candidates hash n-shingles, so verification MUST grade n-shingle
+    * Jaccard with the same n (a mismatch silently breaks the recall
+    * bound; round-4 lesson). One constant so the alignment is
+    * structural, not three literals that can drift. */
+  val ShingleLen: Int = 3
+
   /** Exact dedup by content hash: keep the smallest doc_id per
     * distinct text. At scale this shuffles (hash, doc_id) only —
     * never the document body. */
@@ -44,7 +51,7 @@ object Dedup {
     * the shared subtree), and an `aggregate`+`zip_with` fold
     * interprets its lambda body per (shingle, permutation). */
   def minHashSignature(text: Column, numHashes: Int = 64,
-                       shingleLen: Int = 3): Column =
+                       shingleLen: Int = ShingleLen): Column =
     graft.functions.TextExpressions.minhash_from_hashes(
       transform(TextOps.shingles(text, shingleLen), xxhash64(_)),
       numHashes)
@@ -89,7 +96,7 @@ object Dedup {
     import graft.functions.TextExpressions._
     docs.select(col(idCol),
         posexplode(minhash_bands(TextOps.tokens(col(textCol)),
-          numHashes, bands, 3)))
+          numHashes, bands, ShingleLen)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
       .groupBy("band_id", "band_hash")
@@ -131,15 +138,16 @@ object Dedup {
   }
 
   /** Near-dup dedup: drop the higher doc_id of every verified pair
-    * (SHINGLE Jaccard ≥ threshold — the same 3-token shingle family
-    * the candidate signature hashes, so the LSH miss probability for
-    * a qualifying pair is the banding bound (≈0.04% at j = 0.8 with
-    * 16×4), not an unrelated measure's); return surviving ids. */
+    * (SHINGLE Jaccard ≥ threshold — the same [[ShingleLen]]-token
+    * shingle family the candidate signature hashes, so the LSH miss
+    * probability for a qualifying pair is the banding bound
+    * ((1−j^4)^16 ≈ 0.022% at j = 0.8 with 16×4), not an unrelated
+    * measure's); return surviving ids. */
   def minHashDedup(docs: DataFrame, threshold: Double = 0.8,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val dup = jaccardVerify(minHashCandidates(docs, textCol = textCol,
-        idCol = idCol), docs, textCol, idCol, shingleLen = 3)
+        idCol = idCol), docs, textCol, idCol, shingleLen = ShingleLen)
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     docs.select(col(idCol)).distinct()

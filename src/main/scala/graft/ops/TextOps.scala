@@ -225,9 +225,10 @@ object TextOps {
     * bit-reproducible anywhere — the property that makes weighted
     * sampling auditable in a training-data pipeline.
     *
-    * Scale shape: one window per stratum (same discipline as
-    * [[packSequences]] — strata bound the partitions); the per-
-    * stratum totals join back as a broadcast. */
+    * Scale shape: one shuffle per stratum (same discipline as
+    * [[packSequences]] — strata bound the partitions); the cumsum
+    * and the whole-stratum total are two windows over one
+    * partitioning, so the input is scanned once. */
   def ppsSample(docs: DataFrame, k: Int,
                 weightCol: String, stratumCol: String = "lang",
                 idCol: String = "doc_id"): DataFrame = {
@@ -236,12 +237,19 @@ object TextOps {
       .partitionBy(col(stratumCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val totals = docs.groupBy(col(stratumCol))
-      .agg(sum(col(weightCol).cast(LongType)).as("__total"))
+    // whole-partition total as a second window over the SAME
+    // partitioning — it rides the cumsum window's shuffle, so the
+    // input is scanned once (a groupBy+join would scan twice)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
     docs.select(col(stratumCol), col(idCol),
         col(weightCol).cast(LongType).as("__w"))
       .withColumn("__cum", sum(col("__w")).over(w))
-      .join(broadcast(totals), Seq(stratumCol))
+      .withColumn("__total", sum(col("__w")).over(wAll))
+      // an all-zero-weight stratum has no sampling grid (step 0 →
+      // NaN): drop it rather than diverge engine-by-engine on
+      // NaN/∞ handling. Weights are expected non-negative.
+      .filter(col("__total") > 0)
       // grid points at multiples of total/k: picks = how many fall
       // inside (cum_excl, cum_incl] — floor() both engines (casts
       // disagree on rounding, floor never does)
