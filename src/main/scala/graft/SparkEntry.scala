@@ -430,6 +430,14 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
         .orderBy("doc_id")),
+    // SimHash dedup end-to-end over a dup-salted corpus (no SQL
+    // oracle — xxhash64-bound like q25/q26; the exhaustive-index
+    // agreement with brute-force Hamming dedup is spec-verified).
+    "q65_simhash_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      Dedup.simHashDedup(d.unionByName(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))))
+    }),
     // Exact n-gram Jaccard top pairs — brute-force O(N²) baseline,
     // bounded to a deterministic 1000-doc sample (the unbounded scale
     // path is q25's MinHash-LSH); the oracle applies the same bound.

@@ -239,4 +239,26 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
   }
+
+  /** SimHash near-dup dedup: drop the higher doc_id of every
+    * candidate pair within `maxHamming` signature bits. For
+    * maxHamming ≤ 3 the 4×16-bit block index is EXHAUSTIVE
+    * (pigeonhole: ≤3 flipped bits cannot touch all 4 blocks), so —
+    * unlike MinHash banding — there is no probabilistic miss:
+    * candidates and verification grade the same signature distance
+    * by construction, and LSH-fed equals brute-force Hamming dedup
+    * exactly (TextDedupSpec), up to `maxBucket` star-pair capping in
+    * flooded blocks. */
+  def simHashDedup(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "the 4-block index is exhaustive only up to Hamming 3")
+    val dup = simHashCandidates(docs, textCol, idCol)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.select(col(idCol)).distinct()
+      .join(dup, Seq(idCol), "left_anti")
+      .orderBy(idCol)
+  }
 }

@@ -70,6 +70,27 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.size < 500, "corpus must contain real shingle near-dups")
   }
 
+  test("simHashDedup ≡ brute-force Hamming dedup (exhaustive 4-block index)") {
+    // inject exact copies (Hamming 0) plus the corpus's own texts;
+    // maxHamming ≤ 3 makes the block index exhaustive, so agreement
+    // with the all-pairs baseline is a guarantee, not a recall bet
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val corpus = real.unionByName(real.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val sigs = corpus.select($"doc_id", Dedup.simHash($"text").as("sig"))
+    val a = sigs.select($"doc_id".as("id_a"), $"sig".as("sa"))
+    val b = sigs.select($"doc_id".as("id_b"), $"sig".as("sb"))
+    val dupExact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .filter(bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+      .select($"id_b".as("doc_id")).distinct()
+    val exact = corpus.select("doc_id").join(dupExact, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id").as[Long].collect().toSeq
+    val indexed = Dedup.simHashDedup(corpus).as[Long].collect().toSeq
+    assert(indexed == exact)
+    assert(exact.size < corpus.count(), "corpus must contain Hamming dups")
+  }
+
   test("simHash: identical texts equal; near-dups close in Hamming") {
     val sigs = docs.select($"doc_id", Dedup.simHash($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
