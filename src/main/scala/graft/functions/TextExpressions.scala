@@ -293,7 +293,65 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash of a token array (array<string> → long): per token
+  * one xxhash64 (seed 42, matching the builtin), each signature bit's
+  * counter moves ±1 with the token hash's bit, and the final bit is
+  * set where the counter is positive — semantically identical to the
+  * composable aggregate/zip_with formulation in ops.Dedup, but one
+  * tight loop instead of a 64-mask interpreted lambda tree per token
+  * (which also bloats the plan: 64 array lambdas per reference). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val contrib = new Array[Long](64)
+    var j = 0
+    while (j < n) {
+      val u = toks.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+        u.numBytes(), 42L)
+      var i = 0
+      while (i < 64) {
+        contrib(i) += (if (((h >>> i) & 1L) != 0L) 1L else -1L)
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (contrib(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  // JIT-compiled Scala loop via one virtual call per row (same
+  // pattern as MinHashBands — keeps whole-stage codegen intact).
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash64", this,
+      classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = (Long) $self.nullSafeEval($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
 object TextExpressions {
+  def simhash64(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+
   def minhash_from_hashes(hashes: Column, k: Int): Column =
     GraftSqlBridge.column(
       MinHashFromHashes(GraftSqlBridge.expression(hashes), k))

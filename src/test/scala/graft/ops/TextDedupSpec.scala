@@ -91,6 +91,29 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.size < corpus.count(), "corpus must contain Hamming dups")
   }
 
+  test("codegen'd simHash equals the composable column model") {
+    // the aggregate/zip_with formulation the expression replaced,
+    // kept here as the independent model
+    def model(text: org.apache.spark.sql.Column) = {
+      val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+      val contrib = aggregate(
+        TextOps.tokens(text), array_repeat(lit(0L), 64),
+        (acc, t) => {
+          val h = xxhash64(t)
+          zip_with(acc, masks,
+            (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L))
+        })
+      aggregate(
+        zip_with(contrib, masks, (c, m) => when(c > 0, m).otherwise(0L)),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = real.select(Dedup.simHash($"text").as("got"),
+        model($"text").as("want"))
+      .filter($"got" =!= $"want").count()
+    assert(diff == 0, s"$diff docs disagree with the model")
+  }
+
   test("simHash: identical texts equal; near-dups close in Hamming") {
     val sigs = docs.select($"doc_id", Dedup.simHash($"text").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
