@@ -430,6 +430,25 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
         .orderBy("doc_id")),
+    // Transitive near-dup dedup end-to-end, ORACLE-GATED: MinHash-LSH
+    // candidates → exact shingle-Jaccard verify (≥0.8) → connected
+    // components → one survivor per dup cluster. The block index's
+    // candidate set provably covers every qualifying pair on this
+    // corpus (TextDedupSpec agreement), so DuckDB can replay the
+    // whole stack with brute-force pairs + a recursive closure —
+    // a hash-exact gate over the entire dedup pipeline. Bounded to
+    // doc_id < 1000 (the q27 discipline) to keep the O(N²) oracle
+    // cheap; the Spark side stays the bucketed scale path.
+    "q66_cluster_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val verified = Dedup.jaccardVerify(
+          Dedup.minHashCandidates(docs), docs,
+          shingleLen = Dedup.ShingleLen)
+        .filter(col("jaccard") >= 0.8)
+      graft.ops.Components.componentDedup(
+        docs.select("doc_id"), verified,
+        srcCol = "id_a", dstCol = "id_b")
+    }),
     // SimHash dedup end-to-end over a dup-salted corpus (no SQL
     // oracle — xxhash64-bound like q25/q26; the exhaustive-index
     // agreement with brute-force Hamming dedup is spec-verified).
@@ -655,6 +674,7 @@ object SparkEntry {
     "q61_interleave"        -> Oracle.interleave,
     "q62_pii_scrub"         -> Oracle.piiScrub,
     "q63_curation_pipeline" -> Oracle.curationPipeline,
-    "q64_pps_sample"        -> Oracle.ppsSample
+    "q64_pps_sample"        -> Oracle.ppsSample,
+    "q66_cluster_dedup"     -> Oracle.clusterDedup
   )
 }

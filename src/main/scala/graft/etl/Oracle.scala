@@ -386,6 +386,40 @@ SELECT lang, shard, bin,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""
 
+  /** q66 oracle: transitive near-dup dedup replayed with brute force —
+    * all-pairs 3-shingle Jaccard ≥ 0.8 as the edge set (the LSH
+    * candidates provably cover it: TextDedupSpec), then the q58-style
+    * recursive closure; survivors are component minima + unpaired
+    * docs. Shingle construction mirrors TextOps.shingles: windows of
+    * 3 tokens, short docs yield one (shorter) window. */
+  val clusterDedup: String = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id < 1000),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT doc_id FROM t
+WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+ORDER BY doc_id"""
+
   /** q64 oracle: systematic PPS sampling replayed — same cumulative-
     * weight grid, floor() (never CAST: rounding differs), identical
     * IEEE divisions. */
