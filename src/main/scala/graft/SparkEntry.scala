@@ -602,6 +602,17 @@ object SparkEntry {
               lit("0042"))).otherwise(lit(""))))
       TextOps.piiScrub(salted)
     }),
+    // Benchmark decontamination: per-doc fraction of distinct
+    // 5-shingles found in the pooled eval-set shingle vocabulary
+    // (eval = every 40th doc — the corpus's own near-dups of eval
+    // docs light up alongside the eval members themselves). One
+    // explode + broadcast pool probe + one map-side-combined groupBy;
+    // string-equality join (no hashing) keeps it oracle-exact.
+    "q67_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.decontaminate(docs, docs.filter(col("doc_id") % 40 === 0),
+        n = 5, threshold = 0.5)
+    }),
     // Native expression through the SQL surface: dot_product is
     // registered by plans.GraftExtensions (spark.sql.extensions).
     "q34_sql_dot_product" -> ((s, dir) => {
@@ -675,6 +686,7 @@ object SparkEntry {
     "q62_pii_scrub"         -> Oracle.piiScrub,
     "q63_curation_pipeline" -> Oracle.curationPipeline,
     "q64_pps_sample"        -> Oracle.ppsSample,
-    "q66_cluster_dedup"     -> Oracle.clusterDedup
+    "q66_cluster_dedup"     -> Oracle.clusterDedup,
+    "q67_decontaminate"     -> Oracle.decontaminate
   )
 }

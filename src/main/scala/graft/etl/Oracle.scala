@@ -420,6 +420,36 @@ SELECT doc_id FROM t
 WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
 ORDER BY doc_id"""
 
+  /** q67 oracle: benchmark decontamination replayed — identical
+    * 5-shingle derivation (the clusterDedup formulation with n=5),
+    * pooled distinct eval shingles, per-doc matched/total counts from
+    * one LEFT JOIN (count(*) = denominator, count(matched) =
+    * numerator — the same single-pass shape as the Spark plan), and
+    * one IEEE division for the ratio. */
+  val decontaminate: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 5, 0) + 2),
+           i -> array_to_string(toks[i:i+4], ' '))) AS sh
+  FROM t),
+pool AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 40 = 0),
+cs AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+m AS (
+  SELECT cs.doc_id,
+         count(*) AS n_shingles,
+         count(pool.shingle) AS n_matched
+  FROM cs LEFT JOIN pool ON cs.shingle = pool.shingle
+  GROUP BY cs.doc_id)
+SELECT doc_id, n_shingles, n_matched,
+       CAST(n_matched AS DOUBLE) / n_shingles AS overlap,
+       (CAST(n_matched AS DOUBLE) / n_shingles) >= 0.5 AS contaminated
+FROM m ORDER BY doc_id"""
+
   /** q64 oracle: systematic PPS sampling replayed — same cumulative-
     * weight grid, floor() (never CAST: rounding differs), identical
     * IEEE divisions. */

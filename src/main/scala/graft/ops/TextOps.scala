@@ -317,6 +317,64 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** Benchmark decontamination: for every corpus document, the
+    * fraction of its distinct n-gram shingles that appear ANYWHERE in
+    * the eval set's pooled shingle vocabulary — the standard
+    * train/eval-overlap audit of a training-data pipeline (flag or
+    * drop documents whose overlap exceeds a threshold before they
+    * leak eval answers into the training mix).
+    *
+    * Shape: the eval pool is reduced to DISTINCT shingles first (an
+    * eval set is tiny next to a 100 TB corpus, so this side is
+    * broadcastable — no corpus shuffle for the membership probe); the
+    * corpus side explodes (doc_id, shingle) once and semi-joins the
+    * pool, and the per-doc match count is a map-side-combinable
+    * groupBy on doc_id. Never all-pairs: cost is O(corpus shingles) +
+    * one small-side join, not O(corpus × eval).
+    *
+    * Determinism: shingles join on their exact strings (no hashing),
+    * counts are integers, and the ratio is one IEEE division —
+    * bit-reproducible on any engine. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 5,
+                    threshold: Double = 0.5,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val sh = array_distinct(shingles(col(textCol), n))
+    val evalPool = evalSet
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .distinct()
+    // exploding the DISTINCT shingle array yields exactly one row per
+    // distinct shingle, so one pass computes BOTH the denominator
+    // (count) and the numerator (matched hits) — no second corpus
+    // scan, no doc_id re-join. The broadcast left join is the pool
+    // membership probe; the only shuffle is the map-side-combined
+    // groupBy on doc_id. (shingles() of any text is non-empty — short
+    // docs yield one truncated shingle — so no document drops out of
+    // the explode.)
+    corpus.select(col(idCol), explode(sh).as("shingle"))
+      .join(broadcast(evalPool.withColumn("__hit", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_matched"))
+      .withColumn("overlap",
+        col("n_matched").cast(DoubleType) / col("n_shingles"))
+      .withColumn("contaminated", col("overlap") >= threshold)
+      .orderBy(idCol)
+  }
+
+  /** [[decontaminate]]'s drop form: the corpus with contaminated
+    * documents removed (ids-only anti-join — document bodies never
+    * enter the audit shuffle). */
+  def dropContaminated(corpus: DataFrame, evalSet: DataFrame, n: Int = 5,
+                       threshold: Double = 0.5,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    corpus.join(
+      decontaminate(corpus, evalSet, n, threshold, textCol, idCol)
+        .filter(col("contaminated")).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Winnowing-style document fingerprint: the k smallest 64-bit
     * shingle hashes, collapsed to one signature hash. Near-identical
     * documents share most minima → close fingerprints; robust to
