@@ -602,6 +602,23 @@ object SparkEntry {
               lit("0042"))).otherwise(lit(""))))
       TextOps.piiScrub(salted)
     }),
+    // Incremental dedup against a persisted LSH index — the
+    // operational shape at 100 TB (index once, dedup each incoming
+    // shard against stored bands + shingle sets; no corpus re-scan).
+    // Even ids are indexed, odd ids arrive as the shard. ORACLE-GATED:
+    // candidate cover is complete on this corpus (TextDedupSpec), so
+    // DuckDB replays the index-canonical rule with brute-force pairs —
+    // an odd doc survives iff it has no even partner at ANY id and no
+    // lower odd partner at shingle-Jaccard ≥ 0.8. Bounded to
+    // doc_id < 1000 (the q27/q66 discipline) for the O(N²) oracle.
+    "q68_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+        .select("doc_id", "text")
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_q68_idx_" +
+        ProcessHandle.current().pid()
+      Dedup.buildLshIndex(docs.filter(col("doc_id") % 2 === 0), idxDir)
+      Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1), idxDir)
+    }),
     // Benchmark decontamination: per-doc fraction of distinct
     // 5-shingles found in the pooled eval-set shingle vocabulary
     // (eval = every 40th doc — the corpus's own near-dups of eval
@@ -687,6 +704,7 @@ object SparkEntry {
     "q63_curation_pipeline" -> Oracle.curationPipeline,
     "q64_pps_sample"        -> Oracle.ppsSample,
     "q66_cluster_dedup"     -> Oracle.clusterDedup,
-    "q67_decontaminate"     -> Oracle.decontaminate
+    "q67_decontaminate"     -> Oracle.decontaminate,
+    "q68_incremental_dedup" -> Oracle.incrementalDedup
   )
 }

@@ -420,6 +420,38 @@ SELECT doc_id FROM t
 WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
 ORDER BY doc_id"""
 
+  /** q68 oracle: incremental dedup vs a persisted index, replayed
+    * with brute-force shingle-Jaccard pairs (the LSH candidate cover
+    * is spec-proven complete on this corpus). Index-canonical rule:
+    * an odd (shard) doc is dropped iff it has an even (indexed)
+    * partner at ANY id — indexed docs are never dropped, so a higher
+    * even partner still drops the odd doc — or a LOWER odd partner
+    * (the within-shard batch rule). Same 3-shingle measure as
+    * clusterDedup. */
+  val incrementalDedup: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id < 1000),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8)
+SELECT doc_id FROM t
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.hi = t.doc_id
+                     OR (e.lo = t.doc_id AND e.hi % 2 = 0))
+ORDER BY doc_id"""
+
   /** q67 oracle: benchmark decontamination replayed — identical
     * 5-shingle derivation (the clusterDedup formulation with n=5),
     * pooled distinct eval shingles, per-doc matched/total counts from

@@ -155,6 +155,102 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** The banded-signature rows of a corpus: (id, band_id, band_hash)
+    * from ONE codegen'd pass over each document (the same
+    * minhash_bands expression [[minHashCandidates]] uses, so an index
+    * built here and a batch run agree on every band hash). */
+  private def bandRows(docs: DataFrame, numHashes: Int, bands: Int,
+                       textCol: String, idCol: String): DataFrame = {
+    import graft.functions.TextExpressions._
+    docs.select(col(idCol),
+        posexplode(minhash_bands(TextOps.tokens(col(textCol)),
+          numHashes, bands, ShingleLen)))
+      .select(col(idCol), col("pos").cast("int").as("band_id"),
+        col("col").as("band_hash"))
+  }
+
+  /** Sorted distinct [[ShingleLen]]-shingle set — the verification
+    * payload every stage of the stack grades. */
+  private def shingleSet(textCol: String): Column =
+    array_sort(array_distinct(TextOps.shingles(col(textCol), ShingleLen)))
+
+  /** Persist a corpus's LSH index: `indexDir/bands` holds
+    * (id, band_id, band_hash) with each bucket capped at [[maxBucket]]
+    * smallest ids (the batch star-cap's storage twin — a boilerplate
+    * flood costs 50 rows per band, not the flood), and
+    * `indexDir/shingles` holds each document's sorted distinct shingle
+    * set — the exact-verification payload, so dedup against the index
+    * never re-reads the original corpus. This is the operational shape
+    * at 100 TB: the corpus is indexed ONCE; each incoming shard joins
+    * the stored bands (shuffle of the shard's band keys + a pruned
+    * index read — at warehouse scale, bucket both tables by band_hash
+    * to make it co-located) instead of re-scanning 100 TB per shard. */
+  def buildLshIndex(docs: DataFrame, indexDir: String,
+                    numHashes: Int = 64, bands: Int = 16,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): Unit = {
+    val w = Window.partitionBy("band_id", "band_hash").orderBy(col(idCol))
+    bandRows(docs, numHashes, bands, textCol, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    docs.select(col(idCol), shingleSet(textCol).as("shingles"))
+      .write.mode("overwrite").parquet(s"$indexDir/shingles")
+  }
+
+  /** Incremental near-dup dedup of a new shard against a persisted
+    * [[buildLshIndex]] index — no corpus re-scan. A new document is
+    * dropped iff exact shingle Jaccard ≥ threshold against (a) ANY
+    * indexed document (the index is canonical — indexed docs are never
+    * dropped) or (b) a lower-id document of its own shard (the batch
+    * drop rule within the shard). With every previously-seen doc
+    * indexed and shard ids above index ids, this equals
+    * [[minHashDedup]] over (indexed ∪ shard) restricted to the shard —
+    * the IncrementalDedupSpec theorem — while reading only the
+    * shard + the index.
+    *
+    * Shape: shard bands join stored bands on (band_id, band_hash) —
+    * ids only; shingle sets are attached once per distinct surviving
+    * candidate pair (the shard's inline, the index side via its pruned
+    * shingles table). Returns surviving shard ids. */
+  def dedupAgainstIndex(newDocs: DataFrame, indexDir: String,
+                        threshold: Double = 0.8,
+                        numHashes: Int = 64, bands: Int = 16,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idxBands = spark.read.parquet(s"$indexDir/bands")
+    val idxShingles = spark.read.parquet(s"$indexDir/shingles")
+    val newBands = bandRows(newDocs, numHashes, bands, textCol, idCol)
+    val crossCand = newBands.select(col(idCol).as("new_id"),
+        col("band_id"), col("band_hash"))
+      .join(idxBands.select(col(idCol).as("old_id"),
+        col("band_id"), col("band_hash")), Seq("band_id", "band_hash"))
+      .select("new_id", "old_id").distinct()
+    val newSets = newDocs.select(col(idCol).as("new_id"),
+      shingleSet(textCol).as("sh_new"))
+    val crossDup = crossCand
+      .join(newSets, "new_id")
+      .join(idxShingles.select(col(idCol).as("old_id"),
+        col("shingles").as("sh_old")), "old_id")
+      .withColumn("n_inter",
+        graft.functions.TextExpressions.sorted_intersect_count(
+          col("sh_new"), col("sh_old")))
+      .filter(col("n_inter").cast("double") /
+        (size(col("sh_new")) + size(col("sh_old")) - col("n_inter"))
+        >= threshold)
+      .select(col("new_id").as(idCol))
+    val withinDup = jaccardVerify(
+        minHashCandidates(newDocs, numHashes, bands, textCol, idCol),
+        newDocs, textCol, idCol, shingleLen = ShingleLen)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol))
+    newDocs.select(col(idCol)).distinct()
+      .join(crossDup.unionByName(withinDup).distinct(), Seq(idCol),
+        "left_anti")
+      .orderBy(idCol)
+  }
+
   /** Exact all-pairs n-gram Jaccard top-N — the brute-force baseline
     * (O(N²): fine for corpus samples / oracle checks; the scale path
     * is [[minHashCandidates]] + [[jaccardVerify]]). Deterministic
