@@ -577,6 +577,31 @@ object SparkEntry {
     "q64_pps_sample" -> ((s, dir) =>
       TextOps.ppsSample(Tables.documents(s, dir), k = 8,
         weightCol = "n_chars")),
+    // Tokenizer application: greedy longest-match encode of the
+    // corpus with its own q60 vocabulary (minCount=5), emitted as
+    // scalar piece rows. In-vocab words encode to their id; an OOV
+    // word whose PREFIX is a vocab entry splits into pieces (the
+    // WordPiece shape) and the tail becomes vocab_id 0. Hash-exact
+    // oracle: DuckDB rebuilds the identical vocab and replays the
+    // greedy match with a recursive CTE.
+    // The raw corpus's every word is itself a vocab entry (tiny
+    // synthetic token universe), which would leave the multi-piece
+    // and OOV branches vacuous — so the ENCODED corpus is salted with
+    // composite words built from each doc's own first token
+    // (tok1||tok1 → two pieces; tok1||"9q" → piece + OOV tail) while
+    // the vocab is built from the raw corpus. Both engines replay the
+    // identical salt.
+    "q69_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextOps.buildVocab(docs, minCount = 5L)
+      val t1 = element_at(TextOps.tokens(col("text")), 1)
+      val salted = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" "), t1, t1))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" "), t1, lit("9q")))
+          .otherwise(lit(""))))
+      TextOps.encodeGreedy(salted, vocab)
+    }),
     // The full curation composite (quality filter → exact dedup →
     // stratified sample → packing) over a dup-salted corpus — one
     // declarative plan, one oracle replaying every stage.
@@ -705,6 +730,7 @@ object SparkEntry {
     "q64_pps_sample"        -> Oracle.ppsSample,
     "q66_cluster_dedup"     -> Oracle.clusterDedup,
     "q67_decontaminate"     -> Oracle.decontaminate,
-    "q68_incremental_dedup" -> Oracle.incrementalDedup
+    "q68_incremental_dedup" -> Oracle.incrementalDedup,
+    "q69_tokenize"          -> Oracle.tokenize
   )
 }

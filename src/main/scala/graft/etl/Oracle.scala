@@ -342,6 +342,60 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS vocab_id,
        token, n
 FROM n ORDER BY vocab_id"""
 
+  /** q69 oracle: greedy longest-match encode replayed. The vocab is
+    * the q60 rebuild (count desc, token asc ranking, minCount 5); the
+    * greedy walk is a recursive CTE — each step consumes the LONGEST
+    * vocab entry prefixing the remainder (len DESC LIMIT 1 is total:
+    * two same-length prefixes of one position would be equal
+    * strings), and a remainder with no prefix match emits one OOV
+    * piece (vocab_id 0) and stops. word_pos/piece_pos are 0-based to
+    * match Spark's posexplode. */
+  val tokenize: String = """
+WITH RECURSIVE
+raw AS (
+  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS rtoks
+  FROM documents),
+c AS (SELECT unnest(rtoks) AS token FROM raw),
+vc AS (SELECT token, count(*) AS n FROM c GROUP BY token
+       HAVING count(*) >= 5),
+v AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+         AS vocab_id, token
+      FROM vc),
+t AS (
+  SELECT doc_id,
+         string_split_regex(trim(
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' ' || rtoks[1] || rtoks[1] ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' ' || rtoks[1] || '9q' ELSE '' END), ' +') AS toks
+  FROM raw),
+words AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos, word
+  FROM (SELECT doc_id, unnest(toks) AS word,
+               generate_subscripts(toks, 1) AS i
+        FROM t)),
+rec(doc_id, word_pos, rem, piece_pos, piece, vocab_id) AS (
+  SELECT doc_id, word_pos, word, CAST(-1 AS INTEGER),
+         CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)
+  FROM words
+  UNION ALL
+  SELECT doc_id, word_pos,
+         CASE WHEN best IS NULL THEN ''
+              ELSE substr(rem, CAST(len(best.token) + 1 AS INTEGER)) END,
+         CAST(piece_pos + 1 AS INTEGER),
+         CASE WHEN best IS NULL THEN rem ELSE best.token END,
+         CAST(coalesce(best.vocab_id, 0) AS INTEGER)
+  FROM (SELECT rec.*,
+          (SELECT {'token': v.token, 'vocab_id': v.vocab_id}
+           FROM v WHERE starts_with(rec.rem, v.token)
+           ORDER BY len(v.token) DESC LIMIT 1) AS best
+        FROM rec WHERE rem <> '')
+)
+SELECT doc_id, word_pos, piece_pos, piece, vocab_id
+FROM rec WHERE piece_pos >= 0
+ORDER BY doc_id, word_pos, piece_pos"""
+
   /** q63 oracle: the curation composite replayed stage by stage —
     * dup salt, quality gate (token floor + stopword-ratio ceiling),
     * min-id-per-md5 dedup, md5-ordered per-lang sample, streaming-

@@ -348,6 +348,75 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Greedy longest-match tokenizer encode (WordPiece-style, string →
+  * array<struct<piece:string, vocab_id:int>>): starting at the front
+  * of the word, repeatedly emit the LONGEST vocab entry that prefixes
+  * the remainder and advance past it; a remainder no entry prefixes
+  * becomes one OOV piece (vocab_id 0) and ends the word. The vocab is
+  * embedded in the expression pre-sorted by length descending — first
+  * prefix hit in scan order IS the longest match (two same-length
+  * prefixes of one position would be the same string, so the order is
+  * total without a tie-break). A tokenizer vocabulary is a bounded
+  * model artifact (tens of k entries), so shipping it inside the
+  * expression is the standard distribution shape — every executor
+  * encodes locally, no join, no shuffle. */
+case class GreedyPieces(child: Expression, vocabTokens: Array[String],
+                        vocabIds: Array[Int]) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+  require(vocabTokens.length == vocabIds.length, "tokens/ids must align")
+  require(vocabTokens.forall(_.nonEmpty), "empty vocab entries never advance")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("piece", StringType, nullable = false),
+      StructField("vocab_id", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "greedy_pieces"
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    while (pos < word.length) {
+      var found = -1
+      var i = 0
+      while (i < vocabTokens.length && found < 0) {
+        if (word.startsWith(vocabTokens(i), pos)) found = i
+        i += 1
+      }
+      if (found < 0) {
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(word.substring(pos)), 0)
+        pos = word.length
+      } else {
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(vocabTokens(found)), vocabIds(found))
+        pos += vocabTokens(found).length
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  // JIT-compiled Scala loop via one virtual call per row (the
+  // MinHashBands pattern — stays inside whole-stage codegen).
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("greedyPieces", this,
+      classOf[GreedyPieces].getName)
+    nullSafeCodeGen(ctx, ev, w => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.nullSafeEval($w);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): GreedyPieces =
+    copy(child = c)
+}
+
 object TextExpressions {
   def simhash64(tokens: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
@@ -368,4 +437,12 @@ object TextExpressions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** `vocab` as (token, vocab_id) pairs; sorted by length descending
+    * here so the expression's scan order realizes longest-match. */
+  def greedy_pieces(word: Column, vocab: Seq[(String, Int)]): Column = {
+    val sorted = vocab.sortBy { case (t, _) => (-t.length, t) }
+    GraftSqlBridge.column(GreedyPieces(GraftSqlBridge.expression(word),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
 }

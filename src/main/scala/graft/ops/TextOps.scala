@@ -141,15 +141,20 @@ object TextOps {
   def packSequences(docs: DataFrame, budget: Long, shards: Int = 4,
                     stratumCol: String = "lang",
                     textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    countCol: Option[String] = None): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol), col("shard")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // countCol feeds REAL tokenizer piece counts ([[encodeGreedy]]
+    // aggregated per doc) in place of the whitespace-token estimate
+    val nTok = countCol.map(c => col(c).cast(LongType))
+      .getOrElse(size(tokens(col(textCol))).cast(LongType))
     docs.select(col(stratumCol), col(idCol),
         pmod(col(idCol), lit(shards.toLong)).as("shard"),
-        size(tokens(col(textCol))).cast(LongType).as("n_tok"))
+        nTok.as("n_tok"))
       // explicit floor: Spark's double→long cast truncates but
       // DuckDB's CAST rounds — floor() agrees everywhere (exclusive
       // cumsum is non-negative and ≪ 2^53, so the double is exact)
@@ -178,6 +183,39 @@ object TextOps {
     counts.withColumn("vocab_id", row_number().over(w).cast("int"))
       .select("vocab_id", "token", "n")
       .orderBy("vocab_id")
+  }
+
+  /** Tokenizer application: encode every document with a
+    * [[buildVocab]]-style vocabulary via greedy longest-match
+    * (WordPiece-style). Each whitespace word becomes one or more
+    * pieces: the longest vocab entry prefixing the remaining word is
+    * emitted and consumed; a remainder no entry prefixes becomes a
+    * single OOV piece with vocab_id 0. Output is fully scalar rows
+    * (doc_id, word_pos, piece_pos, piece, vocab_id) — deterministic
+    * and replayable in plain SQL, and the per-doc piece counts are
+    * the real token counts [[packSequences]] bins at batch-assembly
+    * time (IncrementalDedupSpec's sibling spec wires the two).
+    *
+    * Scale shape: the vocab is collect()ed ONCE into the codegen'd
+    * [[graft.functions.GreedyPieces]] expression — a tokenizer vocab
+    * is a bounded model artifact (tens of k entries), and embedding
+    * it is how tokenizers ship to executors everywhere: the encode
+    * itself is then a linear, shuffle-free scan (the only exchange is
+    * the trailing presentation sort). */
+  def encodeGreedy(docs: DataFrame, vocab: DataFrame,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val entries = vocab.select(col("token"), col("vocab_id").cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    docs.select(col(idCol), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("pos", "word_pos")
+      .withColumnRenamed("col", "word")
+      .select(col(idCol), col("word_pos"),
+        posexplode(graft.functions.TextExpressions
+          .greedy_pieces(col("word"), entries)))
+      .select(col(idCol), col("word_pos"), col("pos").as("piece_pos"),
+        col("col.piece").as("piece"), col("col.vocab_id").as("vocab_id"))
+      .orderBy(idCol, "word_pos", "piece_pos")
   }
 
   /** Weighted corpus interleave: the data-mixing step that feeds a
