@@ -539,7 +539,11 @@ object SparkEntry {
       val dups = base.filter(col("vec_id") % 5 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.25)).as("embedding"))
-      Similarity.cosineDedupLsh(base.unionByName(dups), 0.9)
+      // auto-derived planes/tables (lshParamsFor): bucket population
+      // targeted at ~256 as N grows, tables from the analytic miss
+      // bound — the oracle stays the exact all-pairs answer, so the
+      // derived parameters are themselves gated every round
+      Similarity.cosineDedupLshAuto(base.unionByName(dups), 0.9)
     }),
     // Connected components (ops.Components, large-star/small-star —
     // O(log n) shuffle rounds): the transitive-closure tail of near-

@@ -172,6 +172,43 @@ object Similarity {
     * surviving distinct pair, so the shuffle never ships tables×
     * copies of the embeddings. Cost: O(shuffle(ids×tables) +
     * bucket-local pairs), vs the cross join's O(N²). */
+  /** LSH parameters scaled to the corpus: with random hyperplanes
+    * each plane splits a (roughly centered) corpus in half, so the
+    * expected bucket population is N/2^planes —
+    * planes = ceil(log2(N / targetBucket)) keeps bucket-local pair
+    * work bounded as N grows (fixed planes at 10⁸ vectors would hold
+    * ~N/16 vectors per bucket and explode quadratically). Tables then
+    * restore recall: a pair at the threshold cosine agrees on one
+    * plane with probability p = 1 − θ/π, on a whole band with
+    * p^planes, and is missed by every table with
+    * (1 − p^planes)^tables ≤ targetMiss — solve for tables. True
+    * near-dups sit far above the threshold (an exact dup agrees on
+    * every plane with probability 1), so the bound is conservative.
+    * Driver-side plan arithmetic only — result determinism never
+    * depends on it (verification is exact). */
+  def lshParamsFor(n: Long, threshold: Double,
+                   targetBucket: Long = 256,
+                   targetMiss: Double = 1e-4): (Int, Int) = {
+    require(n > 0 && threshold > 0 && threshold < 1, "need 0<threshold<1, n>0")
+    val planes = math.max(1,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p, planes)
+    val tables = math.max(1,
+      math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
+    (planes, math.min(tables, 64))
+  }
+
+  /** [[cosineDedupLsh]] with `numPlanes`/`tables` derived from the
+    * corpus size via [[lshParamsFor]] (one count() pre-pass — a cheap
+    * scan next to the dedup itself). */
+  def cosineDedupLshAuto(vectors: DataFrame, threshold: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val (planes, tables) = lshParamsFor(vectors.count(), threshold)
+    cosineDedupLsh(vectors, threshold, planes, tables, idCol, vecCol)
+  }
+
   def cosineDedupLsh(vectors: DataFrame, threshold: Double,
                      numPlanes: Int = 4, tables: Int = 8,
                      idCol: String = "vec_id",
