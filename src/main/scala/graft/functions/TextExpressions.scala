@@ -348,6 +348,69 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** SORTED DISTINCT n-token shingle strings of a token array
+  * (array<string> → array<string>) — the exact-verification item set
+  * of the whole near-dup stack (jaccardVerify, decontaminate,
+  * dedupAgainstIndex), in one pass: each window's tokens are joined
+  * with a single space (byte-identical to
+  * `array_join(slice(toks,...), " ")` and to the DuckDB oracles'
+  * `array_to_string(toks[i:j], ' ')`), deduped and sorted via a
+  * TreeSet of UTF8Strings (binary compareTo — the same ordering
+  * `array_sort` applies to strings). Replaces the interpreted
+  * transform(sequence)+slice+array_join+array_distinct+array_sort
+  * chain, which was the dominant per-doc cost of the q67/q27/q66
+  * verification scans. */
+case class SortedDistinctShingles(child: Expression, shingleLen: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  require(shingleLen > 0, "shingleLen must be positive")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "sorted_distinct_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val set = new java.util.TreeSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    val nWindows = math.max(n - shingleLen, 0) + 1
+    var w = 0
+    while (w < nWindows) {
+      val end = math.min(w + shingleLen, n)
+      val parts = new Array[UTF8String](2 * (end - w) - 1)
+      var t = w
+      var k = 0
+      while (t < end) {
+        if (t > w) { parts(k) = space; k += 1 }
+        parts(k) = toks.getUTF8String(t); k += 1
+        t += 1
+      }
+      set.add(UTF8String.concat(parts: _*))
+      w += 1
+    }
+    new GenericArrayData(set.toArray(new Array[AnyRef](set.size())))
+  }
+
+  // JIT-compiled Scala loop via one virtual call per row (the
+  // MinHashBands pattern — stays inside whole-stage codegen).
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sortedShingles", this,
+      classOf[SortedDistinctShingles].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.nullSafeEval($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SortedDistinctShingles =
+    copy(child = c)
+}
+
 /** Greedy longest-match tokenizer encode (WordPiece-style, string →
   * array<struct<piece:string, vocab_id:int>>): starting at the front
   * of the word, repeatedly emit the LONGEST vocab entry that prefixes
@@ -437,6 +500,10 @@ object TextExpressions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def sorted_distinct_shingles(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(SortedDistinctShingles(
+      GraftSqlBridge.expression(tokens), n))
 
   /** `vocab` as (token, vocab_id) pairs; sorted by length descending
     * here so the expression's scan order realizes longest-match. */

@@ -122,8 +122,8 @@ object Dedup {
                     shingleLen: Int = 0): DataFrame = {
     val items =
       if (shingleLen == 0) TextOps.tokenSetSorted(col(textCol))
-      else array_sort(array_distinct(
-        TextOps.shingles(col(textCol), shingleLen)))
+      else graft.functions.TextExpressions.sorted_distinct_shingles(
+        TextOps.tokens(col(textCol)), shingleLen)
     val sets = docs.select(col(idCol), items.as("toks"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
@@ -170,9 +170,12 @@ object Dedup {
   }
 
   /** Sorted distinct [[ShingleLen]]-shingle set — the verification
-    * payload every stage of the stack grades. */
+    * payload every stage of the stack grades (codegen'd one-pass
+    * window-join + TreeSet; byte-identical to the composable
+    * array_sort(array_distinct(shingles)) chain it replaces). */
   private def shingleSet(textCol: String): Column =
-    array_sort(array_distinct(TextOps.shingles(col(textCol), ShingleLen)))
+    graft.functions.TextExpressions.sorted_distinct_shingles(
+      TextOps.tokens(col(textCol)), ShingleLen)
 
   /** Persist a corpus's LSH index: `indexDir/bands` holds
     * (id, band_id, band_hash) with each bucket capped at [[maxBucket]]

@@ -156,7 +156,12 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
-    v.select(col(idCol)).join(dup, Seq(idCol), "left_anti").orderBy(idCol)
+    // .distinct() is an aggregation barrier: without it the anti
+    // join is pushed through a unioned corpus and the ENTIRE
+    // candidate+verify subtree is duplicated per union branch
+    // (observed on the q56 plan — 2x the dedup work)
+    v.select(col(idCol)).distinct()
+      .join(dup, Seq(idCol), "left_anti").orderBy(idCol)
   }
 
   /** LSH-fed embedding dedup — [[cosineDedup]]'s scale path. Candidate
@@ -228,7 +233,12 @@ object Similarity {
       .join(v.select(col(idCol).as("id_b"), col("v").as("vb")), "id_b")
       .filter(cosine(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
-    v.select(col(idCol)).join(dup, Seq(idCol), "left_anti").orderBy(idCol)
+    // .distinct() is an aggregation barrier: without it the anti
+    // join is pushed through a unioned corpus and the ENTIRE
+    // candidate+verify subtree is duplicated per union branch
+    // (observed on the q56 plan — 2x the dedup work)
+    v.select(col(idCol)).distinct()
+      .join(dup, Seq(idCol), "left_anti").orderBy(idCol)
   }
 
 }

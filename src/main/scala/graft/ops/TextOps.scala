@@ -377,10 +377,11 @@ object TextOps {
                     threshold: Double = 0.5,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val sh = array_distinct(shingles(col(textCol), n))
-    val evalPool = evalSet
-      .select(explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
-      .distinct()
+    // codegen'd one-pass distinct-shingle construction (the
+    // interpreted slice+array_join chain dominated this scan)
+    val sh = graft.functions.TextExpressions
+      .sorted_distinct_shingles(tokens(col(textCol)), n)
+    val evalPool = evalSet.select(explode(sh).as("shingle")).distinct()
     // exploding the DISTINCT shingle array yields exactly one row per
     // distinct shingle, so one pass computes BOTH the denominator
     // (count) and the numerator (matched hits) — no second corpus

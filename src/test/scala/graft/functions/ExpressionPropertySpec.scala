@@ -29,6 +29,30 @@ class ExpressionPropertySpec extends SparkSpec {
       .foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("SortedDistinctShingles == array_sort(array_distinct(shingles))") {
+    import org.apache.spark.sql.functions._
+    // random word lists INCLUDING shorter-than-n docs and repeats,
+    // plus the real sf0.001 corpus — the composable chain is the
+    // semantic model the codegen'd pass must match byte-for-byte
+    val gen = Gen.listOfN(60,
+      Gen.listOf(Gen.choose(0, 12).map(i => s"w$i")).map(_.take(30)))
+    val crafted = sample(gen, 11L).zipWithIndex
+      .map { case (ws, i) =>
+        (i.toLong, if (ws.isEmpty) "w0" else ws.mkString(" "))
+      }.toDF("doc_id", "text")
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    for (df <- Seq(crafted, real); n <- Seq(3, 5)) {
+      val toks = graft.ops.TextOps.tokens($"text")
+      val mism = df.select(
+          TextExpressions.sorted_distinct_shingles(toks, n).as("got"),
+          array_sort(array_distinct(
+            graft.ops.TextOps.shingles($"text", n))).as("want"))
+        .filter(not($"got" <=> $"want")).count()
+      assert(mism == 0, s"n=$n: $mism rows diverge from the model")
+    }
+  }
+
   test("DotProduct == Scala fold on random double vectors") {
     val gen = Gen.listOfN(50, Gen.zip(
       Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0)),
