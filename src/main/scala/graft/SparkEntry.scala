@@ -659,6 +659,18 @@ object SparkEntry {
       TextOps.decontaminate(docs, docs.filter(col("doc_id") % 40 === 0),
         n = 5, threshold = 0.5)
     }),
+    // Context-window chunking: fixed 64-token windows advancing by 48
+    // (16-token overlap) — the sequence-prep step between curation and
+    // training. Pure integer chunk arithmetic, hash-exact oracle.
+    "q70_chunk_docs" -> ((s, dir) =>
+      TextOps.chunkDocs(Tables.documents(s, dir),
+        maxTokens = 64, stride = 48)),
+    // Intra-document repetition signals (boilerplate filter): repeat
+    // fractions at shingle and token granularity; the corpus carries
+    // natural repeats at both levels (27 shingle-repeat docs, 497
+    // token-repeat docs at sf0.01), so no salt is needed.
+    "q71_repetition" -> ((s, dir) =>
+      TextOps.repetitionScore(Tables.documents(s, dir))),
     // Native expression through the SQL surface: dot_product is
     // registered by plans.GraftExtensions (spark.sql.extensions).
     "q34_sql_dot_product" -> ((s, dir) => {
@@ -735,6 +747,8 @@ object SparkEntry {
     "q66_cluster_dedup"     -> Oracle.clusterDedup,
     "q67_decontaminate"     -> Oracle.decontaminate,
     "q68_incremental_dedup" -> Oracle.incrementalDedup,
-    "q69_tokenize"          -> Oracle.tokenize
+    "q69_tokenize"          -> Oracle.tokenize,
+    "q70_chunk_docs"        -> Oracle.chunkDocs,
+    "q71_repetition"        -> Oracle.repetition
   )
 }

@@ -474,6 +474,50 @@ SELECT doc_id FROM t
 WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
 ORDER BY doc_id"""
 
+  /** q70 oracle: context-window chunking replayed — identical integer
+    * chunk-count arithmetic (1 + ceil(max(n−64,0)/48) via the
+    * +stride−1 floor), clamped inclusive list slices, space joins. */
+  val chunkDocs: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+x AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48.0)
+           AS INTEGER) AS extra
+  FROM t),
+c AS (
+  SELECT doc_id, CAST(unnest(range(0, extra + 1)) AS INTEGER) AS i,
+         toks, n
+  FROM x)
+SELECT doc_id, i AS chunk_idx, CAST(i * 48 AS BIGINT) AS start_tok,
+       CAST(least(64, n - i * 48) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx"""
+
+  /** q71 oracle: repetition signals replayed — list lengths vs
+    * distinct lengths and one IEEE division each (1e0, not the
+    * DECIMAL literal 1.0). */
+  val repetition: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' ')) AS sh
+  FROM t)
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles_distinct,
+       1e0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+         AS shingle_rep_ratio,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_tokens_distinct,
+       1e0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         AS token_rep_ratio
+FROM s ORDER BY doc_id"""
+
   /** q68 oracle: incremental dedup vs a persisted index, replayed
     * with brute-force shingle-Jaccard pairs (the LSH candidate cover
     * is spec-proven complete on this corpus). Index-canonical rule:

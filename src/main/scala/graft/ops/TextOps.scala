@@ -331,6 +331,62 @@ object TextOps {
       textCol = textCol, idCol = idCol)
   }
 
+  /** Context-window chunking: split each document into fixed-budget
+    * token windows advancing by `stride` (overlap = maxTokens −
+    * stride) — the step that turns curated documents into model-ready
+    * sequences. Chunk count is 1 + ceil(max(n − maxTokens, 0) /
+    * stride) (pure integer arithmetic — engine-exact), so every
+    * token lands in ≥1 chunk and a short document yields exactly one.
+    * Columnar transform + one explode; no shuffle except the
+    * presentation sort — linear at any corpus size, and the chunk
+    * fan-out is bounded by n/stride per document. */
+  def chunkDocs(docs: DataFrame, maxTokens: Int, stride: Int,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      "need 0 < stride <= maxTokens")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // integer ceil((n - maxTokens)/stride) via (x + stride - 1) / stride
+    val extra = floor((greatest(n - maxTokens, lit(0)) + lit(stride - 1))
+      / lit(stride)).cast("int")
+    val chunks = transform(sequence(lit(0), extra), i => {
+      val start = i * stride
+      struct(
+        i.cast("int").as("chunk_idx"),
+        start.cast("long").as("start_tok"),
+        least(lit(maxTokens), n - start).cast("long").as("n_chunk_tokens"),
+        array_join(slice(toks, start + 1, lit(maxTokens)), " ")
+          .as("chunk_text"))
+    })
+    docs.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.n_chunk_tokens"), col("c.chunk_text"))
+      .orderBy(idCol, "chunk_idx")
+  }
+
+  /** Intra-document repetition signals — the standard boilerplate /
+    * low-quality filter: the fraction of n-shingle (and token)
+    * occurrences that are repeats of an earlier occurrence in the
+    * same document. Counts are integers and the ratios single IEEE
+    * divisions — engine-exact. Shuffle-free columnar scan. */
+  def repetitionScore(docs: DataFrame, n: Int = 3,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val sh = shingles(col(textCol), n)
+    val nSh = size(sh).cast(LongType)
+    val nShD = size(array_distinct(sh)).cast(LongType)
+    val nTok = size(toks).cast(LongType)
+    val nTokD = size(array_distinct(toks)).cast(LongType)
+    docs.select(col(idCol),
+      nSh.as("n_shingles"), nShD.as("n_shingles_distinct"),
+      (lit(1.0) - nShD.cast(DoubleType) / nSh).as("shingle_rep_ratio"),
+      nTok.as("n_tokens"), nTokD.as("n_tokens_distinct"),
+      (lit(1.0) - nTokD.cast(DoubleType) / nTok).as("token_rep_ratio"))
+      .orderBy(idCol)
+  }
+
   /** PII patterns, deliberately restricted to syntax Java regex and
     * RE2 interpret identically (explicit char classes, no \d, no
     * lookaround, greedy quantifiers) so any engine reproduces the
