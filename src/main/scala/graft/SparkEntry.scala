@@ -422,7 +422,11 @@ object SparkEntry {
     // Language-ID heuristic (argmax over marker scores).
     "q24_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir))),
-    // MinHash+LSH near-dup dedup (no SQL oracle — rows-only check).
+    // MinHash+LSH near-dup dedup — ORACLE-GATED since r5: the
+    // candidate cover is spec-proven complete on this corpus
+    // (TextDedupSpec LSH ≡ brute force), so DuckDB replays the batch
+    // drop rule with brute-force shingle-Jaccard pairs (the q66/q68
+    // argument; the driver runs the O(N²) oracle at sf0.01 only).
     "q25_minhash_dedup" -> ((s, dir) =>
       Dedup.minHashDedup(Tables.documents(s, dir))),
     // SimHash signatures (no SQL oracle — rows-only check).
@@ -748,6 +752,7 @@ object SparkEntry {
     "q67_decontaminate"     -> Oracle.decontaminate,
     "q68_incremental_dedup" -> Oracle.incrementalDedup,
     "q69_tokenize"          -> Oracle.tokenize,
+    "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition
   )

@@ -518,6 +518,33 @@ SELECT doc_id,
          AS token_rep_ratio
 FROM s ORDER BY doc_id"""
 
+  /** q25 oracle: MinHash-LSH near-dup dedup replayed with brute-force
+    * shingle-Jaccard pairs — valid because the LSH candidate cover is
+    * spec-proven complete on this corpus (TextDedupSpec: LSH ≡
+    * brute-force shingle dedup), the same argument that oracle-gates
+    * q66/q68. Batch drop rule: a doc survives iff it has no lower-id
+    * partner at 3-shingle Jaccard ≥ 0.8. */
+  val minhashDedup: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8)
+SELECT doc_id FROM t
+WHERE doc_id NOT IN (SELECT hi FROM e)
+ORDER BY doc_id"""
+
   /** q68 oracle: incremental dedup vs a persisted index, replayed
     * with brute-force shingle-Jaccard pairs (the LSH candidate cover
     * is spec-proven complete on this corpus). Index-canonical rule:
