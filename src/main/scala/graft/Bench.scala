@@ -14,7 +14,11 @@ object Bench {
     * unrecoverable), and ms precision is already below this box's
     * run-to-run noise. */
   private def fmt(v: Double): String =
-    if (v < 0) "-1.0" else f"$v%.3f"
+    if (v < 0) "-1.0"
+    // Locale.ROOT: a comma-decimal default locale would render 1,234
+    // and corrupt the JSON line
+    else String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
 
   private def jsonMap(kvs: Seq[(String, Double)]): String =
     kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -39,8 +43,21 @@ object Bench {
   private def medianOf3(first: Double)(body: => Unit): Double = {
     if (first < 0 || first >= RepeatUnderSec) first
     else {
-      val reps = Seq(first, timed(body), timed(body)).sorted
-      reps(1)
+      // reruns are guarded too: a flaky rerun must never crash the
+      // whole bench and lose every timing (the r4 failure mode this
+      // file exists to prevent) — fall back to the successful first
+      // measurement instead
+      val reruns = (1 to 2).flatMap { _ =>
+        try Some(timed(body))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] rerun failed: ${e.getMessage}")
+          None
+        }
+      }
+      // lower-middle: median for 3 runs, the less-noise-biased lower
+      // value when a rerun failed and only 2 remain (noise only adds)
+      val reps = (first +: reruns).sorted
+      reps((reps.size - 1) / 2)
     }
   }
 

@@ -373,6 +373,13 @@ case class SortedDistinctShingles(child: Expression, shingleLen: Int)
     import org.apache.spark.unsafe.types.UTF8String
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
+    // empty array → [""] — the composable chain's result for zero
+    // tokens (sequence(0,0) window over nothing joins to one empty
+    // string); current callers never pass one (tokens() of "" is
+    // [""]), but byte-identity with the model must not depend on that
+    if (n == 0)
+      return new GenericArrayData(
+        Array[AnyRef](UTF8String.fromString("")))
     val set = new java.util.TreeSet[UTF8String]()
     val space = UTF8String.fromString(" ")
     val nWindows = math.max(n - shingleLen, 0) + 1
@@ -435,6 +442,19 @@ case class GreedyPieces(child: Expression, vocabTokens: Array[String],
     containsNull = false)
   override def prettyName: String = "greedy_pieces"
 
+  /** First-character index into the length-desc vocab: a prefix match
+    * must share its first char with the position, so each greedy step
+    * scans only that bucket (order within a bucket preserves the
+    * longest-first scan). Without it every piece pays an O(|vocab|)
+    * startsWith sweep — at a tens-of-k-entry vocab that sweep, not
+    * the encode, would dominate. */
+  @transient private lazy val byFirstChar: java.util.HashMap[Character, Array[Int]] = {
+    val m = new java.util.HashMap[Character, Array[Int]]()
+    vocabTokens.indices.groupBy(i => vocabTokens(i).charAt(0))
+      .foreach { case (c, is) => m.put(c, is.toArray) }
+    m
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val word = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toString
@@ -442,9 +462,10 @@ case class GreedyPieces(child: Expression, vocabTokens: Array[String],
     var pos = 0
     while (pos < word.length) {
       var found = -1
+      val bucket = byFirstChar.get(word.charAt(pos))
       var i = 0
-      while (i < vocabTokens.length && found < 0) {
-        if (word.startsWith(vocabTokens(i), pos)) found = i
+      while (bucket != null && i < bucket.length && found < 0) {
+        if (word.startsWith(vocabTokens(bucket(i)), pos)) found = bucket(i)
         i += 1
       }
       if (found < 0) {

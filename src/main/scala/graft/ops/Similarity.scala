@@ -195,13 +195,20 @@ object Similarity {
                    targetBucket: Long = 256,
                    targetMiss: Double = 1e-4): (Int, Int) = {
     require(n > 0 && threshold > 0 && threshold < 1, "need 0<threshold<1, n>0")
-    val planes = math.max(1,
-      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
     val p = 1.0 - math.acos(threshold) / math.Pi
-    val pBand = math.pow(p, planes)
-    val tables = math.max(1,
-      math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
-    (planes, math.min(tables, 64))
+    def tablesFor(planes: Int): Int = math.max(1,
+      math.ceil(math.log(targetMiss) / math.log1p(-math.pow(p, planes)))
+        .toInt)
+    // planes from the bucket-size target; if honoring the miss bound
+    // would take more than MaxTables tables, REDUCE planes until the
+    // bound holds again (bigger buckets, never a silently weakened
+    // recall guarantee — a silent table cap at 1e8 vectors would turn
+    // the promised 1e-4 miss into ~3%)
+    val MaxTables = 64
+    var planes = math.max(1,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+    while (planes > 1 && tablesFor(planes) > MaxTables) planes -= 1
+    (planes, tablesFor(planes))
   }
 
   /** [[cosineDedupLsh]] with `numPlanes`/`tables` derived from the

@@ -42,6 +42,13 @@ class ExpressionPropertySpec extends SparkSpec {
       }.toDF("doc_id", "text")
     val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
+    // an EMPTY token array (no current caller produces one — tokens()
+    // of "" is [""] — but byte-identity must not depend on that) must
+    // match the model's [""], not crash
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(TextExpressions.sorted_distinct_shingles($"toks", 3).as("got"))
+      .head().getSeq[String](0)
+    assert(empty == Seq(""))
     for (df <- Seq(crafted, real); n <- Seq(3, 5)) {
       val toks = graft.ops.TextOps.tokens($"text")
       val mism = df.select(

@@ -25,10 +25,15 @@ class LshAutoScaleSpec extends SparkSpec {
     val (p2, t2) = Similarity.lshParamsFor(10000L, 0.9)
     val (p3, t3) = Similarity.lshParamsFor(100000L, 0.9)
     assert(p1 < p2 && p2 < p3, s"planes must grow: $p1, $p2, $p3")
-    // analytic miss bound at the threshold cosine holds for each pair
-    for ((p, t) <- Seq((p1, t1), (p2, t2), (p3, t3))) {
+    // analytic miss bound at the threshold cosine holds for each pair,
+    // INCLUDING huge N where the table budget binds and planes must
+    // back off (a silent table cap would quietly void the bound)
+    val (p4, t4) = Similarity.lshParamsFor(100000000L, 0.9)
+    for ((p, t) <- Seq((p1, t1), (p2, t2), (p3, t3), (p4, t4))) {
       val pPlane = 1.0 - math.acos(0.9) / math.Pi
-      assert(math.pow(1.0 - math.pow(pPlane, p), t) <= 1e-4)
+      assert(t <= 64, s"table budget exceeded: $t")
+      assert(math.pow(1.0 - math.pow(pPlane, p), t) <= 1e-4,
+        s"miss bound violated at planes=$p tables=$t")
     }
   }
 
