@@ -647,10 +647,13 @@ object SparkEntry {
     "q68_incremental_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
         .select("doc_id", "text")
-      // fixed path, not per-pid: buildLshIndex overwrites in place, so
-      // repeated runs reuse one directory instead of leaking a new
-      // parquet tree into tmp per process
-      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_q68_idx"
+      // scoped by Spark application id: stable within one process (so
+      // repeated runs reuse one directory instead of leaking parquet
+      // trees into tmp) yet unique across processes — a concurrent
+      // bench + correctness runner must not overwrite each other's
+      // index mid-read
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_q68_idx_" +
+        s.sparkContext.applicationId
       Dedup.buildLshIndex(docs.filter(col("doc_id") % 2 === 0), idxDir)
       Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1), idxDir)
     }),

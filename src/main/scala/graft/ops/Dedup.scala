@@ -179,8 +179,21 @@ object Dedup {
 
   /** Persist a corpus's LSH index: `indexDir/bands` holds
     * (id, band_id, band_hash) with each bucket capped at [[maxBucket]]
-    * smallest ids (the batch star-cap's storage twin — a boilerplate
-    * flood costs 50 rows per band, not the flood), and
+    * smallest ids (a boilerplate flood costs 50 rows per band, not the
+    * flood). Degradation mode vs the batch star-cap, precisely: the
+    * stored 50 smallest ids always INCLUDE the bucket minimum — the
+    * only id batch star pairs reach in a flooded bucket — so for every
+    * bucket state (flooded or not, before or after shard arrivals) the
+    * candidate pairs [[dedupAgainstIndex]] derives are a SUPERSET of
+    * the pairs batch [[minHashCandidates]] would derive over
+    * (indexed ∪ shard). Since verification is exact, extra candidates
+    * can only convert cap-missed true near-dups into drops: incremental
+    * dedup is at least as aggressive as batch, never less, and exactly
+    * equal when no bucket exceeds [[maxBucket]]
+    * (IncrementalDedupSpec proves both: equality on the clean corpus,
+    * one-sided containment on a planted flooded bucket). This is a
+    * recall BOUND under flooding, not an unconditional equivalence.
+    * `indexDir/shingles` holds
     * `indexDir/shingles` holds each document's sorted distinct shingle
     * set — the exact-verification payload, so dedup against the index
     * never re-reads the original corpus. This is the operational shape
@@ -210,7 +223,9 @@ object Dedup {
     * indexed and shard ids above index ids, this equals
     * [[minHashDedup]] over (indexed ∪ shard) restricted to the shard —
     * the IncrementalDedupSpec theorem — while reading only the
-    * shard + the index.
+    * shard + the index. Under bucket flooding the relation weakens to
+    * one-sided containment (index-path survivors ⊆ batch survivors;
+    * see [[buildLshIndex]]) — it drops MORE, never less.
     *
     * Shape: shard bands join stored bands on (band_id, band_hash) —
     * ids only; shingle sets are attached once per distinct surviving

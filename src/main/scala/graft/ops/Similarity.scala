@@ -94,10 +94,13 @@ object Similarity {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExpressions.sign_lsh_buckets
+    // norms computed ONCE alongside the vector projection so
+    // scoreCandidates' cosinePre can resolve qn/cn (1 dot per pair
+    // instead of 3)
     val c = corpus.select(col(idCol).as("corpus_id"),
-      asDouble(col(vecCol)).as("cv"))
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
     // one codegen'd expression yields all table buckets per vector;
     // the bucket join carries IDS ONLY — shipping vectors through it
     // would shuffle tables× copies of every embedding. Vectors are
@@ -126,9 +129,9 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExpressions.ivf_probes
     val c = corpus.select(col(idCol).as("corpus_id"),
-      asDouble(col(vecCol)).as("cv"))
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
     val cCell = c.select(col("corpus_id"),
       element_at(ivf_probes(col("cv"), numCentroids, 1), 1).as("cell"))
     val qCell = q.select(col("query_id"),
@@ -219,7 +222,19 @@ object Similarity {
     var planes = math.max(1,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
     while (planes > 1 && tablesFor(planes) > MaxTables) planes -= 1
-    (planes, tablesFor(planes))
+    // at planes == 1 the miss bound can still demand > MaxTables
+    // tables (thresholds near 0 drive p → 0.5 and tables unbounded);
+    // clamp LOUDLY — the caller gets the budget, not the promised
+    // miss probability, and the log says which
+    val t = tablesFor(planes)
+    if (t > MaxTables) {
+      val achievedMiss = math.pow(1.0 - math.pow(p, planes), MaxTables)
+      System.err.println(
+        f"[graft] lshParamsFor(n=$n, threshold=$threshold): miss target " +
+        f"$targetMiss%g needs $t tables; clamped to $MaxTables " +
+        f"(achieved miss ≈ $achievedMiss%.3g). Verification stays exact.")
+    }
+    (planes, math.min(t, MaxTables))
   }
 
   /** [[cosineDedupLsh]] with `numPlanes`/`tables` derived from the

@@ -13,6 +13,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same extension set as GraftSession: specs (AllQueriesSpec)
+      // must see the SQL surface (dot_product, topk_by_value) the
+      // driver's Verify/Bench sessions see
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()

@@ -84,4 +84,46 @@ class IncrementalDedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.dedupAgainstIndex(shard, idx).count() == 0)
   }
+
+  test("flooded buckets: incremental survivors ⊆ batch survivors (one-sided bound)") {
+    // under bucket flooding the documented relation weakens from
+    // equality to containment — the stored 50 smallest ids include the
+    // bucket min (the only id batch star pairs reach), so the index
+    // path derives a SUPERSET of batch's candidate pairs and, with
+    // exact verification, drops at least as much. Plant a 58-doc
+    // identical flood (> maxBucket) beside real corpus docs and check
+    // both directions explicitly.
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").filter($"doc_id" < 200)
+    val floodTxt = "alpha beta gamma delta epsilon zeta eta theta"
+    val flood = ((10000L until 10053L) ++ (20000L until 20005L))
+      .map(i => (i, floodTxt)).toDF("doc_id", "text")
+    val old = real.filter($"doc_id" < 100)
+      .unionByName(flood.filter($"doc_id" < 20000L))
+    val shard = real.filter($"doc_id" >= 100)
+      .unionByName(flood.filter($"doc_id" >= 20000L))
+    val combined = old.unionByName(shard)
+    // non-vacuous: the combined corpus really floods a band bucket
+    val maxBucketSize = Dedup.lshBands(
+        combined.select($"doc_id",
+          Dedup.minHashSignature($"text").as("minhash")), 16, 4)
+      .groupBy("band_id", "band_hash").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucketSize > Dedup.maxBucket,
+      s"flood failed to overflow a bucket (max=$maxBucketSize)")
+    val idx = tmpIndex()
+    Dedup.buildLshIndex(old, idx)
+    val incremental = Dedup.dedupAgainstIndex(shard, idx)
+      .as[Long].collect().toSet
+    val shardIds = shard.select($"doc_id").as[Long].collect().toSet
+    val batch = Dedup.minHashDedup(combined).as[Long].collect().toSet
+      .intersect(shardIds)
+    assert(incremental.subsetOf(batch),
+      s"index path kept ${incremental -- batch} that batch dropped")
+    // every flood shard doc dies in both paths (the canonical min id
+    // survives the cap), and real-doc behavior matches batch exactly
+    assert(!incremental.exists(_ >= 20000L))
+    assert(incremental == batch.filter(_ < 20000L),
+      "real-corpus shard docs must match batch exactly outside the flood")
+  }
 }
