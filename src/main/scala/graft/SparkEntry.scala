@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Dedup, Diff, Multimodal, RangeJoin, Sessions, Similarity, TextOps, Upsert}
+import graft.ops.{AsOfJoin, Bloom, Dedup, Diff, Multimodal, Quantize, RangeJoin, Sessions, Similarity, TextOps, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -599,6 +599,43 @@ object SparkEntry {
     // (tok1||tok1 → two pieces; tok1||"9q" → piece + OOV tail) while
     // the vocab is built from the raw corpus. Both engines replay the
     // identical salt.
+    // Bloom-prefiltered incremental exact dedup: the corpus's text
+    // bitmap is broadcast; shard docs that cannot be duplicates skip
+    // the membership join entirely, and exact md5 verification of the
+    // bloom candidates makes the result identical to the plain exact
+    // rule — which is what the oracle replays. The corpus carries no
+    // natural exact dups, so the shard is salted: %10==3 docs re-id'd
+    // as exact corpus dups, %10==7 docs as genuinely new text, plus a
+    // second copy of the new text as a within-shard dup.
+    "q72_bloom_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val shard = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" shardnew "),
+              col("doc_id").cast("string")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(col("text"), lit(" shardnew "),
+              col("doc_id").cast("string")).as("text")))
+      Bloom.dedupAgainstCorpus(docs, shard)
+    }),
+    // Temperature resampling at α = 0.5 (the one engine-exact power):
+    // per-language targets ∝ sqrt(n_l), min-k md5 selection.
+    "q73_temperature_sample" -> ((s, dir) =>
+      TextOps.temperatureSample(Tables.documents(s, dir), budget = 100)),
+    // Characteristic terms: rational-idf TF-IDF top-3 per document
+    // (log-idf deliberately avoided — libm rounding differs across
+    // engines; tf·N/df is two fixed-order IEEE ops).
+    "q74_tfidf_terms" -> ((s, dir) =>
+      TextOps.tfIdfTopTerms(
+        Tables.documents(s, dir).filter(col("doc_id") < 100), k = 3)),
+    // Symmetric int8 embedding quantization in row form; floor(x+0.5)
+    // rounding replays exactly in DuckDB.
+    "q75_quantize_int8" -> ((s, dir) =>
+      Quantize.int8Rows(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 100))),
     "q69_tokenize" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val vocab = TextOps.buildVocab(docs, minCount = 5L)
@@ -757,6 +794,10 @@ object SparkEntry {
     "q67_decontaminate"     -> Oracle.decontaminate,
     "q68_incremental_dedup" -> Oracle.incrementalDedup,
     "q69_tokenize"          -> Oracle.tokenize,
+    "q72_bloom_dedup"       -> Oracle.bloomDedup,
+    "q73_temperature_sample" -> Oracle.temperatureSample,
+    "q74_tfidf_terms"       -> Oracle.tfIdfTerms,
+    "q75_quantize_int8"     -> Oracle.quantizeInt8,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -1072,4 +1072,104 @@ SELECT word, count(*) AS n,
 FROM (SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word
       FROM part)
 GROUP BY word ORDER BY word"""
+
+  /** q72 oracle: the bloom prefilter provably changes nothing (no
+    * false negatives + exact verification), so the oracle replays the
+    * plain exact rule over the identically-salted shard: keep a shard
+    * doc iff its text matches no corpus doc and no lower-id shard
+    * doc. */
+  val bloomDedup: String = """
+WITH shard AS (
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         text || ' shardnew ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         text || ' shardnew ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 10 = 7)
+SELECT s.doc_id FROM shard s
+WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = s.text)
+  AND NOT EXISTS (SELECT 1 FROM shard s2
+                  WHERE s2.text = s.text AND s2.doc_id < s.doc_id)
+ORDER BY doc_id"""
+
+  /** q73 oracle: α=0.5 temperature targets — sqrt is IEEE
+    * correctly-rounded on both engines, and the weight total is a
+    * sequential fold in lang order (list_reduce over an ORDER BY
+    * list ≡ Spark's aggregate over an array_sort'ed collect_list), so
+    * the one double division and the floor(+0.5) land identically.
+    * Selection replays the min-k md5 window. */
+  val temperatureSample: String = """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+s AS (SELECT list_reduce(
+         list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang),
+         (a, b) -> a + b) AS total FROM c),
+t AS (SELECT lang,
+         CAST(floor(100.0 * sqrt(CAST(n_docs AS DOUBLE)) / total + 0.5)
+              AS BIGINT) AS n_target
+      FROM c, s),
+r AS (SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(text), doc_id) AS rn
+      FROM documents)
+SELECT r.lang, r.doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM r JOIN t ON r.lang = t.lang
+WHERE rn <= t.n_target
+ORDER BY r.lang, sample_rank"""
+
+  /** q74 oracle: rational-idf TF-IDF — tf·N/df in the same two
+    * fixed-order IEEE ops as the Spark plan (no log: libm rounding is
+    * engine-specific), ties on term asc. */
+  val tfIdfTerms: String = """
+WITH tf AS (
+  SELECT doc_id, word AS term, count(*) AS tf
+  FROM (SELECT doc_id,
+               UNNEST(string_split_regex(trim(text), ' +')) AS word
+        FROM documents WHERE doc_id < 100)
+  GROUP BY doc_id, word),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+  FROM tf JOIN df ON tf.term = df.term, n),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank"""
+
+  /** q75 oracle: symmetric int8 quantization replayed element-wise —
+    * scale = max|v|/127, q = floor(v/scale + 0.5) (the money()
+    * rounding rule; |v| ≤ max|v| bounds q in [−127,127] with no
+    * clamp). Arrays cast to DOUBLE first, like every embedding
+    * oracle. */
+  val quantizeInt8: String = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 100),
+m AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS mx
+  FROM e),
+sc AS (
+  SELECT vec_id, v,
+         CASE WHEN mx = 0 THEN 0.0 ELSE mx / 127.0 END AS scale
+  FROM m)
+SELECT vec_id,
+       CAST(i - 1 AS BIGINT) AS pos,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(floor(val / scale + 0.5) AS BIGINT) END AS qval,
+       scale
+FROM (SELECT vec_id, scale, unnest(v) AS val,
+             generate_subscripts(v, 1) AS i
+      FROM sc)
+ORDER BY vec_id, pos"""
 }

@@ -483,4 +483,86 @@ object TextOps {
       xxhash64(col(textCol)).as("exact_hash"))
       .orderBy("doc_id")
   }
+
+  /** Temperature-based multilingual resampling (α = 0.5): per-stratum
+    * sample targets ∝ n_l^α — the standard mixing rule that up-weights
+    * low-resource languages relative to their raw share (α = 1 is
+    * proportional, α = 0 uniform). α is FIXED at 0.5 because
+    * n^0.5 = sqrt(n) is the one non-trivial power IEEE 754 requires
+    * correctly rounded on every engine — pow()'s last-ulp rounding is
+    * libm-specific, so a general-α version could not be
+    * bit-reproducible (the [[ppsSample]] no-libm discipline).
+    *
+    * target_l = floor(budget·sqrt(n_l)/S + 0.5), where
+    * S = Σ_l sqrt(n_l) folded in STRATUM ORDER (collect_list →
+    * array_sort → sequential aggregate): double addition is
+    * order-sensitive in the last ulp, and a partition-order sum would
+    * differ run to run. Selection within a stratum is the
+    * [[stratifiedSample]] min-k md5 order — reproducible anywhere.
+    *
+    * Shape: one tiny groupBy for the counts (broadcast back), one
+    * stratum-partitioned window for the ranked selection —
+    * WindowGroupLimit caps it per partition at scale. */
+  def temperatureSample(docs: DataFrame, budget: Int,
+                        stratumCol: String = "lang",
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", sqrt(col("n_docs").cast(DoubleType)))
+    val totals = counts
+      .agg(array_sort(collect_list(struct(col(stratumCol).as("s"),
+        col("w").as("w")))).as("arr"))
+      .select(aggregate(col("arr"), lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("S"))
+    val targets = counts.crossJoin(broadcast(totals))
+      .select(col(stratumCol),
+        floor(lit(budget.toDouble) * col("w") / col("S") + 0.5)
+          .cast(LongType).as("n_target"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets), stratumCol)
+      .filter(col("__rn") <= col("n_target"))
+      .select(col(stratumCol), col(idCol),
+        col("__rn").cast(LongType).as("sample_rank"))
+      .orderBy(col(stratumCol), col("sample_rank"))
+  }
+
+  /** Characteristic terms per document: rational-idf TF-IDF top-k.
+    * score = tf · (N/df) — for any fixed corpus this ranks per
+    * document identically to tf·idf with idf = N/df; the classic
+    * log-idf damping is deliberately NOT applied because ln()'s
+    * last-ulp rounding is libm-specific and would break cross-engine
+    * reproducibility (the same reason [[ppsSample]] avoids pow). The
+    * arithmetic is two IEEE ops (one multiply, one divide) in fixed
+    * order — bit-exact anywhere. Ties break on term asc.
+    *
+    * Shape: explode → (doc, term) count (map-side combined), a
+    * vocab-sized df aggregate joined back (broadcast at any realistic
+    * vocab), and one doc-partitioned window — WindowGroupLimit keeps
+    * the top-k per partition before the final rank at scale. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast(DoubleType) * col("n_docs") / col("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast(LongType).as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col(idCol), col("rank"))
+  }
 }

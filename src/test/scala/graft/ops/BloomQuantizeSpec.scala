@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bloom-filter membership + bloom-prefiltered exact dedup, int8
+  * quantization, temperature resampling, and rational-idf TF-IDF. */
+class BloomQuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+
+  test("bloom has no false negatives: every inserted text might-contain") {
+    val bloom = Bloom.build(docs, $"text")
+    val flags = Bloom.mightContain(docs, $"text", bloom, "doc_id")
+    assert(flags.filter(!$"might_contain").count() == 0)
+  }
+
+  test("bloom prefilter screens out novel texts (fp rate < 1%)") {
+    val bloom = Bloom.build(docs, $"text")
+    val novel = docs.select($"doc_id",
+      concat($"text", lit(" utterly novel suffix "),
+        $"doc_id".cast("string")).as("text"))
+    val fp = Bloom.mightContain(novel, $"text", bloom, "doc_id")
+      .filter($"might_contain").count()
+    assert(fp.toDouble / docs.count() < 0.01, s"$fp false positives")
+  }
+
+  test("dedupAgainstCorpus ≡ plain exact rule on a salted shard") {
+    // same salt as q72: exact corpus dups, novel docs, within-shard dups
+    val shard = docs.filter($"doc_id" % 10 === 3)
+      .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" % 10 === 7)
+        .select(($"doc_id" + 2000000).as("doc_id"),
+          concat($"text", lit(" shardnew "), $"doc_id".cast("string"))
+            .as("text")))
+      .unionByName(docs.filter($"doc_id" % 10 === 7)
+        .select(($"doc_id" + 3000000).as("doc_id"),
+          concat($"text", lit(" shardnew "), $"doc_id".cast("string"))
+            .as("text")))
+    val kept = Bloom.dedupAgainstCorpus(docs, shard)
+      .as[Long].collect().toSet
+    // plain rule, no bloom: anti-join on corpus text + min-id-per-text
+    val inCorpus = shard.join(docs.select($"text"), Seq("text"), "left_semi")
+      .select($"doc_id")
+    val withinKeep = shard.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+    val expected = shard.select($"doc_id")
+      .join(inCorpus, Seq("doc_id"), "left_anti")
+      .join(withinKeep.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .as[Long].collect().toSet
+    assert(kept == expected)
+    // non-vacuous: both drop branches and the survivor branch fire
+    assert(kept.nonEmpty && kept.forall(id => id >= 2000000 && id < 3000000))
+    assert(shard.count() > kept.size)
+  }
+
+  test("int8 quantization: reconstruction error ≤ scale/2, range bound") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Quantize.int8(emb)
+    val joined = q.join(
+      emb.select($"vec_id",
+        transform($"embedding", _.cast("double")).as("orig")), "vec_id")
+    val bad = joined.select(
+      exists(zip_with($"q", $"orig",
+        (qi, vi) => abs(qi.cast("double") * $"scale" - vi) >
+          $"scale" / 2 + lit(1e-12)),
+        x => x).as("bad"))
+      .filter($"bad").count()
+    assert(bad == 0, s"$bad vectors violate the error bound")
+    val outOfRange = q.select(
+      exists($"q", x => abs(x) > 127).as("oor")).filter($"oor").count()
+    assert(outOfRange == 0)
+  }
+
+  test("quantized cosine preserves near-neighbor ranking on real vectors") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), 5)
+    val deq = Quantize.dequantize(Quantize.int8(emb))
+      .select($"vec_id", $"v".as("embedding"))
+    val approx = Similarity.bruteForceTopK(deq, deq.filter($"vec_id" < 10), 5)
+    val recall = Similarity.recallAtK(exact, approx)
+    assert(recall >= 0.9, s"int8 recall@5 = $recall")
+  }
+
+  test("temperatureSample: α=0.5 targets and deterministic selection") {
+    val all = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextOps.temperatureSample(all, budget = 100)
+    val perLang = out.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay the target arithmetic in scala (same IEEE ops)
+    val counts = all.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val s = counts.map { case (_, n) => math.sqrt(n.toDouble) }
+      .foldLeft(0.0)(_ + _)
+    counts.foreach { case (lang, n) =>
+      val target = math.floor(100.0 * math.sqrt(n.toDouble) / s + 0.5).toLong
+      assert(perLang.getOrElse(lang, 0L) == math.min(target, n),
+        s"$lang: got ${perLang.getOrElse(lang, 0L)}, want $target (n=$n)")
+    }
+    // α=0.5 up-weights small languages: the largest lang's sampled
+    // share must sit below its raw corpus share
+    val (bigLang, bigN) = counts.maxBy(_._2)
+    val sampled = perLang.values.sum.toDouble
+    assert(perLang(bigLang) / sampled < bigN.toDouble / all.count(),
+      "temperature mixing must down-weight the dominant language")
+    // reruns identical (md5 order, no randomness)
+    assert(out.collect().toSeq ==
+      TextOps.temperatureSample(all, budget = 100).collect().toSeq)
+  }
+
+  test("tfIdfTopTerms: ubiquitous terms lose to rare ones") {
+    val d = Seq(
+      (1L, "spark spark spark the the engine"),
+      (2L, "the engine runs the query"),
+      (3L, "the query planner rewrites the query")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfIdfTopTerms(d, k = 2).collect()
+    // doc 1: spark (tf=3, df=1 → 9.0) far above the (tf=2, df=3 → 2.0)
+    val top1 = out.filter(_.getLong(0) == 1L).map(_.getString(2)).toSeq
+    assert(top1.head == "spark")
+    // doc 2: runs (tf=1, df=1 → 3.0) outranks the (tf=2, df=3 → 2.0)
+    val top2 = out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq
+    assert(top2.head == "runs")
+    // the corpus-wide stopword never tops any document
+    assert(!out.filter(_.getLong(1) == 1L).map(_.getString(2))
+      .contains("the"))
+    // rank is dense per doc and capped at k
+    assert(out.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq &&
+        rs.length <= 2
+    })
+  }
+}
