@@ -636,6 +636,15 @@ object SparkEntry {
     "q75_quantize_int8" -> ((s, dir) =>
       Quantize.int8Rows(
         Tables.embeddings(s, dir).filter(col("vec_id") < 100))),
+    // Corpus-trained bigram LM fluency score (mean transition
+    // probability; rational p + position-ordered fold keep it
+    // engine-exact — no log-perplexity, ln is libm-specific).
+    "q76_lm_score" -> ((s, dir) =>
+      TextOps.bigramLmScore(Tables.documents(s, dir))),
+    // Per-source monitoring report: volume, token mass, length
+    // profile, short-doc fraction.
+    "q77_source_report" -> ((s, dir) =>
+      TextOps.sourceReport(Tables.documents(s, dir))),
     "q69_tokenize" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val vocab = TextOps.buildVocab(docs, minCount = 5L)
@@ -798,6 +807,8 @@ object SparkEntry {
     "q73_temperature_sample" -> Oracle.temperatureSample,
     "q74_tfidf_terms"       -> Oracle.tfIdfTerms,
     "q75_quantize_int8"     -> Oracle.quantizeInt8,
+    "q76_lm_score"          -> Oracle.lmScore,
+    "q77_source_report"     -> Oracle.sourceReport,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -1172,4 +1172,55 @@ FROM (SELECT vec_id, scale, unnest(v) AS val,
              generate_subscripts(v, 1) AS i
       FROM sc)
 ORDER BY vec_id, pos"""
+
+  /** q76 oracle: corpus-trained bigram LM replayed — identical
+    * bigram derivation (1-based adjacent token pairs), count joins,
+    * one IEEE division per p, and the per-doc sum as a
+    * position-ordered list_reduce (≡ Spark's sorted-struct fold:
+    * 0.0 + p₁ is exact, so the missing explicit init changes
+    * nothing). */
+  val lmScore: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)),
+cb AS (SELECT bigram, count(*) AS c_bigram FROM b GROUP BY bigram),
+cp AS (SELECT string_split(bigram, ' ')[1] AS prefix,
+              count(*) AS c_prefix
+       FROM b GROUP BY 1),
+p AS (
+  SELECT b.doc_id, b.pos,
+         CAST(cb.c_bigram AS DOUBLE) / cp.c_prefix AS p
+  FROM b
+  JOIN cb ON b.bigram = cb.bigram
+  JOIN cp ON string_split(b.bigram, ' ')[1] = cp.prefix)
+SELECT doc_id, count(*) AS n_bigrams,
+       list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*)
+         AS lm_score
+FROM p GROUP BY doc_id
+ORDER BY doc_id"""
+
+  /** q77 oracle: the per-source report card — integer aggregates,
+    * exact percentile (quantile_cont ≡ Spark percentile), and single
+    * IEEE divisions. */
+  val sourceReport: String = """
+WITH d AS (
+  SELECT source, lang, n_chars,
+         len(string_split_regex(trim(text), ' +')) AS t
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       CAST(sum(CASE WHEN t < 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short,
+       CAST(sum(t) AS DOUBLE) / count(*) AS avg_tokens,
+       CAST(sum(CASE WHEN t < 30 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS short_frac
+FROM d GROUP BY source
+ORDER BY source"""
 }

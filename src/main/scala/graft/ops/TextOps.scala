@@ -531,6 +531,97 @@ object TextOps {
       .orderBy(col(stratumCol), col("sample_rank"))
   }
 
+  /** Count-based bigram language-model scoring — the KenLM-style
+    * fluency filter of training-data pipelines. The corpus itself is
+    * the training set: p(w2|w1) = c(w1 w2)/c(w1·) from corpus bigram
+    * counts, and a document's score is the MEAN bigram probability
+    * (documents full of corpus-typical transitions score high;
+    * boilerplate with rare transitions scores low). Mean probability
+    * rather than log-perplexity is deliberate: ln()'s last-ulp
+    * rounding is libm-specific, while each p is one IEEE division and
+    * the per-document sum is a SEQUENTIAL fold in position order
+    * (sort_array of (pos, p) structs → aggregate), so the score is
+    * bit-reproducible on any engine. Ranking by mean-p and by
+    * perplexity differ in general; for a drop-the-tail quality gate
+    * both order the pathological documents last.
+    *
+    * Shape: ONE explode; bigram counts are a map-side-combined
+    * groupBy of it, prefix counts re-aggregate the (already tiny,
+    * Heaps-sublinear) distinct-bigram table rather than the exploded
+    * rows, and the finished (bigram, p) model — a model artifact, like
+    * the tokenizer vocab — broadcasts back onto the exploded rows, so
+    * corpus-sized data crosses the wire exactly once (the count
+    * shuffle) plus the per-doc fold groupBy. Nothing is O(corpus²).
+    * (A first formulation that re-aggregated and re-joined the
+    * exploded rows per table cost 11 s at sf0.1; this one 1.5 s.)
+    * The broadcast hint assumes a prunable/bounded model — the
+    * operational shape of LM filtering; for an unpruned web-scale
+    * bigram table drop the hint and the join degrades to sort-merge
+    * without semantic change. */
+  def bigramLmScore(docs: DataFrame,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    // bigram i = tok[i] ⧺ ' ' ⧺ tok[i+1], absent for 1-token docs.
+    // zip_with over two slices, NOT transform(sequence, i =>
+    // element_at(toks, i)): CollapseProject inlines the split() into
+    // the lambda, so the per-index form re-tokenizes the document for
+    // EVERY bigram — O(n²) per doc, measured 4.9 s for the explode
+    // alone at sf0.1 vs 0.5 s for this form (the MinHash lesson
+    // again; ProfileQ76).
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val exploded = docs.select(col(idCol),
+      posexplode(bigrams).as(Seq("pos", "bigram")))
+    val bigramCounts = exploded.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c_bigram"))
+    // c(w1·) = Σ over bigrams starting with w1 — computed from the
+    // distinct-bigram table, not the corpus-sized exploded rows
+    val prefix = element_at(split(col("bigram"), " ", 2), 1)
+    val model = bigramCounts.withColumn("prefix", prefix)
+      .withColumn("c_prefix",
+        sum(col("c_bigram")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("prefix")))
+      .select(col("bigram"),
+        (col("c_bigram").cast(DoubleType) / col("c_prefix")).as("p"))
+    exploded.join(broadcast(model), "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__sum") / col("n_bigrams")).as("lm_score"))
+      .orderBy(idCol)
+  }
+
+  /** Per-source corpus report card — the monitoring aggregate a
+    * production pipeline publishes per ingest source: volume, token
+    * mass, length profile, and the short-document fraction that
+    * feeds the quality gate. All integer aggregates plus exact
+    * percentile and single IEEE divisions — engine-exact. One
+    * map-side-combined groupBy. */
+  def sourceReport(docs: DataFrame, minTokens: Long = 30,
+                   textCol: String = "text"): DataFrame = {
+    val nTok = size(tokens(col(textCol))).cast(LongType)
+    docs.select(col("source"), col("lang"), col("n_chars"),
+        nTok.as("__t"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("__t")).as("total_tokens"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"),
+        sum(when(col("__t") < minTokens, 1L).otherwise(0L)).as("n_short"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast(DoubleType) / col("n_docs"))
+      .withColumn("short_frac",
+        col("n_short").cast(DoubleType) / col("n_docs"))
+      .orderBy("source")
+  }
+
   /** Characteristic terms per document: rational-idf TF-IDF top-k.
     * score = tf · (N/df) — for any fixed corpus this ranks per
     * document identically to tf·idf with idf = N/df; the classic

@@ -133,4 +133,31 @@ class BloomQuantizeSpec extends SparkSpec {
         rs.length <= 2
     })
   }
+
+  test("bigramLmScore: corpus-typical transitions outscore rare ones") {
+    val d = Seq(
+      (1L, "a b a b a b"),   // all transitions common
+      (2L, "a b x y")        // b→x and x→y are one-offs
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // c(a b)=4, c(b a)=2, c(b x)=1, c(x y)=1; c(a·)=4, c(b·)=3, c(x·)=1
+    val exp1 = (4.0 / 4 + 2.0 / 3 + 4.0 / 4 + 2.0 / 3 + 4.0 / 4) / 5
+    val exp2 = (4.0 / 4 + 1.0 / 3 + 1.0 / 1) / 3
+    assert(out(1L)._1 == 5L && out(2L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - exp1) < 1e-12)
+    assert(math.abs(out(2L)._2 - exp2) < 1e-12)
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("sourceReport: totals reconcile and fractions are bounded") {
+    val all = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rep = TextOps.sourceReport(all).collect()
+    assert(rep.map(_.getLong(1)).sum == all.count())
+    rep.foreach { r =>
+      val shortFrac = r.getDouble(r.fieldIndex("short_frac"))
+      assert(shortFrac >= 0.0 && shortFrac <= 1.0)
+      assert(r.getDouble(r.fieldIndex("avg_tokens")) > 0.0)
+    }
+  }
 }
