@@ -91,6 +91,46 @@ object ProfileScale10x {
         Components.connectedComponents(q58Edges(spark, n)).count()
       }
     }
+
+    // r6 ops at 10× ------------------------------------------------
+    // q72 shape: bloom-prefiltered exact dedup — 50k-doc corpus,
+    // 10k-doc shard (half exact dups, half novel). The number that
+    // matters at scale is prefilter selectivity: how many shard docs
+    // reach the verify join at all.
+    {
+      val shard = big.filter(col("doc_id") % 10 < 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(big.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" novel"),
+              col("doc_id").cast("string")).as("text")))
+      val bloom = timed("bloom build (50k docs)") {
+        val b = graft.ops.Bloom.build(big, col("text")).localCheckpoint()
+        b.count(); b
+      }
+      val cand = timed("bloom probe (10k shard)") {
+        graft.ops.Bloom.mightContain(shard, col("text"), bloom, "doc_id")
+          .filter(col("might_contain")).count()
+      }
+      println(s"[scale10x] bloom candidates: $cand / 10000 shard docs " +
+        "(5000 true dups)")
+      val kept = timed("bloomDedup end-to-end") {
+        graft.ops.Bloom.dedupAgainstCorpus(big, shard).count()
+      }
+      println(s"[scale10x] bloom-dedup survivors: $kept / 10000")
+    }
+
+    // q76 shape: bigram LM scoring at 50k docs (linear-scan claim)
+    val scored = timed("bigramLmScore 50k docs") {
+      TextOps.bigramLmScore(big).count()
+    }
+    println(s"[scale10x] lm-scored docs: $scored")
+
+    // q74 shape: TF-IDF top-k at 50k docs
+    val terms = timed("tfIdfTopTerms 50k docs") {
+      TextOps.tfIdfTopTerms(big, k = 3).count()
+    }
+    println(s"[scale10x] tfidf rows: $terms")
     spark.stop()
   }
 }
