@@ -104,9 +104,17 @@ object Bloom {
         min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
       .filter(col(idCol) =!= col("__keep"))
       .select(col(idCol))
+    // materialize the (tiny) dup-id set before the anti-join: the
+    // optimizer pushes LeftAnti through a unioned shard
+    // (PushdownLeftSemiAntiJoin), cloning the ENTIRE bloom+verify
+    // build side once per shard branch — observed 3× the subtree on
+    // the q72 plan, zero exchange reuse. A localCheckpoint leaf makes
+    // the duplication free (same precedent as Components' per-round
+    // checkpoint).
+    val dupIds = inCorpus.unionByName(withinDup).distinct()
+      .localCheckpoint()
     shard.select(col(idCol)).distinct()
-      .join(inCorpus.unionByName(withinDup).distinct(), Seq(idCol),
-        "left_anti")
+      .join(dupIds, Seq(idCol), "left_anti")
       .orderBy(idCol)
   }
 }
