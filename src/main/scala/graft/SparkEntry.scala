@@ -645,6 +645,42 @@ object SparkEntry {
     // profile, short-doc fraction.
     "q77_source_report" -> ((s, dir) =>
       TextOps.sourceReport(Tables.documents(s, dir))),
+    // Exact duplicated-span audit (k-token windows shared across
+    // documents). The synthetic corpus shares no natural 8-grams, so
+    // it is span-salted: every %20==0 doc gets a clone of its first
+    // 30 tokens as a new doc — those 23 windows then occur in 2 docs
+    // and both sides of each pair score dup windows. Both engines
+    // replay the identical salt.
+    "q78_dup_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val salted = docs.unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 30), " ")
+            .as("text")))
+      TextOps.dupSpans(salted)
+    }),
+    // Gopher-style rule battery: per-rule verdicts + first-failing
+    // reject reason. Default thresholds discriminate on this corpus
+    // (every rule rejects a non-empty subset).
+    "q79_quality_rules" -> ((s, dir) =>
+      TextOps.gopherRules(Tables.documents(s, dir))),
+    // Cluster dedup with a quality policy: same LSH→verify→CC stack
+    // as q66 but keeping the LONGEST member per near-dup cluster
+    // (ties → min id) instead of the minimum id — oracle-gated by the
+    // same brute-force-pairs + recursive-closure replay with an
+    // argmax tail. Bounded to doc_id < 1000 (the q27/q66 discipline).
+    "q80_best_of_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val verified = Dedup.jaccardVerify(
+          Dedup.minHashCandidates(docs), docs,
+          shingleLen = Dedup.ShingleLen)
+        .filter(col("jaccard") >= 0.8)
+      graft.ops.Components.componentDedupBest(
+        docs.select("doc_id"), verified,
+        TextOps.tokenStats(docs).select(col("doc_id"),
+          col("n_tokens").as("score")),
+        srcCol = "id_a", dstCol = "id_b")
+    }),
     "q69_tokenize" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val vocab = TextOps.buildVocab(docs, minCount = 5L)
@@ -809,6 +845,9 @@ object SparkEntry {
     "q75_quantize_int8"     -> Oracle.quantizeInt8,
     "q76_lm_score"          -> Oracle.lmScore,
     "q77_source_report"     -> Oracle.sourceReport,
+    "q78_dup_spans"         -> Oracle.dupSpans,
+    "q79_quality_rules"     -> Oracle.qualityRules,
+    "q80_best_of_cluster"   -> Oracle.bestOfCluster,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -1223,4 +1223,116 @@ SELECT source,
          / count(*) AS short_frac
 FROM d GROUP BY source
 ORDER BY source"""
+
+  /** q78 oracle: duplicated k-token-window audit replayed over the
+    * same span-salted corpus, grouping the window STRINGS (the Spark
+    * side groups xxhash64 of them — identical counts absent a 64-bit
+    * collision, see TextOps.dupSpans). Inclusive DuckDB list slices:
+    * toks[i : i+7] is the 8-token window at position i. */
+  val dupSpans: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string((string_split_regex(trim(text), ' +'))[1:30], ' ')
+           AS text
+  FROM documents WHERE doc_id % 20 = 0),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM corp),
+w AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 7], ' ') AS win
+  FROM (SELECT doc_id, toks,
+               CAST(unnest(range(1, len(toks) - 8 + 2)) AS INTEGER) AS i
+        FROM t WHERE len(toks) >= 8)),
+dfreq AS (SELECT win, count(*) AS df FROM w GROUP BY win),
+pd AS (
+  SELECT w.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+  FROM w JOIN dfreq USING (win) GROUP BY w.doc_id),
+r AS (
+  SELECT t.doc_id,
+         CAST(coalesce(pd.n_windows, 0) AS BIGINT) AS n_windows,
+         CAST(coalesce(pd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         CASE WHEN coalesce(pd.n_windows, 0) > 0
+              THEN CAST(pd.n_dup_windows AS DOUBLE) / pd.n_windows
+              ELSE 0e0 END AS dup_ratio
+  FROM t LEFT JOIN pd USING (doc_id))
+SELECT doc_id, n_windows, n_dup_windows, dup_ratio,
+       dup_ratio >= 0.5 AS flagged
+FROM r ORDER BY doc_id"""
+
+  /** q79 oracle: the Gopher rule battery replayed — integer counts,
+    * two IEEE divisions, boolean rules, and the identical
+    * first-failing CASE for the reject reason. */
+  val qualityRules: String = """
+WITH t AS (
+  SELECT doc_id, length(text) AS nc,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(nc - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_word_len,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS BIGINT)
+           AS n_stopwords,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           AS distinct_ratio
+  FROM t),
+r AS (
+  SELECT *,
+         (n_tokens >= 20 AND n_tokens <= 90) AS r_word_count,
+         (mean_word_len >= 4.0 AND mean_word_len <= 10.0) AS r_word_len,
+         (n_stopwords >= 2) AS r_stopword,
+         (distinct_ratio >= 0.35) AS r_repetition
+  FROM m)
+SELECT doc_id, n_tokens, mean_word_len, n_stopwords, distinct_ratio,
+       r_word_count, r_word_len, r_stopword, r_repetition,
+       (r_word_count AND r_word_len AND r_stopword AND r_repetition)
+         AS passes,
+       CASE WHEN NOT r_word_count THEN 'word_count'
+            WHEN NOT r_word_len THEN 'word_len'
+            WHEN NOT r_stopword THEN 'stopword'
+            WHEN NOT r_repetition THEN 'repetition' END AS reject_reason
+FROM r ORDER BY doc_id"""
+
+  /** q80 oracle: best-of-cluster dedup — the q66 brute-force-pairs +
+    * recursive-closure replay, but the survivor per cluster is the
+    * token-count argmax (ties → min id) instead of the min id. */
+  val bestOfCluster: String = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id < 1000),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+best AS (
+  SELECT id FROM (
+    SELECT cc.id,
+           row_number() OVER (PARTITION BY cc.component
+                              ORDER BY q.n DESC, cc.id) AS rn
+    FROM cc JOIN q ON q.doc_id = cc.id)
+  WHERE rn = 1)
+SELECT doc_id FROM t
+WHERE doc_id NOT IN (SELECT id FROM cc)
+   OR doc_id IN (SELECT id FROM best)
+ORDER BY doc_id"""
 }

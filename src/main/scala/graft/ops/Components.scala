@@ -124,4 +124,42 @@ object Components {
     ids.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
       .orderBy(idCol)
   }
+
+  /** [[componentDedup]] with a quality policy: per near-dup cluster
+    * keep the member MAXIMIZING `scoreCol` in `scores` (ties → min
+    * id) instead of blindly keeping the minimum id — what a curation
+    * pipeline actually wants (among near-duplicates, retain the
+    * longest / highest-quality copy). Unpaired ids always survive.
+    *
+    * `scores` must cover every id that appears in `pairs`; a
+    * clustered id with no score row would silently drop (inner
+    * join), so the contract is checked the cheap way — the caller
+    * passes a projection of the same universe `ids` came from.
+    *
+    * Scale shape: the component labels come from the O(log n)
+    * star-contraction in [[connectedComponents]]; the winner per
+    * cluster is one row_number window over (component) — clusters
+    * are tiny relative to the corpus, so the window shuffle moves
+    * only the clustered ids, and the survivors anti-join moves ids
+    * only. Integer scores + the id tie-break keep the winner
+    * engine-exact. */
+  def componentDedupBest(ids: DataFrame, pairs: DataFrame,
+                         scores: DataFrame,
+                         idCol: String = "doc_id",
+                         scoreCol: String = "score",
+                         srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val scored = cc.join(
+      scores.select(col(idCol).as("id"), col(scoreCol).as("__score")),
+      Seq("id"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("__score").desc, col("id"))
+    val keep = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(col("id").as(idCol))
+    val clustered = cc.select(col("id").as(idCol))
+    ids.select(col(idCol)).join(clustered, Seq(idCol), "left_anti")
+      .unionByName(keep)
+      .orderBy(idCol)
+  }
 }

@@ -656,4 +656,113 @@ object TextOps {
         col("term"), col("tf"), col("df"), col("score"))
       .orderBy(col(idCol), col("rank"))
   }
+
+  /** Exact duplicated-span detection — the corpus-wide k-token-window
+    * audit behind exact substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed as two Spark aggregations instead of a suffix
+    * array: every stride-1 window of `k` tokens is counted across
+    * documents, a window occurring in ≥ `minDf` distinct documents is
+    * a duplicated span, and each document reports what fraction of
+    * its distinct windows are duplicated (`flagged` when the fraction
+    * reaches `flagRatio` — the "mostly boilerplate" drop signal).
+    *
+    * Shape: one corpus scan explodes per-document DISTINCT windows,
+    * immediately reduced to `(doc_id, xxhash64(window))` so the
+    * shuffle carries 16 bytes per corpus token, never window text.
+    * The document frequency is a count over a window-hash-partitioned
+    * frame (ONE shuffle — a groupBy+self-join here would clone the
+    * whole explode subtree into both branches, the q72 pathology),
+    * then the per-doc rollup map-side combines on doc_id. A
+    * boilerplate span occurring in millions of documents skews its
+    * hash partition; the mitigation at that scale is the same
+    * two-level count used by [[ops.Skew]] salting — counts are
+    * additive — without changing results.
+    *
+    * Determinism: counts are integers and the ratio one IEEE
+    * division. An engine replaying window STRINGS (the DuckDB oracle)
+    * matches exactly unless two distinct windows collide in xxhash64
+    * (~n²/2⁶⁵ — vanishing for any corpus the oracle can hold, and a
+    * deterministic, inspectable event if it ever fires). */
+  def dupSpans(docs: DataFrame, k: Int = 8, minDf: Long = 2,
+               flagRatio: Double = 0.5, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && minDf >= 2 && flagRatio > 0,
+      "need k > 0, minDf >= 2, flagRatio > 0")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    // full windows only (positions 0..n-k); shorter documents have no
+    // k-window and fall out of the explode (restored by the left join)
+    val wins = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+      .otherwise(array())
+    val pairs = docs
+      .select(col(idCol), explode(array_distinct(wins)).as("win"))
+      .select(col(idCol), xxhash64(col("win")).as("wh"))
+    val withDf = pairs.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("wh")))
+    val perDoc = withDf.groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        when(col("n_windows") > 0,
+          col("n_dup_windows").cast(DoubleType) / col("n_windows"))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", col("dup_ratio") >= flagRatio)
+      .orderBy(idCol)
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1):
+    * instead of [[qualityScore]]'s continuous signals, a fixed rule
+    * battery with a per-rule verdict, an overall pass, and the FIRST
+    * failing rule as the reject reason — the shape a production
+    * curation pipeline reports (rejection-reason histograms drive
+    * threshold tuning). Thresholds are constructor parameters;
+    * defaults are tuned so every rule discriminates on the synthetic
+    * corpus (no vacuously-true branch).
+    *
+    * Pure columnar expressions over one scan — codegen'd,
+    * shuffle-free, linear at any corpus size. Integer counts + two
+    * IEEE divisions keep every column engine-exact. */
+  def gopherRules(docs: DataFrame,
+                  minTokens: Int = 20, maxTokens: Int = 90,
+                  minMeanLen: Double = 4.0, maxMeanLen: Double = 10.0,
+                  minStopwords: Int = 2,
+                  minDistinctRatio: Double = 0.35,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*)))
+    // single-space-joined text: word chars = length - (n_tokens - 1)
+    val meanLen = (length(col(textCol)) - (nTok - 1)).cast(DoubleType) / nTok
+    val distinctRatio = size(array_distinct(toks)).cast(DoubleType) / nTok
+    docs.select(col(idCol),
+        nTok.cast(LongType).as("n_tokens"),
+        meanLen.as("mean_word_len"),
+        nStop.cast(LongType).as("n_stopwords"),
+        distinctRatio.as("distinct_ratio"))
+      .withColumn("r_word_count",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("r_word_len",
+        col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen)
+      .withColumn("r_stopword", col("n_stopwords") >= minStopwords)
+      .withColumn("r_repetition", col("distinct_ratio") >= minDistinctRatio)
+      .withColumn("passes",
+        col("r_word_count") && col("r_word_len") &&
+          col("r_stopword") && col("r_repetition"))
+      .withColumn("reject_reason",
+        when(!col("r_word_count"), lit("word_count"))
+          .when(!col("r_word_len"), lit("word_len"))
+          .when(!col("r_stopword"), lit("stopword"))
+          .when(!col("r_repetition"), lit("repetition")))
+      .orderBy(idCol)
+  }
 }

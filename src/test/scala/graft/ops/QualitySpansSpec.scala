@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the r6 quality/dedup additions: duplicated-span audit
+  * (TextOps.dupSpans), the Gopher rule battery (TextOps.gopherRules),
+  * and quality-policy cluster dedup (Components.componentDedupBest).
+  */
+class QualitySpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- dupSpans -------------------------------------------------
+
+  private def spanDocs = Seq(
+    // doc 1 and 2 share the exact 10-token prefix -> with k=8 the
+    // 3 windows at positions 0..2 are duplicated in both docs
+    (1L, "a b c d e f g h i j unique1 x1 y1 z1"),
+    (2L, "a b c d e f g h i j unique2 x2 y2 z2"),
+    // doc 3: no overlap with anyone
+    (3L, "p q r s t u v w aa bb cc dd"),
+    // doc 4: shorter than k=8 tokens -> zero windows
+    (4L, "s1 s2 s3"),
+    // doc 5: internal repeat of one window (distinct-per-doc rule
+    // counts it once, and it is NOT cross-document duplicated)
+    (5L, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8")
+  ).toDF("doc_id", "text")
+
+  test("dupSpans counts cross-document duplicated windows exactly") {
+    val got = TextOps.dupSpans(spanDocs, k = 8, minDf = 2, flagRatio = 0.4)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    // doc 1/2: 14 tokens -> 7 windows each, 3 shared (positions 0-2)
+    assert(got(0) == ((1L, 7L, 3L, 3.0 / 7, true)))
+    assert(got(1) == ((2L, 7L, 3L, 3.0 / 7, true)))
+    // doc 3: 12 tokens -> 5 windows, none duplicated
+    assert(got(2) == ((3L, 5L, 0L, 0.0, false)))
+    // doc 4: too short -> zero windows, ratio 0, not flagged
+    assert(got(3) == ((4L, 0L, 0L, 0.0, false)))
+    // doc 5: 16 tokens -> 9 windows, 2 distinct repeats of the same
+    // 8 distinct window strings... positions 0..8 give 9 windows of
+    // which "m1..m8" appears twice (pos 0 and 8) -> 8 distinct; none
+    // occur in another doc
+    assert(got(4) == ((5L, 8L, 0L, 0.0, false)))
+  }
+
+  test("dupSpans window frequency is by distinct documents") {
+    // the shared window appears TWICE in doc 10 but only once across
+    // other docs -> df counts documents (2), not occurrences (3)
+    val docs = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 filler w1 w2 w3 w4 w5 w6 w7 w8"),
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8 other11 other12 other13")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupSpans(docs, k = 8, minDf = 3, flagRatio = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    // with minDf=3 nothing qualifies: per-doc distinct windows cap
+    // the count at 2 documents
+    assert(got.forall(_._3 == 0L))
+  }
+
+  // --- gopherRules ----------------------------------------------
+
+  test("gopherRules verdicts and first-failing reject reason") {
+    val docs = Seq(
+      // passes everything: 23 tokens, mean len 90/23 ~ 3.91 in
+      // [3.5, 10], five stopword hits, 22/23 distinct
+      (1L, "the quick brown fox jumps over a lazy dog and then runs " +
+        "far away to the deep green forest before dusk settles in"),
+      // too short (5 tokens) AND no stopwords -> first reason wins
+      (2L, "alpha beta gamma delta epsilon"),
+      // mean word length too small: mostly 1-char tokens
+      (3L, "a " * 12 + "the b c d e f g h i j k l"),
+      // repetition: spam token 29x (distinct ratio 3/31 < 0.35);
+      // two stopwords so the earlier stopword rule passes
+      (4L, "the a " + ("spam " * 29).trim),
+      // no stopwords but otherwise healthy -> stopword reason
+      (5L, "alpha1 beta2 gamma3 delta4 epsilon5 zeta6 eta7 theta8 " +
+        "iota9 kappa0 lambda1 mu2")
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs,
+        minTokens = 10, maxTokens = 90, minMeanLen = 3.5)
+      .select("doc_id", "passes", "reject_reason")
+      .as[(Long, Boolean, Option[String])].collect().toSeq
+    assert(got(0) == ((1L, true, None)))
+    assert(got(1) == ((2L, false, Some("word_count"))))
+    assert(got(2) == ((3L, false, Some("word_len"))))
+    assert(got(3) == ((4L, false, Some("repetition"))))
+    assert(got(4) == ((5L, false, Some("stopword"))))
+  }
+
+  // --- componentDedupBest ---------------------------------------
+
+  test("componentDedupBest keeps the argmax-score member per cluster") {
+    val ids = (1L to 10L).toDF("doc_id")
+    // clusters {1,2,3} (chain) and {7,8}; 4,5,6,9,10 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    // scores: 3 wins its cluster; 7/8 tie -> min id 7 wins
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 11L), (7L, 4L), (8L, 4L))
+      .toDF("doc_id", "score")
+    val got = Components.componentDedupBest(ids, pairs, scores)
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+
+  test("componentDedupBest with equal scores reduces to componentDedup") {
+    val ids = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("src", "dst")
+    val flat = ids.select(col("doc_id"), lit(1L).as("score"))
+    val best = Components.componentDedupBest(ids, pairs, flat)
+      .as[Long].collect().toSeq
+    val min = Components.componentDedup(ids, pairs)
+      .as[Long].collect().toSeq
+    assert(best == min)
+  }
+}
