@@ -681,6 +681,16 @@ object SparkEntry {
           col("n_tokens").as("score")),
         srcCol = "id_a", dstCol = "id_b")
     }),
+    // The r6 curation composite: Gopher rule gate → LSH+verify
+    // near-dup clusters → keep the LONGEST member per cluster →
+    // α=0.5 temperature resampling of the survivors. Every stage is
+    // individually oracle-gated (q79/q80/q73), and their composition
+    // is deterministic, so the whole manifest is hash-exact too.
+    // Bounded to doc_id < 1000 for the oracle's recursive closure.
+    "q81_curation_v2" -> ((s, dir) =>
+      TextOps.curateCorpusV2(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        budget = 80)),
     "q69_tokenize" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val vocab = TextOps.buildVocab(docs, minCount = 5L)
@@ -848,6 +858,7 @@ object SparkEntry {
     "q78_dup_spans"         -> Oracle.dupSpans,
     "q79_quality_rules"     -> Oracle.qualityRules,
     "q80_best_of_cluster"   -> Oracle.bestOfCluster,
+    "q81_curation_v2"       -> Oracle.curationV2,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

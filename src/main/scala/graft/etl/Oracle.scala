@@ -1335,4 +1335,83 @@ SELECT doc_id FROM t
 WHERE doc_id NOT IN (SELECT id FROM cc)
    OR doc_id IN (SELECT id FROM best)
 ORDER BY doc_id"""
+
+  /** q81 oracle: the curation-v2 composite replayed stage by stage —
+    * the q79 rule battery gates the universe, the q80 recursive
+    * closure + token-count argmax picks cluster survivors, and the
+    * q73 sqrt-target min-k-md5 window draws the final sample. */
+  val curationV2: String = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id < 1000),
+t0 AS (
+  SELECT doc_id, length(text) AS nc,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM base),
+m AS (
+  SELECT doc_id,
+         (len(toks) >= 20 AND len(toks) <= 90) AS r_word_count,
+         (CAST(nc - len(toks) + 1 AS DOUBLE) / len(toks) >= 4.0
+          AND CAST(nc - len(toks) + 1 AS DOUBLE) / len(toks) <= 10.0)
+           AS r_word_len,
+         (len(list_filter(toks,
+            x -> x IN ('the', 'a', 'of', 'and', 'is', 'to'))) >= 2)
+           AS r_stopword,
+         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.35)
+           AS r_repetition
+  FROM t0),
+p AS (
+  SELECT base.doc_id, base.text, base.lang
+  FROM base JOIN m USING (doc_id)
+  WHERE m.r_word_count AND m.r_word_len AND m.r_stopword
+    AND m.r_repetition),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM p),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+best AS (
+  SELECT id FROM (
+    SELECT cc.id,
+           row_number() OVER (PARTITION BY cc.component
+                              ORDER BY q.n DESC, cc.id) AS rn
+    FROM cc JOIN q ON q.doc_id = cc.id)
+  WHERE rn = 1),
+surv AS (
+  SELECT p.* FROM p
+  WHERE p.doc_id NOT IN (SELECT id FROM cc)
+     OR p.doc_id IN (SELECT id FROM best)),
+c AS (SELECT lang, count(*) AS n_docs FROM surv GROUP BY lang),
+tot AS (SELECT list_reduce(
+          list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang),
+          (a, b) -> a + b) AS total FROM c),
+tt AS (SELECT lang,
+          CAST(floor(80.0 * sqrt(CAST(n_docs AS DOUBLE)) / total + 0.5)
+               AS BIGINT) AS n_target
+       FROM c, tot),
+r AS (SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang
+                             ORDER BY md5(text), doc_id) AS rn
+      FROM surv)
+SELECT r.lang, r.doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM r JOIN tt ON r.lang = tt.lang
+WHERE rn <= tt.n_target
+ORDER BY r.lang, sample_rank"""
 }

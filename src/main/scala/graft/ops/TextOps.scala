@@ -765,4 +765,41 @@ object TextOps {
           .when(!col("r_repetition"), lit("repetition")))
       .orderBy(idCol)
   }
+
+  /** End-to-end curation v2 — the r6 operators chained the way a
+    * production pipeline runs them: [[gopherRules]] pass gate →
+    * MinHash-LSH candidates + exact shingle-Jaccard verify →
+    * [[Components.componentDedupBest]] keeping the LONGEST member of
+    * each near-dup cluster → [[temperatureSample]] (α = 0.5)
+    * rebalancing what survives. Returns (stratum, doc_id,
+    * sample_rank), the training-mix manifest.
+    *
+    * Every stage is ids-only where it can be: the rule gate passes
+    * ids into a semi-join, the cluster stage shuffles candidate ids
+    * and shingle sets only, and document bodies are only re-read for
+    * the final sampling window. Stage-by-stage determinism (integer
+    * rules, exact verify, integer argmax, md5 min-k) makes the WHOLE
+    * composite replayable by the DuckDB oracle — rules CTE →
+    * recursive closure + argmax → sqrt-target window. */
+  def curateCorpusV2(docs: DataFrame, budget: Int,
+                     jaccardThreshold: Double = 0.8,
+                     stratumCol: String = "lang",
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val passIds = gopherRules(docs, textCol = textCol, idCol = idCol)
+      .filter(col("passes")).select(col(idCol))
+    val passed = docs.join(passIds, Seq(idCol), "left_semi")
+    val verified = Dedup.jaccardVerify(
+        Dedup.minHashCandidates(passed, textCol = textCol, idCol = idCol),
+        passed, shingleLen = Dedup.ShingleLen,
+        textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= jaccardThreshold)
+    val kept = Components.componentDedupBest(
+      passed.select(col(idCol)), verified,
+      passed.select(col(idCol),
+        size(tokens(col(textCol))).cast(LongType).as("score")),
+      idCol = idCol, srcCol = "id_a", dstCol = "id_b")
+    val surviving = docs.join(kept, Seq(idCol), "left_semi")
+    temperatureSample(surviving, budget, stratumCol, textCol, idCol)
+  }
 }

@@ -112,4 +112,38 @@ class QualitySpansSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(best == min)
   }
+
+  // --- curateCorpusV2 -------------------------------------------
+
+  test("curateCorpusV2 chains rule gate, longest-of-cluster, sampling") {
+    // healthy 30-token base text with stopwords and high diversity
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"word${seed}x$i").mkString(" ")
+    val healthy = "the quick brown fox jumps over a lazy dog and "
+    val docs = Seq(
+      // near-dup pair: 2 is 1 plus a longer tail -> SAME shingle core,
+      // Jaccard >= 0.8, and 2 is longer so the quality policy keeps 2
+      // (min-id policy would keep 1)
+      (1L, "en", healthy + words(1, 20)),
+      (2L, "en", healthy + words(1, 20) + " tailextra"),
+      // rule-gate reject: token soup with no stopwords never reaches
+      // the cluster or sampling stages
+      (3L, "en", words(3, 30)),
+      // healthy unpaired docs in a second stratum
+      (4L, "fr", healthy + words(4, 20)),
+      (5L, "fr", healthy + words(5, 20))
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.curateCorpusV2(docs, budget = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    val sampled = got.map(_._2).toSet
+    // doc 3 rejected by the rule gate; doc 1 dropped as the SHORTER
+    // member of its near-dup cluster
+    assert(!sampled.contains(3L) && !sampled.contains(1L))
+    assert(sampled.contains(2L))
+    // strata: en has 1 survivor, fr has 2; sqrt weights 1 and
+    // sqrt(2) -> targets floor(4*1/2.414+0.5)=2 (capped by the 1
+    // available) and floor(4*1.414/2.414+0.5)=2
+    assert(got.count(_._1 == "en") == 1)
+    assert(got.count(_._1 == "fr") == 2)
+  }
 }
