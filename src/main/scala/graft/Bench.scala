@@ -140,7 +140,9 @@ object Bench {
         Similarity.lshTopK(emb, queries, 5, numPlanes = 4, tables = 8))
       val ivf = Similarity.recallAtK(truth,
         Similarity.ivfTopK(emb, queries, 5, numCentroids = 32, nProbe = 16))
-      s""""recall_at_5":{"q32_lsh_topk":${fmt(lsh)},"q36_ivf_topk":${fmt(ivf)}}"""
+      val ham = Similarity.recallAtK(truth,
+        Similarity.hammingTopK(emb, queries, 5, rerank = 200))
+      s""""recall_at_5":{"q32_lsh_topk":${fmt(lsh)},"q36_ivf_topk":${fmt(ivf)},"q82_hamming_ann":${fmt(ham)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall failed: ${e.getMessage}")
       s""""recall_at_5":{}"""

@@ -691,6 +691,37 @@ object SparkEntry {
       TextOps.curateCorpusV2(
         Tables.documents(s, dir).filter(col("doc_id") < 1000),
         budget = 80)),
+    // Binary-quantized ANN: sign-packed BIGINT words (32× smaller
+    // than float32), Hamming top-200 prefilter, EXACT cosine re-rank —
+    // the one approximate index whose whole result is hash-exact
+    // (integer Hamming + fixed tie order + exact re-rank), so unlike
+    // LSH/IVF it is oracle-gated end-to-end, not recall-gated.
+    "q82_hamming_ann" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir)
+      Similarity.hammingTopK(v, v.filter(col("vec_id") < 50), k = 10,
+        rerank = 200)
+    }),
+    // Semantic-outlier scores: per-language fixed-point centroid +
+    // per-doc cosine to its group centroid; lang_rank 1 = strongest
+    // outlier per language.
+    "q83_centroid_outlier" -> ((s, dir) =>
+      Similarity.centroidScores(Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
+    // Dedup audit: cluster-size histogram of the q66 near-dup graph
+    // (LSH candidates → exact Jaccard ≥ 0.8) plus the singleton
+    // bucket — the monitoring artifact a curation run ships next to
+    // its manifest. Bounded to doc_id < 1000 (the q66 oracle
+    // discipline).
+    "q84_dedup_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val verified = Dedup.jaccardVerify(
+          Dedup.minHashCandidates(docs), docs,
+          shingleLen = Dedup.ShingleLen)
+        .filter(col("jaccard") >= 0.8)
+      graft.ops.Components.dedupAudit(
+        docs.select("doc_id"), verified,
+        srcCol = "id_a", dstCol = "id_b")
+    }),
     "q69_tokenize" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val vocab = TextOps.buildVocab(docs, minCount = 5L)
@@ -859,6 +890,9 @@ object SparkEntry {
     "q79_quality_rules"     -> Oracle.qualityRules,
     "q80_best_of_cluster"   -> Oracle.bestOfCluster,
     "q81_curation_v2"       -> Oracle.curationV2,
+    "q82_hamming_ann"       -> Oracle.hammingAnn,
+    "q83_centroid_outlier"  -> Oracle.centroidOutlier,
+    "q84_dedup_audit"       -> Oracle.dedupAudit,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -1414,4 +1414,121 @@ SELECT r.lang, r.doc_id, CAST(rn AS BIGINT) AS sample_rank
 FROM r JOIN tt ON r.lang = tt.lang
 WHERE rn <= tt.n_target
 ORDER BY r.lang, sample_rank"""
+
+  /** q82 oracle: sign-bit binary ANN replayed end-to-end. The word is
+    * bits 0..62 via `1::BIGINT << i` OR-folded (a 1<<63 shift raises
+    * in DuckDB) plus the min-long constant for the sign bit —
+    * bit-identical to Quantize.signPack. Hamming prefilter (top-200 by
+    * bit_count of the XOR, ties → corpus_id) then EXACT cosine
+    * re-rank, all integer/IEEE-deterministic. Specialized to the
+    * 64-dim corpus (one word); the Spark side is word-count generic. */
+  val hammingAnn: String = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+w AS (
+  SELECT vec_id, e,
+         list_reduce(list_transform(range(0, 63), i ->
+             CASE WHEN e[CAST(i AS INT) + 1] > 0
+                  THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END),
+           (a, b) -> a | b)
+         | CASE WHEN e[64] > 0 THEN (-9223372036854775808)::BIGINT
+                ELSE 0::BIGINT END AS word
+  FROM v),
+q AS (SELECT * FROM w WHERE vec_id < 50),
+h AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         bit_count(xor(q.word, c.word)) AS hamming, q.e AS qe, c.e AS ce
+  FROM q, w c WHERE c.vec_id <> q.vec_id),
+cand AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, corpus_id) AS hrank
+  FROM h),
+rr AS (
+  SELECT query_id, corpus_id, CAST(hamming AS INT) AS hamming,
+         list_dot_product(qe, ce)
+           / (sqrt(list_dot_product(qe, qe))
+              * sqrt(list_dot_product(ce, ce))) AS cosine_sim
+  FROM cand WHERE hrank <= 200),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS "rank"
+  FROM rr)
+SELECT query_id, CAST("rank" AS INT) AS "rank", corpus_id, hamming,
+       cosine_sim
+FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+
+  /** q83 oracle: per-language centroid outlier scores replayed — the
+    * same fixed-point quantization (floor(x·2^20 + 0.5), exact
+    * order-independent integer sums) and the same two fixed-order
+    * double divisions, then the sequential-fold cosine both engines
+    * share (list_dot_product ≡ the codegen'd DotProduct fold). */
+  val centroidOutlier: String = """
+WITH d AS (
+  SELECT doc.lang, doc.doc_id, CAST(em.embedding AS DOUBLE[]) AS e
+  FROM documents doc JOIN embeddings em ON em.vec_id = doc.doc_id),
+x AS (
+  SELECT lang, p.pos AS pos,
+         CAST(floor(e[p.pos] * 1048576.0 + 0.5) AS BIGINT) AS qv
+  FROM d, range(1, 65) p(pos)),
+s AS (SELECT lang, pos, sum(qv) AS sq, count(*) AS n
+      FROM x GROUP BY 1, 2),
+c AS (SELECT lang,
+             list(CAST(sq AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)
+                  ORDER BY pos) AS centroid
+      FROM s GROUP BY 1),
+sc AS (
+  SELECT d.doc_id, d.lang,
+         list_dot_product(d.e, c.centroid)
+           / (sqrt(list_dot_product(d.e, d.e))
+              * sqrt(list_dot_product(c.centroid, c.centroid)))
+           AS centroid_sim
+  FROM d JOIN c USING (lang))
+SELECT doc_id, lang, centroid_sim,
+       CAST(row_number() OVER (
+         PARTITION BY lang ORDER BY centroid_sim, doc_id) AS INT)
+         AS lang_rank
+FROM sc ORDER BY doc_id"""
+
+  /** q84 oracle: the dedup-audit histogram — the q66 brute-force
+    * pairs + recursive-closure replay, aggregated into the
+    * cluster-size histogram plus the singleton bucket. */
+  val dedupAudit: String = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id < 1000),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, count(*) AS cluster_size FROM cc GROUP BY 1),
+hist AS (SELECT cluster_size, count(*) AS n_clusters
+         FROM sizes GROUP BY 1),
+singles AS (
+  SELECT 1::BIGINT AS cluster_size, count(*) AS n_clusters
+  FROM t WHERE doc_id NOT IN (SELECT id FROM cc)),
+u AS (SELECT * FROM hist UNION ALL
+      SELECT * FROM singles WHERE n_clusters > 0),
+m AS (SELECT cluster_size, sum(n_clusters) AS n_clusters
+      FROM u GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_dropped
+FROM m ORDER BY cluster_size"""
 }

@@ -50,17 +50,25 @@ object Components {
     // m = min(Γ(u) ∪ {u}); small-star: connect every v ∈ Γ(u) with
     // v ≤ u, plus u itself, to m (skipping m's self-loop).
     def star(large: Boolean)(edges0: DataFrame): DataFrame = {
-      val sym = edges0.union(
-        edges0.select(col("dst").as("src"), col("src").as("dst")))
+      // symmetrize in ONE scan: union(e, e.reversed) plans the child
+      // subtree twice — and in the small-star half that child is the
+      // whole un-materialized large-star, so its window/shuffle work
+      // would run 2-4× per round (explode is narrow: one pass)
+      val sym = edges0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val withM = sym.withColumn("m",
         least(col("src"), min(col("dst")).over(
           org.apache.spark.sql.expressions.Window.partitionBy("src"))))
       val out =
         if (large) withM.filter(col("dst") > col("src"))
           .select(col("dst").as("a"), col("m").as("b"))
-        else withM.filter(col("dst") <= col("src"))
-          .select(col("dst").as("a"), col("m").as("b"))
-          .union(withM.select(col("src").as("a"), col("m").as("b")))
+        else withM.select(explode(array_compact(array(
+            when(col("dst") <= col("src"),
+              struct(col("dst").as("a"), col("m").as("b"))),
+            struct(col("src").as("a"), col("m").as("b"))))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"))
       // NO distinct here: duplicate edges don't change neighborhood
       // minima, and growth within one round is bounded (each half-
       // round emits ≤ |sym| + |nodes| rows) — deduping once per full
@@ -109,6 +117,37 @@ object Components {
       .join(members, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     members.unionByName(roots)
+  }
+
+  /** Dedup audit: the cluster-size histogram of the near-dup graph —
+    * per cluster size, how many clusters, how many docs they hold and
+    * how many a one-per-cluster dedup drops. Singleton (unpaired)
+    * docs appear as cluster_size = 1. This is the monitoring artifact
+    * a curation run ships next to its manifest: a fat tail of huge
+    * clusters means boilerplate flooding; a dropped-doc total that
+    * moves round-over-round means the dedup threshold drifted.
+    * Everything derives from the same O(log n) star contraction —
+    * the histogram itself is two tiny aggregates, no driver state. */
+  def dedupAudit(ids: DataFrame, pairs: DataFrame,
+                 idCol: String = "doc_id",
+                 srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val sizes = cc.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = ids.select(col(idCol))
+      .join(cc.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    hist.unionByName(singles)
+      .filter(col("n_clusters") > 0)
+      .groupBy("cluster_size") // merge the singleton row with a
+      .agg(sum("n_clusters").as("n_clusters")) // (possible) size-1 bucket
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+      .orderBy("cluster_size")
   }
 
   /** Cluster-aware dedup: given the full id universe and near-dup

@@ -142,6 +142,88 @@ object Similarity {
     rankTopK(scoreCandidates(candIds, q, c), k)
   }
 
+  /** Binary-quantized approximate top-k: corpus and query vectors are
+    * sign-packed into BIGINT words ([[Quantize.signPack]] — 32×
+    * smaller than float32), candidates are the `rerank` corpus
+    * vectors with the smallest Hamming distance to the query's words
+    * (ties → corpus_id), and the survivors are re-ranked by EXACT
+    * cosine. Integer Hamming + fixed tie order + exact re-rank make
+    * the whole result hash-exact (no xxhash, no sketch) — unlike
+    * LSH/IVF this approximate index is fully oracle-checkable.
+    *
+    * Scale shape: the Hamming scan reads 8 bytes/vector/word instead
+    * of 256+ for floats, the per-query group-limit pushes the top-C
+    * selection ahead of the rank shuffle (WindowGroupLimit), and only
+    * (queries × rerank) rows re-attach vectors for exact scoring. */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  rerank: Int = 50, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
+    val cW = Quantize.signPack(corpus, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col("words").as("cw"))
+    val qW = Quantize.signPack(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("words").as("qw"))
+    val hw = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("corpus_id"))
+    val cand = cW.crossJoin(broadcast(qW))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Quantize.hamming(col("qw"), col("cw")).cast("int").as("hamming"))
+      .withColumn("hrank", row_number().over(hw))
+      .filter(col("hrank") <= rerank)
+      .select("query_id", "corpus_id", "hamming")
+    rankTopK(scoreCandidates(cand, q, c), k)
+      .join(cand, Seq("query_id", "corpus_id"))
+      .select("query_id", "rank", "corpus_id", "hamming", "cosine_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-group (language) embedding centroid + per-document cosine to
+    * its group centroid — the semantic-outlier curation signal (docs
+    * far from their language's centroid are mislabeled, noise, or
+    * off-distribution). `lang_rank` orders each group
+    * ascending-similarity, so rank ≤ r selects the r strongest
+    * outliers per group.
+    *
+    * Determinism at scale: a double sum is partition-order-dependent,
+    * so each element is first fixed-point quantized
+    * (floor(x·2^20 + 0.5) — one IEEE multiply/add/floor, replayable
+    * anywhere) and summed as integers: exact, order-independent, and
+    * a plain map-side-combining groupBy — no collect, no sequential
+    * fold over a whole group. 2^20 scaling keeps |sum| < 2^63 for any
+    * group up to ~10^12 unit-normalized vectors; the centroid is then
+    * sum/2^20/n in two fixed-order double divisions. */
+  def centroidScores(docs: DataFrame, embeddings: DataFrame,
+                     groupCol: String = "lang",
+                     idCol: String = "doc_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val joined = docs.select(col(idCol), col(groupCol))
+      .join(embeddings.select(col("vec_id").as(idCol),
+        asDouble(col(vecCol)).as("e")), idCol)
+    val sums = joined
+      .select(col(groupCol), posexplode(col("e")))
+      .select(col(groupCol), col("pos"),
+        floor(col("col") * lit(1048576.0) + lit(0.5)).cast("long").as("qv"))
+      .groupBy(groupCol, "pos")
+      .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+    val centroids = sums
+      .withColumn("mean",
+        col("sq").cast("double") / lit(1048576.0) / col("n").cast("double"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        _.getField("mean")).as("centroid"))
+    joined.join(broadcast(centroids), groupCol)
+      .select(col(idCol), col(groupCol),
+        cosine(col("e"), col("centroid")).as("centroid_sim"))
+      .withColumn("lang_rank", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(col("centroid_sim"), col(idCol))))
+      .orderBy(idCol)
+  }
+
   /** recall@k of an approximate top-k result against the exact one:
     * the fraction of true (query, neighbor) pairs the approximate
     * index recovered. Computed distributed (pair intersection — no

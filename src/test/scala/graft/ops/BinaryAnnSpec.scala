@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sign-bit binary quantization, Hamming ANN, and per-group centroid
+  * outlier scores. */
+class BinaryAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("signPack sets exactly the positive dimensions' bits") {
+    // 70 dims → two words; positives at dims 0, 5, 63 (word-0 sign
+    // bit) and 64 (word-1 bit 0)
+    val v = Array.tabulate(70)(i =>
+      if (Set(0, 5, 63, 64)(i)) 1.0f else -1.0f)
+    val got = Quantize.signPack(Seq((1L, v.toSeq)).toDF("vec_id", "embedding"))
+      .select($"words").as[Seq[Long]].head()
+    assert(got == Seq((1L | 32L) | Long.MinValue, 1L))
+  }
+
+  test("zero values are a 0 bit (strictly-positive test)") {
+    val v = Array.fill(64)(0.0f)
+    val got = Quantize.signPack(Seq((1L, v.toSeq)).toDF("vec_id", "embedding"))
+      .select($"words").as[Seq[Long]].head()
+    assert(got == Seq(0L))
+  }
+
+  test("hamming counts differing sign bits across words") {
+    val df = Seq((Seq(0L, -1L), Seq(-1L, -1L))).toDF("a", "b")
+    val got = df.select(Quantize.hamming($"a", $"b")).as[Long].head()
+    assert(got == 64L) // word 0 differs in all 64 bits, word 1 in none
+  }
+
+  test("hammingTopK with full rerank ≡ brute-force cosine top-k") {
+    val queries = emb.filter($"vec_id" < 10)
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "rank", "corpus_id", "cosine_sim")
+    val viaHamming = Similarity.hammingTopK(emb, queries, k = 5, rerank = n)
+      .select("query_id", "rank", "corpus_id", "cosine_sim")
+    assert(viaHamming.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(viaHamming).count() == 0)
+  }
+
+  test("hammingTopK recall vs exact: usable at default, rises with rerank") {
+    // 64 sign bits are a coarse angular sketch (σ ≈ 4 bits on the
+    // Hamming estimate), so the default top-50 prefilter on this
+    // corpus recovers ~0.7 recall@5 — the operator's contract is the
+    // rerank knob, not a fixed recall: widening the candidate cut
+    // must strictly recover the misses
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val atDefault = Similarity.recallAtK(exact,
+      Similarity.hammingTopK(emb, queries, k = 5))
+    val wide = Similarity.recallAtK(exact,
+      Similarity.hammingTopK(emb, queries, k = 5, rerank = 150))
+    assert(atDefault >= 0.6, s"recall@5 $atDefault below 0.6 at rerank=50")
+    assert(wide >= 0.9, s"recall@5 $wide below 0.9 at rerank=150")
+    assert(wide >= atDefault)
+  }
+
+  test("centroidScores: outlier ranks first, aligned docs score 1") {
+    def unit(sign: Double) =
+      (0 until 64).map(i => if (i == 0) (sign * 1.0).toFloat else 0.0f)
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "de"))
+      .toDF("doc_id", "lang")
+    val vecs = Seq((1L, unit(1)), (2L, unit(1)), (3L, unit(-1)),
+      (4L, unit(1))).toDF("vec_id", "embedding")
+    val got = Similarity.centroidScores(docs, vecs)
+      .select($"doc_id", $"centroid_sim", $"lang_rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    // en centroid = (1/3, 0, ...): docs 1,2 cosine 1, doc 3 cosine -1
+    assert(got.find(_._1 == 3L).get._2 == -1.0)
+    assert(got.find(_._1 == 3L).get._3 == 1) // strongest outlier
+    assert(got.find(_._1 == 1L).get._2 == 1.0)
+    assert(got.find(_._1 == 4L).get._2 == 1.0) // own-group centroid
+  }
+
+  test("centroidScores is partitioning-invariant (integer sums)") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Similarity.centroidScores(docs, emb)
+    val b = Similarity.centroidScores(docs.repartition(7), emb.repartition(13))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}

@@ -100,4 +100,19 @@ class ComponentsSpec extends SparkSpec {
       Seq(1L, 2L, 3L).toDF("doc_id"), chain).as[Long].collect().toSeq
     assert(keptChain == Seq(1L))
   }
+
+  test("dedupAudit: cluster-size histogram plus singleton bucket") {
+    val ids = (1L to 8L).toDF("doc_id")
+    // cluster {1,2,3} (chain), cluster {5,6}; 4,7,8 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val got = Components.dedupAudit(ids, pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 0L), (2L, 1L, 2L, 1L),
+      (3L, 1L, 3L, 2L)))
+    // no pairs at all: every doc is a singleton
+    val none = Components.dedupAudit(ids,
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(none == Seq((1L, 8L, 8L, 0L)))
+  }
 }
