@@ -701,6 +701,26 @@ object SparkEntry {
       Similarity.hammingTopK(v, v.filter(col("vec_id") < 50), k = 10,
         rerank = 200)
     }),
+    // Curation manifest: every input doc labeled with WHY it survived
+    // or died (first failing quality rule / lost its near-dup cluster
+    // / outside the temperature budget / kept + rank) — the
+    // explainability artifact audits need. Same bounded corpus and
+    // stage parameters as q81, so the oracle replays all four stages
+    // and labels the complement too.
+    "q86_curation_manifest" -> ((s, dir) =>
+      TextOps.curationManifest(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        budget = 80)),
+    // ANN quality audit as a query: per-query overlap of the binary-
+    // Hamming index's top-5 with the exact cosine top-5. Both sides
+    // are deterministic, so the recall REPORT itself is hash-exact —
+    // the oracle replays index build, search, re-rank, and the
+    // ground-truth ranking.
+    "q85_ann_recall" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir)
+      Similarity.annRecallReport(v, v.filter(col("vec_id") < 50), k = 5,
+        rerank = 200)
+    }),
     // Semantic-outlier scores: per-language fixed-point centroid +
     // per-doc cosine to its group centroid; lang_rank 1 = strongest
     // outlier per language.
@@ -893,6 +913,8 @@ object SparkEntry {
     "q82_hamming_ann"       -> Oracle.hammingAnn,
     "q83_centroid_outlier"  -> Oracle.centroidOutlier,
     "q84_dedup_audit"       -> Oracle.dedupAudit,
+    "q85_ann_recall"        -> Oracle.annRecall,
+    "q86_curation_manifest" -> Oracle.curationManifest,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -1415,6 +1415,102 @@ FROM r JOIN tt ON r.lang = tt.lang
 WHERE rn <= tt.n_target
 ORDER BY r.lang, sample_rank"""
 
+  /** q86 oracle: the q81 four-stage replay (Gopher rules →
+    * brute-force near-dup pairs + recursive closure → longest-member
+    * argmax → α=0.5 temperature sample) re-tailed to label EVERY
+    * input doc with its decision and, for rule rejects, the first
+    * failing rule in the q79 order. */
+  val curationManifest: String = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id < 1000),
+t0 AS (
+  SELECT doc_id, length(text) AS nc,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM base),
+m AS (
+  SELECT doc_id,
+         (len(toks) >= 20 AND len(toks) <= 90) AS r_word_count,
+         (CAST(nc - len(toks) + 1 AS DOUBLE) / len(toks) >= 4.0
+          AND CAST(nc - len(toks) + 1 AS DOUBLE) / len(toks) <= 10.0)
+           AS r_word_len,
+         (len(list_filter(toks,
+            x -> x IN ('the', 'a', 'of', 'and', 'is', 'to'))) >= 2)
+           AS r_stopword,
+         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.35)
+           AS r_repetition
+  FROM t0),
+p AS (
+  SELECT base.doc_id, base.text, base.lang
+  FROM base JOIN m USING (doc_id)
+  WHERE m.r_word_count AND m.r_word_len AND m.r_stopword
+    AND m.r_repetition),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM p),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+best AS (
+  SELECT id FROM (
+    SELECT cc.id,
+           row_number() OVER (PARTITION BY cc.component
+                              ORDER BY q.n DESC, cc.id) AS rn
+    FROM cc JOIN q ON q.doc_id = cc.id)
+  WHERE rn = 1),
+surv AS (
+  SELECT p.* FROM p
+  WHERE p.doc_id NOT IN (SELECT id FROM cc)
+     OR p.doc_id IN (SELECT id FROM best)),
+c AS (SELECT lang, count(*) AS n_docs FROM surv GROUP BY lang),
+tot AS (SELECT list_reduce(
+          list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang),
+          (a, b) -> a + b) AS total FROM c),
+tt AS (SELECT lang,
+          CAST(floor(80.0 * sqrt(CAST(n_docs AS DOUBLE)) / total + 0.5)
+               AS BIGINT) AS n_target
+       FROM c, tot),
+r AS (SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang
+                             ORDER BY md5(text), doc_id) AS rn
+      FROM surv),
+samp AS (
+  SELECT r.doc_id, CAST(rn AS BIGINT) AS sample_rank
+  FROM r JOIN tt ON r.lang = tt.lang
+  WHERE rn <= tt.n_target)
+SELECT base.doc_id, base.lang,
+       CASE WHEN NOT (m.r_word_count AND m.r_word_len AND m.r_stopword
+                      AND m.r_repetition) THEN 'rejected_rule'
+            WHEN base.doc_id IN (SELECT id FROM cc)
+                 AND base.doc_id NOT IN (SELECT id FROM best)
+              THEN 'near_dup'
+            WHEN samp.doc_id IS NULL THEN 'sampled_out'
+            ELSE 'kept' END AS decision,
+       CASE WHEN NOT m.r_word_count THEN 'word_count'
+            WHEN NOT m.r_word_len THEN 'word_len'
+            WHEN NOT m.r_stopword THEN 'stopword'
+            WHEN NOT m.r_repetition THEN 'repetition' END AS reason,
+       samp.sample_rank
+FROM base JOIN m USING (doc_id)
+LEFT JOIN samp ON samp.doc_id = base.doc_id
+ORDER BY base.doc_id"""
+
   /** q82 oracle: sign-bit binary ANN replayed end-to-end. The word is
     * bits 0..62 via `1::BIGINT << i` OR-folded (a 1<<63 shift raises
     * in DuckDB) plus the min-long constant for the sign bit —
@@ -1488,6 +1584,66 @@ SELECT doc_id, lang, centroid_sim,
          PARTITION BY lang ORDER BY centroid_sim, doc_id) AS INT)
          AS lang_rank
 FROM sc ORDER BY doc_id"""
+
+  /** q85 oracle: the ANN recall report replayed end-to-end — exact
+    * cosine top-5 (the cosineTopK formulation), the q82 binary index
+    * (sign words → Hamming top-200 → exact cosine re-rank top-5), and
+    * the per-query overlap count; one IEEE division for the recall
+    * fraction. */
+  val annRecall: String = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 50),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS cosine_sim
+  FROM q, v c WHERE c.vec_id <> q.vec_id),
+exact_top AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS r
+    FROM exact_scored) WHERE r <= 5),
+w AS (
+  SELECT vec_id, e,
+         list_reduce(list_transform(range(0, 63), i ->
+             CASE WHEN e[CAST(i AS INT) + 1] > 0
+                  THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END),
+           (a, b) -> a | b)
+         | CASE WHEN e[64] > 0 THEN (-9223372036854775808)::BIGINT
+                ELSE 0::BIGINT END AS word
+  FROM v),
+qw AS (SELECT * FROM w WHERE vec_id < 50),
+h AS (
+  SELECT qw.vec_id AS query_id, c.vec_id AS corpus_id,
+         bit_count(xor(qw.word, c.word)) AS hamming, qw.e AS qe, c.e AS ce
+  FROM qw, w c WHERE c.vec_id <> qw.vec_id),
+cand AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, corpus_id) AS hrank
+  FROM h),
+rr AS (
+  SELECT query_id, corpus_id,
+         list_dot_product(qe, ce)
+           / (sqrt(list_dot_product(qe, qe))
+              * sqrt(list_dot_product(ce, ce))) AS cosine_sim
+  FROM cand WHERE hrank <= 200),
+approx_top AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS r
+    FROM rr) WHERE r <= 5),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM exact_top e JOIN approx_top a
+    ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+  GROUP BY 1)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / 5e0 AS recall
+FROM q LEFT JOIN hits ON hits.query_id = q.vec_id
+ORDER BY query_id"""
 
   /** q84 oracle: the dedup-audit histogram — the q66 brute-force
     * pairs + recursive-closure replay, aggregated into the

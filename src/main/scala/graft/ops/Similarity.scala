@@ -224,6 +224,32 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Per-query recall report of the binary-Hamming index against the
+    * exact cosine top-k — the ANN quality audit as a first-class
+    * QUERY, not a spec assertion. Because both sides are
+    * deterministic ([[bruteForceTopK]] exactly, [[hammingTopK]] via
+    * integer Hamming + fixed tie order + exact re-rank), the whole
+    * report is hash-exact and oracle-checkable — recall regressions
+    * gate like correctness ones. Output: (query_id, n_hit, recall)
+    * with n_hit = |exact∩approx| at k. */
+  def annRecallReport(corpus: DataFrame, queries: DataFrame, k: Int,
+                      rerank: Int = 200,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select("query_id", "corpus_id")
+    val approx = hammingTopK(corpus, queries, k, rerank, idCol, vecCol)
+      .select("query_id", "corpus_id")
+    val hits = exact.join(approx, Seq("query_id", "corpus_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / lit(k.toDouble))
+      .orderBy("query_id")
+  }
+
   /** recall@k of an approximate top-k result against the exact one:
     * the fraction of true (query, neighbor) pairs the approximate
     * index recovered. Computed distributed (pair intersection — no

@@ -781,6 +781,53 @@ object TextOps {
     * rules, exact verify, integer argmax, md5 min-k) makes the WHOLE
     * composite replayable by the DuckDB oracle — rules CTE →
     * recursive closure + argmax → sqrt-target window. */
+  /** Per-document curation MANIFEST: the [[curateCorpusV2]] pipeline
+    * with full decision lineage — every input doc labeled with WHY it
+    * survived or died ('rejected_rule' + the first failing rule,
+    * 'near_dup' = lost its cluster to a longer member, 'sampled_out'
+    * = survived the gates but fell outside the temperature budget,
+    * 'kept' + its sample_rank). This is the explainability artifact
+    * audits and takedown requests need — and it is pure column logic
+    * over the already-computed stage outputs, so it costs three
+    * broadcast-or-id-only joins beyond the pipeline itself. */
+  def curationManifest(docs: DataFrame, budget: Int,
+                       jaccardThreshold: Double = 0.8,
+                       stratumCol: String = "lang",
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val rules = gopherRules(docs, textCol = textCol, idCol = idCol)
+    val passed = docs.join(rules.filter(col("passes")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val verified = Dedup.jaccardVerify(
+        Dedup.minHashCandidates(passed, textCol = textCol, idCol = idCol),
+        passed, shingleLen = Dedup.ShingleLen,
+        textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= jaccardThreshold)
+    val kept = Components.componentDedupBest(
+      passed.select(col(idCol)), verified,
+      passed.select(col(idCol),
+        size(tokens(col(textCol))).cast(LongType).as("score")),
+      idCol = idCol, srcCol = "id_a", dstCol = "id_b")
+    val surviving = docs.join(kept, Seq(idCol), "left_semi")
+    val sampled = temperatureSample(surviving, budget, stratumCol,
+      textCol, idCol)
+    docs.select(col(idCol), col(stratumCol))
+      .join(rules.select(col(idCol), col("passes"), col("reject_reason")),
+        Seq(idCol))
+      .join(kept.select(col(idCol)).withColumn("__kept", lit(1)),
+        Seq(idCol), "left")
+      .join(sampled.select(col(idCol), col("sample_rank")),
+        Seq(idCol), "left")
+      .select(col(idCol), col(stratumCol),
+        when(!col("passes"), lit("rejected_rule"))
+          .when(col("__kept").isNull, lit("near_dup"))
+          .when(col("sample_rank").isNull, lit("sampled_out"))
+          .otherwise(lit("kept")).as("decision"),
+        col("reject_reason").as("reason"),
+        col("sample_rank"))
+      .orderBy(idCol)
+  }
+
   def curateCorpusV2(docs: DataFrame, budget: Int,
                      jaccardThreshold: Double = 0.8,
                      stratumCol: String = "lang",

@@ -63,6 +63,18 @@ class BinaryAnnSpec extends SparkSpec {
     assert(wide >= atDefault)
   }
 
+  test("annRecallReport aggregates to recallAtK, covers hit-less queries") {
+    val queries = emb.filter($"vec_id" < 20)
+    val report = Similarity.annRecallReport(emb, queries, k = 5, rerank = 50)
+    val rows = report.as[(Long, Long, Double)].collect()
+    assert(rows.length == queries.count().toInt) // every query reported
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+    val approx = Similarity.hammingTopK(emb, queries, 5, rerank = 50)
+    val expected = Similarity.recallAtK(exact, approx)
+    val mean = rows.map(_._3).sum / rows.length
+    assert(math.abs(mean - expected) < 1e-9, s"$mean vs $expected")
+  }
+
   test("centroidScores: outlier ranks first, aligned docs score 1") {
     def unit(sign: Double) =
       (0 until 64).map(i => if (i == 0) (sign * 1.0).toFloat else 0.0f)

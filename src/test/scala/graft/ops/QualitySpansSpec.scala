@@ -146,4 +146,29 @@ class QualitySpansSpec extends SparkSpec {
     assert(got.count(_._1 == "en") == 1)
     assert(got.count(_._1 == "fr") == 2)
   }
+
+  test("curationManifest labels every doc and agrees with curateCorpusV2") {
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"word${seed}x$i").mkString(" ")
+    val healthy = "the quick brown fox jumps over a lazy dog and "
+    val docs = Seq(
+      (1L, "en", healthy + words(1, 20)),
+      (2L, "en", healthy + words(1, 20) + " tailextra"),
+      (3L, "en", words(3, 30)), // no stopwords -> rule reject
+      (4L, "fr", healthy + words(4, 20)),
+      (5L, "fr", healthy + words(5, 20))
+    ).toDF("doc_id", "lang", "text")
+    val manifest = TextOps.curationManifest(docs, budget = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), Option(r.getString(3)))).toMap
+    assert(manifest.keySet == Set(1L, 2L, 3L, 4L, 5L)) // total function
+    assert(manifest(3L) == ("rejected_rule", Some("stopword")))
+    assert(manifest(1L)._1 == "near_dup") // shorter member lost
+    assert(manifest(2L)._1 == "kept")
+    // the manifest's kept set IS the q81 sample
+    val sampled = TextOps.curateCorpusV2(docs, budget = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = manifest.collect { case (id, ("kept", _)) => id }.toSet
+    assert(kept == sampled)
+  }
 }
