@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Bloom, Dedup, Diff, Multimodal, Quantize, RangeJoin, Sessions, Similarity, TextOps, Upsert}
+import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Multimodal, Quantize, RangeJoin, Sessions, Similarity, TextOps, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -721,6 +721,35 @@ object SparkEntry {
       Similarity.annRecallReport(v, v.filter(col("vec_id") < 50), k = 5,
         rerank = 200)
     }),
+    // Deterministic spherical k-means (3 Lloyd iterations): seeds =
+    // lowest-id vectors, fixed-point centroid means, argmax-cosine
+    // assignment — the clustering stage of SemDeDup-style curation.
+    // Zero-shuffle assignment (centroids are a driver literal); the
+    // oracle unrolls all 3 iterations as CTEs and is hash-exact.
+    "q87_kmeans" -> ((s, dir) =>
+      Cluster.kmeans(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
+        k = 8, iters = 3)),
+    // SemDeDup (Abbas et al. 2023): k-means cells, then the q33
+    // cosine drop rule WITHIN cells only — Σ n_c² pairs instead of
+    // N², cell-co-located join. Same near-dup-injected corpus as
+    // q56 (the natural embeddings have no cos≥0.9 pair), so the
+    // drop branch is non-vacuous and oracle-gated.
+    "q88_semdedup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))")
+            .as("embedding"))
+      val dups = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.25)).as("embedding"))
+      Cluster.semDedup(base.unionByName(dups), 0.9, k = 8, iters = 2)
+    }),
+    // Fixed-weight linear quality classifier with a rational sigmoid
+    // (no transcendentals → IEEE-exact, oracle-gated): the
+    // "score every doc with a tiny model, threshold, keep" stage.
+    "q89_quality_classifier" -> ((s, dir) =>
+      TextOps.qualityClassifier(Tables.documents(s, dir))),
     // Semantic-outlier scores: per-language fixed-point centroid +
     // per-doc cosine to its group centroid; lang_rank 1 = strongest
     // outlier per language.
@@ -915,6 +944,9 @@ object SparkEntry {
     "q84_dedup_audit"       -> Oracle.dedupAudit,
     "q85_ann_recall"        -> Oracle.annRecall,
     "q86_curation_manifest" -> Oracle.curationManifest,
+    "q87_kmeans"            -> Oracle.kmeans,
+    "q88_semdedup"          -> Oracle.semDedup,
+    "q89_quality_classifier" -> Oracle.qualityClassifier,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -1687,4 +1687,112 @@ SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
        CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
        CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_dropped
 FROM m ORDER BY cluster_size"""
+
+  /** Unrolled deterministic spherical k-means as DuckDB CTEs —
+    * replays [[graft.ops.Cluster.kmeansAssign]] exactly: seeds = k
+    * lowest-id vectors, argmax-cosine assignment with ties to the
+    * lowest cluster id (QUALIFY row_number), fixed-point 2^20
+    * centroid means (integer sums are order-independent, so the only
+    * double roundings are the same divisions Spark performs), empty
+    * cells keep their previous centroid. `vBody` supplies the corpus
+    * CTE body so callers can inject near-dups. Ends with `fin` =
+    * (vec_id, e, cluster, sim) under the final centroids. */
+  private def kmeansCtes(k: Int, iters: Int, vBody: String): String = {
+    val cos = (v: String, c: String) =>
+      s"""list_dot_product($v, $c)
+           / (sqrt(list_dot_product($v, $v))
+              * sqrt(list_dot_product($c, $c)))"""
+    val sb = new StringBuilder
+    sb ++= s"""v AS ($vBody),
+c0 AS (SELECT vec_id AS cluster, e AS c FROM v ORDER BY vec_id LIMIT $k),
+"""
+    for (i <- 1 to iters) {
+      sb ++= s"""a$i AS (
+  SELECT v.vec_id, v.e, c.cluster,
+         ${cos("v.e", "c.c")} AS sim
+  FROM v, c${i - 1} c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY sim DESC, c.cluster) = 1),
+s$i AS (
+  SELECT cluster, p.pos,
+         sum(CAST(floor(e[p.pos] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM a$i, range(1, 65) p(pos) GROUP BY 1, 2),
+m$i AS (
+  SELECT cluster,
+         list(CAST(sq AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)
+              ORDER BY pos) AS c
+  FROM s$i GROUP BY 1),
+c$i AS (
+  SELECT c${i - 1}.cluster, coalesce(m$i.c, c${i - 1}.c) AS c
+  FROM c${i - 1} LEFT JOIN m$i USING (cluster)),
+"""
+    }
+    sb ++= s"""fin AS (
+  SELECT v.vec_id, v.e, c.cluster,
+         ${cos("v.e", "c.c")} AS sim
+  FROM v, c$iters c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY sim DESC, c.cluster) = 1)"""
+    sb.toString
+  }
+
+  /** q87 oracle: 3-iteration k-means on the bounded corpus. */
+  val kmeans: String = "WITH " + kmeansCtes(8, 3,
+    """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id < 2000""") + """
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, sim AS centroid_sim
+FROM fin ORDER BY vec_id"""
+
+  /** q88 oracle: SemDeDup — the q56 near-dup-injected corpus (the
+    * natural embeddings have no cos≥0.9 pair), 2-iteration k-means
+    * cells, then the cosineDedup drop rule restricted to same-cell
+    * pairs. */
+  val semDedup: String = """WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id < 2000),
+""" + kmeansCtes(8, 2, """
+  SELECT * FROM b
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(e, x -> x * 1.25) FROM b
+  WHERE vec_id % 5 = 0""") + """,
+dup AS (
+  SELECT DISTINCT b2.vec_id
+  FROM fin a JOIN fin b2
+    ON a.cluster = b2.cluster AND a.vec_id < b2.vec_id
+  WHERE list_dot_product(a.e, b2.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b2.e, b2.e))) >= 0.9)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM fin
+WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+ORDER BY vec_id"""
+
+  /** q89 oracle: the fixed-weight linear quality classifier — the
+    * score expression is written token-for-token as the Spark column
+    * tree (left-associative), so every IEEE rounding matches; the
+    * squash is the rational sigmoid, no transcendentals. */
+  val qualityClassifier: String = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) AS word_chars
+  FROM t),
+s AS (
+  SELECT doc_id,
+         -3.5 + 8.0 * (n_stop / n_tok) - 0.25 * (word_chars / n_tok)
+           + 2.0 * (n_dist / n_tok) + 0.5 * (n_tok / 100.0) AS clf_score
+  FROM f)
+SELECT doc_id, clf_score,
+       (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5 AS clf_prob,
+       CASE WHEN clf_score >= 0.0 THEN 'keep' ELSE 'drop' END AS label
+FROM s ORDER BY doc_id"""
 }

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic spherical k-means and SemDeDup-style cell-scoped
+  * embedding dedup.
+  *
+  * K-means is the canonical "model state is tiny, data is huge"
+  * algorithm: the centroids (k × dim doubles) live on the driver and
+  * fold into ONE literal codegen'd expression per iteration, so the
+  * assignment step is a zero-shuffle narrow map over the corpus —
+  * exactly how Spark MLlib's own KMeans treats its centers. The only
+  * exchange per iteration is the (cluster, pos) partial-aggregated
+  * centroid sum — k·dim rows out of any corpus size. At 100 TB:
+  * iters × (1 corpus scan + one k·dim-row aggregate); the corpus is
+  * never shuffled, never collected.
+  *
+  * Determinism (what makes the whole thing DuckDB-replayable):
+  *   - seeds = the k lowest-id vectors (no RNG);
+  *   - assignment = argmax cosine, ties to the lowest cluster id
+  *     (`array_max` over (sim, -cluster) structs — lexicographic);
+  *   - new centroid = fixed-point mean: components quantized to
+  *     `floor(x·2^20 + 0.5)` longs, summed EXACTLY (integer sums are
+  *     order-independent, double sums are not), divided back at the
+  *     end — the same trick as [[Similarity.centroidScores]];
+  *   - empty cluster keeps its previous centroid.
+  *
+  * [[semDedup]] is the SemDeDup recipe (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the corpus, then near-dup dedup runs
+  * WITHIN cells only — the all-pairs O(N²) of
+  * [[Similarity.cosineDedup]] becomes Σ n_c², and the pair join is
+  * cluster-co-located (one shuffle on the cell id). Reference scope:
+  * the reference pipeline has no embedding ops at all
+  * (`spark-job/apps/` covers relational ETL only) — this is part of
+  * the training-data extension surface.
+  */
+object Cluster {
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Fixed-point quantum for the centroid mean (2^20 — exact as a
+    * double, and coarse enough that corpus-scale integer sums stay
+    * far below 2^53). */
+  private val Q = 1048576.0
+
+  /** Assignment under literal centroids: argmax cosine, ties to the
+    * lowest cluster id. Centroids are a driver-side constant, so this
+    * is one codegen'd expression — no join, no shuffle. */
+  private def withAssignment(v: DataFrame,
+                             cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val best = array_max(array(cents.map { case (cl, c) =>
+      struct(Similarity.cosine(col("e"), typedLit(c)).as("sim"),
+        lit(-cl).as("negc"))
+    }: _*))
+    v.withColumn("__best", best)
+      .withColumn("centroid_sim", col("__best").getField("sim"))
+      .withColumn("cluster", -col("__best").getField("negc"))
+      .drop("__best")
+  }
+
+  /** K-means assignment with the vectors still attached —
+    * (id, e, cluster, centroid_sim). [[kmeans]] and [[semDedup]]
+    * share this. */
+  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 0, "need k>0, iters>=0")
+    val v = vectors.select(col(idCol), asDouble(col(vecCol)).as("e"))
+    // seeds: the k lowest-id vectors — deterministic, replayable
+    var cents: Seq[(Long, Seq[Double])] =
+      v.orderBy(col(idCol)).limit(k).collect().toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Double](1)))
+    for (_ <- 1 to iters) {
+      val means = withAssignment(v, cents)
+        .select(col("cluster"), posexplode(col("e")))
+        .select(col("cluster"), col("pos"),
+          floor(col("col") * lit(Q) + lit(0.5)).cast(LongType).as("qv"))
+        .groupBy("cluster", "pos")
+        .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+        .withColumn("m",
+          col("sq").cast("double") / lit(Q) / col("n").cast("double"))
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cl, old) => (cl, means.getOrElse(cl, old)) }
+    }
+    withAssignment(v, cents)
+  }
+
+  /** Spherical k-means: (id, cluster, centroid_sim), ordered by id.
+    * `cluster` is the seed vector's id. */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    kmeansAssign(vectors, k, iters, idCol, vecCol)
+      .select(col(idCol), col("cluster"), col("centroid_sim"))
+      .orderBy(idCol)
+
+  /** SemDeDup: k-means cells, then [[Similarity.cosineDedup]]'s drop
+    * rule (cos ≥ threshold against a lower-id vector → dropped)
+    * restricted to same-cell pairs. Survivors (id, cluster), ordered
+    * by id. The pair join shuffles on the cell id only — Σ n_c²
+    * candidate pairs instead of N². */
+  def semDedup(vectors: DataFrame, threshold: Double,
+               k: Int, iters: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(vectors, k, iters, idCol, vecCol)
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col("e").as("va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col("e").as("vb"))
+    val dup = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cluster"))
+      .join(dup, Seq(idCol), "left_anti")
+      .orderBy(idCol)
+  }
+}

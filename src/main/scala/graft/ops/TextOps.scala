@@ -61,6 +61,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Linear quality classifier — the fasttext-style "score every doc
+    * with a tiny model, threshold, keep" stage of a training-data
+    * pipeline, with a FIXED hand-set weight vector so the whole
+    * scorer is deterministic and oracle-replayable. Features are the
+    * [[qualityScore]] ratios plus distinct-token ratio and a scaled
+    * length; the squash is the rational sigmoid x/(1+|x|) mapped to
+    * (0,1) — NO transcendental calls (exp/log differ across libm
+    * implementations; +,*,/,abs are IEEE-exact everywhere). One
+    * narrow codegen'd projection — no shuffle, no UDF; at 100 TB
+    * this runs at scan speed. Swapping learned weights in changes
+    * nothing structurally. Output: (doc_id, clf_score, clf_prob,
+    * label), label = keep iff score ≥ 0. */
+  def qualityClassifier(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast(DoubleType)
+    val nStop = size(filter(toks,
+      t => t.isin(Stopwords.map(x => x: Any): _*))).cast(DoubleType)
+    val nDist = size(array_distinct(toks)).cast(DoubleType)
+    val wordChars = (length(col(textCol)) - (size(toks) - 1))
+      .cast(DoubleType)
+    // weights are exactly-representable doubles; the expression tree
+    // mirrors the oracle SQL token-for-token (left-associative) so
+    // every intermediate rounding matches
+    val score = lit(-3.5) + lit(8.0) * (nStop / nTok) -
+      lit(0.25) * (wordChars / nTok) + lit(2.0) * (nDist / nTok) +
+      lit(0.5) * (nTok / lit(100.0))
+    docs.select(
+      col(idCol),
+      score.as("clf_score"),
+      ((score / (lit(1.0) + abs(score)) + lit(1.0)) * lit(0.5))
+        .as("clf_prob"),
+      when(score >= lit(0.0), lit("keep")).otherwise(lit("drop"))
+        .as("label"))
+      .orderBy(idCol)
+  }
+
   /** Per-language corpus statistics (group-by over the lang label). */
   def langStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(col("lang")).agg(

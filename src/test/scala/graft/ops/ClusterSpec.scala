@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three tight groups around orthogonal axes, ids interleaved so
+  // seed ids (0..2) land one per group
+  private def axisVec(axis: Int, jitter: Double): Seq[Double] =
+    (0 until 64).map(i =>
+      if (i == axis) 1.0 else if (i == (axis + 7) % 64) jitter else 0.0)
+
+  private lazy val vecs = {
+    val rows = (0 until 30).map { i =>
+      val g = i % 3
+      (i.toLong, axisVec(g * 3, 0.05 * ((i / 3) % 4)).map(_.toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeans recovers the planted groups and is deterministic") {
+    val out = Cluster.kmeans(vecs, k = 3, iters = 3).collect()
+    assert(out.length == 30)
+    // same planted group -> same cluster
+    val byCluster = out.groupBy(_.getLong(1)).view.mapValues(
+      _.map(_.getLong(0) % 3).toSet).toMap
+    assert(byCluster.size == 3)
+    assert(byCluster.values.forall(_.size == 1))
+    // centroid_sim is a valid cosine and near 1 for tight groups
+    assert(out.forall(r => r.getDouble(2) > 0.9 && r.getDouble(2) <= 1.0))
+    // bit-identical on rerun (fixed seeds, fixed-point means)
+    val again = Cluster.kmeans(vecs, k = 3, iters = 3).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("kmeans iters=0 assigns to the raw seed vectors") {
+    val out = Cluster.kmeans(vecs, k = 3, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seeds 0,1,2 each score cosine 1 against themselves
+    assert(out(0L) == 0L && out(1L) == 1L && out(2L) == 2L)
+  }
+
+  test("semDedup drops scaled near-dups within cells, keeps min id") {
+    val withDups = vecs.unionByName(
+      vecs.filter($"vec_id" % 5 === 0)
+        .select(($"vec_id" + 1000).as("vec_id"),
+          transform($"embedding", x => x * lit(1.25f)).as("embedding")))
+    val surv = Cluster.semDedup(withDups, threshold = 0.999,
+      k = 3, iters = 2).collect()
+    val ids = surv.map(_.getLong(0)).toSet
+    // the vector pattern repeats every 12 ids: 0..11 are the distinct
+    // class minima and survive; 12..29 and every injected copy are
+    // exact dups of a lower id in the same cell and drop
+    assert(ids == (0L until 12L).toSet)
+  }
+
+  test("semDedup at an unreachable threshold keeps everything") {
+    val surv = Cluster.semDedup(vecs, threshold = 1.5, k = 3, iters = 1)
+    assert(surv.count() == 30)
+  }
+}

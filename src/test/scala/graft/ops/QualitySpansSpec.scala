@@ -171,4 +171,24 @@ class QualitySpansSpec extends SparkSpec {
     val kept = manifest.collect { case (id, ("kept", _)) => id }.toSet
     assert(kept == sampled)
   }
+
+  test("qualityClassifier: monotone in stopwords, prob in (0,1), " +
+    "label tracks the sign") {
+    val docs = Seq(
+      (1L, "the a of and is to the a of and is to"), // all stopwords
+      (2L, "the quick brown fox jumps over a lazy dog again today"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityClassifier(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getString(3))).toMap
+    assert(out.values.forall { case (_, p, _) => p > 0.0 && p < 1.0 })
+    // stopword weight dominates: all-stopword > mixed > none
+    assert(out(1L)._1 > out(2L)._1 && out(2L)._1 > out(3L)._1)
+    assert(out.values.forall { case (s, _, l) =>
+      (s >= 0.0) == (l == "keep") })
+    // rational sigmoid is exactly (s/(1+|s|)+1)/2
+    out.values.foreach { case (s, p, _) =>
+      assert(p == (s / (1.0 + math.abs(s)) + 1.0) * 0.5) }
+  }
 }
