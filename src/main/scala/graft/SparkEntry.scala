@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Multimodal, Quantize, RangeJoin, Sessions, Similarity, TextOps, Upsert}
+import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, TextOps, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -750,6 +750,21 @@ object SparkEntry {
     // "score every doc with a tiny model, threshold, keep" stage.
     "q89_quality_classifier" -> ((s, dir) =>
       TextOps.qualityClassifier(Tables.documents(s, dir))),
+    // BM25 keyword retrieval (rational idf — no transcendentals, so
+    // the whole ranking is hash-exact): corpus stats in one
+    // partial-aggregated scan, scoring as a narrow projection,
+    // top-20 via TakeOrderedAndProject — the quality-mining query.
+    "q90_bm25_search" -> ((s, dir) =>
+      TextOps.bm25Search(Tables.documents(s, dir),
+        Seq("vector", "merge", "slow"), k = 20)),
+    // PCA power iteration (3 rounds, fixed-point accumulation):
+    // dominant principal direction of the centered embeddings +
+    // per-vector projection — the whitening/compression stage,
+    // deterministic end-to-end and oracle-gated.
+    "q91_pca_power" -> ((s, dir) =>
+      Pca.powerIteration(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
+        iters = 3)),
     // Semantic-outlier scores: per-language fixed-point centroid +
     // per-doc cosine to its group centroid; lang_rank 1 = strongest
     // outlier per language.
@@ -947,6 +962,8 @@ object SparkEntry {
     "q87_kmeans"            -> Oracle.kmeans,
     "q88_semdedup"          -> Oracle.semDedup,
     "q89_quality_classifier" -> Oracle.qualityClassifier,
+    "q90_bm25_search"       -> Oracle.bm25Search,
+    "q91_pca_power"         -> Oracle.pcaPower,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

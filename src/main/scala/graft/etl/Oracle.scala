@@ -1795,4 +1795,98 @@ SELECT doc_id, clf_score,
        (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5 AS clf_prob,
        CASE WHEN clf_score >= 0.0 THEN 'keep' ELSE 'drop' END AS label
 FROM s ORDER BY doc_id"""
+
+  /** One BM25 term's score expression — written token-for-token as
+    * the Spark column tree (left-associative, identical literals) so
+    * every IEEE rounding matches; rational idf, no log. */
+  private def bm25Term(t: String, i: Int): String = {
+    val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+    s"""(n_docs - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)
+     * ($tf * 2.2)
+     / ($tf + 1.2 * (0.25 + 0.75 * CAST(dln AS DOUBLE)
+        / (CAST(sum_dl AS DOUBLE) / n_docs)))"""
+  }
+
+  /** q90 oracle: rational-idf BM25 top-20 for the fixed 3-term query
+    * — corpus stats CTE (N, Σdl, per-term df), then the scoring
+    * expression from [[bm25Term]] summed left-to-right. */
+  val bm25Search: String = {
+    val terms = Seq("vector", "merge", "slow")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"""sum(CASE WHEN len(list_filter(toks, x -> x = '$t')) > 0
+              THEN 1 ELSE 0 END) AS df_$i"""
+    }.mkString(",\n         ")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      s"(${bm25Term(t, i)})"
+    }.mkString("\n      + ")
+    s"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dln FROM t),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         sum(dln) AS sum_dl,
+         $dfs
+  FROM base),
+scored AS (
+  SELECT doc_id,
+      $score AS bm25
+  FROM base, st),
+top AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored WHERE bm25 > 0.0)
+SELECT doc_id, CAST(rank AS INT) AS rank, bm25 FROM top
+WHERE rank <= 20 ORDER BY rank"""
+  }
+
+  /** q91 oracle: PCA power iteration unrolled — fixed-point
+    * per-dimension mean, centered corpus, then `iters` rounds of
+    * w ← normalize(Σ (x̂·w) x̂) with the per-row accumulations
+    * quantized to 2^20 longs (order-independent integer sums — the
+    * same discipline as [[kmeansCtes]]), finishing with each
+    * vector's projection onto the converged direction. */
+  val pcaPower: String = {
+    val iters = 3
+    val sb = new StringBuilder
+    sb ++= """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id < 2000),
+ms AS (
+  SELECT p.pos,
+         sum(CAST(floor(e[p.pos] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM v, range(1, 65) p(pos) GROUP BY 1),
+mm AS (SELECT list(CAST(sq AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)
+                   ORDER BY pos) AS m
+       FROM ms),
+c AS (
+  SELECT vec_id, list(e[p.pos] - mm.m[p.pos] ORDER BY p.pos) AS e
+  FROM v, mm, range(1, 65) p(pos) GROUP BY vec_id),
+w0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS w),
+"""
+    for (i <- 1 to iters) {
+      sb ++= s"""p$i AS (
+  SELECT c.vec_id, c.e, list_dot_product(c.e, w${i - 1}.w) AS p
+  FROM c, w${i - 1}),
+s$i AS (
+  SELECT q.pos,
+         sum(CAST(floor(p * e[q.pos] * 1048576.0 + 0.5) AS BIGINT)) AS sq
+  FROM p$i, range(1, 65) q(pos) GROUP BY 1),
+u$i AS (SELECT list(CAST(sq AS DOUBLE) / 1048576.0 ORDER BY pos) AS s
+        FROM s$i),
+w$i AS (SELECT list_transform(s,
+          x -> x / sqrt(list_dot_product(s, s))) AS w
+        FROM u$i),
+"""
+    }
+    sb ++= s"""fin AS (
+  SELECT c.vec_id, list_dot_product(c.e, w$iters.w) AS pc1_proj
+  FROM c, w$iters)
+SELECT vec_id, pc1_proj FROM fin ORDER BY vec_id"""
+    sb.toString
+  }
 }

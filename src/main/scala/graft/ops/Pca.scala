@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic PCA via power iteration — the dimensionality-
+  * reduction / whitening stage of an embedding pipeline, as a
+  * first-class oracle-replayable operator.
+  *
+  * Same "tiny model state, huge data" discipline as
+  * [[Cluster.kmeans]]: the candidate direction w (dim doubles) lives
+  * on the driver and folds into a literal codegen'd expression; each
+  * Lloyd-like refinement w ← normalize(Σ_r (x̂_r·w) x̂_r) is ONE
+  * narrow corpus scan plus a dim-row partial aggregate. The corpus
+  * is never shuffled; at 100 TB the cost is iters × scan.
+  *
+  * Determinism (what makes it hash-exact vs DuckDB):
+  *   - the per-dimension mean and the per-row accumulation
+  *     (x̂·w)·x̂_i are quantized to `floor(v·2^20 + 0.5)` longs before
+  *     summing — integer sums are order-independent, so no
+  *     parallel-reduction reordering can change a bit;
+  *   - dot products fold sequentially in index order (the codegen'd
+  *     [[graft.functions.DotProduct]] ≡ DuckDB `list_dot_product`);
+  *   - w₀ = the uniform direction (1/8 per component for dim 64 —
+  *     exactly representable; no RNG) fixes the sign of the
+  *     converged direction — both engines run the identical
+  *     arithmetic, so no sign convention is needed. A corpus whose
+  *     every principal direction is orthogonal to w₀ would zero the
+  *     first step; that degenerate case THROWS rather than
+  *     propagating NaN.
+  */
+object Pca {
+
+  /** Fixed-point quantum (2^20) — see [[Cluster]]. */
+  private val Q = 1048576.0
+
+  /** Projection of every (mean-centered) vector onto the dominant
+    * principal direction after `iters` power iterations:
+    * (id, pc1_proj), ordered by id. */
+  def powerIteration(vectors: DataFrame, iters: Int = 3,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "need iters>=1")
+    val v = vectors.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("e"))
+    // fixed-point per-dimension mean (one aggregate job)
+    val mean: Seq[Double] = v
+      .select(posexplode(col("e")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x") * lit(Q) + lit(0.5)).cast(LongType).as("qv"))
+      .groupBy("pos").agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => r.getLong(1).toDouble / Q / r.getLong(2).toDouble).toSeq
+    val centered = v.select(col(idCol),
+      zip_with(col("e"), typedLit(mean), (a, b) => a - b).as("e"))
+    var w: Seq[Double] = Seq.fill(mean.length)(1.0 / 8.0)
+    for (_ <- 1 to iters) {
+      val s: Seq[Double] = centered
+        .select(Similarity.dot(col("e"), typedLit(w)).as("p"), col("e"))
+        .select(col("p"), posexplode(col("e")).as(Seq("pos", "x")))
+        .select(col("pos"),
+          floor(col("p") * col("x") * lit(Q) + lit(0.5))
+            .cast(LongType).as("qv"))
+        .groupBy("pos").agg(sum("qv").as("sq"))
+        .collect().sortBy(_.getInt(0))
+        .map(_.getLong(1).toDouble / Q).toSeq
+      // same sequential-fold norm the oracle's list_dot_product runs
+      val nrm = math.sqrt(s.foldLeft(0.0)((a, x) => a + x * x))
+      require(nrm > 0.0,
+        "power iteration collapsed: corpus variance is orthogonal " +
+          "to the current direction")
+      w = s.map(_ / nrm)
+    }
+    centered.select(col(idCol),
+        Similarity.dot(col("e"), typedLit(w)).as("pc1_proj"))
+      .orderBy(idCol)
+  }
+}

@@ -98,6 +98,59 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** BM25 keyword retrieval with a RATIONAL idf — the classic
+    * quality-mining / targeted-extraction query ("pull the top-k docs
+    * about X out of the corpus"). The textbook BM25 idf is
+    * log((N-df+0.5)/(df+0.5)); log is transcendental and libm-
+    * dependent, so like [[tfidfTerms]] this uses the rational idf
+    * (N-df+0.5)/(df+0.5) — same ordering, IEEE-exact, oracle-
+    * replayable. k1=1.2, b=0.75 are FIXED literals so both engines
+    * parse the identical doubles.
+    *
+    * Shape at 100 TB: one corpus-stats aggregate (count + sum(dl) +
+    * one df counter per query term — a single partial-aggregated
+    * scan), broadcast back as a one-row literal, then scoring is a
+    * narrow codegen'd projection and the top-k is
+    * TakeOrderedAndProject — no global window, no full sort. Scoring
+    * a q-term query costs q array scans per doc; an inverted index
+    * would beat it per-query, but for BULK mining (score the whole
+    * corpus once) the scan IS the optimal plan. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "need at least one query term")
+    val toksC = tokens(col(textCol))
+    val base = docs.select(col(idCol), toksC.as("toks"),
+      size(toksC).cast(LongType).as("dln"))
+    val aggCols =
+      count(lit(1)).cast(DoubleType).as("n_docs") +:
+      sum(col("dln")).as("sum_dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum((size(filter(col("toks"), x => x === lit(t))) > 0)
+          .cast(LongType)).as(s"df_$i")
+      }
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val dl = col("dln").cast(DoubleType)
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === lit(t)))
+        .cast(DoubleType)
+      val df = col(s"df_$i").cast(DoubleType)
+      (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) *
+        (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
+    }.reduce(_ + _)
+    val top = base.crossJoin(broadcast(stats))
+      .select(col(idCol), score.as("bm25"))
+      .filter(col("bm25") > lit(0.0))
+      .orderBy(col("bm25").desc, col(idCol)).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("bm25"))
+      .orderBy("rank")
+  }
+
   /** Per-language corpus statistics (group-by over the lang label). */
   def langStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(col("lang")).agg(

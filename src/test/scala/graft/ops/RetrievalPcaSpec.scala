@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalPcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25Search ranks matching docs, respects k, rarer term wins") {
+    val docs = Seq(
+      (1L, "spark spark spark join join filter filter filter filter"),
+      (2L, "spark join things and other words here now today maybe"),
+      (3L, "nothing relevant in this document at all whatsoever here"),
+      (4L, "rareword appears here exactly once with other padding text"),
+      (5L, "spark once among many many many other padding words here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Search(docs, Seq("spark", "rareword"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.length == 3) // doc 3 matches nothing; k caps the rest
+    assert(out.map(_._1).toSet.subsetOf(Set(1L, 2L, 4L, 5L)))
+    // ranks are 1..3 in order, scores non-increasing
+    assert(out.map(_._2).toSeq == Seq(1, 2, 3))
+    assert(out.sliding(2).forall(p => p(0)._3 >= p(1)._3))
+    // rareword (df=1) outscores spark (df=3): doc 4 beats doc 5
+    val score = out.map(r => r._1 -> r._3).toMap
+    assert(score.getOrElse(4L, 0.0) > score.getOrElse(5L, Double.MaxValue)
+      || !score.contains(5L))
+  }
+
+  test("pca powerIteration recovers a planted dominant direction") {
+    // variance 16 along axis 3, variance ~1 along axis 10
+    val rows = (0 until 40).map { i =>
+      val main = (i % 9) - 4.0 // -4..4
+      val minor = (i % 3) - 1.0
+      val v = Array.fill(64)(0.0f)
+      v(3) = (4.0 * main).toFloat
+      v(10) = minor.toFloat
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Pca.powerIteration(df, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // projection matches the CENTERED planted axis-3 coordinate
+    // (mean of v(3) over the 40 rows is exactly -1.0), up to the
+    // converged sign and a small axis-10 leakage (cov(main, minor)
+    // tilts w by ~0.03)
+    val cent = rows.map { case (id, v) => id -> (v(3).toDouble + 1.0) }
+      .toMap
+    val sign = math.signum(out(0L)) * math.signum(cent(0L))
+    rows.foreach { case (id, _) =>
+      assert(math.abs(out(id) - sign * cent(id)) < 0.2,
+        s"id=$id proj=${out(id)} want ~${sign * cent(id)}")
+    }
+    // deterministic
+    val again = Pca.powerIteration(df, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == again)
+  }
+}
