@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the vector dot product — the hot
   * inner loop of similarity search. A codegen'd tight loop over the
@@ -231,6 +231,131 @@ case class IvfProbes(child: Expression, numCentroids: Int, nProbe: Int)
     copy(child = c)
 }
 
+/** Argmax-cosine assignment against a FIXED centroid matrix — the
+  * k-means inner loop as one codegen'd O(k·dim) pass. The naive
+  * formulation (`array_max` over k struct(cosine, -cluster) columns)
+  * builds a k×dim-literal expression tree that degrades sharply with
+  * k (21 s at k=80/20k vectors vs 4 s at k=8 — ProfileCluster10x);
+  * this loop is flat in expression size, so k can scale with the
+  * corpus (SemDeDup wants cell count ∝ N).
+  *
+  * Arithmetic is IDENTICAL per centroid to
+  * `dot(e,c) / (sqrt(dot(e,e)) * sqrt(dot(c,c)))` with sequential
+  * index-order accumulation: ‖e‖ computed once per row, ‖c_j‖
+  * precomputed once at construction with the same fold. Selection is
+  * strict `>` over ascending row order, so ties keep the FIRST
+  * (lowest) index — the caller orders centroids by cluster id,
+  * making this identical to `array_max` over (sim, -cluster).
+  * Returns `[bestSim, bestIdx]` as array<double>; NULL when the
+  * vector's length differs from the centroids' or every sim is NaN
+  * (zero-norm inputs). */
+case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val norms: Array[Double] = cents.map { c =>
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "argmax_cosine"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val n = e.numElements()
+    if (cents.exists(_.length != n)) null
+    else {
+      var na = 0.0
+      var i = 0
+      while (i < n) { val x = e.getDouble(i); na += x * x; i += 1 }
+      na = math.sqrt(na)
+      var bestSim = Double.NegativeInfinity
+      var bestJ = -1
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var dot = 0.0
+        var ii = 0
+        while (ii < n) { dot += e.getDouble(ii) * c(ii); ii += 1 }
+        val sim = dot / (na * norms(j))
+        if (sim > bestSim) { bestSim = sim; bestJ = j }
+        j += 1
+      }
+      if (bestJ < 0) null
+      else new GenericArrayData(Array(bestSim, bestJ.toDouble))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val nRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val n = ctx.freshName("n")
+      val na = ctx.freshName("na")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val ii = ctx.freshName("ii")
+      val dot = ctx.freshName("dot")
+      val sim = ctx.freshName("sim")
+      val bestSim = ctx.freshName("bestSim")
+      val bestJ = ctx.freshName("bestJ")
+      val c = ctx.freshName("c")
+      val ok = ctx.freshName("ok")
+      s"""
+         |int $n = $e.numElements();
+         |boolean $ok = true;
+         |for (int $j = 0; $j < $cRef.length; $j++) {
+         |  if ($cRef[$j].length != $n) { $ok = false; }
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $na = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x = $e.getDouble($i);
+         |    $na += x * x;
+         |  }
+         |  $na = Math.sqrt($na);
+         |  double $bestSim = Double.NEGATIVE_INFINITY;
+         |  int $bestJ = -1;
+         |  for (int $j = 0; $j < $cRef.length; $j++) {
+         |    double[] $c = $cRef[$j];
+         |    double $dot = 0.0;
+         |    for (int $ii = 0; $ii < $n; $ii++) {
+         |      $dot += $e.getDouble($ii) * $c[$ii];
+         |    }
+         |    double $sim = $dot / ($na * $nRef[$j]);
+         |    if ($sim > $bestSim) { $bestSim = $sim; $bestJ = $j; }
+         |  }
+         |  if ($bestJ < 0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util
+         |      .GenericArrayData(new double[]{$bestSim, (double) $bestJ});
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ArgmaxCosine = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
@@ -252,4 +377,10 @@ object VectorExpressions {
   def ivf_probes(v: Column, numCentroids: Int, nProbe: Int): Column =
     GraftSqlBridge.column(
       IvfProbes(GraftSqlBridge.expression(v), numCentroids, nProbe))
+
+  /** `[bestSim, bestIdx]` of the argmax-cosine centroid (see
+    * [[ArgmaxCosine]]). */
+  def argmax_cosine(e: Column, cents: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(
+      ArgmaxCosine(GraftSqlBridge.expression(e), cents))
 }

@@ -46,17 +46,21 @@ object Cluster {
   private val Q = 1048576.0
 
   /** Assignment under literal centroids: argmax cosine, ties to the
-    * lowest cluster id. Centroids are a driver-side constant, so this
-    * is one codegen'd expression — no join, no shuffle. */
+    * lowest cluster id. Centroids are a driver-side constant folded
+    * into the codegen'd [[graft.functions.ArgmaxCosine]] loop — no
+    * join, no shuffle, and expression size flat in k (the previous
+    * `array_max` over k struct columns degraded 5× by k=80;
+    * ProfileCluster10x). Arithmetic and tie order are identical, so
+    * the DuckDB oracles are unchanged. */
   private def withAssignment(v: DataFrame,
                              cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    val best = array_max(array(cents.map { case (cl, c) =>
-      struct(Similarity.cosine(col("e"), typedLit(c)).as("sim"),
-        lit(-cl).as("negc"))
-    }: _*))
+    val sorted = cents.sortBy(_._1)
+    val best = graft.functions.VectorExpressions.argmax_cosine(
+      col("e"), sorted.map(_._2.toArray).toArray)
     v.withColumn("__best", best)
-      .withColumn("centroid_sim", col("__best").getField("sim"))
-      .withColumn("cluster", -col("__best").getField("negc"))
+      .withColumn("centroid_sim", col("__best").getItem(0))
+      .withColumn("cluster", element_at(typedLit(sorted.map(_._1)),
+        col("__best").getItem(1).cast("int") + lit(1)))
       .drop("__best")
   }
 
