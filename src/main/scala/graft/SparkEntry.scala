@@ -765,6 +765,13 @@ object SparkEntry {
       Pca.powerIteration(
         Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
         iters = 3)),
+    // Cluster-balanced sampling: k-means cells as the strata of the
+    // α=0.5 temperature mix — flattens semantic-topic imbalance the
+    // way q73 flattens language imbalance. Oracle replays the cells
+    // AND the mix.
+    "q92_balanced_sample" -> ((s, dir) =>
+      Cluster.balancedSample(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), budget = 100, k = 8, iters = 2)),
     // Semantic-outlier scores: per-language fixed-point centroid +
     // per-doc cosine to its group centroid; lang_rank 1 = strongest
     // outlier per language.
@@ -964,6 +971,7 @@ object SparkEntry {
     "q89_quality_classifier" -> Oracle.qualityClassifier,
     "q90_bm25_search"       -> Oracle.bm25Search,
     "q91_pca_power"         -> Oracle.pcaPower,
+    "q92_balanced_sample"   -> Oracle.balancedSample,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -1796,6 +1796,33 @@ SELECT doc_id, clf_score,
        CASE WHEN clf_score >= 0.0 THEN 'keep' ELSE 'drop' END AS label
 FROM s ORDER BY doc_id"""
 
+  /** q92 oracle: cluster-balanced sampling — the kmeans CTEs (2
+    * iterations over ALL embeddings) feed the q73 temperature replay
+    * with cluster as the stratum. */
+  val balancedSample: String = "WITH " + kmeansCtes(8, 2,
+    """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings""") + """,
+d AS (
+  SELECT doc.doc_id, doc.text, fin.cluster
+  FROM documents doc JOIN fin ON fin.vec_id = doc.doc_id),
+cc AS (SELECT cluster, count(*) AS n_docs FROM d GROUP BY cluster),
+ss AS (SELECT list_reduce(
+         list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY cluster),
+         (a, b) -> a + b) AS total FROM cc),
+tt AS (SELECT cluster,
+         CAST(floor(100.0 * sqrt(CAST(n_docs AS DOUBLE)) / total + 0.5)
+              AS BIGINT) AS n_target
+       FROM cc, ss),
+r AS (SELECT cluster, doc_id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY md5(text), doc_id) AS rn
+      FROM d)
+SELECT CAST(r.cluster AS BIGINT) AS cluster, r.doc_id,
+       CAST(rn AS BIGINT) AS sample_rank
+FROM r JOIN tt ON r.cluster = tt.cluster
+WHERE rn <= tt.n_target
+ORDER BY r.cluster, sample_rank"""
+
   /** One BM25 term's score expression — written token-for-token as
     * the Spark column tree (left-associative, identical literals) so
     * every IEEE rounding matches; rational idf, no log. */

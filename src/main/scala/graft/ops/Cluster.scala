@@ -104,6 +104,25 @@ object Cluster {
       .select(col(idCol), col("cluster"), col("centroid_sim"))
       .orderBy(idCol)
 
+  /** Cluster-balanced corpus sampling: k-means cells become the
+    * strata of [[TextOps.temperatureSample]]'s α=0.5 mix — sampling
+    * proportional to √cell-size flattens semantic-topic imbalance
+    * the way per-language temperature sampling flattens language
+    * imbalance (the SemDeDup-adjacent "semantic diversity" recipe).
+    * One id-only join attaches cells to docs; the sampling adds one
+    * stratum shuffle. Output (cluster, id, sample_rank). */
+  def balancedSample(docs: DataFrame, embeddings: DataFrame,
+                     budget: Int, k: Int, iters: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cells = kmeansAssign(embeddings, k, iters, idCol = "vec_id",
+        vecCol = vecCol)
+      .select(col("vec_id").as(idCol), col("cluster"))
+    TextOps.temperatureSample(docs.join(cells, idCol), budget,
+      stratumCol = "cluster", textCol = textCol, idCol = idCol)
+  }
+
   /** SemDeDup: k-means cells, then [[Similarity.cosineDedup]]'s drop
     * rule (cos ≥ threshold against a lower-id vector → dropped)
     * restricted to same-cell pairs. Survivors (id, cluster), ordered

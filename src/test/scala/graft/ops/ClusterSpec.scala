@@ -60,4 +60,39 @@ class ClusterSpec extends SparkSpec {
     val surv = Cluster.semDedup(vecs, threshold = 1.5, k = 3, iters = 1)
     assert(surv.count() == 30)
   }
+
+  test("ArgmaxCosine eval: ties keep lowest index, dim mismatch nulls") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import graft.functions.ArgmaxCosine
+    def arr(xs: Double*) = new GenericArrayData(xs.toArray)
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = Literal.create(Seq(1.0, 0.0),
+      ArrayType(DoubleType)) // placeholder child
+    // two identical centroids -> tie -> index 0
+    val tie = ArgmaxCosine(e, Array(Array(1.0, 0.0), Array(1.0, 0.0)))
+    val out = tie.nullSafeEval(arr(2.0, 0.0)).asInstanceOf[ArrayData]
+    assert(out.getDouble(1) == 0.0 && out.getDouble(0) == 1.0)
+    // clear winner at index 1 despite ascending order
+    val win = ArgmaxCosine(e, Array(Array(0.0, 1.0), Array(1.0, 0.0)))
+    val out2 = win.nullSafeEval(arr(3.0, 0.1)).asInstanceOf[ArrayData]
+    assert(out2.getDouble(1) == 1.0)
+    // centroid dim mismatch -> null
+    val bad = ArgmaxCosine(e, Array(Array(1.0, 0.0, 0.0)))
+    assert(bad.nullSafeEval(arr(1.0, 0.0)) == null)
+  }
+
+  test("balancedSample: sqrt-proportional per-cell targets, md5 order") {
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"doc body number $i with words")).toDF("doc_id", "text")
+    val out = Cluster.balancedSample(docs, vecs, budget = 9,
+      k = 3, iters = 2).collect()
+    // 3 planted cells of 10 docs each -> equal sqrt weights -> 3 each
+    val perCell = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perCell.size == 3 && perCell.values.forall(_ == 3))
+    // ranks are 1..n per cell
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
 }
