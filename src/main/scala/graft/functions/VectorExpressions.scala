@@ -246,9 +246,14 @@ case class IvfProbes(child: Expression, numCentroids: Int, nProbe: Int)
   * strict `>` over ascending row order, so ties keep the FIRST
   * (lowest) index — the caller orders centroids by cluster id,
   * making this identical to `array_max` over (sim, -cluster).
-  * Returns `[bestSim, bestIdx]` as array<double>; NULL when the
-  * vector's length differs from the centroids' or every sim is NaN
-  * (zero-norm inputs). */
+  * Returns `[bestSim, bestIdx]` as array<double>; NULL only when the
+  * vector's length differs from the centroids'. When EVERY sim is
+  * NaN (a zero-norm vector against every centroid) the result is
+  * `[NaN, 0]` — the lowest index — matching both the `array_max`
+  * formulation it replaced (NaN compares equal, tie falls to the
+  * lowest cluster) and the DuckDB oracle (NaN sorts first under
+  * `ORDER BY sim DESC`, tie to cluster asc), so degenerate vectors
+  * assign deterministically instead of nulling the cluster column. */
 case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]])
     extends UnaryExpression {
 
@@ -294,7 +299,8 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]])
         if (sim > bestSim) { bestSim = sim; bestJ = j }
         j += 1
       }
-      if (bestJ < 0) null
+      if (bestJ < 0) // every sim NaN: lowest index, like the oracle
+        new GenericArrayData(Array(Double.NaN, 0.0))
       else new GenericArrayData(Array(bestSim, bestJ.toDouble))
     }
   }
@@ -315,6 +321,7 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]])
       val bestJ = ctx.freshName("bestJ")
       val c = ctx.freshName("c")
       val ok = ctx.freshName("ok")
+      val x = ctx.freshName("x")
       s"""
          |int $n = $e.numElements();
          |boolean $ok = true;
@@ -326,8 +333,8 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]])
          |} else {
          |  double $na = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double x = $e.getDouble($i);
-         |    $na += x * x;
+         |    double $x = $e.getDouble($i);
+         |    $na += $x * $x;
          |  }
          |  $na = Math.sqrt($na);
          |  double $bestSim = Double.NEGATIVE_INFINITY;
@@ -342,7 +349,8 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]])
          |    if ($sim > $bestSim) { $bestSim = $sim; $bestJ = $j; }
          |  }
          |  if ($bestJ < 0) {
-         |    ${ev.isNull} = true;
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util
+         |      .GenericArrayData(new double[]{Double.NaN, 0.0});
          |  } else {
          |    ${ev.value} = new org.apache.spark.sql.catalyst.util
          |      .GenericArrayData(new double[]{$bestSim, (double) $bestJ});

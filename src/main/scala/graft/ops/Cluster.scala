@@ -89,7 +89,15 @@ object Cluster {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           _.getField("m")).as("c"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        .collect().map { r =>
+          // a null cluster means ArgmaxCosine hit a vector whose
+          // length differs from the centroids' — fail fast instead
+          // of letting getLong unbox null to 0L and silently corrupt
+          // cluster 0's centroid
+          require(!r.isNullAt(0), "kmeans: embedding dimension " +
+            "differs from the centroid dimension")
+          r.getLong(0) -> r.getSeq[Double](1)
+        }.toMap
       cents = cents.map { case (cl, old) => (cl, means.getOrElse(cl, old)) }
     }
     withAssignment(v, cents)

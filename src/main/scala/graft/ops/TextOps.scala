@@ -856,35 +856,15 @@ object TextOps {
       .orderBy(idCol)
   }
 
-  /** End-to-end curation v2 — the r6 operators chained the way a
-    * production pipeline runs them: [[gopherRules]] pass gate →
-    * MinHash-LSH candidates + exact shingle-Jaccard verify →
-    * [[Components.componentDedupBest]] keeping the LONGEST member of
-    * each near-dup cluster → [[temperatureSample]] (α = 0.5)
-    * rebalancing what survives. Returns (stratum, doc_id,
-    * sample_rank), the training-mix manifest.
-    *
-    * Every stage is ids-only where it can be: the rule gate passes
-    * ids into a semi-join, the cluster stage shuffles candidate ids
-    * and shingle sets only, and document bodies are only re-read for
-    * the final sampling window. Stage-by-stage determinism (integer
-    * rules, exact verify, integer argmax, md5 min-k) makes the WHOLE
-    * composite replayable by the DuckDB oracle — rules CTE →
-    * recursive closure + argmax → sqrt-target window. */
-  /** Per-document curation MANIFEST: the [[curateCorpusV2]] pipeline
-    * with full decision lineage — every input doc labeled with WHY it
-    * survived or died ('rejected_rule' + the first failing rule,
-    * 'near_dup' = lost its cluster to a longer member, 'sampled_out'
-    * = survived the gates but fell outside the temperature budget,
-    * 'kept' + its sample_rank). This is the explainability artifact
-    * audits and takedown requests need — and it is pure column logic
-    * over the already-computed stage outputs, so it costs three
-    * broadcast-or-id-only joins beyond the pipeline itself. */
-  def curationManifest(docs: DataFrame, budget: Int,
-                       jaccardThreshold: Double = 0.8,
-                       stratumCol: String = "lang",
-                       textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
+  /** Shared stage outputs of the v2 curation pipeline — ONE
+    * definition of the stages so [[curateCorpusV2]] and
+    * [[curationManifest]] cannot drift apart: (rule verdicts,
+    * near-dup cluster survivor ids, temperature sample). */
+  private def curationStages(docs: DataFrame, budget: Int,
+                             jaccardThreshold: Double,
+                             stratumCol: String, textCol: String,
+                             idCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val rules = gopherRules(docs, textCol = textCol, idCol = idCol)
     val passed = docs.join(rules.filter(col("passes")).select(col(idCol)),
       Seq(idCol), "left_semi")
@@ -901,6 +881,48 @@ object TextOps {
     val surviving = docs.join(kept, Seq(idCol), "left_semi")
     val sampled = temperatureSample(surviving, budget, stratumCol,
       textCol, idCol)
+    (rules, kept, sampled)
+  }
+
+  /** End-to-end curation v2 — the r6 operators chained the way a
+    * production pipeline runs them: [[gopherRules]] pass gate →
+    * MinHash-LSH candidates + exact shingle-Jaccard verify →
+    * [[Components.componentDedupBest]] keeping the LONGEST member of
+    * each near-dup cluster → [[temperatureSample]] (α = 0.5)
+    * rebalancing what survives. Returns (stratum, doc_id,
+    * sample_rank), the training-mix manifest.
+    *
+    * Every stage is ids-only where it can be: the rule gate passes
+    * ids into a semi-join, the cluster stage shuffles candidate ids
+    * and shingle sets only, and document bodies are only re-read for
+    * the final sampling window. Stage-by-stage determinism (integer
+    * rules, exact verify, integer argmax, md5 min-k) makes the WHOLE
+    * composite replayable by the DuckDB oracle — rules CTE →
+    * recursive closure + argmax → sqrt-target window. */
+  def curateCorpusV2(docs: DataFrame, budget: Int,
+                     jaccardThreshold: Double = 0.8,
+                     stratumCol: String = "lang",
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    curationStages(docs, budget, jaccardThreshold, stratumCol,
+      textCol, idCol)._3
+
+  /** Per-document curation MANIFEST: the [[curateCorpusV2]] pipeline
+    * with full decision lineage — every input doc labeled with WHY it
+    * survived or died ('rejected_rule' + the first failing rule,
+    * 'near_dup' = lost its cluster to a longer member, 'sampled_out'
+    * = survived the gates but fell outside the temperature budget,
+    * 'kept' + its sample_rank). This is the explainability artifact
+    * audits and takedown requests need — and it is pure column logic
+    * over the [[curationStages]] outputs, so it costs three
+    * broadcast-or-id-only joins beyond the pipeline itself. */
+  def curationManifest(docs: DataFrame, budget: Int,
+                       jaccardThreshold: Double = 0.8,
+                       stratumCol: String = "lang",
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val (rules, kept, sampled) = curationStages(docs, budget,
+      jaccardThreshold, stratumCol, textCol, idCol)
     docs.select(col(idCol), col(stratumCol))
       .join(rules.select(col(idCol), col("passes"), col("reject_reason")),
         Seq(idCol))
@@ -916,27 +938,5 @@ object TextOps {
         col("reject_reason").as("reason"),
         col("sample_rank"))
       .orderBy(idCol)
-  }
-
-  def curateCorpusV2(docs: DataFrame, budget: Int,
-                     jaccardThreshold: Double = 0.8,
-                     stratumCol: String = "lang",
-                     textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
-    val passIds = gopherRules(docs, textCol = textCol, idCol = idCol)
-      .filter(col("passes")).select(col(idCol))
-    val passed = docs.join(passIds, Seq(idCol), "left_semi")
-    val verified = Dedup.jaccardVerify(
-        Dedup.minHashCandidates(passed, textCol = textCol, idCol = idCol),
-        passed, shingleLen = Dedup.ShingleLen,
-        textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= jaccardThreshold)
-    val kept = Components.componentDedupBest(
-      passed.select(col(idCol)), verified,
-      passed.select(col(idCol),
-        size(tokens(col(textCol))).cast(LongType).as("score")),
-      idCol = idCol, srcCol = "id_a", dstCol = "id_b")
-    val surviving = docs.join(kept, Seq(idCol), "left_semi")
-    temperatureSample(surviving, budget, stratumCol, textCol, idCol)
   }
 }

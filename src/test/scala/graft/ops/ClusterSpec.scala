@@ -80,6 +80,11 @@ class ClusterSpec extends SparkSpec {
     // centroid dim mismatch -> null
     val bad = ArgmaxCosine(e, Array(Array(1.0, 0.0, 0.0)))
     assert(bad.nullSafeEval(arr(1.0, 0.0)) == null)
+    // zero-norm vector: every sim NaN -> lowest index, NaN sim
+    // (matches array_max and the oracle's NaN-sorts-first DESC order)
+    val zn = ArgmaxCosine(e, Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val out3 = zn.nullSafeEval(arr(0.0, 0.0)).asInstanceOf[ArrayData]
+    assert(out3.getDouble(1) == 0.0 && out3.getDouble(0).isNaN)
   }
 
   test("balancedSample: sqrt-proportional per-cell targets, md5 order") {
