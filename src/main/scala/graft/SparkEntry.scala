@@ -765,6 +765,12 @@ object SparkEntry {
       Pca.powerIteration(
         Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
         iters = 3)),
+    // Per-dimension z-score standardization (fixed-point moments —
+    // order-independent integer sums make the stats bit-stable):
+    // stats over the whole corpus, output bounded to vec_id < 100
+    // and exploded to scalar rows (the q75 element-wise discipline).
+    "q93_standardize" -> ((s, dir) =>
+      Pca.standardize(Tables.embeddings(s, dir), outputIds = 100)),
     // Cluster-balanced sampling: k-means cells as the strata of the
     // α=0.5 temperature mix — flattens semantic-topic imbalance the
     // way q73 flattens language imbalance. Oracle replays the cells
@@ -972,6 +978,7 @@ object SparkEntry {
     "q90_bm25_search"       -> Oracle.bm25Search,
     "q91_pca_power"         -> Oracle.pcaPower,
     "q92_balanced_sample"   -> Oracle.balancedSample,
+    "q93_standardize"       -> Oracle.standardize,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -1823,6 +1823,36 @@ FROM r JOIN tt ON r.cluster = tt.cluster
 WHERE rn <= tt.n_target
 ORDER BY r.cluster, sample_rank"""
 
+  /** q93 oracle: per-dimension z-score standardization — fixed-point
+    * Σx and Σx² (order-independent integer sums), variance clamped
+    * at 0, output exploded to (vec_id, pos, z) scalar rows over the
+    * bounded id set while the statistics cover the whole corpus. */
+  val standardize: String = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+st AS (
+  SELECT p.pos,
+         sum(CAST(floor(e[p.pos] * 1048576.0 + 0.5) AS BIGINT)) AS s1,
+         sum(CAST(floor(e[p.pos] * e[p.pos] * 1048576.0 + 0.5)
+                  AS BIGINT)) AS s2,
+         count(*) AS n
+  FROM v, range(1, 65) p(pos) GROUP BY 1),
+sd AS (
+  SELECT pos,
+         CAST(s1 AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE) AS mean,
+         sqrt(greatest(
+           CAST(s2 AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)),
+           0.0)) AS std
+  FROM st)
+SELECT v.vec_id, CAST(p.pos - 1 AS BIGINT) AS pos,
+       CASE WHEN sd.std = 0.0 THEN 0.0
+            ELSE (e[p.pos] - sd.mean) / sd.std END AS z
+FROM v, range(1, 65) p(pos), sd
+WHERE sd.pos = p.pos AND v.vec_id < 100
+ORDER BY v.vec_id, pos"""
+
   /** One BM25 term's score expression — written token-for-token as
     * the Spark column tree (left-associative, identical literals) so
     * every IEEE rounding matches; rational idf, no log. */

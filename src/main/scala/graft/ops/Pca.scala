@@ -35,6 +35,49 @@ object Pca {
   /** Fixed-point quantum (2^20) — see [[Cluster]]. */
   private val Q = 1048576.0
 
+  /** Per-dimension z-score standardization — the feature-scaling
+    * stage that usually precedes clustering/PCA. Moments use the
+    * same fixed-point discipline as [[powerIteration]]: per-dimension
+    * Σx and Σx² quantized to 2^20 longs (order-independent integer
+    * sums), mean/E[x²] divided back at the end, variance clamped at
+    * 0 (quantization can push a constant dimension's m2−mean²
+    * marginally negative). One corpus scan + a dim-row aggregate
+    * broadcast back; output exploded to (id, pos, z) scalar rows —
+    * the element-wise-replayable shape (q75 discipline). `outputIds`
+    * bounds the EMITTED rows; the statistics always cover the whole
+    * corpus. A zero-variance dimension standardizes to z = 0
+    * (explicit CASE — a constant dimension carries no signal, and
+    * ANSI mode would otherwise turn the 0/0 into a runtime error). */
+  def standardize(vectors: DataFrame, outputIds: Long = Long.MaxValue,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("e"))
+    val stats = v
+      .select(posexplode(col("e")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x") * lit(Q) + lit(0.5)).cast(LongType).as("q1"),
+        floor(col("x") * col("x") * lit(Q) + lit(0.5))
+          .cast(LongType).as("q2"))
+      .groupBy("pos")
+      .agg(sum("q1").as("s1"), sum("q2").as("s2"),
+        count(lit(1)).as("n"))
+      .withColumn("mean",
+        col("s1").cast("double") / lit(Q) / col("n").cast("double"))
+      .withColumn("m2",
+        col("s2").cast("double") / lit(Q) / col("n").cast("double"))
+      .withColumn("std",
+        sqrt(greatest(col("m2") - col("mean") * col("mean"), lit(0.0))))
+      .select("pos", "mean", "std")
+    v.filter(col(idCol) < lit(outputIds))
+      .select(col(idCol), posexplode(col("e")).as(Seq("pos", "x")))
+      .join(broadcast(stats), "pos")
+      .select(col(idCol), col("pos").cast(LongType).as("pos"),
+        when(col("std") === lit(0.0), lit(0.0))
+          .otherwise((col("x") - col("mean")) / col("std")).as("z"))
+      .orderBy(idCol, "pos")
+  }
+
   /** Projection of every (mean-centered) vector onto the dominant
     * principal direction after `iters` power iterations:
     * (id, pc1_proj), ordered by id. */

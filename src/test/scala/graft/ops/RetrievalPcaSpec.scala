@@ -56,4 +56,32 @@ class RetrievalPcaSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out == again)
   }
+
+  test("standardize: unit variance, zero mean, stats cover full corpus") {
+    val rows = (0 until 20).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(0) = (i % 5).toFloat          // varying dim
+      v(1) = 7.0f                     // constant dim -> std 0
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Pca.standardize(df, outputIds = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 10 * 64) // bounded output, all dims
+    // dim 0: z-scores of i%5 against the FULL 20-row stats
+    val xs = (0 until 20).map(i => (i % 5).toDouble)
+    val mean = xs.sum / xs.length
+    val std = math.sqrt(xs.map(x => x * x).sum / xs.length - mean * mean)
+    (0 until 10).foreach { i =>
+      val want = ((i % 5).toDouble - mean) / std
+      assert(math.abs(out((i.toLong, 0L)) - want) < 1e-5)
+    }
+    // constant dims (std 0) standardize to the explicit 0.0
+    assert(out((0L, 1L)) == 0.0)
+    assert(out((0L, 5L)) == 0.0)
+    // deterministic across reruns
+    val again = Pca.standardize(df, outputIds = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == again)
+  }
 }
