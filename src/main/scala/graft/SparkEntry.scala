@@ -765,6 +765,21 @@ object SparkEntry {
       Pca.powerIteration(
         Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
         iters = 3)),
+    // Hybrid retrieval: BM25 top-50 + exact-cosine top-50 (query =
+    // vec 0's embedding) fused by reciprocal-rank fusion 1/(60+r) —
+    // pure rational arithmetic, so the fused ranking is hash-exact.
+    // Cost lives in the two retrievers; fusion joins two 50-row
+    // lists.
+    "q94_hybrid_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bm = TextOps.bm25Search(Tables.documents(s, dir),
+        Seq("vector", "merge", "slow"), k = 50)
+      val cos = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), k = 50)
+        .select(col("corpus_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(bm.select(col("doc_id"), col("rank")), cos,
+        k = 10)
+    }),
     // Per-dimension z-score standardization (fixed-point moments —
     // order-independent integer sums make the stats bit-stable):
     // stats over the whole corpus, output bounded to vec_id < 100
@@ -979,6 +994,7 @@ object SparkEntry {
     "q91_pca_power"         -> Oracle.pcaPower,
     "q92_balanced_sample"   -> Oracle.balancedSample,
     "q93_standardize"       -> Oracle.standardize,
+    "q94_hybrid_search"     -> Oracle.hybridSearch,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

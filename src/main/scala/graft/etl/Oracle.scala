@@ -1867,7 +1867,9 @@ ORDER BY v.vec_id, pos"""
   /** q90 oracle: rational-idf BM25 top-20 for the fixed 3-term query
     * — corpus stats CTE (N, Σdl, per-term df), then the scoring
     * expression from [[bm25Term]] summed left-to-right. */
-  val bm25Search: String = {
+  /** The BM25 scoring CTE chain ending in `top` (ranked matches) —
+    * shared by the q90 retrieval oracle and the q94 hybrid fusion. */
+  private def bm25Ctes: String = {
     val terms = Seq("vector", "merge", "slow")
     val dfs = terms.zipWithIndex.map { case (t, i) =>
       s"""sum(CASE WHEN len(list_filter(toks, x -> x = '$t')) > 0
@@ -1876,8 +1878,7 @@ ORDER BY v.vec_id, pos"""
     val score = terms.zipWithIndex.map { case (t, i) =>
       s"(${bm25Term(t, i)})"
     }.mkString("\n      + ")
-    s"""
-WITH t AS (
+    s"""t AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
   FROM documents),
 base AS (
@@ -1894,10 +1895,41 @@ scored AS (
 top AS (
   SELECT doc_id, bm25,
          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
-  FROM scored WHERE bm25 > 0.0)
+  FROM scored WHERE bm25 > 0.0)"""
+  }
+
+  val bm25Search: String = "WITH " + bm25Ctes + """
 SELECT doc_id, CAST(rank AS INT) AS rank, bm25 FROM top
 WHERE rank <= 20 ORDER BY rank"""
-  }
+
+  /** q94 oracle: hybrid retrieval — BM25 top-50 and exact-cosine
+    * top-50 (query = vec 0's embedding, self excluded) fused by
+    * reciprocal-rank fusion 1/(60+rank), both IEEE-rational. */
+  val hybridSearch: String = "WITH " + bm25Ctes + """,
+btop AS (SELECT doc_id, rank FROM top WHERE rank <= 50),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+qv AS (SELECT * FROM v WHERE vec_id = 0),
+cs AS (
+  SELECT c.vec_id AS doc_id,
+         list_dot_product(qv.e, c.e)
+           / (sqrt(list_dot_product(qv.e, qv.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS sim
+  FROM v c, qv WHERE c.vec_id <> qv.vec_id),
+ctop AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+    FROM cs) WHERE rank <= 50),
+f AS (
+  SELECT coalesce(b.doc_id, c2.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + b.rank), 0.0)
+           + coalesce(1.0 / (60.0 + c2.rank), 0.0) AS rrf
+  FROM btop b FULL OUTER JOIN ctop c2 ON b.doc_id = c2.doc_id)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+         AS rank,
+       rrf
+FROM f QUALIFY rank <= 10 ORDER BY rank"""
 
   /** q91 oracle: PCA power iteration unrolled — fixed-point
     * per-dimension mean, centered corpus, then `iters` rounds of

@@ -250,6 +250,31 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Reciprocal-rank fusion of two ranked lists — the standard
+    * hybrid-search combiner (Cormack et al. 2009): rrf(d) =
+    * Σ 1/(c + rank_i(d)) over the lists containing d, c = 60. Pure
+    * rational arithmetic (no log), so the fused ranking is
+    * hash-exact and oracle-replayable. Inputs carry (idCol, rank);
+    * a doc missing from one list contributes 0 from it. The join is
+    * over two already-top-k lists (tiny), and the final top-k is
+    * TakeOrderedAndProject — at scale the cost lives in the two
+    * retrievers, not the fusion. Output (id, rank, rrf). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Double = 60.0,
+              idCol: String = "doc_id"): DataFrame = {
+    val fa = a.select(col(idCol), col("rank").as("rank_a"))
+    val fb = b.select(col(idCol), col("rank").as("rank_b"))
+    val fused = fa.join(fb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
+          .as("rrf"))
+    val top = fused.orderBy(col("rrf").desc, col(idCol)).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("rrf"))
+      .orderBy("rank")
+  }
+
   /** recall@k of an approximate top-k result against the exact one:
     * the fraction of true (query, neighbor) pairs the approximate
     * index recovered. Computed distributed (pair intersection — no

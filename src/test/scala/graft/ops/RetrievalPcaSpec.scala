@@ -84,4 +84,20 @@ class RetrievalPcaSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(out == again)
   }
+
+  test("rrfFuse: both-list docs outrank single-list, exact rrf math") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(a, b, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // doc 2 appears in both lists -> highest rrf
+    assert(out.head._1 == 2L && out.head._2 == 1)
+    assert(out.head._3 == 1.0 / 62.0 + 1.0 / 61.0)
+    // doc 1 (rank 1 in a only) beats doc 4 (rank 2 in b only)
+    val order = out.map(_._1).toSeq
+    assert(order == Seq(2L, 1L, 4L, 3L))
+    // singles get exactly one reciprocal term
+    val rrf = out.map(r => r._1 -> r._3).toMap
+    assert(rrf(1L) == 1.0 / 61.0 && rrf(4L) == 1.0 / 62.0)
+  }
 }
