@@ -765,6 +765,19 @@ object SparkEntry {
       Pca.powerIteration(
         Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
         iters = 3)),
+    // Inverted-index BM25 — the interactive-serving scale path: ONE
+    // tokenize pass builds persisted postings; the query reads only
+    // its terms' postings (pushed isin filter). Same oracle as q90:
+    // the hash match PROVES index-based ≡ scan-based scoring
+    // bit-for-bit (the q56/q68 equivalence discipline). Index dir
+    // scoped by application id (q68 concurrency discipline).
+    "q95_bm25_indexed" -> ((s, dir) => {
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_q95_idx_" +
+        s.sparkContext.applicationId
+      TextOps.buildInvertedIndex(Tables.documents(s, dir), idxDir)
+      TextOps.bm25FromIndex(s, idxDir,
+        Seq("vector", "merge", "slow"), k = 20)
+    }),
     // Hybrid retrieval: BM25 top-50 + exact-cosine top-50 (query =
     // vec 0's embedding) fused by reciprocal-rank fusion 1/(60+r) —
     // pure rational arithmetic, so the fused ranking is hash-exact.
@@ -995,6 +1008,7 @@ object SparkEntry {
     "q92_balanced_sample"   -> Oracle.balancedSample,
     "q93_standardize"       -> Oracle.standardize,
     "q94_hybrid_search"     -> Oracle.hybridSearch,
+    "q95_bm25_indexed"      -> Oracle.bm25Search,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

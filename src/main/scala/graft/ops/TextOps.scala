@@ -151,6 +151,74 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Build a persisted inverted index for [[bm25FromIndex]]: postings
+    * (term, id, dln, tf) and one-row corpus stats (n_docs, sum_dl).
+    * ONE tokenize pass over the corpus; at warehouse scale, bucket
+    * the postings by term so a query's posting read is a pruned,
+    * co-located scan instead of a corpus pass. */
+  def buildInvertedIndex(docs: DataFrame, indexDir: String,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): Unit = {
+    val toksC = tokens(col(textCol))
+    val base = docs.select(col(idCol), toksC.as("toks"),
+      size(toksC).cast(LongType).as("dln"))
+    base.select(col(idCol), col("dln"), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("dln"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$indexDir/postings")
+    base.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("dln")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** BM25 retrieval FROM the persisted index — the interactive-
+    * serving scale path [[bm25Search]]'s scaladoc promises: the
+    * query reads only its terms' postings (an `isin` filter that
+    * reaches the parquet scan as a pushed filter — with term-
+    * bucketed postings, a co-located pruned read) instead of
+    * re-tokenizing the corpus. Result is BIT-IDENTICAL to
+    * [[bm25Search]]: per-term scores are reassembled as fixed
+    * conditional sums (each over at most one posting row, so the
+    * double additions happen in the same left-to-right term order as
+    * the scan formulation), missing terms contribute the same +0.0,
+    * and q95 hash-matches the q90 oracle to prove it end-to-end. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, terms: Seq[String], k: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "need at least one query term")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = postings.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+    val dl = col("dln").cast(DoubleType)
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    val tfD = col("tf").cast(DoubleType)
+    val dfD = col("df").cast(DoubleType)
+    val termScore = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5)) *
+      (tfD * lit(2.2)) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
+    // reassemble the per-doc sum in FIXED term order: one conditional
+    // sum per query term (≤1 non-null posting each), folded left to
+    // right exactly like bm25Search's t0 + t1 + ... expression
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t), termScore)).as(s"s_$i")
+    }
+    val agg = scored.groupBy(col(idCol))
+      .agg(perTerm.head, perTerm.tail: _*)
+    val score = terms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduce(_ + _)
+    val top = agg.select(col(idCol), score.as("bm25"))
+      .filter(col("bm25") > lit(0.0))
+      .orderBy(col("bm25").desc, col(idCol)).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("bm25"))
+      .orderBy("rank")
+  }
+
   /** Per-language corpus statistics (group-by over the lang label). */
   def langStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(col("lang")).agg(

@@ -85,6 +85,30 @@ class RetrievalPcaSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("bm25FromIndex is bit-identical to bm25Search, pushes the " +
+    "term filter to the postings scan") {
+    val docs = Seq(
+      (1L, "spark spark spark join join filter filter filter filter"),
+      (2L, "spark join things and other words here now today maybe"),
+      (3L, "nothing relevant in this document at all whatsoever here"),
+      (4L, "rareword appears here exactly once with other padding text"),
+      (5L, "spark once among many many many other padding words here")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_test_idx").toString
+    TextOps.buildInvertedIndex(docs, dir)
+    val terms = Seq("spark", "rareword")
+    val fromIndex = TextOps.bm25FromIndex(spark, dir, terms, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val fromScan = TextOps.bm25Search(docs, terms, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(fromIndex.toSeq == fromScan.toSeq) // bit-identical scores
+    // the isin filter reaches the postings parquet scan
+    val plan = TextOps.bm25FromIndex(spark, dir, terms, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"))
+  }
+
   test("rrfFuse: both-list docs outrank single-list, exact rrf math") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
     val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
