@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, TextOps, Upsert}
+import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -771,6 +771,74 @@ object SparkEntry {
     // the hash match PROVES index-based ≡ scan-based scoring
     // bit-for-bit (the q56/q68 equivalence discipline). Index dir
     // scoped by application id (q68 concurrency discipline).
+    // Shard-wise index build + merge compaction: even/odd doc shards
+    // each build their own inverted index, the merge unions postings
+    // and sums stats, and querying the merged index hash-matches the
+    // q90 full-corpus SCAN oracle — proving merge-compacted ≡
+    // built-from-scratch bit-for-bit (the q95 equivalence argument
+    // extended across the merge).
+    "q99_index_merge" -> ((s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_q99_" +
+        s.sparkContext.applicationId
+      val docs = Tables.documents(s, dir)
+      TextOps.buildInvertedIndex(
+        docs.filter(col("doc_id") % 2 === 0), s"$base/even")
+      TextOps.buildInvertedIndex(
+        docs.filter(col("doc_id") % 2 === 1), s"$base/odd")
+      TextOps.mergeInvertedIndexes(s,
+        Seq(s"$base/even", s"$base/odd"), s"$base/merged")
+      TextOps.bm25FromIndex(s, s"$base/merged",
+        Seq("vector", "merge", "slow"), k = 20)
+    }),
+    // Deterministic train/val/test hash split (80/10/10): one
+    // codegen'd md5 projection, no RNG, no shuffle; an id's split is
+    // stable under corpus growth. Both engines decide each split
+    // with one lexicographic hex comparison.
+    "q100_hash_split" -> ((s, dir) =>
+      Split.hashSplit(Tables.documents(s, dir),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+    // Leakage-safe split: near-dup clusters (the q66 LSH→verify→CC
+    // stack) are split AS UNITS via their canonical min id, so a
+    // test doc can never have a train near-duplicate. Bounded to
+    // doc_id < 1000 per the q66 closure-oracle discipline.
+    "q101_leakage_split" -> ((s, dir) =>
+      Split.leakageSafeSplit(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+    // Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    // deterministic ±1 sign matrix (prime-modulus parity mix) and
+    // fixed-point accumulation — element-wise oracle replay, emitted
+    // rows bounded to vec_id < 200, scalar-row shape (q75 discipline).
+    "q98_random_project" -> ((s, dir) =>
+      Pca.randomProject(Tables.embeddings(s, dir), outDim = 16,
+        outputIds = 200)),
+    // Containment dedup: drops docs ≥0.8-contained (3-shingle sets)
+    // in a LARGER doc — the doc-inside-doc case Jaccard dedup misses
+    // (a 40-token prefix copy of a 100-token page has J ≈ 0.4 but
+    // C = 1.0). Candidates via the LOSSLESS prefix filter, so the
+    // oracle's brute-force replay matches exactly. Salt: a 40-token
+    // prefix copy of every 25th doc (+300000) guarantees real drops.
+    "q97_containment_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val salted = docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 40), " ")
+            .as("text")))
+      Dedup.containmentDedup(salted, threshold = 0.8)
+    }),
+    // C4-style duplicated-span REMOVAL (q78's audit turned into a
+    // rewriter): tumbling 8-token blocks, corpus-wide first
+    // occurrence (doc_id, block_idx) survives, docs reassembled.
+    // Same span-salt as q78 so removal is non-vacuous: each salted
+    // copy loses its 3 copied blocks and shrinks to its remainder.
+    "q96_span_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val salted = docs.unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 30), " ")
+            .as("text")))
+      TextOps.spanScrub(salted)
+    }),
     "q95_bm25_indexed" -> ((s, dir) => {
       val idxDir = s"${sys.props("java.io.tmpdir")}/graft_q95_idx_" +
         s.sparkContext.applicationId
@@ -992,6 +1060,12 @@ object SparkEntry {
     "q76_lm_score"          -> Oracle.lmScore,
     "q77_source_report"     -> Oracle.sourceReport,
     "q78_dup_spans"         -> Oracle.dupSpans,
+    "q96_span_scrub"        -> Oracle.spanScrub,
+    "q97_containment_dedup" -> Oracle.containmentDedup,
+    "q98_random_project"    -> Oracle.randomProject,
+    "q99_index_merge"       -> Oracle.bm25Search,
+    "q100_hash_split"       -> Oracle.hashSplit,
+    "q101_leakage_split"    -> Oracle.leakageSplit,
     "q79_quality_rules"     -> Oracle.qualityRules,
     "q80_best_of_cluster"   -> Oracle.bestOfCluster,
     "q81_curation_v2"       -> Oracle.curationV2,

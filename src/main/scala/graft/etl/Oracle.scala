@@ -1261,6 +1261,169 @@ SELECT doc_id, n_windows, n_dup_windows, dup_ratio,
        dup_ratio >= 0.5 AS flagged
 FROM r ORDER BY doc_id"""
 
+  /** q96 oracle: C4-style duplicated-span removal replayed — the
+    * identical q78 span salt, tumbling 8-token blocks, corpus-wide
+    * first occurrence by (doc_id, block_idx) via row_number, and
+    * order-preserving reassembly (kept blocks + verbatim remainder).
+    * Groups the block STRINGS exactly as the Spark side does (the
+    * tumbling chop makes that affordable — each token is in exactly
+    * one block), so the whole rewrite is hash-exact. */
+  val spanScrub: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string((string_split_regex(trim(text), ' +'))[1:30], ' ')
+           AS text
+  FROM documents WHERE doc_id % 20 = 0),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM corp),
+blk AS (
+  SELECT doc_id, i AS b,
+         array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS block
+  FROM (SELECT doc_id, toks,
+               CAST(unnest(range(0, len(toks) // 8)) AS INTEGER) AS i
+        FROM t WHERE len(toks) >= 8)),
+mk AS (
+  SELECT doc_id, b, block,
+         row_number() OVER (PARTITION BY block ORDER BY doc_id, b) = 1
+           AS keep
+  FROM blk),
+kept AS (
+  SELECT doc_id,
+         coalesce(array_to_string(
+           list(block ORDER BY b) FILTER (WHERE keep), ' '), '')
+           AS kept_blocks,
+         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+  FROM mk GROUP BY doc_id),
+rem AS (
+  SELECT doc_id, CAST(len(toks) // 8 AS BIGINT) AS n_blocks,
+         array_to_string(toks[len(toks) // 8 * 8 + 1 : len(toks)], ' ')
+           AS remainder
+  FROM t)
+SELECT r.doc_id,
+       trim(concat_ws(' ', coalesce(k.kept_blocks, ''), r.remainder))
+         AS text,
+       r.n_blocks,
+       CAST(coalesce(k.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM rem r LEFT JOIN kept k USING (doc_id)
+ORDER BY r.doc_id"""
+
+  /** q100 oracle: the deterministic hash split replayed — identical
+    * md5 input string, identical first-8-hex extraction, identical
+    * lexicographic thresholds (floor(0.8·2³²) = 0xcccccccc,
+    * floor(0.9·2³²) = 0xe6666666). */
+  val hashSplit: String = """
+SELECT doc_id,
+       CASE WHEN substring(md5(concat('graft', ':',
+                 CAST(doc_id AS VARCHAR))), 1, 8) < 'cccccccc'
+              THEN 'train'
+            WHEN substring(md5(concat('graft', ':',
+                 CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id"""
+
+  /** q101 oracle: leakage-safe split replayed — the q66 brute-force
+    * pair + recursive-closure machinery labels each doc's near-dup
+    * component (singletons fall back to their own id), then the q100
+    * md5 CASE decides the split on the GROUP id. */
+  val leakageSplit: String = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id < 1000),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+g AS (
+  SELECT t.doc_id, coalesce(cc.component, t.doc_id) AS group_id
+  FROM t LEFT JOIN cc ON cc.id = t.doc_id)
+SELECT doc_id, group_id,
+       CASE WHEN substring(md5(concat('graft', ':',
+                 CAST(group_id AS VARCHAR))), 1, 8) < 'cccccccc'
+              THEN 'train'
+            WHEN substring(md5(concat('graft', ':',
+                 CAST(group_id AS VARCHAR))), 1, 8) < 'e6666666'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM g ORDER BY doc_id"""
+
+  /** q98 oracle: JL random projection replayed element-wise — the
+    * identical quantization (floor(x·2^20+0.5) longs), the identical
+    * prime-modulus sign arithmetic, an integer list_reduce fold
+    * (order-free — it's an integer sum), and the same two exact
+    * divisions (2^20, √16 = 4). */
+  val randomProject: String = """
+WITH v AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT))
+           AS qv
+  FROM v),
+js AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS j),
+p AS (
+  SELECT vec_id, j,
+         list_reduce(list_transform(range(1, len(qv) + 1), i ->
+           qv[i] * (1 - 2 * (((CAST(i - 1 AS BIGINT) * 2654435761 +
+             j * 40503) % 9973) % 2))),
+           (a, b) -> a + b) AS s
+  FROM q, js)
+SELECT vec_id, j, CAST(s AS DOUBLE) / 1048576.0 / 4.0 AS value
+FROM p ORDER BY vec_id, j"""
+
+  /** q97 oracle: containment dedup replayed brute-force — all-pairs
+    * 3-shingle containment |A∩B|/|A| on the same prefix-copy-salted
+    * corpus (valid because the Spark side's prefix-filter candidate
+    * cover is LOSSLESS by construction, not a sketch). Drop rule: A
+    * dies iff some B with a strictly larger shingle set (ties → a
+    * smaller id) contains it at ≥ 0.8. */
+  val containmentDedup: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string((string_split_regex(trim(text), ' +'))[1:40], ' ')
+           AS text
+  FROM documents WHERE doc_id % 25 = 0),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM corp),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+dead AS (
+  SELECT DISTINCT a.doc_id
+  FROM s a, s b
+  WHERE a.doc_id <> b.doc_id
+    AND (len(b.sh) > len(a.sh)
+         OR (len(b.sh) = len(a.sh) AND b.doc_id < a.doc_id))
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(a.sh) >= 0.8)
+SELECT doc_id FROM t
+WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+ORDER BY doc_id"""
+
   /** q79 oracle: the Gopher rule battery replayed — integer counts,
     * two IEEE divisions, boolean rules, and the identical
     * first-failing CASE for the reject reason. */

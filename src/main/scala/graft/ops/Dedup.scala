@@ -366,4 +366,88 @@ object Dedup {
       .join(dup, Seq(idCol), "left_anti")
       .orderBy(idCol)
   }
+
+  /** Containment candidate pairs via LOSSLESS prefix filtering
+    * (Chaudhuri et al. 2006; the PPJoin family): doc X can only be
+    * ≥`threshold`-contained in some Y if X shares at least one of its
+    * ⌊(1−θ)·|S(X)|⌋+1 rarest shingles (its "prefix", ordered by
+    * global document frequency asc, shingle asc) with Y — if the
+    * whole prefix misses, the intersection is capped by the remaining
+    * |S(X)|−prefix < θ·|S(X)| shingles. So joining only PREFIX
+    * shingles of the contained side against the full inverted index
+    * is exhaustive for the containment test, while cutting candidate
+    * pairs by ~(1−θ): the rarest shingles have the smallest postings.
+    * Unlike MinHash banding (a Jaccard sketch that MISSES
+    * low-Jaccard/high-containment pairs — a 40-token quote inside a
+    * 400-token page has J ≈ 0.1 but C = 1.0), this candidate cover is
+    * exact by construction.
+    *
+    * Scale shape: the inverted index is one (shingle, id) shuffle of
+    * the corpus; df ranking is one count per shingle; the prefix join
+    * shuffles only prefix postings against the index. Exact
+    * intersection counts then come from the codegen'd merge-intersect
+    * over each candidate pair's sorted shingle sets (the q27
+    * discipline). Output: (id_a, id_b, n_a, n_b, containment) for
+    * every pair with containment(id_a → id_b) ≥ threshold. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       shingleLen: Int = ShingleLen,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.select(col(idCol).as("id"),
+      graft.functions.TextExpressions.sorted_distinct_shingles(
+        TextOps.tokens(col(textCol)), shingleLen).as("sh"))
+    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
+    val withDf = inv.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("s")))
+    // rarest-first prefix of the CONTAINED side: rank each doc's
+    // shingles by (df asc, shingle asc); prefix size n−⌈θ·n⌉+1
+    // (≡ ⌊(1−θ)n⌋+1 in exact arithmetic — the integer form with a
+    // 1e-6 slack inside the ceil so FP rounding can only ENLARGE the
+    // prefix: floor((1−θ)·n) in doubles lands BELOW the lossless
+    // bound whenever (1−θ)n is an exact integer, e.g. θ=0.8, n=10
+    // → 1.9999… → a one-short prefix that silently misses pairs)
+    val ranked = withDf
+      .withColumn("n_a", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+    val prefix = ranked.filter(
+      col("pos") <= col("n_a") -
+        ceil(lit(threshold) * col("n_a").cast("double") - lit(1e-6))
+          .cast("long") + 1)
+    val candIds = prefix.select(col("id").as("id_a"), col("s"))
+      .join(inv.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candIds
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        (graft.functions.TextExpressions.sorted_intersect_count(
+          col("sh_a"), col("sh_b")).cast("double") /
+          size(col("sh_a")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Containment dedup — drops docs that are ≥`threshold`-contained
+    * in a LARGER doc (shingle-set size; ties → the smaller id is the
+    * canonical copy), the doc-inside-doc case Jaccard dedup
+    * structurally misses. Candidates from the lossless
+    * [[containmentPairs]] prefix filter, so the result is exact, not
+    * sketch-bound. Returns surviving ids. */
+  def containmentDedup(docs: DataFrame, threshold: Double = 0.8,
+                       shingleLen: Int = ShingleLen,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val dup = containmentPairs(docs, threshold, shingleLen, textCol, idCol)
+      .filter(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as(idCol)).distinct()
+    docs.select(col(idCol)).distinct()
+      .join(dup, Seq(idCol), "left_anti")
+      .orderBy(idCol)
+  }
 }

@@ -119,4 +119,49 @@ object Pca {
         Similarity.dot(col("e"), typedLit(w)).as("pc1_proj"))
       .orderBy(idCol)
   }
+
+  /** Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    * sign matrix (Achlioptas 2003: ±1 entries preserve pairwise
+    * distances in expectation like Gaussian ones) — the cheap
+    * dimensionality-reduction stage when even one PCA pass over the
+    * corpus is too expensive. sign(i,j) = 1−2·(((i·2654435761 +
+    * j·40503) mod 9973) mod 2): pure integer arithmetic both engines
+    * replay, no RNG, no stored matrix — the "matrix" is an
+    * expression. The odd-prime inner modulus is what mixes: a direct
+    * mod 2 of the linear form would collapse to the (i+j) parity
+    * checkerboard (both multipliers are odd), making every output
+    * dimension a copy of the first up to sign.
+    *
+    * proj_j = (Σ_i sign(i,j)·q_i) / 2^20 / √outDim with q_i =
+    * floor(x_i·2^20 + 0.5): the per-element quantization makes every
+    * sum an INTEGER sum (order-independent), and `outDim` is required
+    * to be a perfect square so √outDim is an exact integer and the
+    * final scale is one exact IEEE division. The whole operator is a single narrow
+    * projection — zero shuffles, zero joins; at 100 TB it
+    * whole-stage-codegens into the scan. Output exploded to
+    * (id, j, value) scalar rows (q75/q93 discipline); `outputIds`
+    * bounds emitted rows only. */
+  def randomProject(vectors: DataFrame, outDim: Int = 16,
+                    outputIds: Long = Long.MaxValue,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val root = math.sqrt(outDim.toDouble)
+    require(outDim > 0 && root == math.rint(root) &&
+      (root * root == outDim.toDouble),
+      "outDim must be a perfect square so the JL scale is exact")
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(Q) + lit(0.5)).cast(LongType))
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(
+        zip_with(q, sequence(lit(0), size(col(vecCol)) - 1),
+          (qi, i) => qi * (lit(1L) - lit(2L) *
+            pmod(pmod(i.cast(LongType) * lit(2654435761L) +
+              j.cast(LongType) * lit(40503L), lit(9973L)), lit(2L)))),
+        lit(0L), (acc, t) => acc + t))
+    vectors.filter(col(idCol) < lit(outputIds))
+      .select(col(idCol), posexplode(proj).as(Seq("j", "s")))
+      .select(col(idCol), col("j").cast(LongType).as("j"),
+        (col("s").cast("double") / lit(Q) / lit(root)).as("value"))
+      .orderBy(idCol, "j")
+  }
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting — the train/val/test assignment
+  * stage of a training-data pipeline. Hash-based (stateless,
+  * reproducible, stable under corpus growth: a doc's split never
+  * depends on what else is in the corpus), plus a leakage-safe
+  * variant that routes whole NEAR-DUP FAMILIES to one split so a
+  * test document can never have a training-set near-duplicate — the
+  * classic eval-contamination failure mode exact splitting cannot
+  * prevent.
+  */
+object Split {
+
+  /** Per-split upper boundaries on the first 8 hex chars of
+    * md5(salt:id): weights (p₁…pₙ) become cumulative thresholds
+    * floor(Σpᵢ·2³²) rendered as zero-padded hex literals. Hex is
+    * compared LEXICOGRAPHICALLY, which for fixed-width lowercase hex
+    * is numeric order — so both engines decide a split with one
+    * string comparison and no integer parsing. */
+  private def hexBounds(weights: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "need non-empty, positive weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must sum to 1")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "split names must be distinct")
+    var cum = 0.0
+    weights.init.map { case (name, w) =>
+      cum += w
+      name -> f"${math.floor(cum * 4294967296.0).toLong}%08x"
+    }
+  }
+
+  /** Deterministic hash split: split(id) = the bucket of
+    * substring(md5(salt:id), 1, 8) under the cumulative-weight
+    * thresholds. One narrow codegen'd projection — no shuffle, no
+    * state, no RNG; at 100 TB it fuses into the scan. Changing
+    * `salt` re-rolls every assignment; keeping it fixes each id's
+    * split forever (append-only corpora keep their history).
+    * Output: (id, split), ordered by id. */
+  def hashSplit(df: DataFrame, weights: Seq[(String, Double)],
+                salt: String = "graft",
+                idCol: String = "doc_id"): DataFrame = {
+    val bounds = hexBounds(weights)
+    val bucket = substring(
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 8)
+    val split = bounds.foldRight(lit(weights.last._1)) {
+      case ((name, bound), rest) =>
+        when(bucket < lit(bound), lit(name)).otherwise(rest)
+    }
+    df.select(col(idCol), split.as("split")).orderBy(idCol)
+  }
+
+  /** Leakage-safe split: near-dup clusters (LSH candidates → exact
+    * shingle-Jaccard ≥ `threshold` → connected components, the q66
+    * stack) are assigned AS UNITS — every member hashes on its
+    * cluster's canonical (minimum) id, so near-duplicates can never
+    * straddle train/test. Docs with no near-dup partner are their
+    * own singleton group and hash on themselves, making the split
+    * identical to [[hashSplit]] on a dup-free corpus.
+    *
+    * Scale shape: the cluster labels cost exactly the q66 pipeline
+    * (bucketed candidates, exact verify on survivors, O(log n)
+    * star-contraction); the assignment itself is one broadcast-or-id
+    * join + the [[hashSplit]] projection. Output:
+    * (id, group_id, split), ordered by id. */
+  def leakageSafeSplit(docs: DataFrame, weights: Seq[(String, Double)],
+                       salt: String = "graft",
+                       threshold: Double = 0.8,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val verified = Dedup.jaccardVerify(
+        Dedup.minHashCandidates(docs, textCol = textCol, idCol = idCol),
+        docs, textCol, idCol, shingleLen = Dedup.ShingleLen)
+      .filter(col("jaccard") >= threshold)
+    val cc = Components.connectedComponents(verified,
+      srcCol = "id_a", dstCol = "id_b")
+    val grouped = docs.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("group_id"))
+    val assigned = hashSplit(
+      grouped.select(col("group_id")).distinct(),
+      weights, salt, idCol = "group_id")
+    grouped.join(assigned, "group_id")
+      .select(col(idCol), col("group_id"), col("split"))
+      .orderBy(idCol)
+  }
+}

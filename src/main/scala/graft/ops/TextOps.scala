@@ -219,6 +219,33 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Merge persisted inverted indexes ([[buildInvertedIndex]] output)
+    * into one — the compaction step of shard-wise index builds (each
+    * ingest shard indexes itself; the merged index serves queries).
+    * Shards must cover DISJOINT doc-id spaces (each doc indexed by
+    * exactly one shard — the natural ingest invariant); then postings
+    * union is the full-corpus postings, summed stats are the
+    * full-corpus stats, and because [[bm25FromIndex]] derives df from
+    * the postings at query time, querying the merged index is
+    * BIT-IDENTICAL to querying one index built over the union corpus
+    * (q99 hash-matches the q90 scan oracle to prove it end-to-end).
+    * Pure metadata-free unions — no re-tokenization, no corpus scan;
+    * at warehouse scale this is the cheap nightly compaction that
+    * amortizes indexing across ingest batches. */
+  def mergeInvertedIndexes(spark: org.apache.spark.sql.SparkSession,
+                           indexDirs: Seq[String],
+                           outDir: String): Unit = {
+    require(indexDirs.nonEmpty, "need at least one index")
+    indexDirs.map(d => spark.read.parquet(s"$d/postings"))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/postings")
+    indexDirs.map(d => spark.read.parquet(s"$d/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
   /** Per-language corpus statistics (group-by over the lang label). */
   def langStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(col("lang")).agg(
@@ -1005,6 +1032,69 @@ object TextOps {
           .otherwise(lit("kept")).as("decision"),
         col("reject_reason").as("reason"),
         col("sample_rank"))
+      .orderBy(idCol)
+  }
+
+  /** C4-style duplicated-span REMOVAL — the rewriting sibling of the
+    * [[dupSpans]] audit (Raffel et al. 2020 §2.2 remove repeated
+    * spans; here at token-block granularity since the synthetic
+    * corpus has no sentence boundaries). Each document is chopped
+    * into TUMBLING k-token blocks (block b covers tokens
+    * [b·k, b·k+k); the trailing remainder shorter than k is kept
+    * verbatim — it can never equal a full block). A block instance
+    * survives iff it is the corpus-wide FIRST occurrence of its text,
+    * ordered by (doc_id, block_idx); every later instance — across
+    * documents or within one — is dropped. Survivors rejoin in
+    * original order.
+    *
+    * Scale shape: tumbling (not sliding) blocks mean every token is
+    * in EXACTLY ONE block, so the (block_text, doc, idx) shuffle
+    * carries ≈ the corpus once — no k× sliding-window blowup, which
+    * is why this groups the span TEXT itself (hash-exact, oracle-
+    * replayable) where the sliding audit had to hash. First-
+    * occurrence selection is one min(struct(doc,idx)) window per
+    * block text; reassembly is one per-doc sort-merge of the
+    * surviving blocks. Output: (id, text, n_blocks, n_dropped). */
+  def spanScrub(docs: DataFrame, k: Int = 8,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "need k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val nFull = (size(toks) / k).cast("int")
+    val base = docs.select(col(idCol), toks.as("toks"),
+      nFull.as("n_blocks"))
+    // (doc, b, block text) for the full blocks; remainder kept aside
+    val blocks = base
+      .select(col(idCol), col("n_blocks"),
+        posexplode_outer(when(col("n_blocks") > 0,
+          sequence(lit(0), col("n_blocks") - 1)).otherwise(array())),
+        col("toks"))
+      .select(col(idCol), col("n_blocks"), col("col").as("b"),
+        when(col("col").isNotNull,
+          array_join(slice(col("toks"), col("col") * k + 1, lit(k)), " "))
+          .as("block"))
+    val firstW = Window.partitionBy("block")
+    val marked = blocks.withColumn("keep",
+      col("b").isNull ||
+        struct(col(idCol), col("b")) ===
+          min(struct(col(idCol), col("b"))).over(firstW))
+    val kept = marked.filter(col("b").isNotNull)
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("keep"), struct(col("b"), col("block"))))),
+          _.getField("block")), " ").as("kept_blocks"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+    base.select(col(idCol), col("n_blocks"),
+        array_join(slice(col("toks"), col("n_blocks") * k + 1,
+          size(col("toks")) - col("n_blocks") * k), " ").as("remainder"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        trim(concat_ws(" ", coalesce(col("kept_blocks"), lit("")),
+          col("remainder"))).as("text"),
+        col("n_blocks").cast(LongType).as("n_blocks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
       .orderBy(idCol)
   }
 }

@@ -191,4 +191,52 @@ class QualitySpansSpec extends SparkSpec {
     out.values.foreach { case (s, p, _) =>
       assert(p == (s / (1.0 + math.abs(s)) + 1.0) * 0.5) }
   }
+
+  // --- spanScrub ------------------------------------------------
+
+  test("spanScrub drops later duplicate blocks, keeps first occurrence") {
+    val docs = Seq(
+      // doc 1: 2 full blocks (k=4) + remainder "i j"
+      (1L, "a b c d e f g h i j"),
+      // doc 2: first block equals doc 1's first block -> dropped;
+      // second block is novel -> kept
+      (2L, "a b c d n1 n2 n3 n4"),
+      // doc 3: shorter than k -> untouched, zero blocks
+      (3L, "s1 s2 s3"),
+      // doc 4: internal repeat -> second instance dropped
+      (4L, "m1 m2 m3 m4 m1 m2 m3 m4 tail1")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanScrub(docs, k = 4)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b c d e f g h i j", 2L, 0L),
+      (2L, "n1 n2 n3 n4", 2L, 1L),
+      (3L, "s1 s2 s3", 0L, 0L),
+      (4L, "m1 m2 m3 m4 tail1", 2L, 1L)))
+  }
+
+  test("spanScrub keeps surviving blocks in original order") {
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4"),
+      // doc 2: blocks [dup, novel, dup-of-own-first, novel] + rem
+      (2L, "x1 x2 x3 x4 k1 k2 k3 k4 k1 k2 k3 k4 k5 k6 k7 k8 r1")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanScrub(docs, k = 4)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "x1 x2 x3 x4", 1L, 0L),
+      (2L, "k1 k2 k3 k4 k5 k6 k7 k8 r1", 4L, 2L)))
+  }
+
+  test("spanScrub is idempotent") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d z1 z2 z3 z4")
+    ).toDF("doc_id", "text")
+    val once = TextOps.spanScrub(docs, k = 4)
+      .select(col("doc_id"), col("text"))
+    val twice = TextOps.spanScrub(once, k = 4)
+      .select(col("doc_id"), col("text"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
 }

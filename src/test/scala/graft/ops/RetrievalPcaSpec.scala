@@ -124,4 +124,87 @@ class RetrievalPcaSpec extends SparkSpec {
     val rrf = out.map(r => r._1 -> r._3).toMap
     assert(rrf(1L) == 1.0 / 61.0 && rrf(4L) == 1.0 / 62.0)
   }
+
+  // --- mergeInvertedIndexes -----------------------------------------
+
+  test("merged shard indexes answer identically to one full index") {
+    val docs = Seq(
+      (1L, "spark join filter spark"),
+      (2L, "spark and other words here"),
+      (3L, "join join join padding text"),
+      (4L, "nothing relevant here at all"),
+      (5L, "spark join appears twice spark join")
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_merge_spec").toString
+    TextOps.buildInvertedIndex(docs.filter($"doc_id" % 2 === 0),
+      s"$base/even")
+    TextOps.buildInvertedIndex(docs.filter($"doc_id" % 2 === 1),
+      s"$base/odd")
+    TextOps.buildInvertedIndex(docs, s"$base/full")
+    TextOps.mergeInvertedIndexes(spark,
+      Seq(s"$base/even", s"$base/odd"), s"$base/merged")
+    val q = Seq("spark", "join")
+    val merged = TextOps.bm25FromIndex(spark, s"$base/merged", q, k = 5)
+      .collect().toSeq
+    val full = TextOps.bm25FromIndex(spark, s"$base/full", q, k = 5)
+      .collect().toSeq
+    val scan = TextOps.bm25Search(docs, q, k = 5).collect().toSeq
+    assert(merged == full)
+    assert(merged == scan)
+    // merged stats are the summed shard stats
+    val st = spark.read.parquet(s"$base/merged/stats").collect().head
+    assert(st.getDouble(0) == 5.0)
+  }
+
+  // --- randomProject ----------------------------------------------
+
+  private def jlSign(i: Long, j: Long): Long =
+    1L - 2L * (((i * 2654435761L + j * 40503L) % 9973L) % 2L)
+
+  test("randomProject matches the exact fixed-point formula") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.25f, 2.0f, 0.125f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Pca.randomProject(vecs, outDim = 4)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val raw = Map(
+      1L -> Array(0.5, -1.25, 2.0, 0.125),
+      2L -> Array(1.0, 1.0, 1.0, 1.0))
+    for (id <- Seq(1L, 2L); j <- 0L until 4L) {
+      val s = raw(id).zipWithIndex.map { case (x, i) =>
+        math.floor(x * 1048576.0 + 0.5).toLong * jlSign(i.toLong, j)
+      }.sum
+      assert(got((id, j)) == s.toDouble / 1048576.0 / 2.0,
+        s"id=$id j=$j")
+    }
+  }
+
+  test("randomProject sign matrix is mixed, not a parity checkerboard") {
+    // under the degenerate (i+j) parity, sign(:, j) == sign(:, j+2)
+    // for every j and all 16 output dims collapse to ±dim0
+    val cols = (0L until 16L).map(j =>
+      (0L until 64L).map(i => jlSign(i, j)))
+    assert(cols.distinct.size > 2)
+    // and the matched-filter property JL rests on: columns are not
+    // globally anti/correlated
+    val corr = for (a <- 0 until 16; b <- a + 1 until 16) yield
+      math.abs((0 until 64).map(i => cols(a)(i) * cols(b)(i)).sum)
+    assert(corr.max < 64)
+  }
+
+  test("randomProject is deterministic and respects the id bound") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 13 + d * 7) % 5 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Pca.randomProject(vecs, outDim = 4, outputIds = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = Pca.randomProject(vecs, outDim = 4, outputIds = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.map(_._1).distinct == (0L until 10L))
+    assert(a.size == 40)
+  }
 }

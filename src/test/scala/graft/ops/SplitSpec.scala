@@ -1,0 +1,102 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for deterministic dataset splitting (ops.Split): md5
+  * bucketing arithmetic, stability, and the leakage-safe variant's
+  * family-as-unit guarantee.
+  */
+class SplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  private def md5hex8(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+
+  private def expectedSplit(id: Long, salt: String = "graft"): String = {
+    val h = md5hex8(s"$salt:$id")
+    if (h < "cccccccc") "train" else if (h < "e6666666") "val" else "test"
+  }
+
+  test("hashSplit matches the md5 threshold arithmetic exactly") {
+    val df = (0L until 500L).toDF("doc_id")
+    val got = Split.hashSplit(df, W).as[(Long, String)].collect().toMap
+    (0L until 500L).foreach { id =>
+      assert(got(id) == expectedSplit(id), s"id=$id")
+    }
+  }
+
+  test("hashSplit fractions approximate the weights") {
+    val df = (0L until 5000L).toDF("doc_id")
+    val counts = Split.hashSplit(df, W).groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03)
+    assert(math.abs(counts("val") / 5000.0 - 0.1) < 0.02)
+    assert(math.abs(counts("test") / 5000.0 - 0.1) < 0.02)
+  }
+
+  test("hashSplit is stable under corpus growth and salt re-rolls it") {
+    val small = (0L until 100L).toDF("doc_id")
+    val big = (0L until 1000L).toDF("doc_id")
+    val s1 = Split.hashSplit(small, W).as[(Long, String)].collect().toMap
+    val s2 = Split.hashSplit(big, W).as[(Long, String)].collect().toMap
+    s1.foreach { case (id, sp) => assert(s2(id) == sp) }
+    val reRolled = Split.hashSplit(small, W, salt = "other")
+      .as[(Long, String)].collect().toMap
+    assert(s1.exists { case (id, sp) => reRolled(id) != sp })
+  }
+
+  test("hashSplit rejects bad weights") {
+    val df = (0L until 5L).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      Split.hashSplit(df, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Split.hashSplit(df, Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
+  test("leakageSafeSplit keeps near-dup families in one split") {
+    // 1/2/3 form a near-dup chain (1~2, 2~3); 10/11 are another
+    // family; 20 is a singleton
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " x1"),
+      (3L, base + " x1 x2"),
+      (10L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+      (11L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"),
+      (20L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")
+    ).toDF("doc_id", "text")
+    val got = Split.leakageSafeSplit(docs, W)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // family members share group_id = min member id and the split
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(3L)._1 == 1L)
+    assert(got(1L)._2 == got(2L)._2 && got(2L)._2 == got(3L)._2)
+    assert(got(10L)._1 == 10L && got(11L)._1 == 10L)
+    assert(got(10L)._2 == got(11L)._2)
+    // singleton hashes on itself -> identical to plain hashSplit
+    assert(got(20L)._1 == 20L && got(20L)._2 == expectedSplit(20L))
+    // family split is the hash of the canonical id
+    assert(got(1L)._2 == expectedSplit(1L))
+    assert(got(10L)._2 == expectedSplit(10L))
+  }
+
+  test("leakageSafeSplit on a dup-free corpus equals hashSplit") {
+    val docs = (1L to 20L).map { i =>
+      (i, (0 until 10).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = Split.leakageSafeSplit(docs, W)
+      .select("doc_id", "split").as[(Long, String)].collect().toSeq
+    val b = Split.hashSplit(docs.select("doc_id"), W)
+      .as[(Long, String)].collect().toSeq
+    assert(a == b)
+  }
+}

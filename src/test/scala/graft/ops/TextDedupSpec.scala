@@ -166,4 +166,52 @@ class TextDedupSpec extends SparkSpec {
     assert(fp(1L) == fp(4L))
     assert(fp(1L) != fp(3L))
   }
+
+  // --- containment dedup -----------------------------------------
+
+  private def containDocs = Seq(
+    // doc 2 is a strict prefix of doc 1 (doc-inside-doc): its
+    // shingle set is fully contained, but Jaccard is only ~0.3
+    (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+    (2L, "w1 w2 w3 w4 w5 w6 w7"),
+    // doc 3: disjoint
+    (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+    // docs 4/5: identical text -> equal sets, tie -> min id survives
+    (4L, "t1 t2 t3 t4 t5 t6"),
+    (5L, "t1 t2 t3 t4 t5 t6")
+  ).toDF("doc_id", "text")
+
+  test("containmentDedup drops the contained doc that Jaccard misses") {
+    val kept = Dedup.containmentDedup(containDocs, threshold = 0.8)
+      .as[Long].collect().toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+    // the same corpus under Jaccard-0.8 dedup keeps doc 2: the
+    // doc-inside-doc case is structurally invisible to Jaccard
+    val jkept = Dedup.minHashDedup(containDocs, threshold = 0.8)
+      .as[Long].collect().toSeq
+    assert(jkept.contains(2L))
+  }
+
+  test("containment prefix filter is lossless vs brute-force pairs") {
+    // corpus with graded overlaps so candidates are non-trivial
+    val d = (1L to 30L).map { i =>
+      val toks = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (theta <- Seq(0.5, 0.8)) {
+      val got = Dedup.containmentPairs(d, threshold = theta)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // brute force: all pairs, exact shingle containment
+      val sets = d.select(col("doc_id"),
+        graft.functions.TextExpressions.sorted_distinct_shingles(
+          TextOps.tokens(col("text")), 3).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a != b
+        inter = sets(a).toSet.intersect(sets(b).toSet).size
+        if inter.toDouble / sets(a).size >= theta
+      } yield (a, b)).toSet
+      assert(got == want, s"theta=$theta")
+    }
+  }
 }
