@@ -771,6 +771,70 @@ object SparkEntry {
     // the hash match PROVES index-based ≡ scan-based scoring
     // bit-for-bit (the q56/q68 equivalence discipline). Index dir
     // scoped by application id (q68 concurrency discipline).
+    // Token-budget mixture: per-source token targets greedily filled
+    // in md5 order (streaming-fill rule — the crossing doc is kept),
+    // the unit real mixes are specified in. Budget 3000 keeps every
+    // listed source under its inventory at sf0.01.
+    "q106_token_mixture" -> ((s, dir) =>
+      TextOps.mixtureSampleTokens(Tables.documents(s, dir),
+        Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+          "src3" -> 0.1), tokenBudget = 3000)),
+    // Multi-benchmark decontamination with per-benchmark attribution:
+    // three eval pools (every 40th doc, set = (id/40) mod 3), one
+    // corpus pass, only (doc, set) pairs with >= 1 shared 5-shingle
+    // emitted.
+    "q107_multi_decon" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evals = docs.filter(col("doc_id") % 40 === 0)
+        .select(pmod((col("doc_id") / 40).cast("long"), lit(3))
+          .as("eval_id"), col("text"))
+      TextOps.decontaminateMulti(docs, evals, n = 5, threshold = 0.5)
+    }),
+    // Normalized exact dedup: case/punctuation-insensitive key
+    // (lower, strip non-alnum, collapse spaces) catches the variant
+    // dups plain exact dedup misses. Salt: an UPPER-cased "+ !!"
+    // copy of every 20th doc normalizes back to its original's key.
+    "q108_normalized_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val salted = docs.unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+      TextOps.normalizedExactDedup(salted)
+    }),
+    // Explicit data-mixture materialization: tuned per-source weights
+    // (not temperature-derived), min-k md5 selection, availability
+    // cap — src0's 0.5-weight target exceeds its inventory at sf0.01,
+    // exercising the cap; unlisted sources are excluded.
+    "q104_mixture_apply" -> ((s, dir) =>
+      TextOps.mixtureSample(Tables.documents(s, dir),
+        Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
+          "src3" -> 0.1), budget = 120)),
+    // Cross-source near-dup provenance audit: verified near-dup pairs
+    // counted per unordered source pair — scraper-overlap and mirror
+    // detection between ingest feeds. Bounded corpus per the q66
+    // closure-oracle discipline; pairs replayed brute-force.
+    "q105_cross_source_dups" -> ((s, dir) =>
+      Dedup.crossSourceDups(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000))),
+    // kNN label propagation: odd vectors (queries, bounded to 200)
+    // take the majority label of their 5 nearest EVEN (seed-labeled)
+    // neighbors via the deterministic Hamming+exact-rerank index —
+    // classification is hash-exact, so label regressions gate like
+    // correctness ones.
+    "q103_knn_label" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir)
+      Similarity.knnClassify(
+        v.filter(col("vec_id") % 2 === 0),
+        v.filter(col("vec_id") % 2 === 1 && col("vec_id") < 400),
+        k = 5, rerank = 50)
+    }),
+    // CCNet-style perplexity buckets: bigram-LM score -> 3 equal
+    // ntile fluency buckets -> keep all of head, min-k-md5 half of
+    // middle, none of tail; emitted as a per-doc VERDICT (manifest
+    // shape). Engine-exact end to end: rational LM score, standard
+    // ntile, md5 selection.
+    "q102_ppl_buckets" -> ((s, dir) =>
+      TextOps.perplexityBucketSample(Tables.documents(s, dir))),
     // Shard-wise index build + merge compaction: even/odd doc shards
     // each build their own inverted index, the merge unions postings
     // and sums stats, and querying the merged index hash-matches the
@@ -1064,6 +1128,13 @@ object SparkEntry {
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,
+    "q102_ppl_buckets"      -> Oracle.pplBuckets,
+    "q103_knn_label"        -> Oracle.knnLabel,
+    "q104_mixture_apply"    -> Oracle.mixtureApply,
+    "q105_cross_source_dups" -> Oracle.crossSourceDups,
+    "q106_token_mixture"    -> Oracle.tokenMixture,
+    "q107_multi_decon"      -> Oracle.multiDecon,
+    "q108_normalized_dedup" -> Oracle.normalizedDedup,
     "q100_hash_split"       -> Oracle.hashSplit,
     "q101_leakage_split"    -> Oracle.leakageSplit,
     "q79_quality_rules"     -> Oracle.qualityRules,

@@ -1203,6 +1203,174 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM p GROUP BY doc_id
 ORDER BY doc_id"""
 
+  /** q104 oracle: explicit-mixture materialization replayed —
+    * identical weight CASE, floor(budget·w + 0.5) targets capped at
+    * inventory, identical md5 min-k order. */
+  val mixtureApply: String = """
+WITH tgt AS (
+  SELECT source,
+         least(CAST(floor(120.0 * CASE source
+                 WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                 WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.1
+                 END + 0.5) AS BIGINT), count(*)) AS n_keep
+  FROM documents GROUP BY source
+  HAVING source IN ('src0', 'src1', 'src2', 'src3')),
+r AS (
+  SELECT source, doc_id, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5(concat('mix', ':', CAST(doc_id AS VARCHAR))), doc_id)
+    AS rn
+  FROM documents)
+SELECT r.source, r.doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM r JOIN tgt USING (source)
+WHERE rn <= n_keep
+ORDER BY r.source, rn"""
+
+  /** q106 oracle: token-budget mixture replayed — identical weight
+    * CASE, floor(budget·w + 0.5) token targets, md5-ordered running
+    * sums (unique order key, so RANGE ≡ ROWS framing), and the
+    * streaming-fill keep rule cum − n < target. */
+  val tokenMixture: String = """
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+           AS n_tokens,
+         CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+              WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 END AS w
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source
+           ORDER BY md5(concat('mix', ':', CAST(doc_id AS VARCHAR))),
+             doc_id) AS BIGINT) AS cum_tokens,
+         CAST(floor(3000.0 * w + 0.5) AS BIGINT) AS target
+  FROM d WHERE w IS NOT NULL)
+SELECT source, doc_id, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < target
+ORDER BY source, cum_tokens"""
+
+  /** q107 oracle: multi-benchmark decontamination replayed — per-set
+    * pooled distinct 5-shingles, corpus distinct shingles, hit join,
+    * per-doc denominators, (doc, set) attribution rows only where
+    * ≥ 1 shingle matched. */
+  val multiDecon: String = """
+WITH ev AS (
+  SELECT (doc_id // 40) % 3 AS eval_id,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id % 40 = 0),
+pool AS (
+  SELECT DISTINCT eval_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 5, 0) + 2),
+           i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+  FROM ev),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+cs AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 5, 0) + 2),
+           i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+  FROM t),
+cn AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY doc_id),
+m AS (
+  SELECT cs.doc_id, pool.eval_id, count(*) AS n_matched
+  FROM cs JOIN pool USING (shingle)
+  GROUP BY cs.doc_id, pool.eval_id)
+SELECT m.doc_id, m.eval_id, cn.n_shingles, m.n_matched,
+       CAST(m.n_matched AS DOUBLE) / cn.n_shingles AS overlap,
+       CAST(m.n_matched AS DOUBLE) / cn.n_shingles >= 0.5
+         AS contaminated
+FROM m JOIN cn USING (doc_id)
+ORDER BY m.doc_id, m.eval_id"""
+
+  /** q108 oracle: normalized exact dedup replayed — identical
+    * normalization chain (lower → strip non-[a-z0-9 ] → collapse
+    * spaces → trim; DuckDB regexp_replace needs the explicit 'g'
+    * flag Spark applies by default) over the same case/punct-mangled
+    * salt, min id per class. */
+  val normalizedDedup: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, upper(text) || ' !!' AS text
+  FROM documents WHERE doc_id % 20 = 0),
+k AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS kk
+  FROM corp)
+SELECT min(doc_id) AS doc_id FROM k GROUP BY kk ORDER BY doc_id"""
+
+  /** q105 oracle: the cross-source near-dup matrix replayed — brute-
+    * force 3-shingle Jaccard pairs (bounded corpus), source lookups,
+    * canonical (least, greatest) pair, one group-by. */
+  val crossSourceDups: String = """
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id < 1000),
+s AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8)
+SELECT source_a, source_b, count(*) AS n_dup_pairs
+FROM e GROUP BY source_a, source_b
+ORDER BY source_a, source_b"""
+
+  /** q102 oracle: CCNet-style perplexity buckets replayed — the q76
+    * LM-score CTEs, the same ntile(3) over (score desc, id), and the
+    * same md5 min-k selection with floor(frac·n + 0.5) per-bucket
+    * keep counts. */
+  val pplBuckets: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)),
+cb AS (SELECT bigram, count(*) AS c_bigram FROM b GROUP BY bigram),
+cp AS (SELECT string_split(bigram, ' ')[1] AS prefix,
+              count(*) AS c_prefix
+       FROM b GROUP BY 1),
+p AS (
+  SELECT b.doc_id, b.pos,
+         CAST(cb.c_bigram AS DOUBLE) / cp.c_prefix AS p
+  FROM b
+  JOIN cb ON b.bigram = cb.bigram
+  JOIN cp ON string_split(b.bigram, ' ')[1] = cp.prefix),
+sc AS (
+  SELECT doc_id,
+         list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*)
+           AS lm_score
+  FROM p GROUP BY doc_id),
+bk AS (
+  SELECT doc_id, lm_score,
+         ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS bucket
+  FROM sc),
+r AS (
+  SELECT doc_id, lm_score, bucket,
+         row_number() OVER (PARTITION BY bucket
+           ORDER BY md5(concat('ppl', ':', CAST(doc_id AS VARCHAR))),
+             doc_id) AS rn,
+         count(*) OVER (PARTITION BY bucket) AS n
+  FROM bk)
+SELECT doc_id, lm_score, CAST(bucket AS BIGINT) AS bucket,
+       rn <= CAST(floor((CASE bucket WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+                         ELSE 0.0 END) * n + 0.5) AS BIGINT) AS kept
+FROM r ORDER BY doc_id"""
+
   /** q77 oracle: the per-source report card — integer aggregates,
     * exact percentile (quantile_cont ≡ Spark percentile), and single
     * IEEE divisions. */
@@ -1715,6 +1883,55 @@ ranked AS (
 SELECT query_id, CAST("rank" AS INT) AS "rank", corpus_id, hamming,
        cosine_sim
 FROM ranked WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+
+  /** q103 oracle: kNN label propagation replayed — the q82 Hamming+
+    * exact-rerank machinery on the even/odd seed/query split, then
+    * majority vote with the (n_votes desc, label asc) winner rule. */
+  val knnLabel: String = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings),
+w AS (
+  SELECT vec_id, e,
+         list_reduce(list_transform(range(0, 63), i ->
+             CASE WHEN e[CAST(i AS INT) + 1] > 0
+                  THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END),
+           (a, b) -> a | b)
+         | CASE WHEN e[64] > 0 THEN (-9223372036854775808)::BIGINT
+                ELSE 0::BIGINT END AS word
+  FROM v),
+c AS (SELECT * FROM w WHERE vec_id % 2 = 0),
+q AS (SELECT * FROM w WHERE vec_id % 2 = 1 AND vec_id < 400),
+h AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         bit_count(xor(q.word, c.word)) AS hamming, q.e AS qe, c.e AS ce
+  FROM q, c WHERE c.vec_id <> q.vec_id),
+cand AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, corpus_id) AS hrank
+  FROM h),
+rr AS (
+  SELECT query_id, corpus_id,
+         list_dot_product(qe, ce)
+           / (sqrt(list_dot_product(qe, qe))
+              * sqrt(list_dot_product(ce, ce))) AS cosine_sim
+  FROM cand WHERE hrank <= 50),
+ranked AS (
+  SELECT query_id, corpus_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rk
+  FROM rr),
+votes AS (
+  SELECT r.query_id, CAST(lv.label AS BIGINT) AS lbl,
+         count(*) AS n_votes
+  FROM ranked r JOIN v lv ON lv.vec_id = r.corpus_id
+  WHERE r.rk <= 5 GROUP BY 1, 2),
+wnr AS (
+  SELECT query_id, lbl, n_votes, row_number() OVER (
+    PARTITION BY query_id ORDER BY n_votes DESC, lbl) AS rk
+  FROM votes)
+SELECT query_id AS vec_id, lbl AS label_pred,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM wnr WHERE rk = 1 ORDER BY vec_id"""
 
   /** q83 oracle: per-language centroid outlier scores replayed — the
     * same fixed-point quantization (floor(x·2^20 + 0.5), exact

@@ -432,6 +432,37 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Cross-source near-dup PROVENANCE audit: for every unordered
+    * source pair, the number of verified near-dup pairs straddling
+    * it — the monitoring artifact that surfaces scraper overlap,
+    * mirror sites, and license contamination between ingest feeds
+    * (a large diagonal entry = within-source boilerplate; a large
+    * off-diagonal = two feeds shipping the same content). Candidates
+    * and verification are the [[minHashDedup]] stack; sources attach
+    * to the surviving pairs ids-only, then one tiny groupBy on the
+    * canonicalized (min, max) source pair. Output:
+    * (source_a, source_b, n_dup_pairs). */
+  def crossSourceDups(docs: DataFrame, threshold: Double = 0.8,
+                      sourceCol: String = "source",
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val verified = jaccardVerify(
+        minHashCandidates(docs, textCol = textCol, idCol = idCol),
+        docs, textCol, idCol, shingleLen = ShingleLen)
+      .filter(col("jaccard") >= threshold)
+    val src = docs.select(col(idCol), col(sourceCol))
+    verified
+      .join(src.select(col(idCol).as("id_a"), col(sourceCol).as("src_a")),
+        "id_a")
+      .join(src.select(col(idCol).as("id_b"), col(sourceCol).as("src_b")),
+        "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Containment dedup — drops docs that are ≥`threshold`-contained
     * in a LARGER doc (shingle-set size; ties → the smaller id is the
     * canonical copy), the doc-inside-doc case Jaccard dedup

@@ -224,6 +224,39 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** kNN label propagation — the FineWeb-Edu-style pattern of labeling
+    * a large corpus from a small annotated seed set: each query doc
+    * takes the MAJORITY label of its k nearest labeled neighbors
+    * (ties → the smaller label id). Neighbors come from
+    * [[hammingTopK]] (sign-packed Hamming prefilter + exact cosine
+    * re-rank), so the whole classification is deterministic and
+    * hash-exact — label-propagation regressions gate like
+    * correctness ones.
+    *
+    * Scale shape: the labeled seed set is the ANN corpus (scans
+    * 8 bytes/vector/word); votes are one (query, label) aggregate
+    * over k·Q rows and the winner one per-query window over ≤
+    * k·Q rows. Output: (id, label_pred, n_votes). */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int,
+                  rerank: Int = 50, labelCol: String = "label",
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val nn = hammingTopK(labeled, queries, k, rerank, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val lab = labeled.select(col(idCol).as("corpus_id"),
+      col(labelCol).cast("long").as("lbl"))
+    nn.join(lab, "corpus_id")
+      .groupBy(col("query_id"), col("lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("n_votes").desc, col("lbl"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id").as(idCol), col("lbl").as("label_pred"),
+        col("n_votes"))
+      .orderBy(idCol)
+  }
+
   /** Per-query recall report of the binary-Hamming index against the
     * exact cosine top-k — the ANN quality audit as a first-class
     * QUERY, not a spec assertion. Because both sides are

@@ -782,6 +782,195 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** CCNet-style perplexity-bucket sampling (Wenzek et al. 2020 §4.3:
+    * score with an LM, cut the corpus into equal fluency buckets,
+    * keep head/middle, drop tail): documents are scored with
+    * [[bigramLmScore]], cut into `keepFracs.size` equal ntile buckets
+    * by (lm_score desc, id) — bucket 1 = most fluent — and bucket b
+    * keeps its floor(frac_b·n_b + 0.5) min-k-md5 docs. Returns a
+    * VERDICT per scored doc (id, lm_score, bucket, kept), the
+    * manifest shape — filtering is the caller's one-liner. Docs with
+    * no bigram (single-token) are unscored and absent, as in
+    * [[bigramLmScore]].
+    *
+    * Scale shape: scoring is the q76 plan (distinct-bigram model
+    * broadcast back); bucketing is ONE global ntile window (the
+    * score ranking a production CCNet run sorts anyway) and the
+    * per-bucket selection is a bucket-partitioned row_number — both
+    * engine-exact, no RNG. */
+  def perplexityBucketSample(docs: DataFrame,
+                             keepFracs: Seq[Double] = Seq(1.0, 0.5, 0.0),
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    require(keepFracs.nonEmpty && keepFracs.forall(f => f >= 0 && f <= 1),
+      "keepFracs must be fractions in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(docs, textCol, idCol)
+      .select(col(idCol), col("lm_score"))
+    val bucketed = scored.withColumn("bucket",
+      ntile(keepFracs.size).over(
+        Window.orderBy(col("lm_score").desc, col(idCol))))
+    val sel = Window.partitionBy("bucket")
+      .orderBy(md5(concat_ws(":", lit("ppl"), col(idCol).cast("string"))),
+        col(idCol))
+    val szW = Window.partitionBy("bucket")
+    val frac = keepFracs.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (f, i)) =>
+        when(col("bucket") === i + 1, lit(f)).otherwise(acc)
+    }
+    bucketed
+      .withColumn("__rn", row_number().over(sel))
+      .withColumn("__n", count(lit(1)).over(szW))
+      .select(col(idCol), col("lm_score"),
+        col("bucket").cast(LongType).as("bucket"),
+        (col("__rn") <=
+          floor(frac * col("__n").cast(DoubleType) + lit(0.5))
+            .cast(LongType)).as("kept"))
+      .orderBy(idCol)
+  }
+
+  /** Materialize an EXPLICIT data mixture (the DoReMi/Dolma shape:
+    * a tuned weight per source, not [[temperatureSample]]'s derived
+    * sqrt weights): source s gets n_keep = min(floor(budget·w_s+0.5),
+    * available_s) documents, chosen by the min-k md5 order every
+    * sampler here shares. A source whose target exceeds its
+    * inventory is CAPPED — the honest behavior for a static mix
+    * (report the shortfall downstream rather than silently
+    * re-weighting; sources without a weight are excluded). One
+    * groupBy for inventories + one per-source selection window;
+    * weights fold into literal CASE arms, so no second input or
+    * join is needed. Output: (source, id, sample_rank). */
+  def mixtureSample(docs: DataFrame, weights: Seq[(String, Double)],
+                    budget: Int, sourceCol: String = "source",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "need non-empty positive weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "source names must be distinct")
+    import org.apache.spark.sql.expressions.Window
+    // unlisted sources fall through to NULL and are filtered BEFORE
+    // the least() — Spark's least() skips nulls, so folding the null
+    // into it would silently keep a weightless source whole
+    val wExpr = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, w)) =>
+        when(col(sourceCol) === lit(s), lit(w)).otherwise(acc)
+    }
+    val targets = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__avail"))
+      .withColumn("__w", wExpr)
+      .filter(col("__w").isNotNull)
+      .select(col(sourceCol),
+        least(floor(lit(budget.toDouble) * col("__w") + lit(0.5))
+          .cast(LongType), col("__avail")).as("__keep"))
+    val sel = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(concat_ws(":", lit("mix"), col(idCol).cast("string"))),
+        col(idCol))
+    docs.withColumn("__rn", row_number().over(sel))
+      .join(broadcast(targets), sourceCol)
+      .filter(col("__rn") <= col("__keep"))
+      .select(col(sourceCol), col(idCol),
+        col("__rn").cast(LongType).as("sample_rank"))
+      .orderBy(col(sourceCol), col("sample_rank"))
+  }
+
+  /** [[mixtureSample]] with a TOKEN budget — the unit real mixes are
+    * specified in (a 30%-code mix means 30% of TOKENS, not of
+    * documents; doc-count mixing over-weights short-doc sources).
+    * Source s greedily fills floor(tokenBudget·w_s + 0.5) tokens in
+    * the md5 order: a doc is kept iff the running token total BEFORE
+    * it is still under target (packSequences' streaming-fill rule,
+    * so the crossing doc is included and every source overshoots by
+    * < 1 doc). A source that runs out of documents simply
+    * under-fills — the cap behavior of [[mixtureSample]], in token
+    * units. Output: (source, id, n_tokens, cum_tokens). */
+  def mixtureSampleTokens(docs: DataFrame, weights: Seq[(String, Double)],
+                          tokenBudget: Long,
+                          sourceCol: String = "source",
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "need non-empty positive weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "source names must be distinct")
+    import org.apache.spark.sql.expressions.Window
+    val wExpr = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, w)) =>
+        when(col(sourceCol) === lit(s), lit(w)).otherwise(acc)
+    }
+    val target = floor(lit(tokenBudget.toDouble) * wExpr + lit(0.5))
+      .cast(LongType)
+    val cumW = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(concat_ws(":", lit("mix"), col(idCol).cast("string"))),
+        col(idCol))
+    docs
+      .withColumn("__w", wExpr).filter(col("__w").isNotNull)
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast(LongType))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cumW))
+      .filter(col("cum_tokens") - col("n_tokens") < target)
+      .select(col(sourceCol), col(idCol), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col(sourceCol), col("cum_tokens"))
+  }
+
+  /** [[decontaminate]] against MULTIPLE eval benchmarks at once, with
+    * per-benchmark attribution — production decontamination screens
+    * dozens of eval sets and must report WHICH benchmark each doc
+    * overlaps (different benchmarks get different thresholds and
+    * different takedown policies). One corpus pass: the per-set
+    * pooled shingle vocabularies are unioned with their set ids and
+    * broadcast; a corpus shingle joins every pool it hits; the
+    * per-doc denominator comes from the same exploded frame via one
+    * doc-partitioned window (no second scan). Emits only (doc, set)
+    * pairs with ≥ 1 hit — the attribution report, bounded by actual
+    * overlap, not |corpus|×|sets|. */
+  def decontaminateMulti(corpus: DataFrame, evalSets: DataFrame,
+                         n: Int = 5, threshold: Double = 0.5,
+                         setCol: String = "eval_id",
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.functions.TextExpressions
+      .sorted_distinct_shingles(tokens(col(textCol)), n)
+    val pools = evalSets
+      .select(col(setCol), explode(sh).as("shingle")).distinct()
+    corpus.select(col(idCol), explode(sh).as("shingle"))
+      .withColumn("n_shingles",
+        count(lit(1)).over(Window.partitionBy(idCol)))
+      .join(broadcast(pools), Seq("shingle"))
+      .groupBy(col(idCol), col(setCol))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_matched"))
+      .withColumn("overlap",
+        col("n_matched").cast(DoubleType) / col("n_shingles"))
+      .withColumn("contaminated", col("overlap") >= threshold)
+      .orderBy(idCol, setCol)
+  }
+
+  /** Normalization key for case/punctuation-insensitive exact dedup
+    * (the C4/CCNet normalize-before-dedup stage): lowercase, strip
+    * everything outside [a-z0-9 ], collapse runs of spaces, trim.
+    * Restricted to regex constructs with identical semantics in
+    * Java regex and RE2 (the [[piiScrub]] discipline). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Exact dedup on the NORMALIZED text: keeps the minimum id per
+    * normalization class — catches case-variant and
+    * punctuation-variant duplicates plain exact dedup misses, while
+    * staying one hash-groupBy (the q20 scale shape; only
+    * (norm-key hash, id) cross the exchange at scale). Returns
+    * surviving ids. */
+  def normalizedExactDedup(docs: DataFrame,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), normalizeText(col(textCol)).as("__k"))
+      .groupBy(col("__k")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+      .orderBy(idCol)
+
   /** Per-source corpus report card — the monitoring aggregate a
     * production pipeline publishes per ingest source: volume, token
     * mass, length profile, and the short-document fraction that

@@ -98,4 +98,40 @@ class BinaryAnnSpec extends SparkSpec {
     val b = Similarity.centroidScores(docs.repartition(7), emb.repartition(13))
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  // --- knnClassify -------------------------------------------------
+
+  test("knnClassify propagates the majority cluster label") {
+    def v(axis: Int, eps: Double) =
+      Array.tabulate(8)(d =>
+        (if (d == axis) 1.0 else if (d == (axis + 1) % 8) eps else 0.0)
+          .toFloat)
+    // labeled seeds: 3 on axis 0 (label 7), 3 on axis 4 (label 2)
+    val labeled = Seq(
+      (10L, v(0, 0.01), 7), (11L, v(0, 0.02), 7), (12L, v(0, 0.03), 7),
+      (20L, v(4, 0.01), 2), (21L, v(4, 0.02), 2), (22L, v(4, 0.03), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, v(0, 0.05), 0), (2L, v(4, 0.05), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(labeled, queries, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 7L, 3L), (2L, 2L, 3L)))
+  }
+
+  test("knnClassify breaks vote ties toward the smaller label") {
+    def axis(d: Int) = Array.tabulate(8)(i =>
+      (if (i == d) 1.0 else 0.0).toFloat)
+    // two seeds, different labels, symmetric to the query -> 1 vote
+    // each at k=2; winner must be the smaller label (3 < 5)
+    val labeled = Seq(
+      (10L, axis(0), 5), (11L, axis(2), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val query = Seq((1L, Array.tabulate(8)(i =>
+      (if (i == 0 || i == 2) 1.0 else 0.0).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(labeled, query, k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L)))
+  }
 }

@@ -160,4 +160,79 @@ class BloomQuantizeSpec extends SparkSpec {
       assert(r.getDouble(r.fieldIndex("avg_tokens")) > 0.0)
     }
   }
+
+  test("perplexityBucketSample buckets by fluency and keeps per-frac") {
+    // 9 scored docs -> ntile(3) buckets of 3; fracs 1.0/0.5/0.0 keep
+    // 3 / floor(1.5+0.5)=2 / 0
+    val docs = (1L to 9L).map { i =>
+      // graded fluency: low ids repeat corpus-typical transitions
+      val tok = if (i <= 3) ("a b " * 6).trim
+                else if (i <= 6) s"a b c$i d$i"
+                else s"x$i y$i z$i w$i"
+      (i, tok.trim)
+    }.toDF("doc_id", "text")
+    val got = TextOps.perplexityBucketSample(docs)
+      .as[(Long, Double, Long, Boolean)].collect().toSeq
+    assert(got.size == 9)
+    val byBucket = got.groupBy(_._3)
+    assert(byBucket.keySet == Set(1L, 2L, 3L))
+    assert(byBucket.values.forall(_.size == 3))
+    // fluency ordering across buckets (non-strict under ties)
+    assert(byBucket(1L).map(_._2).min >= byBucket(2L).map(_._2).max)
+    assert(byBucket(2L).map(_._2).min >= byBucket(3L).map(_._2).max)
+    // keep counts per bucket
+    assert(byBucket(1L).count(_._4) == 3)
+    assert(byBucket(2L).count(_._4) == 2)
+    assert(byBucket(3L).count(_._4) == 0)
+    // deterministic
+    val again = TextOps.perplexityBucketSample(docs)
+      .as[(Long, Double, Long, Boolean)].collect().toSeq
+    assert(got == again)
+  }
+
+  test("mixtureSample: explicit weights, availability cap, exclusion") {
+    val docs = (1L to 30L).map { i =>
+      val src = if (i <= 5) "a" else if (i <= 20) "b" else "c"
+      (i, src)
+    }.toDF("doc_id", "source")
+    // budget 20: a -> floor(20*0.5+0.5)=10 capped at 5; b -> 10 of 15
+    val got = TextOps.mixtureSample(docs,
+        Seq("a" -> 0.5, "b" -> 0.5), budget = 20)
+      .as[(String, Long, Long)].collect().toSeq
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc("a").size == 5 && bySrc("b").size == 10)
+    assert(!bySrc.contains("c")) // unlisted source excluded
+    // ranks contiguous from 1 within each source
+    assert(bySrc("a").map(_._3).sorted == (1L to 5L))
+    assert(bySrc("b").map(_._3).sorted == (1L to 10L))
+    intercept[IllegalArgumentException] {
+      TextOps.mixtureSample(docs, Seq("a" -> 0.5, "a" -> 0.5), 10)
+    }
+  }
+
+  test("mixtureSampleTokens greedily fills token targets") {
+    // source a: 4 docs x 4 tokens; source b: 2 docs x 2 tokens;
+    // source c unlisted
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4", "a"), (2L, "a5 a6 a7 a8", "a"),
+      (3L, "a9 aa ab ac", "a"), (4L, "ad ae af ag", "a"),
+      (10L, "b1 b2", "b"), (11L, "b3 b4", "b"),
+      (20L, "c1 c2 c3", "c")
+    ).toDF("doc_id", "text", "source")
+    // budget 20: a target = floor(20*0.5+0.5) = 10 tokens -> greedy
+    // fill takes docs until the running total BEFORE a doc reaches
+    // 10: two 4-token docs (cum 8 < 10 before the third -> third
+    // kept too, crossing to 12); b target = 10 -> exhausts both docs
+    val got = TextOps.mixtureSampleTokens(docs,
+        Seq("a" -> 0.5, "b" -> 0.5), tokenBudget = 20)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc("a").size == 3)           // 4+4 then the crossing doc
+    assert(bySrc("a").map(_._3).sum == 12) // overshoot < 1 doc
+    assert(bySrc("b").size == 2)           // underfill: inventory out
+    assert(bySrc("b").map(_._3).sum == 4)
+    assert(!bySrc.contains("c"))
+    // cum_tokens is the running sum in selection order
+    assert(bySrc("a").map(_._4).sorted == Seq(4L, 8L, 12L))
+  }
 }

@@ -59,4 +59,30 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("decontaminateMulti attributes overlap per eval set") {
+    val evals = Seq(
+      (0L, evalText),                          // set 0: the q-shingles
+      (1L, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10")   // set 1: the r-shingles
+    ).toDF("eval_id", "text")
+    val probe = Seq(
+      (0L, evalText),                          // full hit on set 0 only
+      (1L, "r1 r2 r3 r4 r5 r6 r7 n1 n2 n3"),   // 3/6 on set 1 only
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")   // clean: absent
+    ).toDF("doc_id", "text")
+    val got = TextOps.decontaminateMulti(probe, evals, n = 5,
+        threshold = 0.5)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 6L, 6L, 1.0, true),
+      (1L, 1L, 6L, 3L, 0.5, true)))
+    // single-set agreement with the mono-set operator
+    val mono = TextOps.decontaminate(probe, evals.filter($"eval_id" === 0)
+        .select($"eval_id".as("doc_id"), $"text"), n = 5, threshold = 0.5)
+      .filter($"n_matched" > 0)
+      .select($"doc_id", $"n_shingles", $"n_matched", $"overlap")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val multi0 = got.filter(_._2 == 0L).map(r => (r._1, r._3, r._4, r._5))
+    assert(mono == multi0)
+  }
 }

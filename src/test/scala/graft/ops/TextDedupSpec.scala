@@ -192,6 +192,36 @@ class TextDedupSpec extends SparkSpec {
     assert(jkept.contains(2L))
   }
 
+  test("normalizedExactDedup collapses case/punct variants to min id") {
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO   WORLD"),
+      (4L, "a different document"),
+      (5L, "A DIFFERENT document?!")
+    ).toDF("doc_id", "text")
+    val kept = TextOps.normalizedExactDedup(d).as[Long].collect().toSeq
+    assert(kept == Seq(1L, 4L))
+    // plain exact dedup keeps all 5 — the variants are invisible to it
+    assert(Dedup.exactByHash(d).count() == 5)
+  }
+
+  test("crossSourceDups counts near-dup pairs per source pair") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val d = Seq(
+      // cross-source near-dup (A x B)
+      (1L, base, "A"), (2L, base + " x1", "B"),
+      // within-source near-dup (A x A)
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "A"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11", "A"),
+      // unrelated
+      (5L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDups(d)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("A", "A", 1L), ("A", "B", 1L)))
+  }
+
   test("containment prefix filter is lossless vs brute-force pairs") {
     // corpus with graded overlaps so candidates are non-trivial
     val d = (1L to 30L).map { i =>
