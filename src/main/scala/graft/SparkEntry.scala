@@ -771,6 +771,22 @@ object SparkEntry {
     // the hash match PROVES index-based ≡ scan-based scoring
     // bit-for-bit (the q56/q68 equivalence discipline). Index dir
     // scoped by application id (q68 concurrency discipline).
+    // Hard-negative mining: per query the 5 most-similar corpus
+    // vectors BELOW the 0.95 cosine ceiling — informative negatives
+    // without unlabeled positives (a plain top-k would mine
+    // near-dups as negatives). Deterministic ranking -> reproducible
+    // negative sets, hash-exact.
+    "q110_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 50),
+        k = 5, ceiling = 0.95)
+    }),
+    // Materialized sequence packing: q59's bin plan turned into the
+    // actual training artifact — per-bin documents concatenated in
+    // packing order with an <eot> separator. Bin state is O(budget)
+    // by construction.
+    "q109_pack_materialize" -> ((s, dir) =>
+      TextOps.packMaterialize(Tables.documents(s, dir), budget = 256L)),
     // Token-budget mixture: per-source token targets greedily filled
     // in md5 order (streaming-fill rule — the crossing doc is kept),
     // the unit real mixes are specified in. Budget 3000 keeps every
@@ -1135,6 +1151,8 @@ object SparkEntry {
     "q106_token_mixture"    -> Oracle.tokenMixture,
     "q107_multi_decon"      -> Oracle.multiDecon,
     "q108_normalized_dedup" -> Oracle.normalizedDedup,
+    "q109_pack_materialize" -> Oracle.packMaterialize,
+    "q110_hard_negatives"   -> Oracle.hardNegatives,
     "q100_hash_split"       -> Oracle.hashSplit,
     "q101_leakage_split"    -> Oracle.leakageSplit,
     "q79_quality_rules"     -> Oracle.qualityRules,

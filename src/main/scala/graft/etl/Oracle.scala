@@ -332,6 +332,25 @@ SELECT lang, shard, bin,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""
 
+  /** q109 oracle: materialized packing replayed — the q59 assignment
+    * CTEs plus an id-ordered string_agg per bin with the same
+    * separator. */
+  val packMaterialize: String = """
+WITH t AS (
+  SELECT lang, doc_id, text, doc_id % 4 AS shard,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok
+  FROM documents),
+b AS (
+  SELECT lang, doc_id, text, shard, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY lang, shard
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+           / 256) AS BIGINT) AS bin
+  FROM t)
+SELECT lang, shard, bin,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       string_agg(text, ' <eot> ' ORDER BY doc_id) AS packed_text
+FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin"""
+
   /** q60 oracle: vocabulary ranking (count desc, token asc). */
   val buildVocab: String = """
 WITH c AS (
@@ -831,6 +850,26 @@ ranked AS (
 SELECT query_id, CAST("rank" AS INT) AS "rank", corpus_id, cosine_sim
 FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank""""
 
+  /** q110 oracle: hard-negative mining replayed — the q28 exact
+    * ranking with the band-pass ceiling filter applied before the
+    * rank, identical IEEE cosine. */
+  val hardNegatives: String = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 50),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS cosine_sim
+  FROM q, v c WHERE c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS "rank"
+  FROM scored WHERE cosine_sim < 0.95)
+SELECT query_id, CAST("rank" AS INT) AS "rank", corpus_id, cosine_sim
+FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
   val multimodalMeta: String = """
 SELECT CAST(doc_id AS BIGINT) AS asset_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -1298,8 +1337,8 @@ WITH corp AS (
   FROM documents WHERE doc_id % 20 = 0),
 k AS (
   SELECT doc_id,
-         trim(regexp_replace(regexp_replace(lower(text),
-           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS kk
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS kk
   FROM corp)
 SELECT min(doc_id) AS doc_id FROM k GROUP BY kk ORDER BY doc_id"""
 

@@ -257,6 +257,31 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * MOST similar corpus vectors whose cosine is still below
+    * `ceiling` — similar enough to be informative negatives, not so
+    * similar they are unlabeled positives (the standard band-pass
+    * selection; a plain top-k would mine near-duplicates as
+    * negatives and poison the loss). Built on the deterministic
+    * brute-force ranking, so the mined pairs are hash-exact and the
+    * negative set is reproducible run-over-run — which contrastive
+    * training pipelines need for resumable epochs. Output:
+    * (query_id, rank, corpus_id, cosine_sim). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    ceiling: Double = 0.95,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    rankTopK(c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("cv")).as("cosine_sim"))
+      .filter(col("cosine_sim") < ceiling), k)
+  }
+
   /** Per-query recall report of the binary-Hamming index against the
     * exact cosine top-k — the ANN quality audit as a first-class
     * QUERY, not a spec assertion. Because both sides are

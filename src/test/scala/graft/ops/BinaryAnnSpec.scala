@@ -99,6 +99,28 @@ class BinaryAnnSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  // --- hardNegatives ------------------------------------------------
+
+  test("hardNegatives excludes the near-dup band, keeps hard ones") {
+    def mix(a: Double): Array[Float] = Array.tabulate(8)(d =>
+      (if (d == 0) math.cos(a) else if (d == 1) math.sin(a) else 0.0)
+        .toFloat)
+    val corpus = Seq(
+      (10L, mix(0.01)),  // cos ≈ 0.99995 to query: unlabeled positive
+      (11L, mix(0.4)),   // cos ≈ 0.921: hard negative
+      (12L, mix(0.9)),   // cos ≈ 0.622: easier negative
+      (13L, mix(2.5))    // cos ≈ -0.80: easy negative
+    ).toDF("vec_id", "embedding")
+    val query = Seq((1L, mix(0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(corpus, query, k = 2,
+        ceiling = 0.95)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // near-dup 10 excluded by the ceiling; hardest-first order
+    assert(got.map(_._3) == Seq(11L, 12L))
+    assert(got.map(_._2) == Seq(1, 2))
+    assert(got.forall(_._4 < 0.95))
+  }
+
   // --- knnClassify -------------------------------------------------
 
   test("knnClassify propagates the majority cluster label") {

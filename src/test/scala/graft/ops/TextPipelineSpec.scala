@@ -38,6 +38,20 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("packMaterialize concatenates each bin in packing order") {
+    val out = TextOps.packMaterialize(docs, budget = 6L, shards = 1,
+        sep = " | ")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // same bin assignment as the q59 spec above; each bin's members
+    // concatenate in id (packing) order
+    assert(out.toSeq == Seq(
+      ("de", 0L, 3L, 6L, "x y z | x y | x"),
+      ("en", 0L, 2L, 10L, "a b c d | a b c d e f"),
+      ("en", 1L, 1L, 2L, "a b"),
+      ("en", 2L, 2L, 6L, "a b c d e | a")))
+  }
+
   test("packSequences shards bound the window partitions") {
     val out = TextOps.packSequences(docs, budget = 4L, shards = 4)
     // doc_id % 4 spreads en's 5 docs over 4 independent streams
