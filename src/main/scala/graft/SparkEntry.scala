@@ -771,6 +771,15 @@ object SparkEntry {
     // the hash match PROVES index-based ≡ scan-based scoring
     // bit-for-bit (the q56/q68 equivalence discipline). Index dir
     // scoped by application id (q68 concurrency discipline).
+    // Embedding drift monitor: per-dimension mean/variance of two
+    // snapshot halves (even vs odd ids) + mean shift and variance
+    // ratio — catches a silently changed upstream embedder.
+    // Fixed-point moments keep the whole report hash-exact.
+    "q111_embedding_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pca.driftReport(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+    }),
     // Hard-negative mining: per query the 5 most-similar corpus
     // vectors BELOW the 0.95 cosine ceiling — informative negatives
     // without unlabeled positives (a plain top-k would mine
@@ -1153,6 +1162,7 @@ object SparkEntry {
     "q108_normalized_dedup" -> Oracle.normalizedDedup,
     "q109_pack_materialize" -> Oracle.packMaterialize,
     "q110_hard_negatives"   -> Oracle.hardNegatives,
+    "q111_embedding_drift"  -> Oracle.embeddingDrift,
     "q100_hash_split"       -> Oracle.hashSplit,
     "q101_leakage_split"    -> Oracle.leakageSplit,
     "q79_quality_rules"     -> Oracle.qualityRules,

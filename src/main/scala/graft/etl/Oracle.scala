@@ -2272,6 +2272,51 @@ FROM v, range(1, 65) p(pos), sd
 WHERE sd.pos = p.pos AND v.vec_id < 100
 ORDER BY v.vec_id, pos"""
 
+  /** q111 oracle: the drift report replayed — q93's fixed-point
+    * moment arithmetic per snapshot half (even/odd ids), identical
+    * mean/variance expression order, |shift| and the guarded
+    * variance ratio. */
+  val embeddingDrift: String = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ma AS (
+  SELECT p.pos,
+         CAST(sum(CAST(floor(e[p.pos] * 1048576.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1048576.0 / count(*) AS mean_a,
+         greatest(
+           CAST(sum(CAST(floor(e[p.pos] * e[p.pos] * 1048576.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1048576.0 / count(*)
+             - (CAST(sum(CAST(floor(e[p.pos] * 1048576.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1048576.0
+                / count(*))
+               * (CAST(sum(CAST(floor(e[p.pos] * 1048576.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1048576.0
+                  / count(*)),
+           0.0) AS var_a
+  FROM v, range(1, 65) p(pos) WHERE vec_id % 2 = 0 GROUP BY 1),
+mb AS (
+  SELECT p.pos,
+         CAST(sum(CAST(floor(e[p.pos] * 1048576.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1048576.0 / count(*) AS mean_b,
+         greatest(
+           CAST(sum(CAST(floor(e[p.pos] * e[p.pos] * 1048576.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1048576.0 / count(*)
+             - (CAST(sum(CAST(floor(e[p.pos] * 1048576.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 1048576.0
+                / count(*))
+               * (CAST(sum(CAST(floor(e[p.pos] * 1048576.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1048576.0
+                  / count(*)),
+           0.0) AS var_b
+  FROM v, range(1, 65) p(pos) WHERE vec_id % 2 = 1 GROUP BY 1)
+SELECT CAST(ma.pos - 1 AS BIGINT) AS pos,
+       mean_a, mean_b, abs(mean_b - mean_a) AS mean_shift,
+       var_a, var_b,
+       CASE WHEN var_a = 0.0 THEN 0.0 ELSE var_b / var_a END
+         AS var_ratio
+FROM ma JOIN mb ON mb.pos = ma.pos
+ORDER BY pos"""
+
   /** One BM25 term's score expression — written token-for-token as
     * the Spark column tree (left-associative, identical literals) so
     * every IEEE rounding matches; rational idf, no log. */

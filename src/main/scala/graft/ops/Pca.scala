@@ -120,6 +120,50 @@ object Pca {
       .orderBy(idCol)
   }
 
+  /** Per-dimension distribution drift between two embedding snapshots
+    * (e.g. last month's corpus vs this month's, or two ingest
+    * sources) — the monitoring artifact that catches a silently
+    * retrained/buggy upstream embedder before it poisons dedup and
+    * retrieval. For each dimension: both snapshots' mean and
+    * variance (fixed-point moments — the [[standardize]] discipline,
+    * so order-independent and hash-exact), the absolute mean shift,
+    * and the variance ratio (0 where the baseline dimension is
+    * constant — flagged, not divided). Two scans (one per snapshot),
+    * each one dim-row aggregate; no joins against the corpora. */
+  def driftReport(a: DataFrame, b: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    def moments(df: DataFrame, m: String, v: String): DataFrame =
+      df.select(transform(col(vecCol), _.cast("double")).as("e"))
+        .select(posexplode(col("e")).as(Seq("pos", "x")))
+        .select(col("pos"),
+          floor(col("x") * lit(Q) + lit(0.5)).cast(LongType).as("q1"),
+          floor(col("x") * col("x") * lit(Q) + lit(0.5))
+            .cast(LongType).as("q2"))
+        .groupBy("pos")
+        .agg(sum("q1").as("s1"), sum("q2").as("s2"),
+          count(lit(1)).as("n"))
+        .select(col("pos"),
+          (col("s1").cast("double") / lit(Q) / col("n").cast("double"))
+            .as(m),
+          greatest(
+            col("s2").cast("double") / lit(Q) / col("n").cast("double")
+              - (col("s1").cast("double") / lit(Q)
+                 / col("n").cast("double"))
+              * (col("s1").cast("double") / lit(Q)
+                 / col("n").cast("double")),
+            lit(0.0)).as(v))
+    moments(a, "mean_a", "var_a")
+      .join(moments(b, "mean_b", "var_b"), "pos")
+      .select(col("pos").cast(LongType).as("pos"),
+        col("mean_a"), col("mean_b"),
+        abs(col("mean_b") - col("mean_a")).as("mean_shift"),
+        col("var_a"), col("var_b"),
+        when(col("var_a") === lit(0.0), lit(0.0))
+          .otherwise(col("var_b") / col("var_a")).as("var_ratio"))
+      .orderBy("pos")
+  }
+
   /** Johnson–Lindenstrauss random projection with a DETERMINISTIC
     * sign matrix (Achlioptas 2003: ±1 entries preserve pairwise
     * distances in expectation like Gaussian ones) — the cheap

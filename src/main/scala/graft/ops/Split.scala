@@ -41,18 +41,27 @@ object Split {
     * `salt` re-rolls every assignment; keeping it fixes each id's
     * split forever (append-only corpora keep their history).
     * Output: (id, split), ordered by id. */
-  def hashSplit(df: DataFrame, weights: Seq[(String, Double)],
-                salt: String = "graft",
-                idCol: String = "doc_id"): DataFrame = {
+  /** The split decision as a pure COLUMN over `idCol` — what a
+    * stateless streaming ingest gate composes directly
+    * ([[graft.streaming.GateStream]]); [[hashSplit]] is this plus
+    * the presentation sort. */
+  def splitColumn(weights: Seq[(String, Double)],
+                  salt: String = "graft",
+                  idCol: String = "doc_id"): org.apache.spark.sql.Column = {
     val bounds = hexBounds(weights)
     val bucket = substring(
       md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 8)
-    val split = bounds.foldRight(lit(weights.last._1)) {
+    bounds.foldRight(lit(weights.last._1)) {
       case ((name, bound), rest) =>
         when(bucket < lit(bound), lit(name)).otherwise(rest)
     }
-    df.select(col(idCol), split.as("split")).orderBy(idCol)
   }
+
+  def hashSplit(df: DataFrame, weights: Seq[(String, Double)],
+                salt: String = "graft",
+                idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+      splitColumn(weights, salt, idCol).as("split")).orderBy(idCol)
 
   /** Leakage-safe split: near-dup clusters (LSH candidates → exact
     * shingle-Jaccard ≥ `threshold` → connected components, the q66

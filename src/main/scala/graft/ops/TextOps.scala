@@ -1149,18 +1149,38 @@ object TextOps {
                   minStopwords: Int = 2,
                   minDistinctRatio: Double = 0.35,
                   textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id"): DataFrame =
+    gopherRulesUnsorted(docs, minTokens, maxTokens, minMeanLen,
+      maxMeanLen, minStopwords, minDistinctRatio, textCol, idCol)
+      .orderBy(idCol)
+
+  /** [[gopherRules]] without the presentation sort — the form a
+    * STREAMING ingest gate composes (global sorts are illegal on
+    * unbounded inputs; every rule here is a stateless per-row
+    * expression, so the battery applies to a stream unchanged —
+    * [[graft.streaming.GateStream]]). `carryCols` are passed through
+    * the projection so a caller can keep e.g. the text column without
+    * re-joining (a stream-stream join is exactly what a stateless
+    * gate must avoid). */
+  def gopherRulesUnsorted(docs: DataFrame,
+                  minTokens: Int = 20, maxTokens: Int = 90,
+                  minMeanLen: Double = 4.0, maxMeanLen: Double = 10.0,
+                  minStopwords: Int = 2,
+                  minDistinctRatio: Double = 0.35,
+                  textCol: String = "text",
+                  idCol: String = "doc_id",
+                  carryCols: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col(textCol))
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*)))
     // single-space-joined text: word chars = length - (n_tokens - 1)
     val meanLen = (length(col(textCol)) - (nTok - 1)).cast(DoubleType) / nTok
     val distinctRatio = size(array_distinct(toks)).cast(DoubleType) / nTok
-    docs.select(col(idCol),
-        nTok.cast(LongType).as("n_tokens"),
-        meanLen.as("mean_word_len"),
-        nStop.cast(LongType).as("n_stopwords"),
-        distinctRatio.as("distinct_ratio"))
+    docs.select(col(idCol) +: carryCols.map(col) :+
+        nTok.cast(LongType).as("n_tokens") :+
+        meanLen.as("mean_word_len") :+
+        nStop.cast(LongType).as("n_stopwords") :+
+        distinctRatio.as("distinct_ratio"): _*)
       .withColumn("r_word_count",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .withColumn("r_word_len",
@@ -1176,7 +1196,6 @@ object TextOps {
           .when(!col("r_word_len"), lit("word_len"))
           .when(!col("r_stopword"), lit("stopword"))
           .when(!col("r_repetition"), lit("repetition")))
-      .orderBy(idCol)
   }
 
   /** Shared stage outputs of the v2 curation pipeline — ONE

@@ -157,6 +157,29 @@ class RetrievalPcaSpec extends SparkSpec {
     assert(st.getDouble(0) == 5.0)
   }
 
+  // --- driftReport --------------------------------------------------
+
+  test("driftReport: zero drift on identical snapshots, exact shift") {
+    // exact binary fractions -> quantization is lossless
+    val a = Seq(
+      (1L, Array(0.5f, 2.0f, 7.0f)), (2L, Array(1.5f, 4.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val same = Pca.driftReport(a, a).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(6)))
+    // no shift; var_ratio 1 where var > 0, flagged 0 on constant dim
+    assert(same.toSeq == Seq((0L, 0.0, 1.0), (1L, 0.0, 1.0),
+      (2L, 0.0, 0.0)))
+    // planted +1.0 mean shift in dim 0, x4 variance in dim 1
+    val b = Seq(
+      (1L, Array(1.5f, 1.0f, 7.0f)), (2L, Array(2.5f, 5.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val drift = Pca.driftReport(a, b).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(6))))
+      .toMap
+    assert(drift(0L) == ((1.0, 1.0)))
+    assert(drift(1L)._1 == 0.0 && drift(1L)._2 == 4.0)
+  }
+
   // --- randomProject ----------------------------------------------
 
   private def jlSign(i: Long, j: Long): Long =
