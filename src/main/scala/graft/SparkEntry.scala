@@ -771,6 +771,25 @@ object SparkEntry {
     // the hash match PROVES index-based ≡ scan-based scoring
     // bit-for-bit (the q56/q68 equivalence discipline). Index dir
     // scoped by application id (q68 concurrency discipline).
+    // Quality-weighted PPS sampling: classifier keep-probability
+    // (rational sigmoid, fixed-point scaled to integer weights)
+    // drives the systematic PPS grid — high-quality docs sampled
+    // proportionally more, zero-weight strata dropped. Composes q89
+    // scoring with the q64 grid, hash-exact end to end.
+    "q113_quality_pps" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weighted = docs.select(col("lang"), col("doc_id"))
+        .join(TextOps.qualityClassifier(docs).select(col("doc_id"),
+          floor(col("clf_prob") * lit(1000000.0)).cast("long")
+            .as("qw")), "doc_id")
+      TextOps.ppsSample(weighted, k = 8, weightCol = "qw")
+    }),
+    // EXACT Jaccard similarity join: every pair at shingle-J >= 0.8,
+    // guaranteed complete via the lossless prefix filter (no banding
+    // miss bound) — the compliance-scan contract. Natural 0.8-pairs
+    // exist in the corpus (q25 drops 24 docs), so no salt needed.
+    "q112_exact_jaccard_join" -> ((s, dir) =>
+      Dedup.exactJaccardJoin(Tables.documents(s, dir), threshold = 0.8)),
     // Embedding drift monitor: per-dimension mean/variance of two
     // snapshot halves (even vs odd ids) + mean shift and variance
     // ratio — catches a silently changed upstream embedder.
@@ -1163,6 +1182,8 @@ object SparkEntry {
     "q109_pack_materialize" -> Oracle.packMaterialize,
     "q110_hard_negatives"   -> Oracle.hardNegatives,
     "q111_embedding_drift"  -> Oracle.embeddingDrift,
+    "q112_exact_jaccard_join" -> Oracle.exactJaccardJoin,
+    "q113_quality_pps"      -> Oracle.qualityPps,
     "q100_hash_split"       -> Oracle.hashSplit,
     "q101_leakage_split"    -> Oracle.leakageSplit,
     "q79_quality_rules"     -> Oracle.qualityRules,

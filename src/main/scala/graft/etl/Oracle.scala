@@ -1342,6 +1342,31 @@ k AS (
   FROM corp)
 SELECT min(doc_id) AS doc_id FROM k GROUP BY kk ORDER BY doc_id"""
 
+  /** q112 oracle: the exact Jaccard join replayed brute-force over
+    * ALL pairs (valid because the Spark side's prefix cover is
+    * lossless for J ≥ θ — J ≤ C, so both directions' prefixes must
+    * hit); identical intersection counts and division order. */
+  val exactJaccardJoin: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(a.sh) AS BIGINT) AS n_a,
+         CAST(len(b.sh) AS BIGINT) AS n_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           AS jaccard
+  FROM s a, s b WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, n_a, n_b, jaccard
+FROM e WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
+
   /** q105 oracle: the cross-source near-dup matrix replayed — brute-
     * force 3-shingle Jaccard pairs (bounded corpus), source lookups,
     * canonical (least, greatest) pair, one group-by. */
@@ -2214,6 +2239,49 @@ SELECT doc_id, clf_score,
        (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5 AS clf_prob,
        CASE WHEN clf_score >= 0.0 THEN 'keep' ELSE 'drop' END AS label
 FROM s ORDER BY doc_id"""
+
+  /** q113 oracle: quality-weighted PPS — the q89 classifier score
+    * CTEs produce the keep probability, floor(p·10⁶) makes the
+    * integer weight, and the q64 grid arithmetic replays the
+    * systematic picks. */
+  val qualityPps: String = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) AS word_chars
+  FROM t),
+s AS (
+  SELECT doc_id,
+         -3.5 + 8.0 * (n_stop / n_tok) - 0.25 * (word_chars / n_tok)
+           + 2.0 * (n_dist / n_tok) + 0.5 * (n_tok / 100.0) AS clf_score
+  FROM f),
+q AS (
+  SELECT d.lang, s.doc_id,
+         CAST(floor(((s.clf_score / (1.0 + abs(s.clf_score)) + 1.0)
+           * 0.5) * 1000000.0) AS BIGINT) AS w
+  FROM s JOIN documents d ON d.doc_id = s.doc_id),
+c AS (
+  SELECT lang, doc_id, w,
+         sum(w) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY lang) AS total
+  FROM q),
+p AS (
+  SELECT lang, doc_id, w,
+         CAST(floor(CAST(cum AS DOUBLE) / (CAST(total AS DOUBLE) / 8))
+            - floor(CAST(cum - w AS DOUBLE)
+                    / (CAST(total AS DOUBLE) / 8)) AS BIGINT) AS n_picks
+  FROM c WHERE total > 0)
+SELECT lang, doc_id, w AS weight, n_picks
+FROM p WHERE n_picks > 0 ORDER BY lang, doc_id"""
 
   /** q92 oracle: cluster-balanced sampling — the kmeans CTEs (2
     * iterations over ALL embeddings) feed the q73 temperature replay

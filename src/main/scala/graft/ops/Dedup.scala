@@ -416,9 +416,19 @@ object Dedup {
       col("pos") <= col("n_a") -
         ceil(lit(threshold) * col("n_a").cast("double") - lit(1e-6))
           .cast("long") + 1)
-    val candIds = prefix.select(col("id").as("id_a"), col("s"))
-      .join(inv.select(col("id").as("id_b"), col("s")), Seq("s"))
-      .filter(col("id_a") =!= col("id_b"))
+    // size lower bound, also lossless: C(A→B) ≥ θ ⟹ |B| ≥ |A∩B| ≥
+    // ⌈θ·|A|⌉ — prunes candidates against small B before the pair
+    // distinct (measured 32.5 → 26.3 s at the 50k worst-case corpus;
+    // the uniform synthetic doc lengths blunt it — real corpora's
+    // length spread prunes much harder)
+    val idx = ranked.select(col("id").as("id_b"), col("s"),
+      col("n_a").as("n_b"))
+    val candIds = prefix.select(col("id").as("id_a"), col("s"),
+        col("n_a"))
+      .join(idx, Seq("s"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("n_b") >= ceil(lit(threshold) * col("n_a").cast("double")
+          - lit(1e-6)).cast("long"))
       .select("id_a", "id_b").distinct()
     candIds
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -426,11 +436,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"),
-        (graft.functions.TextExpressions.sorted_intersect_count(
-          col("sh_a"), col("sh_b")).cast("double") /
-          size(col("sh_a")).cast("double")).as("containment"))
+        graft.functions.TextExpressions.sorted_intersect_count(
+          col("sh_a"), col("sh_b")).cast("long").as("n_inter"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_a").cast("double"))
       .filter(col("containment") >= threshold)
   }
+
+  /** EXACT Jaccard similarity join — every unordered pair with
+    * shingle Jaccard ≥ `threshold`, with the value. The complement of
+    * [[minHashCandidates]]' probabilistic cover: the prefix filter is
+    * lossless for Jaccard too (J(A,B) ≤ C(A→B) always, so a
+    * J ≥ θ pair is a C ≥ θ pair in BOTH directions and each side's
+    * prefix must hit), plus the two-sided size bound
+    * θ·|A| ≤ |B| ≤ |A|/θ. Use this when the dedup contract must be
+    * "no qualifying pair missed, period" (takedown/compliance scans)
+    * and the banding miss bound, however small, is not acceptable.
+    * Output: (id_a < id_b, n_a, n_b, jaccard). */
+  def exactJaccardJoin(docs: DataFrame, threshold: Double = 0.8,
+                       shingleLen: Int = ShingleLen,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    containmentPairs(docs, threshold, shingleLen, textCol, idCol)
+      .filter(col("id_a") < col("id_b"))
+      // containment ≥ θ is necessary for J ≥ θ; the exact J reuses
+      // the verified intersection count
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_a", "n_b", "jaccard")
+      .orderBy("id_a", "id_b")
 
   /** Cross-source near-dup PROVENANCE audit: for every unordered
     * source pair, the number of verified near-dup pairs straddling

@@ -210,6 +210,22 @@ class BloomQuantizeSpec extends SparkSpec {
     }
   }
 
+  test("quality-weighted PPS: exactly k grid picks per stratum") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val weighted = docs.select($"lang", $"doc_id")
+      .join(TextOps.qualityClassifier(docs).select($"doc_id",
+        floor($"clf_prob" * 1000000.0).cast("long").as("qw")), "doc_id")
+    val out = TextOps.ppsSample(weighted, k = 8, weightCol = "qw")
+    val perLang = out.groupBy("lang")
+      .agg(sum("n_picks").as("picks")).as[(String, Long)]
+      .collect().toMap
+    assert(perLang.values.forall(_ == 8L))
+    // weights reflect the classifier: every pick carries a positive
+    // integer weight derived from a probability in (0, 1)
+    val ws = out.select("weight").as[Long].collect()
+    assert(ws.forall(w => w > 0 && w < 1000000L))
+  }
+
   test("mixtureSampleTokens greedily fills token targets") {
     // source a: 4 docs x 4 tokens; source b: 2 docs x 2 tokens;
     // source c unlisted

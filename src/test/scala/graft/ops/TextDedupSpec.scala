@@ -222,6 +222,28 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq(("A", "A", 1L), ("A", "B", 1L)))
   }
 
+  test("exactJaccardJoin finds every qualifying pair (vs brute force)") {
+    val d = (1L to 30L).map { i =>
+      val toks = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (theta <- Seq(0.5, 0.8)) {
+      val got = Dedup.exactJaccardJoin(d, threshold = theta)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sets = d.select(col("doc_id"),
+        graft.functions.TextExpressions.sorted_distinct_shingles(
+          TextOps.tokens(col("text")), 3).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = sets(a).toSet.intersect(sets(b).toSet).size
+        if inter.toDouble /
+          (sets(a).size + sets(b).size - inter) >= theta
+      } yield (a, b)).toSet
+      assert(got == want, s"theta=$theta")
+    }
+  }
+
   test("containment prefix filter is lossless vs brute-force pairs") {
     // corpus with graded overlaps so candidates are non-trivial
     val d = (1L to 30L).map { i =>
