@@ -771,6 +771,48 @@ object SparkEntry {
     // the hash match PROVES index-based ≡ scan-based scoring
     // bit-for-bit (the q56/q68 equivalence discipline). Index dir
     // scoped by application id (q68 concurrency discipline).
+    // Cluster topic labeling: characteristic terms per k-means cell
+    // (tf·N/df ranked within cluster) — the human-readable handle on
+    // what each semantic cluster IS, composing q87's cells with
+    // q74's rational tf-idf.
+    "q116_cluster_terms" -> ((s, dir) => {
+      val cells = Cluster.kmeans(Tables.embeddings(s, dir),
+        k = 8, iters = 2)
+      val docs = Tables.documents(s, dir)
+        .join(cells.select(col("vec_id").as("doc_id"), col("cluster")),
+          "doc_id")
+      TextOps.tfIdfTopTerms(docs.select(col("cluster"), col("text")),
+        k = 10, idCol = "cluster")
+    }),
+    // Dedup lineage manifest: every doc's canonical near-dup-cluster
+    // id + dropped flag — the inverse mapping takedown requests need
+    // (q66 answers "what survived"; this answers "where did X go").
+    // Same bounded corpus and pair machinery as q66.
+    "q114_dedup_lineage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val verified = Dedup.jaccardVerify(
+          Dedup.minHashCandidates(docs), docs,
+          shingleLen = Dedup.ShingleLen)
+        .filter(col("jaccard") >= 0.8)
+      graft.ops.Components.dedupManifest(docs.select("doc_id"),
+        verified, srcCol = "id_a", dstCol = "id_b")
+    }),
+    // Corpus version diff: snapshot CDC on the normalized content
+    // key — added/removed/changed docs between two corpus versions
+    // (synthetic edit/add/remove salt both engines replay).
+    "q115_corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val old = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(TextOps.normalizeText(col("text"))).as("norm_key"))
+      val latest = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), md5(TextOps.normalizeText(
+          when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))).as("norm_key"))
+      Diff.changes(old, latest, Seq("doc_id"))
+        .select("doc_id", "change_type").orderBy("doc_id")
+    }),
     // Quality-weighted PPS sampling: classifier keep-probability
     // (rational sigmoid, fixed-point scaled to integer weights)
     // drives the systematic PPS grid — high-quality docs sampled
@@ -1184,6 +1226,9 @@ object SparkEntry {
     "q111_embedding_drift"  -> Oracle.embeddingDrift,
     "q112_exact_jaccard_join" -> Oracle.exactJaccardJoin,
     "q113_quality_pps"      -> Oracle.qualityPps,
+    "q114_dedup_lineage"    -> Oracle.dedupLineage,
+    "q116_cluster_terms"    -> Oracle.clusterTerms,
+    "q115_corpus_diff"      -> Oracle.corpusDiff,
     "q100_hash_split"       -> Oracle.hashSplit,
     "q101_leakage_split"    -> Oracle.leakageSplit,
     "q79_quality_rules"     -> Oracle.qualityRules,

@@ -2181,6 +2181,34 @@ c$i AS (
     sb.toString
   }
 
+  /** q116 oracle: cluster topic terms — the kmeans CTEs label docs,
+    * then the q74 tf·N/df ranking runs with cluster as the grouping
+    * id. */
+  val clusterTerms: String = "WITH " + kmeansCtes(8, 2, """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings""") + """,
+d AS (
+  SELECT fin.cluster, doc.text
+  FROM documents doc JOIN fin ON fin.vec_id = doc.doc_id),
+tf AS (
+  SELECT cluster, word AS term, count(*) AS tf
+  FROM (SELECT cluster,
+               UNNEST(string_split_regex(trim(text), ' +')) AS word
+        FROM d)
+  GROUP BY cluster, word),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM d),
+scored AS (
+  SELECT tf.cluster, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+  FROM tf JOIN df ON tf.term = df.term, n),
+ranked AS (
+  SELECT cluster, term, tf, df, score,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT cluster, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+FROM ranked WHERE rank <= 10 ORDER BY cluster, rank"""
+
   /** q87 oracle: 3-iteration k-means on the bounded corpus. */
   val kmeans: String = "WITH " + kmeansCtes(8, 3,
     """
@@ -2239,6 +2267,66 @@ SELECT doc_id, clf_score,
        (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5 AS clf_prob,
        CASE WHEN clf_score >= 0.0 THEN 'keep' ELSE 'drop' END AS label
 FROM s ORDER BY doc_id"""
+
+  /** q114 oracle: dedup lineage replayed — the q66 brute-force pair
+    * + recursive closure labels each clustered doc's minimum
+    * reachable id; singletons canonicalize to themselves. */
+  val dedupLineage: String = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id < 1000),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT t.doc_id,
+       coalesce(cc.component, t.doc_id) AS canonical_id,
+       t.doc_id <> coalesce(cc.component, t.doc_id) AS was_dropped
+FROM t LEFT JOIN cc ON cc.id = t.doc_id
+ORDER BY t.doc_id"""
+
+  /** q115 oracle: the corpus version diff replayed — identical
+    * normalized-key arithmetic (q108 chain + md5), the same
+    * edit/add/remove salt, FULL OUTER JOIN CDC classification. */
+  val corpusDiff: String = """
+WITH k AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nk,
+         md5(trim(regexp_replace(regexp_replace(lower(text || ' edited'),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nk_edit
+  FROM documents),
+old AS (SELECT doc_id, nk AS norm_key FROM k WHERE doc_id % 13 <> 0),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN nk_edit ELSE nk END AS norm_key
+  FROM k WHERE doc_id % 17 <> 0)
+SELECT doc_id, change_type FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.norm_key IS DISTINCT FROM n.norm_key
+                THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+WHERE change_type <> 'unchanged'
+ORDER BY doc_id"""
 
   /** q113 oracle: quality-weighted PPS — the q89 classifier score
     * CTEs produce the keep probability, floor(p·10⁶) makes the

@@ -201,4 +201,25 @@ object Components {
       .unionByName(keep)
       .orderBy(idCol)
   }
+
+  /** Dedup LINEAGE manifest — for every input id, WHERE it went:
+    * its cluster's canonical (minimum) id and whether it was the one
+    * dropped. [[componentDedup]] answers "what survived"; audits and
+    * takedown requests need the inverse ("doc X was folded into
+    * canonical Y") — without this mapping a takedown of X leaves its
+    * near-identical Y serving. One left join of the component labels
+    * onto the id universe; singletons are their own canonical.
+    * Output: (id, canonical_id, was_dropped). */
+  def dedupManifest(ids: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id",
+                    srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    ids.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical_id"))
+      .withColumn("was_dropped", col(idCol) =!= col("canonical_id"))
+      .orderBy(idCol)
+  }
 }

@@ -115,4 +115,20 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(none == Seq((1L, 8L, 8L, 0L)))
   }
+
+  test("dedupManifest maps every doc to its canonical; agrees with dedup") {
+    val ids = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val got = Components.dedupManifest(ids, pairs)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, true),
+      (4L, 4L, false), (5L, 5L, false), (6L, 5L, true),
+      (7L, 7L, false), (8L, 8L, false)))
+    // survivors of the manifest == componentDedup's survivors
+    val survivors = got.filter(!_._3).map(_._1)
+    val dedup = Components.componentDedup(ids, pairs)
+      .as[Long].collect().toSeq
+    assert(survivors == dedup)
+  }
 }
