@@ -56,6 +56,19 @@ object ProfileR6Late {
       tokenBudget = 300000).count())
     run("leakageSafeSplit")(Split.leakageSafeSplit(docs,
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count())
+    run("exactJaccardJoin θ=0.8")(
+      Dedup.exactJaccardJoin(docs, threshold = 0.8).count())
+    run("corpusDiff")({
+      import graft.ops.{Diff, TextOps => T}
+      val old = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(T.normalizeText(col("text"))).as("norm_key"))
+      val latest = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          md5(T.normalizeText(concat(col("text"), lit(" e"))))
+            .as("norm_key"))
+      Diff.changes(old, latest, Seq("doc_id")).count()
+    })
 
     spark.stop()
   }
