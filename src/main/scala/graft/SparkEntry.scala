@@ -771,6 +771,23 @@ object SparkEntry {
     // the hash match PROVES index-based ≡ scan-based scoring
     // bit-for-bit (the q56/q68 equivalence discipline). Index dir
     // scoped by application id (q68 concurrency discipline).
+    // Split-leakage audit: near-dup pairs straddling the NAIVE hash
+    // split (per (split_a, split_b) cell, diagonal included) — the
+    // release-gate check; the off-diagonal counts are exactly the
+    // leaks leakageSafeSplit exists to zero out (SplitSpec proves
+    // the safe variant audits clean on the same corpus).
+    "q118_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      Split.splitLeakageAudit(docs,
+        Split.hashSplit(docs.select("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    }),
+    // Passage-level retrieval with document max-pooling (the RAG
+    // shape): 64/48 chunk windows, BM25 at passage granularity,
+    // each doc represented by its best passage. Hash-exact.
+    "q117_passage_search" -> ((s, dir) =>
+      TextOps.passageSearch(Tables.documents(s, dir),
+        Seq("vector", "merge", "slow"), k = 10)),
     // Cluster topic labeling: characteristic terms per k-means cell
     // (tf·N/df ranked within cluster) — the human-readable handle on
     // what each semantic cluster IS, composing q87's cells with
@@ -1228,6 +1245,8 @@ object SparkEntry {
     "q113_quality_pps"      -> Oracle.qualityPps,
     "q114_dedup_lineage"    -> Oracle.dedupLineage,
     "q116_cluster_terms"    -> Oracle.clusterTerms,
+    "q117_passage_search"   -> Oracle.passageSearch,
+    "q118_split_leakage"    -> Oracle.splitLeakage,
     "q115_corpus_diff"      -> Oracle.corpusDiff,
     "q100_hash_split"       -> Oracle.hashSplit,
     "q101_leakage_split"    -> Oracle.leakageSplit,

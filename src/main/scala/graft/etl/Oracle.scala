@@ -2328,6 +2328,42 @@ SELECT doc_id, change_type FROM (
 WHERE change_type <> 'unchanged'
 ORDER BY doc_id"""
 
+  /** q118 oracle: split-leakage audit replayed — brute-force
+    * verified pairs (q66 discipline), the q100 md5 split CASE on
+    * both members, canonical (least, greatest) cell, one count. */
+  val splitLeakage: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id < 1000),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(concat('graft', ':',
+                   CAST(doc_id AS VARCHAR))), 1, 8) < 'cccccccc'
+                THEN 'train'
+              WHEN substring(md5(concat('graft', ':',
+                   CAST(doc_id AS VARCHAR))), 1, 8) < 'e6666666'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM t),
+e AS (
+  SELECT least(pa.split, pb.split) AS split_a,
+         greatest(pa.split, pb.split) AS split_b
+  FROM s a, s b, sp pa, sp pb
+  WHERE a.doc_id < b.doc_id
+    AND pa.doc_id = a.doc_id AND pb.doc_id = b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8)
+SELECT split_a, split_b, count(*) AS n_pairs
+FROM e GROUP BY split_a, split_b
+ORDER BY split_a, split_b"""
+
   /** q113 oracle: quality-weighted PPS — the q89 classifier score
     * CTEs produce the keep probability, floor(p·10⁶) makes the
     * integer weight, and the q64 grid arithmetic replays the
@@ -2516,6 +2552,60 @@ top AS (
   SELECT doc_id, bm25,
          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
   FROM scored WHERE bm25 > 0.0)"""
+  }
+
+  /** q117 oracle: passage-level BM25 with doc max-pooling — the q70
+    * chunk windows feed the [[bm25Term]] scoring at passage
+    * granularity (passage stats: N passages, passage dln, per-term
+    * passage df), then one window keeps each doc's best passage and
+    * another ranks docs. */
+  val passageSearch: String = {
+    val terms = Seq("vector", "merge", "slow")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"""sum(CASE WHEN len(list_filter(toks, x -> x = '$t')) > 0
+              THEN 1 ELSE 0 END) AS df_$i"""
+    }.mkString(",\n         ")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      s"(${bm25Term(t, i)})"
+    }.mkString("\n      + ")
+    s"""
+WITH t0 AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks0
+  FROM documents),
+x AS (
+  SELECT doc_id, toks0, len(toks0) AS n,
+         CAST(floor((greatest(len(toks0) - 64, 0) + 47) / 48.0)
+           AS INTEGER) AS extra
+  FROM t0),
+ch AS (
+  SELECT doc_id, CAST(unnest(range(0, extra + 1)) AS INTEGER) AS i,
+         toks0, n
+  FROM x),
+base AS (
+  SELECT doc_id, i AS chunk_idx,
+         toks0[i * 48 + 1 : i * 48 + 64] AS toks,
+         CAST(len(toks0[i * 48 + 1 : i * 48 + 64]) AS BIGINT) AS dln
+  FROM ch),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         sum(dln) AS sum_dl,
+         $dfs
+  FROM base),
+scored AS (
+  SELECT doc_id, chunk_idx,
+      $score AS bm25
+  FROM base, st),
+pooled AS (
+  SELECT doc_id, chunk_idx, bm25,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY bm25 DESC, chunk_idx) AS prn
+  FROM scored WHERE bm25 > 0.0),
+top AS (
+  SELECT doc_id, chunk_idx, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM pooled WHERE prn = 1)
+SELECT doc_id, CAST(rank AS INT) AS rank, chunk_idx, bm25
+FROM top WHERE rank <= 10 ORDER BY rank"""
   }
 
   val bm25Search: String = "WITH " + bm25Ctes + """

@@ -76,6 +76,35 @@ object Split {
     * star-contraction); the assignment itself is one broadcast-or-id
     * join + the [[hashSplit]] projection. Output:
     * (id, group_id, split), ordered by id. */
+  /** Split-leakage AUDIT: for a given split assignment, the number
+    * of verified near-dup pairs whose members landed in DIFFERENT
+    * splits — the eval-contamination count a release gate checks
+    * (it must be 0 for the split train/eval actually uses). Pairs
+    * are the q66 candidate+verify stack; the audit tail is two
+    * id-only joins + one count per split-pair. Output:
+    * (split_a ≤ split_b, n_pairs) including the same-split diagonal,
+    * so the total reconciles with the pair count. */
+  def splitLeakageAudit(docs: DataFrame, assignment: DataFrame,
+                        threshold: Double = 0.8,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val verified = Dedup.jaccardVerify(
+        Dedup.minHashCandidates(docs, textCol = textCol, idCol = idCol),
+        docs, textCol, idCol, shingleLen = Dedup.ShingleLen)
+      .filter(col("jaccard") >= threshold)
+    val sp = assignment.select(col(idCol), col("split"))
+    verified
+      .join(sp.select(col(idCol).as("id_a"), col("split").as("sp_a")),
+        "id_a")
+      .join(sp.select(col(idCol).as("id_b"), col("split").as("sp_b")),
+        "id_b")
+      .select(least(col("sp_a"), col("sp_b")).as("split_a"),
+        greatest(col("sp_a"), col("sp_b")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   def leakageSafeSplit(docs: DataFrame, weights: Seq[(String, Double)],
                        salt: String = "graft",
                        threshold: Double = 0.8,

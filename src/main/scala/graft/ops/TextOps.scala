@@ -119,6 +119,20 @@ object TextOps {
                  textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val top = bm25Scored(docs, terms, textCol, idCol)
+      .orderBy(col("bm25").desc, col(idCol)).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("bm25"))
+      .orderBy("rank")
+  }
+
+  /** The BM25 scoring core — (id, bm25 > 0) for every matching unit,
+    * no ranking tail. Shared by [[bm25Search]] (global top-k) and
+    * [[passageSearch]] (per-document max-pooling), so the two can
+    * never drift on the scoring arithmetic. */
+  private def bm25Scored(docs: DataFrame, terms: Seq[String],
+                         textCol: String, idCol: String): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val toksC = tokens(col(textCol))
     val base = docs.select(col(idCol), toksC.as("toks"),
@@ -141,13 +155,42 @@ object TextOps {
         (tf * lit(2.2)) /
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
     }.reduce(_ + _)
-    val top = base.crossJoin(broadcast(stats))
+    base.crossJoin(broadcast(stats))
       .select(col(idCol), score.as("bm25"))
       .filter(col("bm25") > lit(0.0))
-      .orderBy(col("bm25").desc, col(idCol)).limit(k)
-    top.withColumn("rank", row_number().over(
+  }
+
+  /** Passage-level retrieval with DOCUMENT max-pooling — the RAG
+    * retrieval shape: long documents are chunked
+    * ([[chunkDocs]] windows), BM25 runs at PASSAGE granularity
+    * (passage-level stats: a hit in a focused 64-token window
+    * outranks the same terms diluted across a long document), and
+    * each document is represented by its best passage; documents
+    * rank by that pooled score. Exact pooling: a per-doc window over
+    * the MATCHING passages only, then TakeOrderedAndProject for the
+    * final k — no global passage sort. Output:
+    * (id, rank, chunk_idx, bm25). */
+  def passageSearch(docs: DataFrame, terms: Seq[String], k: Int,
+                    maxTokens: Int = 64, stride: Int = 48,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val passages = chunkDocs(docs, maxTokens, stride, textCol, idCol)
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws("#", col(idCol).cast("string"),
+          col("chunk_idx").cast("string")).as("passage_id"),
+        col("chunk_text"))
+    val scored = bm25Scored(passages, terms, "chunk_text", "passage_id")
+      .join(passages.select("passage_id", idCol, "chunk_idx"),
+        "passage_id")
+    val best = scored.withColumn("__prn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("bm25").desc, col("chunk_idx"))))
+      .filter(col("__prn") === 1)
+    best.orderBy(col("bm25").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
         Window.orderBy(col("bm25").desc, col(idCol))))
-      .select(col(idCol), col("rank"), col("bm25"))
+      .select(col(idCol), col("rank"), col("chunk_idx"), col("bm25"))
       .orderBy("rank")
   }
 

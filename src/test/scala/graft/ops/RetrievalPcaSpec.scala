@@ -125,6 +125,32 @@ class RetrievalPcaSpec extends SparkSpec {
     assert(rrf(1L) == 1.0 / 61.0 && rrf(4L) == 1.0 / 62.0)
   }
 
+  // --- passageSearch ------------------------------------------------
+
+  test("passageSearch pools each doc to its best passage") {
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      // terms concentrated in the SECOND chunk window of a long doc
+      (1L, filler + " spark spark join " + (1 to 30).map(i => s"g$i").mkString(" ")),
+      // short doc, terms diluted with padding
+      (2L, "spark join " + (1 to 40).map(i => s"p$i").mkString(" ")),
+      // no match
+      (3L, "nothing here at all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.passageSearch(docs, Seq("spark", "join"), k = 5,
+        maxTokens = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3)))
+    // doc 3 absent; docs 1 and 2 each appear exactly once
+    assert(got.map(_._1).toSeq.sorted == Seq(1L, 2L))
+    assert(got.map(_._2).toSeq == Seq(1, 2))
+    assert(got.sliding(2).forall(p => p(0)._4 >= p(1)._4))
+    // doc 1's best passage is a LATER chunk (terms live past token 60)
+    assert(got.find(_._1 == 1L).get._3 >= 2)
+    // doc 2's best passage is its first chunk
+    assert(got.find(_._1 == 2L).get._3 == 0)
+  }
+
   // --- mergeInvertedIndexes -----------------------------------------
 
   test("merged shard indexes answer identically to one full index") {

@@ -89,6 +89,28 @@ class SplitSpec extends SparkSpec {
     assert(got(10L)._2 == expectedSplit(10L))
   }
 
+  test("splitLeakageAudit: leakageSafeSplit audits clean, hashSplit may not") {
+    // many near-dup families -> under a naive per-doc hash split at
+    // least one family straddles splits with high probability; the
+    // leakage-safe split must audit zero off-diagonal pairs
+    val docs = (0 until 40).flatMap { f =>
+      val base = (0 until 12).map(j => s"fam${f}_w$j").mkString(" ")
+      Seq((f * 10L, base), (f * 10L + 1L, base + s" extra$f"))
+    }.toDF("doc_id", "text")
+    val safe = Split.leakageSafeSplit(docs, W)
+      .select("doc_id", "split")
+    val safeAudit = Split.splitLeakageAudit(docs, safe)
+      .as[(String, String, Long)].collect().toSeq
+    assert(safeAudit.forall { case (a, b, _) => a == b })
+    // the naive split leaks on this corpus (40 families, ~36% chance
+    // each straddles): total pairs reconcile either way
+    val naiveAudit = Split.splitLeakageAudit(docs,
+        Split.hashSplit(docs.select("doc_id"), W))
+      .as[(String, String, Long)].collect().toSeq
+    assert(naiveAudit.map(_._3).sum == safeAudit.map(_._3).sum)
+    assert(naiveAudit.exists { case (a, b, _) => a != b })
+  }
+
   test("leakageSafeSplit on a dup-free corpus equals hashSplit") {
     val docs = (1L to 20L).map { i =>
       (i, (0 until 10).map(j => s"t${i}_$j").mkString(" "))
