@@ -771,6 +771,13 @@ object SparkEntry {
     // the hash match PROVES index-based ≡ scan-based scoring
     // bit-for-bit (the q56/q68 equivalence discipline). Index dir
     // scoped by application id (q68 concurrency discipline).
+    // Collocation mining: bigrams ranked by rational lift
+    // c(ab)·N/(c(a)·c(b)) — PMI ordering without the log, so the
+    // phrase ranking is hash-exact. minCount=5 suppresses the
+    // unstable tail.
+    "q119_collocations" -> ((s, dir) =>
+      TextOps.collocations(Tables.documents(s, dir), k = 50,
+        minCount = 5)),
     // Split-leakage audit: near-dup pairs straddling the NAIVE hash
     // split (per (split_a, split_b) cell, diagonal included) — the
     // release-gate check; the off-diagonal counts are exactly the
@@ -1247,6 +1254,7 @@ object SparkEntry {
     "q116_cluster_terms"    -> Oracle.clusterTerms,
     "q117_passage_search"   -> Oracle.passageSearch,
     "q118_split_leakage"    -> Oracle.splitLeakage,
+    "q119_collocations"     -> Oracle.collocations,
     "q115_corpus_diff"      -> Oracle.corpusDiff,
     "q100_hash_split"       -> Oracle.hashSplit,
     "q101_leakage_split"    -> Oracle.leakageSplit,

@@ -2328,6 +2328,37 @@ SELECT doc_id, change_type FROM (
 WHERE change_type <> 'unchanged'
 ORDER BY doc_id"""
 
+  /** q119 oracle: collocation mining replayed — identical bigram/
+    * unigram counts, the same single lift expression
+    * c_ab·N/(c_a·c_b), min-count gate, (lift desc, bigram) top-k. */
+  val collocations: String = """
+WITH t AS (
+  SELECT string_split_regex(trim(text), ' +') AS toks FROM documents),
+b AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)),
+cab AS (
+  SELECT bigram, count(*) AS c_ab FROM b GROUP BY bigram
+  HAVING count(*) >= 5),
+cw AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+n AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM t),
+scored AS (
+  SELECT cab.bigram, cab.c_ab, a.c AS c_a, bb.c AS c_b,
+         CAST(cab.c_ab AS DOUBLE) * CAST(n.n_tokens AS DOUBLE)
+           / (CAST(a.c AS DOUBLE) * CAST(bb.c AS DOUBLE)) AS lift
+  FROM cab
+  JOIN cw a ON a.w = string_split(cab.bigram, ' ')[1]
+  JOIN cw bb ON bb.w = string_split(cab.bigram, ' ')[2],
+  n),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, bigram) AS rank
+  FROM scored)
+SELECT CAST(rank AS BIGINT) AS rank, bigram, c_ab, c_a, c_b, lift
+FROM ranked WHERE rank <= 50 ORDER BY rank"""
+
   /** q118 oracle: split-leakage audit replayed — brute-force
     * verified pairs (q66 discipline), the q100 md5 split CASE on
     * both members, canonical (least, greatest) cell, one count. */

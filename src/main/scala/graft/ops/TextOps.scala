@@ -395,6 +395,56 @@ object TextOps {
       .orderBy(stratumCol, "shard", "bin")
   }
 
+  /** Collocation mining — the multi-word-expression step of vocabulary
+    * construction (phrases like "new york" that should tokenize as a
+    * unit): bigrams ranked by rational LIFT c(ab)·N / (c(a)·c(b))
+    * (N = corpus token count) — the PMI exponential, which orders
+    * identically to PMI itself but needs no log, so the whole ranking
+    * is hash-exact. `minCount` suppresses the unstable low-frequency
+    * tail exactly as phrase-mining tools do (Mikolov et al. 2013's
+    * phrase threshold has the same shape with a −δ discount).
+    *
+    * Scale shape: one corpus scan explodes bigrams (zip_with — the
+    * q76 no-retokenize discipline), both count tables are map-side-
+    * combined groupBys, unigram counts broadcast back onto the
+    * (distinct-bigram-sized) candidate table, top-k is
+    * TakeOrderedAndProject. Output: (rank, bigram, c_ab, c_a, c_b,
+    * lift). */
+  def collocations(docs: DataFrame, k: Int, minCount: Long = 5,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && minCount >= 1, "need k > 0, minCount >= 1")
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val cAb = docs.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val cW = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = docs.agg(sum(size(toks)).cast(LongType).as("n_tokens"))
+    val scored = cAb
+      .withColumn("w1", element_at(split(col("bigram"), " ", 2), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " ", 2), 2))
+      .join(broadcast(cW.select(col("w").as("w1"), col("c").as("c_a"))),
+        "w1")
+      .join(broadcast(cW.select(col("w").as("w2"), col("c").as("c_b"))),
+        "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        col("c_ab").cast(DoubleType) * col("n_tokens").cast(DoubleType)
+          / (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType)))
+    scored.orderBy(col("lift").desc, col("bigram")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("bigram"))))
+      .select(col("rank").cast(LongType).as("rank"), col("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+      .orderBy("rank")
+  }
+
   /** MATERIALIZE the packed sequences [[packSequences]] plans: the
     * same (stratum, shard, bin) assignment arithmetic, but each bin's
     * member documents are concatenated in packing order (id asc) with

@@ -52,6 +52,27 @@ class TextPipelineSpec extends SparkSpec {
       ("en", 2L, 2L, 6L, "a b c d e | a")))
   }
 
+  test("collocations: fixed pair outranks frequent-word pair; exact lift") {
+    // "new york" always adjacent (5x, rare words); "the end" also 5x
+    // but "the" is everywhere, so its lift is 3x lower; every other
+    // bigram varies per doc (the trailing x$i breaks the "york ..."
+    // and "end ..." chains)
+    val d = (1L to 5L).map { i =>
+      (i, s"the a$i new york x$i the b$i the end y$i")
+    }.toDF("doc_id", "text")
+    val got = TextOps.collocations(d, k = 10, minCount = 5)
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq("new york", "the end"))
+    val ny = got.head
+    // N = 5 docs x 10 tokens = 50; c(new)=c(york)=5
+    assert(ny._3 == 5L && ny._4 == 5L && ny._5 == 5L)
+    assert(ny._6 == 5.0 * 50.0 / (5.0 * 5.0))
+    // "the end": c(the)=15, c(end)=5 -> 3x lower lift, ranked after
+    val te = got(1)
+    assert(te._4 == 15L && te._6 == 5.0 * 50.0 / (15.0 * 5.0))
+    assert(ny._6 > te._6)
+  }
+
   test("packSequences shards bound the window partitions") {
     val out = TextOps.packSequences(docs, budget = 4L, shards = 4)
     // doc_id % 4 spreads en's 5 docs over 4 independent streams
