@@ -771,6 +771,12 @@ object SparkEntry {
     // the hash match PROVES index-based ≡ scan-based scoring
     // bit-for-bit (the q56/q68 equivalence discipline). Index dir
     // scoped by application id (q68 concurrency discipline).
+    // BPE merge learning: 10 rounds of weighted adjacent-pair
+    // argmax + leftmost-non-overlap merge over the distinct-word
+    // table — the canonical subword-tokenizer training loop,
+    // hash-exact (see TextOps.bpeLearn's fold argument).
+    "q120_bpe_learn" -> ((s, dir) =>
+      TextOps.bpeLearn(Tables.documents(s, dir), numMerges = 10)),
     // Collocation mining: bigrams ranked by rational lift
     // c(ab)·N/(c(a)·c(b)) — PMI ordering without the log, so the
     // phrase ranking is hash-exact. minCount=5 suppresses the
@@ -1255,6 +1261,7 @@ object SparkEntry {
     "q117_passage_search"   -> Oracle.passageSearch,
     "q118_split_leakage"    -> Oracle.splitLeakage,
     "q119_collocations"     -> Oracle.collocations,
+    "q120_bpe_learn"        -> Oracle.bpeLearn,
     "q115_corpus_diff"      -> Oracle.corpusDiff,
     "q100_hash_split"       -> Oracle.hashSplit,
     "q101_leakage_split"    -> Oracle.leakageSplit,

@@ -2328,6 +2328,49 @@ SELECT doc_id, change_type FROM (
 WHERE change_type <> 'unchanged'
 ORDER BY doc_id"""
 
+  /** q120 oracle: BPE merge learning replayed — `numMerges` unrolled
+    * rounds, each: adjacent-pair counts over the 0x1F-joined symbol
+    * states (weighted by word count), the (cnt desc, a, b) argmax,
+    * and the same leftmost-non-overlap merge fold (list_reduce with
+    * a string accumulator — append `b` separator-less when the last
+    * symbol is exactly `a`). */
+  val bpeLearn: String = {
+    val rounds = 10
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+  SELECT word, count(*) AS n,
+         array_to_string(list_transform(range(1, length(word) + 1),
+           i -> word[CAST(i AS INT):CAST(i AS INT)]), chr(31)) AS sym
+  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+        FROM documents)
+  GROUP BY word)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+p$r AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS cnt
+  FROM (SELECT n, syms,
+               CAST(unnest(range(1, len(syms))) AS INTEGER) AS i
+        FROM (SELECT n, string_split(sym, chr(31)) AS syms
+              FROM w${r - 1}))
+  GROUP BY 1, 2),
+m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+w$r AS (
+  SELECT word, n,
+         list_reduce(string_split(sym, chr(31)), (acc, x) -> CASE
+           WHEN (acc = m$r.a OR ends_with(acc, chr(31) || m$r.a))
+                AND x = m$r.b
+             THEN acc || x
+           ELSE acc || chr(31) || x END) AS sym
+  FROM w${r - 1}, m$r)"""
+    }
+    sb ++= "\nSELECT * FROM (\n" + (1 to rounds).map { r =>
+      s"""  SELECT CAST($r AS BIGINT) AS merge_rank, a AS "left",
+         b AS "right", a || b AS merged,
+         CAST(cnt AS BIGINT) AS pair_count FROM m$r"""
+    }.mkString("\n  UNION ALL\n") + "\n) ORDER BY merge_rank"
+    sb.toString
+  }
+
   /** q119 oracle: collocation mining replayed — identical bigram/
     * unigram counts, the same single lift expression
     * c_ab·N/(c_a·c_b), min-count gate, (lift desc, bigram) top-k. */

@@ -395,6 +395,82 @@ object TextOps {
       .orderBy(stratumCol, "shard", "bin")
   }
 
+  /** Byte-pair-encoding MERGE LEARNING (Sennrich et al. 2016) — the
+    * canonical subword-tokenizer training loop, distributed: the
+    * corpus collapses to a (word, count) table once; each round
+    * counts adjacent symbol pairs weighted by word count (one
+    * map-side-combined aggregate over the word table), takes the
+    * globally most frequent pair (count desc, pair asc — the
+    * deterministic tie-break), and merges it everywhere. Exactly the
+    * "tiny model state, huge data" discipline of [[Cluster.kmeans]]:
+    * only the ONE winning pair per round reaches the driver; the
+    * word-symbol table never does.
+    *
+    * Determinism (what makes all `numMerges` rounds hash-exact in
+    * DuckDB): a word's symbol state is a 0x1F-joined string, and a
+    * merge applies as a LEFT-TO-RIGHT fold — append `b` directly
+    * (no separator) when the accumulated string's last symbol is
+    * exactly `a` and the next symbol is `b`, else append with the
+    * separator. That fold IS leftmost-non-overlapping BPE merging
+    * ("aaa" under (a,a) → [aa, a]), it needs no regex (lookarounds
+    * would be needed for a replace()-based merge to respect symbol
+    * boundaries, and RE2 has none), and DuckDB's list_reduce
+    * replays it literally. Output: one row per learned merge —
+    * (merge_rank, left, right, merged, pair_count). */
+  def bpeLearn(docs: DataFrame, numMerges: Int = 10,
+               textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, "need numMerges >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val Sep = "\u001f"
+    // (word, n) + initial per-character symbol state
+    var words = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("word"), col("n"),
+        array_join(transform(sequence(lit(1), length(col("word"))),
+          i => substring(col("word"), i, lit(1))), Sep).as("sym"))
+      .localCheckpoint()
+    val merges = collection.mutable.ArrayBuffer.empty[
+      (Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val syms = split(col("sym"), Sep)
+      val top = words
+        .select(col("n"), explode(
+          when(size(syms) < 2, array().cast("array<struct<a:string,b:string>>"))
+            .otherwise(zip_with(
+              slice(syms, lit(1), size(syms) - 1),
+              slice(syms, lit(2), size(syms) - 1),
+              (x, y) => struct(x.as("a"), y.as("b"))))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        val cnt = top(0).getLong(2)
+        merges += ((r.toLong, a, b, a + b, cnt))
+        // leftmost-non-overlap merge as a left fold (see scaladoc)
+        words = words.select(col("word"), col("n"),
+            aggregate(split(col("sym"), Sep), lit(""),
+              (acc, x) =>
+                when((acc === lit(a) ||
+                    acc.endsWith(lit(Sep + a))) && x === lit(b),
+                  concat(acc, x))
+                .when(acc === lit(""), x)
+                .otherwise(concat(acc, lit(Sep), x))).as("sym"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
   /** Collocation mining — the multi-word-expression step of vocabulary
     * construction (phrases like "new york" that should tokenize as a
     * unit): bigrams ranked by rational LIFT c(ab)·N / (c(a)·c(b))

@@ -62,4 +62,19 @@ class TokenizeSpec extends SparkSpec {
       (0L, 1L, 4L, 0L, 0L),   // bin 0: doc 0, 4 pieces
       (1L, 2L, 4L, 1L, 2L)))  // bin 1: docs 1+2, 3+1 pieces
   }
+
+  test("bpeLearn: hand-computed merges, leftmost-non-overlap, exhaustion") {
+    // words: aaab (n=2), ab (n=1)
+    // r1: (a,a) cnt 4 beats (a,b) cnt 3 -> aa; aaab folds to [aa,a,b]
+    //     ("aaa" under (a,a) merges leftmost-first: [aa, a])
+    // r2: (a,b) cnt 3 beats (aa,a) cnt 2 -> ab; states [aa,ab], [ab]
+    // r3: (aa,ab) cnt 2 -> aaab; then no pairs remain -> stop early
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeLearn(docs, numMerges = 5)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)))
+  }
 }
