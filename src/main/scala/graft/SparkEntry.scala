@@ -777,6 +777,11 @@ object SparkEntry {
     // hash-exact (see TextOps.bpeLearn's fold argument).
     "q120_bpe_learn" -> ((s, dir) =>
       TextOps.bpeLearn(Tables.documents(s, dir), numMerges = 10)),
+    // The segmentation those merges induce: the final word -> pieces
+    // table (what a tokenizer ships next to its merge list). Oracle =
+    // the q120 rounds' END STATE instead of the merge log.
+    "q121_bpe_segment" -> ((s, dir) =>
+      TextOps.bpeSegment(Tables.documents(s, dir), numMerges = 10)),
     // Collocation mining: bigrams ranked by rational lift
     // c(ab)·N/(c(a)·c(b)) — PMI ordering without the log, so the
     // phrase ranking is hash-exact. minCount=5 suppresses the
@@ -1262,6 +1267,7 @@ object SparkEntry {
     "q118_split_leakage"    -> Oracle.splitLeakage,
     "q119_collocations"     -> Oracle.collocations,
     "q120_bpe_learn"        -> Oracle.bpeLearn,
+    "q121_bpe_segment"      -> Oracle.bpeSegment,
     "q115_corpus_diff"      -> Oracle.corpusDiff,
     "q100_hash_split"       -> Oracle.hashSplit,
     "q101_leakage_split"    -> Oracle.leakageSplit,

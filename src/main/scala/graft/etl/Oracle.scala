@@ -2334,8 +2334,23 @@ ORDER BY doc_id"""
     * and the same leftmost-non-overlap merge fold (list_reduce with
     * a string accumulator — append `b` separator-less when the last
     * symbol is exactly `a`). */
-  val bpeLearn: String = {
-    val rounds = 10
+  val bpeLearn: String = bpeCtes(10) +
+    "\nSELECT * FROM (\n" + (1 to 10).map { r =>
+      s"""  SELECT CAST($r AS BIGINT) AS merge_rank, a AS "left",
+         b AS "right", a || b AS merged,
+         CAST(cnt AS BIGINT) AS pair_count FROM m$r"""
+    }.mkString("\n  UNION ALL\n") + "\n) ORDER BY merge_rank"
+
+  /** q121 oracle: the segmentation the learned merges induce — the
+    * q120 rounds' END STATE (w10) rendered as the word→pieces
+    * table. */
+  val bpeSegment: String = bpeCtes(10) + """
+SELECT word, n,
+       CAST(len(string_split(sym, chr(31))) AS BIGINT) AS n_pieces,
+       replace(sym, chr(31), ' ') AS pieces
+FROM w10 ORDER BY word"""
+
+  private def bpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (
   SELECT word, count(*) AS n,
@@ -2363,11 +2378,6 @@ w$r AS (
            ELSE acc || chr(31) || x END) AS sym
   FROM w${r - 1}, m$r)"""
     }
-    sb ++= "\nSELECT * FROM (\n" + (1 to rounds).map { r =>
-      s"""  SELECT CAST($r AS BIGINT) AS merge_rank, a AS "left",
-         b AS "right", a || b AS merged,
-         CAST(cnt AS BIGINT) AS pair_count FROM m$r"""
-    }.mkString("\n  UNION ALL\n") + "\n) ORDER BY merge_rank"
     sb.toString
   }
 

@@ -418,7 +418,27 @@ object TextOps {
     * replays it literally. Output: one row per learned merge —
     * (merge_rank, left, right, merged, pair_count). */
   def bpeLearn(docs: DataFrame, numMerges: Int = 10,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text"): DataFrame =
+    bpeTrain(docs, numMerges, textCol)._1
+
+  /** The SEGMENTATION the learned merges induce — the final
+    * (word, count, n_pieces, pieces) table after [[bpeLearn]]'s
+    * rounds, i.e. the tokenizer's word→subword map a training
+    * pipeline ships next to the merge list (lookup-table encoding is
+    * then a broadcast join, no re-derivation). Same computation;
+    * this returns the end state instead of the merge log; the 0x1F
+    * separator is rendered as a space in `pieces`. */
+  def bpeSegment(docs: DataFrame, numMerges: Int = 10,
+                 textCol: String = "text"): DataFrame = {
+    val st = bpeTrain(docs, numMerges, textCol)._2
+    st.select(col("word"), col("n"),
+        size(split(col("sym"), "\u001f")).cast(LongType).as("n_pieces"),
+        regexp_replace(col("sym"), "\u001f", " ").as("pieces"))
+      .orderBy("word")
+  }
+
+  private def bpeTrain(docs: DataFrame, numMerges: Int,
+                       textCol: String): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "need numMerges >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -466,9 +486,10 @@ object TextOps {
         r += 1
       }
     }
-    merges.toSeq
+    (merges.toSeq
       .toDF("merge_rank", "left", "right", "merged", "pair_count")
-      .orderBy("merge_rank")
+      .orderBy("merge_rank"),
+     words)
   }
 
   /** Collocation mining — the multi-word-expression step of vocabulary

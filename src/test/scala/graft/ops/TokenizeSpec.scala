@@ -76,5 +76,11 @@ class TokenizeSpec extends SparkSpec {
       (1L, "a", "a", "aa", 4L),
       (2L, "a", "b", "ab", 3L),
       (3L, "aa", "ab", "aaab", 2L)))
+    // the induced segmentation: both words fully merged by round 3
+    val seg = TextOps.bpeSegment(docs, numMerges = 5)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(seg == Seq(
+      ("aaab", 2L, 1L, "aaab"),
+      ("ab", 1L, 1L, "ab")))
   }
 }
