@@ -461,6 +461,17 @@ object SparkEntry {
       Dedup.simHashDedup(d.unionByName(d.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))))
     }),
+    // SimHash dedup with md5-derived signatures — the ORACLE-GATED
+    // twin of q65 (DuckDB replays every bit vote; the block-indexed
+    // path ≡ brute-force Hamming, so the oracle replays brute force
+    // — the q66 argument). Same dup salt as q65; SimHashMd5Spec pins
+    // both paths to the planted dups (residual: sketch-boundary
+    // flips only, ≤ 2%).
+    "q123_simhash_md5_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      Dedup.simHashDedupMd5(d.unionByName(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))))
+    }),
     // Exact n-gram Jaccard top pairs — brute-force O(N²) baseline,
     // bounded to a deterministic 1000-doc sample (the unbounded scale
     // path is q25's MinHash-LSH); the oracle applies the same bound.
@@ -503,15 +514,16 @@ object SparkEntry {
     // Gap-based sessionization (batch twin of the streaming op).
     "q31_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Tables.events(s, dir))),
-    // LSH-bucketed approximate ANN (no SQL oracle — rows-only check).
-    // planes=4/tables=8 measured at recall@5 = 0.65 vs brute force on
-    // the testdata corpus (SimilaritySessionsSpec harness); the
-    // previous (8, 4) setting measured 0.06 — near-uniform synthetic
-    // embeddings need generous bucket fractions.
+    // LSH-bucketed approximate ANN (no SQL oracle — rows-only check;
+    // recall@5 is gated per round in the Bench recall line). Auto-
+    // scaled multi-probe production parameters: planes from corpus
+    // size (targetBucket=8), tables=8, probes=16 — measured at
+    // recall@5 = 0.912 scoring 827 candidates/query (41% of the tiny
+    // sf0.1 N=2000 corpus; the budget is tables·probes·targetBucket,
+    // N-independent — ProfileMultiProbe sweep, PLANS.md r7).
     "q32_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), 5,
-        numPlanes = 4, tables = 8)
+      Similarity.lshTopKAuto(emb, emb.filter(col("vec_id") < 50), 5)
     }),
     // IVF-bucketed approximate ANN: deterministic coarse quantizer,
     // query probes nProbe cells (no SQL oracle — rows-only check).
@@ -1024,6 +1036,20 @@ object SparkEntry {
             .as("text")))
       TextOps.spanScrub(salted)
     }),
+    // Boundary-robust sliding-window span removal (Lee et al.-style
+    // exact substring dedup at window granularity). The salt plants
+    // the copied span behind a one-token 'pad' prefix — the +1
+    // alignment q96's tumbling blocks are BLIND to (SlidingScrubSpec
+    // proves it); here the clone scrubs down to its prefix.
+    "q122_sliding_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val salted = docs.unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", lit("pad"),
+            array_join(slice(TextOps.tokens(col("text")), 1, 30), " "))
+            .as("text")))
+      TextOps.slidingScrub(salted)
+    }),
     "q95_bm25_indexed" -> ((s, dir) => {
       val idxDir = s"${sys.props("java.io.tmpdir")}/graft_q95_idx_" +
         s.sparkContext.applicationId
@@ -1246,6 +1272,8 @@ object SparkEntry {
     "q77_source_report"     -> Oracle.sourceReport,
     "q78_dup_spans"         -> Oracle.dupSpans,
     "q96_span_scrub"        -> Oracle.spanScrub,
+    "q122_sliding_scrub"    -> Oracle.slidingScrub,
+    "q123_simhash_md5_dedup" -> Oracle.simHashMd5Dedup,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -1541,6 +1541,95 @@ SELECT r.doc_id,
 FROM rem r LEFT JOIN kept k USING (doc_id)
 ORDER BY r.doc_id"""
 
+  /** q122 oracle: boundary-robust sliding-window span removal
+    * replayed with window STRINGS (the Spark side hashes them —
+    * xxhash64 is internal only, so string equality replays exactly):
+    * the q78 salt shifted by a one-token 'pad' prefix (the alignment
+    * the tumbling q96 scrub is blind to), stride-1 8-token windows,
+    * first occurrence by (doc_id, pos) via row_number, coverage
+    * expansion of every non-first window, and order-preserving
+    * reassembly of the uncovered tokens. */
+  val slidingScrub: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         'pad ' ||
+         array_to_string((string_split_regex(trim(text), ' +'))[1:30], ' ')
+           AS text
+  FROM documents WHERE doc_id % 20 = 0),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM corp),
+w AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(toks[i : i + 7], ' ') AS win
+  FROM (SELECT doc_id, toks,
+               CAST(unnest(range(1, len(toks) - 8 + 2)) AS INTEGER) AS i
+        FROM t WHERE len(toks) >= 8)),
+d AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY win ORDER BY doc_id, p) AS rn
+    FROM w) WHERE rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, p + j AS pos FROM d, range(0, 8) r(j)),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, toks,
+               CAST(unnest(range(1, len(toks) + 1)) AS INTEGER) AS i
+        FROM t)),
+ag AS (
+  SELECT tok.doc_id,
+         coalesce(array_to_string(
+           list(tok ORDER BY tok.pos) FILTER (WHERE cov.pos IS NULL), ' '),
+           '') AS text,
+         count(*) AS n_tokens,
+         sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_removed
+  FROM tok LEFT JOIN cov
+    ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+  GROUP BY tok.doc_id)
+SELECT c.doc_id, coalesce(ag.text, '') AS text,
+       CAST(coalesce(ag.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ag.n_removed, 0) AS BIGINT) AS n_removed
+FROM corp c LEFT JOIN ag ON ag.doc_id = c.doc_id
+ORDER BY c.doc_id"""
+
+  /** q123 oracle: md5-SimHash dedup replayed from first principles —
+    * per (doc, bit) the ±1 vote sum over every token's md5-derived
+    * bit (bit i = hex digit ⌊i/4⌋ of md5(token), shifted i mod 4 —
+    * exactly [[graft.functions.SimHashMd5]]), then BRUTE-FORCE
+    * pairwise Hamming ≤ 3 and the drop-higher-id rule. Valid because
+    * the Spark side's 4×16-bit block index is provably exhaustive to
+    * Hamming 3 (pigeonhole; SimHashMd5Spec asserts indexed ≡ brute
+    * force on this corpus), so replaying brute force replays the
+    * indexed pipeline — the q66 argument. */
+  val simHashMd5Dedup: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text
+  FROM documents WHERE doc_id % 25 = 0),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM corp),
+bits AS (
+  SELECT doc_id, i.i AS i,
+         sum(CASE WHEN
+             (CAST(strpos('0123456789abcdef',
+                 substr(md5(tok), CAST(i.i // 4 AS INTEGER) + 1, 1)) - 1
+               AS INTEGER) >> CAST(i.i % 4 AS INTEGER)) % 2 = 1
+           THEN 1 ELSE -1 END) > 0 AS bit
+  FROM tok, range(0, 64) i(i)
+  GROUP BY doc_id, i.i),
+ham AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+  FROM bits a JOIN bits b ON b.i = a.i AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+dup AS (SELECT DISTINCT id_b FROM ham WHERE hamming <= 3)
+SELECT doc_id FROM (SELECT DISTINCT doc_id FROM corp)
+WHERE doc_id NOT IN (SELECT id_b FROM dup)
+ORDER BY doc_id"""
+
   /** q100 oracle: the deterministic hash split replayed — identical
     * md5 input string, identical first-8-hex extraction, identical
     * lexicographic thresholds (floor(0.8·2³²) = 0xcccccccc,
@@ -2370,13 +2459,18 @@ p$r AS (
   GROUP BY 1, 2),
 m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
 w$r AS (
+  -- LEFT JOIN ON TRUE + COALESCE'd CASE: when pair-able symbols
+  -- exhaust before round $r, m$r is empty and a plain cross join
+  -- would empty the whole word table; instead carry w${r - 1} forward
+  -- unchanged, matching the Spark side's early-stop behavior
   SELECT word, n,
-         list_reduce(string_split(sym, chr(31)), (acc, x) -> CASE
+         CASE WHEN m$r.a IS NULL THEN sym
+         ELSE list_reduce(string_split(sym, chr(31)), (acc, x) -> CASE
            WHEN (acc = m$r.a OR ends_with(acc, chr(31) || m$r.a))
                 AND x = m$r.b
              THEN acc || x
-           ELSE acc || chr(31) || x END) AS sym
-  FROM w${r - 1}, m$r)"""
+           ELSE acc || chr(31) || x END) END AS sym
+  FROM w${r - 1} LEFT JOIN m$r ON TRUE)"""
     }
     sb.toString
   }
@@ -2585,12 +2679,12 @@ mb AS (
                   / count(*)),
            0.0) AS var_b
   FROM v, range(1, 65) p(pos) WHERE vec_id % 2 = 1 GROUP BY 1)
-SELECT CAST(ma.pos - 1 AS BIGINT) AS pos,
+SELECT CAST(coalesce(ma.pos, mb.pos) - 1 AS BIGINT) AS pos,
        mean_a, mean_b, abs(mean_b - mean_a) AS mean_shift,
        var_a, var_b,
        CASE WHEN var_a = 0.0 THEN 0.0 ELSE var_b / var_a END
          AS var_ratio
-FROM ma JOIN mb ON mb.pos = ma.pos
+FROM ma FULL JOIN mb ON mb.pos = ma.pos
 ORDER BY pos"""
 
   /** One BM25 term's score expression — written token-for-token as

@@ -293,6 +293,70 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SimHash64]]'s ORACLE-REPLAYABLE twin: identical ±1 bit-vote
+  * aggregation, but the per-token 64 bits come from the FIRST 16 hex
+  * digits of the standard md5 — bit i = (value of hex digit ⌊i/4⌋)
+  * >> (i mod 4) & 1 — which DuckDB replays verbatim with
+  * `strpos('0123456789abcdef', substr(md5(tok), i//4+1, 1)) - 1`
+  * (DuckDB has no xxhash64, which is what kept the q26/q65 family
+  * rows-only). xxhash64 stays the production default (one 64-bit
+  * mix vs a full MD5 per token); SimHashMd5Spec asserts both paths
+  * drop every planted dup with only a quantified sketch-boundary
+  * residual, so the md5 oracle gate covers the production path's
+  * pipeline logic. */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  // MessageDigest is stateful and not thread-safe — one per thread
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val contrib = new Array[Int](64)
+    val md = mdLocal.get()
+    var j = 0
+    while (j < n) {
+      md.reset()
+      val dig = md.digest(toks.getUTF8String(j).getBytes)
+      var i = 0
+      while (i < 64) {
+        val d = i >> 2                      // hex digit index 0..15
+        val b = dig(d >> 1)                 // md5 byte 0..7
+        // hex prints the high nibble first: even digits = high nibble
+        val v = if ((d & 1) == 0) (b >> 4) & 0xF else b & 0xF
+        contrib(i) += (if (((v >> (i & 3)) & 1) != 0) 1 else -1)
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (contrib(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashMd5", this,
+      classOf[SimHashMd5].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = (Long) $self.nullSafeEval($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 =
+    copy(child = c)
+}
+
 /** 64-bit SimHash of a token array (array<string> → long): per token
   * one xxhash64 (seed 42, matching the builtin), each signature bit's
   * counter moves ±1 with the token hash's bit, and the final bit is
@@ -504,6 +568,9 @@ case class GreedyPieces(child: Expression, vocabTokens: Array[String],
 object TextExpressions {
   def simhash64(tokens: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+
+  def simhash_md5(tokens: Column): Column =
+    GraftSqlBridge.column(SimHashMd5(GraftSqlBridge.expression(tokens)))
 
   def minhash_from_hashes(hashes: Column, k: Int): Column =
     GraftSqlBridge.column(

@@ -141,6 +141,108 @@ case class SignLshBuckets(child: Expression, numPlanes: Int, tables: Int)
     copy(child = c)
 }
 
+/** Multi-probe sign-LSH buckets (Lv et al. 2007, VLDB): per plane
+  * family, the base bucket PLUS the `probes − 1` buckets reached by
+  * flipping the query's lowest-confidence plane signs — the planes
+  * whose projection margin |v·h| is smallest are the ones a true
+  * neighbor most likely lands on the other side of, so probing those
+  * buckets multiplies effective tables without re-hashing the corpus
+  * (corpus vectors keep ONE bucket per table via [[SignLshBuckets]]).
+  * Perturbation sets are all 1- and 2-plane flips ranked by
+  * Σ margin² ascending (the standard query-directed score); ties
+  * break on plane indices, so the probe sequence is deterministic.
+  * Output: array<long> of `tables × probes` bucket ids, table-major,
+  * base bucket first within each table — callers recover the table id
+  * as `pos / probes`. Plane components are IDENTICAL to
+  * [[SignLshBuckets]] (same SplitMix64 derivation), so corpus-side
+  * buckets need no change. */
+case class SignLshProbes(child: Expression, numPlanes: Int, tables: Int,
+                         probes: Int)
+    extends UnaryExpression {
+  require(probes >= 1, "probes must be >= 1")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh_probes"
+
+  private def component(t: Int, p: Int, i: Int): Double = {
+    val h = DeterministicHash.splitmix64(((t.toLong * 1000 + p) << 20) ^ i.toLong)
+    ((h & 0xFFFFFL).toDouble / 524288.0) - 1.0
+  }
+
+  /** Flip sets (bitmasks over planes) of size 1 and 2, precomputed
+    * once per expression instance — scored per query by Σ margin². */
+  @transient private lazy val flipSets: Array[Int] = {
+    val sets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var a = 0
+    while (a < numPlanes) {
+      sets += (1 << a)
+      var b = a + 1
+      while (b < numPlanes) { sets += ((1 << a) | (1 << b)); b += 1 }
+      a += 1
+    }
+    sets.toArray
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](tables * probes)
+    val margins = new Array[Double](numPlanes)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var proj = 0.0
+        var i = 0
+        while (i < n) { proj += v.getDouble(i) * component(t, p, i); i += 1 }
+        if (proj > 0) bucket |= (1L << p)
+        margins(p) = proj * proj
+        p += 1
+      }
+      out(t * probes) = bucket
+      if (probes > 1) {
+        // rank flip sets by summed squared margin (asc); stable sort +
+        // the fixed enumeration order makes ties deterministic
+        val scored = flipSets.map { m =>
+          var s = 0.0
+          var q = 0
+          while (q < numPlanes) { if ((m & (1 << q)) != 0) s += margins(q); q += 1 }
+          (s, m)
+        }.sortBy(_._1)
+        var k = 1
+        while (k < probes) {
+          // fewer flip sets than probes (tiny numPlanes): repeat the
+          // base bucket — harmless duplicate, candidates distinct later
+          out(t * probes + k) =
+            if (k - 1 < scored.length) bucket ^ scored(k - 1)._2.toLong
+            else bucket
+          k += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signLshProbes", this,
+      classOf[SignLshProbes].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.nullSafeEval($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignLshProbes =
+    copy(child = c)
+}
+
 /** IVF probe assignment: the `nProbe` coarse-quantizer cells nearest
   * to the vector (by cosine against `numCentroids` deterministic
   * pseudo-random centroids). Corpus vectors use nProbe=1 (their home
@@ -380,6 +482,13 @@ object VectorExpressions {
   def sign_lsh_buckets(v: Column, numPlanes: Int, tables: Int): Column =
     GraftSqlBridge.column(
       SignLshBuckets(GraftSqlBridge.expression(v), numPlanes, tables))
+
+  /** Multi-probe sign-LSH bucket ids (`probes` per plane family,
+    * table-major, base first — see [[SignLshProbes]]). */
+  def sign_lsh_probes(v: Column, numPlanes: Int, tables: Int,
+                      probes: Int): Column =
+    GraftSqlBridge.column(
+      SignLshProbes(GraftSqlBridge.expression(v), numPlanes, tables, probes))
 
   /** IVF probe cell ids (best first). */
   def ivf_probes(v: Column, numCentroids: Int, nProbe: Int): Column =

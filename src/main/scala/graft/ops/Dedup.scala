@@ -306,12 +306,24 @@ object Dedup {
     // 1.25s at sf0.1 from this swap alone.
     graft.functions.TextExpressions.simhash64(TextOps.tokens(text))
 
+  /** [[simHash]]'s md5-derived, DuckDB-replayable twin (see
+    * [[graft.functions.SimHashMd5]]) — the oracle-gate path;
+    * xxhash64 stays the production default. */
+  def simHashMd5(text: Column): Column =
+    graft.functions.TextExpressions.simhash_md5(TextOps.tokens(text))
+
   /** SimHash near-dup candidates: exact match on any of 4 16-bit
     * blocks (≤ 3-bit Hamming distance guarantee via pigeonhole when
     * combined with verification). */
   def simHashCandidates(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
-    val sig = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
+                        idCol: String = "doc_id"): DataFrame =
+    simHashCandidatesFromSig(
+      docs.select(col(idCol), simHash(col(textCol)).as("simhash")), idCol)
+
+  /** The 4×16-bit block index over an already-computed (id, simhash)
+    * frame — shared by the xxhash64 and md5 signature paths. */
+  private def simHashCandidatesFromSig(sig: DataFrame,
+                                       idCol: String): DataFrame = {
     val blocks = array((0 until 4).map { b =>
       struct(lit(b).as("block_id"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("block"))
@@ -356,10 +368,30 @@ object Dedup {
     * flooded blocks. */
   def simHashDedup(docs: DataFrame, maxHamming: Int = 3,
                    textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id"): DataFrame =
+    simHashDedupSig(docs,
+      docs.select(col(idCol), simHash(col(textCol)).as("simhash")),
+      maxHamming, idCol)
+
+  /** [[simHashDedup]] over md5-derived signatures — identical block
+    * index, identical drop rule, but every bit is DuckDB-replayable,
+    * so the dedup pipeline itself is oracle-gated (q123). The
+    * SimHashMd5Spec carries that gate over to the xxhash64
+    * production path: both paths drop every planted dup; the only
+    * differences are weakly-similar pairs flipping at the 64-bit
+    * sketch's Hamming-3 boundary (≤ 2%, quantified in the spec). */
+  def simHashDedupMd5(docs: DataFrame, maxHamming: Int = 3,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    simHashDedupSig(docs,
+      docs.select(col(idCol), simHashMd5(col(textCol)).as("simhash")),
+      maxHamming, idCol)
+
+  private def simHashDedupSig(docs: DataFrame, sig: DataFrame,
+                              maxHamming: Int, idCol: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "the 4-block index is exhaustive only up to Hamming 3")
-    val dup = simHashCandidates(docs, textCol, idCol)
+    val dup = simHashCandidatesFromSig(sig, idCol)
       .filter(col("hamming") <= maxHamming)
       .select(col("id_b").as(idCol)).distinct()
     docs.select(col(idCol)).distinct()

@@ -153,8 +153,13 @@ object Pca {
               * (col("s1").cast("double") / lit(Q)
                  / col("n").cast("double")),
             lit(0.0)).as(v))
-    moments(a, "mean_a", "var_a")
-      .join(moments(b, "mean_b", "var_b"), "pos")
+    // FULL OUTER on pos: a dimensionality change in the upstream
+    // embedder — the most blatant drift this monitor exists to catch —
+    // must surface as rows with a null side (mean/var/shift/ratio all
+    // null there), not silently drop the unpaired dimensions
+    val ma = moments(a, "mean_a", "var_a")
+    val mb = moments(b, "mean_b", "var_b")
+    ma.join(mb, Seq("pos"), "full_outer")
       .select(col("pos").cast(LongType).as("pos"),
         col("mean_a"), col("mean_b"),
         abs(col("mean_b") - col("mean_a")).as("mean_shift"),

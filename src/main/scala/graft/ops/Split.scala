@@ -30,7 +30,11 @@ object Split {
     var cum = 0.0
     weights.init.map { case (name, w) =>
       cum += w
-      name -> f"${math.floor(cum * 4294967296.0).toLong}%08x"
+      // clamp: a pathologically tiny last weight can round cum to 1.0,
+      // and floor(1.0·2³²) renders as 9 hex chars ('100000000'),
+      // breaking the fixed-width lexicographic comparison — every
+      // high-hash id would fall past the boundary
+      name -> f"${math.min(math.floor(cum * 4294967296.0).toLong, 4294967295L)}%08x"
     }
   }
 
@@ -66,10 +70,15 @@ object Split {
   /** Leakage-safe split: near-dup clusters (LSH candidates → exact
     * shingle-Jaccard ≥ `threshold` → connected components, the q66
     * stack) are assigned AS UNITS — every member hashes on its
-    * cluster's canonical (minimum) id, so near-duplicates can never
-    * straddle train/test. Docs with no near-dup partner are their
-    * own singleton group and hash on themselves, making the split
-    * identical to [[hashSplit]] on a dup-free corpus.
+    * cluster's canonical (minimum) id, so DETECTED near-duplicates
+    * never straddle train/test. The guarantee is modulo the LSH
+    * banding miss bound: a pair the banding never buckets together
+    * (probability (1−J^rowsPerBand)^bands at Jaccard J) is invisible
+    * to the clustering and can still straddle — run
+    * [[splitLeakageAudit]] on the produced assignment as the release
+    * gate. Docs with no near-dup partner are their own singleton
+    * group and hash on themselves, making the split identical to
+    * [[hashSplit]] on a dup-free corpus.
     *
     * Scale shape: the cluster labels cost exactly the q66 pipeline
     * (bucketed candidates, exact verify on survivors, O(log n)

@@ -279,9 +279,25 @@ object TextOps {
                            indexDirs: Seq[String],
                            outDir: String): Unit = {
     require(indexDirs.nonEmpty, "need at least one index")
-    indexDirs.map(d => spark.read.parquet(s"$d/postings"))
+    // mode("overwrite") deletes outDir before the LAZY input reads
+    // execute — merging in place would destroy an input mid-read
+    require(!indexDirs.contains(outDir),
+      s"outDir $outDir is one of the input indexes")
+    val postings = indexDirs.map(d => spark.read.parquet(s"$d/postings"))
       .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$outDir/postings")
+    // the disjoint-doc-span precondition, CHECKED: overlapping shards
+    // silently double-count df and n_docs, skewing every BM25 score
+    // from the merged index. A doc indexed by two shards appears in
+    // both postings sets with every term it contains, so one count
+    // over (doc, term) pairs vs distinct pairs detects any overlap —
+    // a cheap aggregation next to the merge write itself.
+    val pairs = postings.drop("dln", "tf") // (idCol, term), any idCol name
+    val total = pairs.count()
+    val distinct = pairs.distinct().count()
+    require(total == distinct,
+      s"input indexes overlap: $total (doc, term) postings but only " +
+        s"$distinct distinct — shards must cover disjoint doc spans")
+    postings.write.mode("overwrite").parquet(s"$outDir/postings")
     indexDirs.map(d => spark.read.parquet(s"$d/stats"))
       .reduce(_ unionByName _)
       .agg(sum(col("n_docs")).as("n_docs"),
@@ -1532,6 +1548,74 @@ object TextOps {
           col("remainder"))).as("text"),
         col("n_blocks").cast(LongType).as("n_blocks"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(idCol)
+  }
+
+  /** Boundary-robust duplicated-span removal — the sliding-window
+    * sibling of [[spanScrub]] and the rewriting counterpart of the
+    * [[dupSpans]] audit (Lee et al. 2022 exact-substring-dedup
+    * semantics at k-token-window granularity). [[spanScrub]]'s
+    * tumbling blocks miss any repeat not aligned to a block boundary
+    * — the common case for scraped boilerplate behind a one-word
+    * prefix (SlidingScrubSpec proves the blind spot). Here every
+    * STRIDE-1 window of `k` tokens is hashed corpus-wide; each
+    * window's FIRST occurrence (min (doc, pos), the [[spanScrub]]
+    * rule) keeps its tokens, and every token covered by any
+    * non-first duplicated window is removed. Alignment cannot hide a
+    * repeat: a span of length ≥ k duplicated at ANY offset shares
+    * all its k-windows with the first copy.
+    *
+    * Scale shape: the explode is k rows per corpus token, but each
+    * is immediately reduced to (doc, pos, xxhash64(window)) — 20
+    * bytes — before the ONE shuffle (window-hash partitioning for
+    * the first-occurrence window function; the [[dupSpans]]
+    * discipline). Coverage expansion re-explodes only DUPLICATED
+    * window instances (bounded by the dup mass, not the corpus), and
+    * reassembly is one per-doc aggregate. Skewed boilerplate hashes
+    * mitigate exactly as [[dupSpans]] documents.
+    *
+    * Determinism: first-occurrence selection is a min over (doc,
+    * pos) structs, coverage is integer positions, reassembly an
+    * order-sorted join — hash-exact; the DuckDB oracle replays
+    * window STRINGS, identical modulo xxhash64 collisions (~n²/2⁶⁵).
+    * Output: (id, text, n_tokens, n_removed), ordered by id. */
+  def slidingScrub(docs: DataFrame, k: Int = 8,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "need k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val toksC = tokens(col(textCol))
+    val base = docs.select(col(idCol), toksC.as("toks"))
+    val wins = base.filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .select(col(idCol), col("pos").as("p"), xxhash64(col("col")).as("wh"))
+    val dups = wins
+      .withColumn("first",
+        min(struct(col(idCol).as("d"), col("p").as("q")))
+          .over(Window.partitionBy("wh")))
+      .filter(!(col("first.d") === col(idCol) && col("first.q") === col("p")))
+    val covered = dups
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (k - 1)))
+        .as("pos"))
+      .distinct()
+    val toksPos = base.select(col(idCol), posexplode(col("toks")))
+    val agg = toksPos
+      .join(covered.withColumn("__cov", lit(1)), Seq(idCol, "pos"), "left")
+      .groupBy(idCol)
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("__cov").isNull, struct(col("pos"), col("col"))))),
+          _.getField("col")), " ").as("text"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__cov").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
       .orderBy(idCol)
   }
 }

@@ -73,6 +73,15 @@ class SimilaritySessionsSpec extends SparkSpec {
     val lshMore = recall(neighbors(
       Similarity.lshTopK(emb, queries, 5, numPlanes = 4, tables = 16)))
     assert(lshMore >= lsh, s"more tables must not lose recall: $lshMore < $lsh")
+    // the q32 PRODUCTION path (auto planes + multi-probe) must clear
+    // the 0.9 recall gate Bench re-measures per round
+    val auto = recall(neighbors(Similarity.lshTopKAuto(emb, queries, 5)))
+    assert(auto >= 0.9, s"lshTopKAuto recall@5 below the 0.9 gate: $auto")
+    // multi-probe is the query-side recall knob: probing the flipped
+    // low-margin buckets must not lose recall vs base buckets only
+    val p1 = recall(neighbors(Similarity.lshTopK(emb, queries, 5, 6, 8, 1)))
+    val p8 = recall(neighbors(Similarity.lshTopK(emb, queries, 5, 6, 8, 8)))
+    assert(p8 >= p1, s"more probes must not lose recall: $p8 < $p1")
   }
 
   test("cosineDedupLsh ≡ exact cosineDedup on a near-dup-injected corpus") {

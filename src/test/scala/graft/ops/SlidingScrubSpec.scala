@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** VERDICT r6 item 3: boundary-robust duplicated-span detection.
+  * Proves (1) the tumbling [[TextOps.spanScrub]] blind spot — a span
+  * duplicated at a +1 token offset crosses every block boundary and
+  * survives the scrub; (2) [[TextOps.slidingScrub]] removes it; and
+  * (3) the [[TextOps.dupSpans]] AUDIT (q78) was never blind — its
+  * stride-1 windows flag the offset copy (correcting the r6 verdict's
+  * reading of q78 as tumbling). */
+class SlidingScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  // docB repeats docA's 8 tokens behind a one-token prefix: no
+  // tumbling 4-block of docB equals any 4-block of docA, but every
+  // sliding 4-window of the copied span matches.
+  private def corpus = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "z a b c d e f g h")
+  ).toDF("doc_id", "text")
+
+  test("spanScrub misses a +1-offset duplicated span (the blind spot)") {
+    val out = TextOps.spanScrub(corpus, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out(2L)._1 == "z a b c d e f g h",
+      "tumbling blocks must NOT catch the misaligned copy")
+    assert(out(2L)._2 == 0L)
+  }
+
+  test("slidingScrub removes the +1-offset duplicated span") {
+    val out = TextOps.slidingScrub(corpus, k = 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // first occurrence (docA) keeps everything
+    assert(out(1L) == (("a b c d e f g h", 8L, 0L)))
+    // every token of docB covered by a duplicated window is removed;
+    // only the unshared prefix survives
+    assert(out(2L) == (("z", 9L, 8L)))
+  }
+
+  test("dupSpans (q78) already flags the offset copy — stride-1 audit") {
+    val out = TextOps.dupSpans(corpus, k = 4, minDf = 2, flagRatio = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docA: 5 windows, all duplicated in docB; docB: 6 windows, 5 dup
+    assert(out(1L) == ((5L, 5L)))
+    assert(out(2L) == ((6L, 5L)))
+  }
+
+  test("slidingScrub: no-dup corpus unchanged; short docs verbatim") {
+    val clean = Seq(
+      (1L, "p q r s t u"),
+      (2L, "v w x"),          // shorter than k: no windows, kept
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.slidingScrub(clean, k = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "p q r s t u", 6L, 0L),
+      (2L, "v w x", 3L, 0L),
+      (3L, "", 1L, 0L)))
+  }
+
+  test("slidingScrub: within-doc repetition — later copy removed") {
+    val rep = Seq((1L, "a b c d x y a b c d")).toDF("doc_id", "text")
+    val out = TextOps.slidingScrub(rep, k = 4).collect()
+      .map(r => (r.getString(1), r.getLong(3))).head
+    assert(out == (("a b c d x y", 4L)))
+  }
+}
