@@ -421,10 +421,16 @@ object Dedup {
     * over each candidate pair's sorted shingle sets (the q27
     * discipline). Output: (id_a, id_b, n_a, n_b, containment) for
     * every pair with containment(id_a → id_b) ≥ threshold. */
-  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
-                       shingleLen: Int = ShingleLen,
-                       textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
+  /** The CANDIDATE stage of [[containmentPairs]] — the distinct
+    * (id_a, id_b) pairs the lossless prefix cover emits before exact
+    * verification. Public because candidate volume IS the cost model
+    * of this family (∝ Σ df(prefix shingles)): profilers and capacity
+    * planning count it directly (ProfileContainmentZipf measures it
+    * under worst-case-uniform vs Zipfian vocabularies). */
+  def containmentCandidates(docs: DataFrame, threshold: Double = 0.8,
+                            shingleLen: Int = ShingleLen,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
     require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
     import org.apache.spark.sql.expressions.Window
     val sets = docs.select(col(idCol).as("id"),
@@ -455,13 +461,24 @@ object Dedup {
     // length spread prunes much harder)
     val idx = ranked.select(col("id").as("id_b"), col("s"),
       col("n_a").as("n_b"))
-    val candIds = prefix.select(col("id").as("id_a"), col("s"),
+    prefix.select(col("id").as("id_a"), col("s"),
         col("n_a"))
       .join(idx, Seq("s"))
       .filter(col("id_a") =!= col("id_b") &&
         col("n_b") >= ceil(lit(threshold) * col("n_a").cast("double")
           - lit(1e-6)).cast("long"))
       .select("id_a", "id_b").distinct()
+  }
+
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       shingleLen: Int = ShingleLen,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      graft.functions.TextExpressions.sorted_distinct_shingles(
+        TextOps.tokens(col(textCol)), shingleLen).as("sh"))
+    val candIds =
+      containmentCandidates(docs, threshold, shingleLen, textCol, idCol)
     candIds
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
