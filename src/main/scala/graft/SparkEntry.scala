@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Upsert}
+import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Importance, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -471,6 +471,58 @@ object SparkEntry {
       val d = Tables.documents(s, dir).select("doc_id", "text")
       Dedup.simHashDedupMd5(d.unionByName(d.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))))
+    }),
+    // C4/RefinedWeb-style line-level boilerplate removal. The corpus
+    // is the documents reshaped into 8-token lines with a planted
+    // nav-bar line on every 3rd doc and a footer on every 4th —
+    // ubiquitous lines (df >= 2 docs) are removed EVERYWHERE, bodies
+    // reassemble in order.
+    "q124_line_dedup" -> ((s, dir) => {
+      val lined = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), concat(
+          when(col("doc_id") % 3 === 0,
+            lit("subscribe to our newsletter today\n")).otherwise(lit("")),
+          array_join(transform(
+            sequence(lit(1), size(col("toks")), lit(8)),
+            i => array_join(slice(col("toks"), i, lit(8)), " ")), "\n"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nall rights reserved site footer")).otherwise(lit("")))
+          .as("text"))
+      TextOps.lineDedup(lined)
+    }),
+    // Winnowing (MOSS) fingerprint candidate pairs — the salt plants
+    // a 40-token copied run behind a one-token prefix; the winnowing
+    // density guarantee finds it at ANY alignment (≥ 1 shared
+    // fingerprint per shared run of length ≥ w + k − 1 = 11 tokens).
+    // k = 8 / dfCap = 20 are the scale knobs on THIS corpus: its
+    // ~40-word vocabulary makes short k-grams collide across
+    // unrelated docs (the containment-profile worst case), and
+    // candidate volume is Σ df(fp)² — 8-grams push random collisions
+    // to ~0 so candidates track the true dup mass.
+    "q125_winnow_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val salted = docs.unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat_ws(" ", lit("intro"),
+            array_join(slice(TextOps.tokens(col("text")), 1, 40), " "))
+            .as("text")))
+      TextOps.winnowCandidates(salted, k = 8, w = 4, dfCap = 20)
+    }),
+    // Deterministic epoch shuffle + shard manifest (epoch 3, 8
+    // shards): content-random per-epoch order, shard = hex range of
+    // the same key — a pure projection, no global sort.
+    "q126_epoch_order" -> ((s, dir) =>
+      Split.epochOrder(Tables.documents(s, dir).select("doc_id"),
+        shards = 8, epoch = 3)),
+    // DSIR-style importance weights: target = src0 docs, raw = all;
+    // hashed unigram+bigram buckets (3 md5 hex digits), add-1
+    // smoothing, mean p_target/p_raw ratio per doc (rational
+    // surrogate for the mean log-ratio — the q76 discipline).
+    "q127_importance_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Importance.importanceWeights(docs.select("doc_id", "text"),
+        docs.filter(col("source") === "src0").select("doc_id", "text"))
     }),
     // Exact n-gram Jaccard top pairs — brute-force O(N²) baseline,
     // bounded to a deterministic 1000-doc sample (the unbounded scale
@@ -1274,6 +1326,10 @@ object SparkEntry {
     "q96_span_scrub"        -> Oracle.spanScrub,
     "q122_sliding_scrub"    -> Oracle.slidingScrub,
     "q123_simhash_md5_dedup" -> Oracle.simHashMd5Dedup,
+    "q124_line_dedup"       -> Oracle.lineDedup,
+    "q125_winnow_pairs"     -> Oracle.winnowPairs,
+    "q126_epoch_order"      -> Oracle.epochOrder,
+    "q127_importance_weights" -> Oracle.importanceWeights,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -1630,6 +1630,151 @@ SELECT doc_id FROM (SELECT DISTINCT doc_id FROM corp)
 WHERE doc_id NOT IN (SELECT id_b FROM dup)
 ORDER BY doc_id"""
 
+  /** q124 oracle: line-level boilerplate removal replayed with line
+    * STRINGS (the Spark side hashes them — xxhash64 is internal
+    * only, so string equality replays exactly): the same 8-token
+    * reshape + planted nav/footer lines, df = distinct-doc count per
+    * line, remove-everywhere at df ≥ 2, order-preserving reassembly. */
+  val lineDedup: String = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'subscribe to our newsletter today' || chr(10)
+              ELSE '' END ||
+         array_to_string(list_transform(range(1, len(toks) + 1, 8),
+           i -> array_to_string(toks[i : i + 7], ' ')), chr(10)) ||
+         CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || 'all rights reserved site footer'
+              ELSE '' END AS text
+  FROM base),
+l AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ls[i] AS ln
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+               unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+        FROM lined)),
+boiler AS (
+  SELECT ln FROM (SELECT ln, count(DISTINCT doc_id) AS df
+                  FROM l GROUP BY ln)
+  WHERE df >= 2),
+drops AS (SELECT doc_id, pos FROM l JOIN boiler USING (ln)),
+ag AS (
+  SELECT l.doc_id,
+         coalesce(array_to_string(
+           list(l.ln ORDER BY l.pos) FILTER (WHERE d.pos IS NULL),
+           chr(10)), '') AS text,
+         count(*) AS n_lines,
+         sum(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_removed
+  FROM l LEFT JOIN drops d ON d.doc_id = l.doc_id AND d.pos = l.pos
+  GROUP BY l.doc_id)
+SELECT doc_id, text, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_removed AS BIGINT) AS n_removed
+FROM ag ORDER BY doc_id"""
+
+  /** q125 oracle: winnowing candidate pairs replayed — identical
+    * 8-gram md5 hex hashes, 4-wide window lexicographic min,
+    * per-doc distinct fingerprints, the 2..20 df band, and the
+    * shared-count self-join. */
+  val winnowPairs: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id,
+         'intro ' ||
+         array_to_string((string_split_regex(trim(text), ' +'))[1:40], ' ')
+           AS text
+  FROM documents WHERE doc_id % 20 = 0),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM corp
+  WHERE len(string_split_regex(trim(text), ' +')) >= 11),
+kg AS (
+  SELECT doc_id, list_transform(range(1, len(toks) - 8 + 2),
+           i -> md5(array_to_string(toks[i : i + 7], ' '))) AS kg
+  FROM t),
+fp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(kg) - 4 + 2),
+             j -> list_min(kg[j : j + 3]))) AS fp
+    FROM kg)),
+rare AS (
+  SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+  WHERE df BETWEEN 2 AND 20),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, count(*) AS n_shared FROM j
+GROUP BY id_a, id_b HAVING count(*) >= 2
+ORDER BY id_a, id_b"""
+
+  /** q126 oracle: epoch shuffle replayed — md5("epoch:3:graft:id")
+    * as the shuffle key, 8 equal shards as fixed hex thresholds of
+    * the SAME key (i/8 · 2³² rendered as 8 hex chars). */
+  val epochOrder: String = """
+WITH k AS (
+  SELECT doc_id,
+         md5(concat('epoch:3:graft', ':', CAST(doc_id AS VARCHAR)))
+           AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+       CASE WHEN substring(shuffle_key, 1, 8) < '20000000' THEN 'shard_000'
+            WHEN substring(shuffle_key, 1, 8) < '40000000' THEN 'shard_001'
+            WHEN substring(shuffle_key, 1, 8) < '60000000' THEN 'shard_002'
+            WHEN substring(shuffle_key, 1, 8) < '80000000' THEN 'shard_003'
+            WHEN substring(shuffle_key, 1, 8) < 'a0000000' THEN 'shard_004'
+            WHEN substring(shuffle_key, 1, 8) < 'c0000000' THEN 'shard_005'
+            WHEN substring(shuffle_key, 1, 8) < 'e0000000' THEN 'shard_006'
+            ELSE 'shard_007' END AS shard
+FROM k ORDER BY shard, shuffle_key, doc_id"""
+
+  /** q127 oracle: DSIR importance weights replayed — unigram+bigram
+    * features with Spark's position layout (unigrams 0..n−1, bigrams
+    * n..2n−2), buckets from the first 3 md5 hex digits (Horner over
+    * strpos digit values ≡ conv(hex, 16, 10)), add-1 smoothing over
+    * 4096 buckets, and the position-ordered ratio fold (list_reduce
+    * starts at the first element; Spark folds 0.0 + x₁ + … — equal
+    * because 0.0 + x = x in IEEE). */
+  val importanceWeights: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
+  UNION ALL
+  SELECT doc_id, CAST(len(toks) + i - 1 AS INTEGER) AS pos,
+         toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2)),
+fb AS (
+  SELECT doc_id, pos,
+         ((strpos('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(gram), 2, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(gram), 3, 1)) - 1))
+           % 4096 AS bucket
+  FROM f),
+tgt AS (SELECT fb.* FROM fb JOIN documents USING (doc_id)
+        WHERE source = 'src0'),
+ct AS (SELECT bucket, count(*) AS c_t FROM tgt GROUP BY bucket),
+cr AS (SELECT bucket, count(*) AS c_r FROM fb GROUP BY bucket),
+n AS (SELECT (SELECT count(*) FROM tgt) AS n_t,
+             (SELECT count(*) FROM fb) AS n_r),
+ratios AS (
+  SELECT coalesce(ct.bucket, cr.bucket) AS bucket,
+         ((CAST(coalesce(ct.c_t, 0) AS DOUBLE) + 1.0)
+            / (CAST(n.n_t AS DOUBLE) + 4096.0))
+         / ((CAST(coalesce(cr.c_r, 0) AS DOUBLE) + 1.0)
+            / (CAST(n.n_r AS DOUBLE) + 4096.0)) AS ratio
+  FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket, n)
+SELECT fb.doc_id, count(*) AS n_feats,
+       list_reduce(list(r.ratio ORDER BY fb.pos), (a, x) -> a + x)
+         / CAST(count(*) AS DOUBLE) AS weight
+FROM fb JOIN ratios r USING (bucket)
+GROUP BY fb.doc_id
+ORDER BY fb.doc_id"""
+
   /** q100 oracle: the deterministic hash split replayed — identical
     * md5 input string, identical first-8-hex extraction, identical
     * lexicographic thresholds (floor(0.8·2³²) = 0xcccccccc,

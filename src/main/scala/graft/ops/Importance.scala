@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Data-selection by importance weighting — the DSIR family (Xie et
+  * al. 2023, "Data Selection for Language Models via Importance
+  * Resampling"): score every raw-corpus document by how target-like
+  * its hashed n-gram profile is, so a small high-quality target set
+  * (a domain, a curated corpus) steers selection over a huge raw
+  * crawl without training a classifier.
+  */
+object Importance {
+
+  /** Per-document DSIR importance weights. Features are unigrams +
+    * bigrams hashed into `buckets` buckets via the first 3 hex
+    * digits of md5 (an integer in [0, 4096) both engines derive
+    * from the same hex string — no engine-private hash); bucket
+    * probabilities are add-α smoothed over each corpus's total
+    * feature count; a doc's weight is the MEAN per-feature ratio
+    * p_target(b) / p_raw(b).
+    *
+    * The mean RATIO is the rational surrogate for DSIR's mean
+    * log-ratio — the [[TextOps.bigramLmScore]] discipline: log is
+    * transcendental and libm-dependent, while + / × / ÷ are IEEE-
+    * exact on both engines, so the score is hash-replayable. Like
+    * the mean-probability LM score, it preserves the signal's
+    * direction (target-like docs score high) without the log's
+    * outlier damping; the selection step consumes ranks, not
+    * absolute scores. Per-doc summation folds features in POSITION
+    * order (array_sort + sequential aggregate), never parallel-sum
+    * order, so the double is bit-stable under any partitioning.
+    *
+    * Scale shape at 100 TB: the two bucket-count aggregates reduce
+    * each corpus to ≤ `buckets` rows (map-side partial combine does
+    * almost all the work); the ratio table is ≤ `buckets` rows and
+    * BROADCASTS back to the exploded raw features, so the only
+    * corpus-sized shuffle is the per-doc regroup of (id, pos,
+    * ratio) — 20-byte rows, bodies never move. `target` is
+    * typically tiny next to `raw`; nothing here assumes otherwise.
+    * Output: (id, n_feats, weight), ordered by id. */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        buckets: Int = 4096, alpha: Double = 1.0,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0 && buckets <= 4096,
+      s"buckets $buckets must be in (0, 4096] (3 hex digits)")
+    require(alpha > 0, "need alpha > 0 (unseen buckets must smooth)")
+    val toks = TextOps.tokens(col(textCol))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val grams = concat(toks, bigrams)
+    def features(df: DataFrame) = df.select(col(idCol),
+        posexplode(grams).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"),
+        (conv(substring(md5(col("gram")), 1, 3), 16, 10)
+          .cast(LongType) % buckets).as("bucket"))
+    def bucketCounts(df: DataFrame, cnt: String) =
+      features(df).groupBy(col("bucket"))
+        .agg(count(lit(1)).as(cnt))
+    val ct = bucketCounts(target, "c_t")
+    val cr = bucketCounts(raw, "c_r")
+    // full outer: a bucket seen in only one corpus still needs its
+    // smoothed ratio (that asymmetry IS the signal)
+    val aB = alpha * buckets
+    val ratios = ct.join(cr, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"))
+      .crossJoin(broadcast(
+        features(target).agg(count(lit(1)).as("n_t"))
+          .crossJoin(features(raw).agg(count(lit(1)).as("n_r")))))
+      .select(col("bucket"),
+        (((col("c_t").cast(DoubleType) + lit(alpha))
+            / (col("n_t").cast(DoubleType) + lit(aB)))
+          / ((col("c_r").cast(DoubleType) + lit(alpha))
+            / (col("n_r").cast(DoubleType) + lit(aB)))).as("ratio"))
+    features(raw).join(broadcast(ratios), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("ratio")))),
+          lit(0.0), (acc, x) => acc + x.getField("ratio")).as("__sum"))
+      .select(col(idCol), col("n_feats"),
+        (col("__sum") / col("n_feats").cast(DoubleType)).as("weight"))
+      .orderBy(idCol)
+  }
+}

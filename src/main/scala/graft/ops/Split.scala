@@ -114,6 +114,36 @@ object Split {
       .orderBy("split_a", "split_b")
   }
 
+  /** Deterministic EPOCH SHUFFLE + shard manifest — the training-
+    * order materialization step of a data pipeline: epoch e's global
+    * order is the md5 order of "epoch:e:salt:id" (a fresh
+    * content-random permutation every epoch, identical on any
+    * engine, cluster size, or rerun — no RNG state to checkpoint),
+    * and each doc lands in one of `shards` equal-probability shards
+    * via the same hex-threshold machinery as [[splitColumn]] over
+    * the SAME key. Because shards are contiguous RANGES of the
+    * shuffle key, ordering by (shard, shuffle_key) ≡ ordering by
+    * shuffle_key: assignment is a pure narrow projection (fuses into
+    * the scan — no global sort, window, or rank), range-partitioning
+    * by shuffle_key lands each shard in its own partition run, and
+    * the only sort a trainer ever needs is within-shard on read.
+    * `shards` must be a power of two so the equal weights are exact
+    * binary fractions (1/2ᵏ sums reproduce 1.0 exactly).
+    * Output: (id, shuffle_key, shard), ordered by (shard, key, id). */
+  def epochOrder(df: DataFrame, shards: Int, epoch: Int,
+                 salt: String = "graft",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0 && (shards & (shards - 1)) == 0,
+      s"shards $shards must be a power of two (exact binary weights)")
+    val w = (0 until shards).map(i => (f"shard_$i%03d", 1.0 / shards))
+    val esalt = s"epoch:$epoch:$salt"
+    df.select(col(idCol),
+        md5(concat_ws(":", lit(esalt), col(idCol).cast("string")))
+          .as("shuffle_key"),
+        splitColumn(w, esalt, idCol).as("shard"))
+      .orderBy("shard", "shuffle_key", idCol)
+  }
+
   def leakageSafeSplit(docs: DataFrame, weights: Seq[(String, Double)],
                        salt: String = "graft",
                        threshold: Double = 0.8,

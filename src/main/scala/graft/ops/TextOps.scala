@@ -287,19 +287,27 @@ object TextOps {
       .reduce(_ unionByName _)
     // the disjoint-doc-span precondition, CHECKED: overlapping shards
     // silently double-count df and n_docs, skewing every BM25 score
-    // from the merged index. A doc indexed by two shards appears in
-    // both postings sets with every term it contains, so one count
-    // over (doc, term) pairs vs distinct pairs detects any overlap —
-    // a cheap aggregation next to the merge write itself.
-    val pairs = postings.drop("dln", "tf") // (idCol, term), any idCol name
-    val total = pairs.count()
-    val distinct = pairs.distinct().count()
-    require(total == distinct,
-      s"input indexes overlap: $total (doc, term) postings but only " +
-        s"$distinct distinct — shards must cover disjoint doc spans")
-    postings.write.mode("overwrite").parquet(s"$outDir/postings")
-    indexDirs.map(d => spark.read.parquet(s"$d/stats"))
+    // from the merged index. Doc-level suffices — a shard indexes
+    // EVERY term of each of its docs, so any (doc, term) overlap
+    // implies a doc overlap, and a doc in k shards contributes k to
+    // Σ n_docs (per-shard stats) but 1 to distinct-doc count. One
+    // narrow single-column aggregate over the merged postings vs the
+    // tiny stats rows — not a wide (doc, term) distinct.
+    val docCol = postings.columns
+      .filterNot(Set("term", "dln", "tf")).head
+    val statsUnion = indexDirs
+      .map(d => spark.read.parquet(s"$d/stats"))
       .reduce(_ unionByName _)
+    val nDocsSum = statsUnion.agg(sum(col("n_docs")))
+      .first().getDouble(0).toLong
+    val distinctDocs = postings
+      .agg(count_distinct(col(docCol))).first().getLong(0)
+    require(distinctDocs == nDocsSum,
+      s"input indexes overlap: stats claim $nDocsSum docs but merged " +
+        s"postings cover $distinctDocs distinct — shards must cover " +
+        "disjoint doc spans")
+    postings.write.mode("overwrite").parquet(s"$outDir/postings")
+    statsUnion
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$outDir/stats")
@@ -1586,9 +1594,15 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val toksC = tokens(col(textCol))
     val base = docs.select(col(idCol), toksC.as("toks"))
+    // greatest(…, 0): InferFiltersFromGenerate derives a size(…) > 0
+    // predicate from the explode and pushes it BELOW the length
+    // filter, so this expression must be total — an unclamped
+    // sequence(0, n−k) descends into negative indices on a short doc
+    // and slice(…, 0, …) throws before the filter ever runs. The
+    // clamp changes nothing for surviving rows (n−k ≥ 0 there).
     val wins = base.filter(size(col("toks")) >= k)
       .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("toks")) - k),
+        transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
           i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
       .select(col(idCol), col("pos").as("p"), xxhash64(col("col")).as("wh"))
     val dups = wins
@@ -1617,5 +1631,138 @@ object TextOps {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
       .orderBy(idCol)
+  }
+
+  /** C4/RefinedWeb-style LINE-level boilerplate removal: a line
+    * whose exact text appears in at least `minDf` DISTINCT documents
+    * is boilerplate (nav bars, cookie banners, footers — the scraped
+    * furniture that survives doc-level dedup because every page's
+    * BODY differs) and is removed from EVERY document; the remaining
+    * lines reassemble in order. Complements [[slidingScrub]]:
+    * that is keep-first exact-substring dedup at token-window
+    * granularity, this is remove-everywhere at line granularity —
+    * ubiquity across documents means the line carries no training
+    * signal in ANY of them. A line repeated only WITHIN one doc has
+    * df = 1 and survives ([[repetitionStats]] is the within-doc
+    * signal).
+    *
+    * Scale shape: document bodies never cross an exchange. Lines
+    * reduce to (xxhash64(line), doc, pos) — 20 bytes — before the
+    * ONE shuffle (the df count); the boilerplate hash set (only
+    * df ≥ minDf lines) joins back to those narrow rows, and removal
+    * is an index-filter EXPRESSION over each doc's own line array
+    * after a per-doc (id, positions) join — the dup mass, not the
+    * corpus, is what re-shuffles. The DuckDB oracle replays line
+    * STRINGS; identical modulo xxhash64 collisions (~n²/2⁶⁵).
+    * Output: (id, text, n_lines, n_removed), ordered by id. */
+  def lineDedup(docs: DataFrame, minDf: Long = 2,
+                sep: String = "\n",
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(minDf >= 2, s"minDf $minDf would remove every line")
+    val base = docs.select(col(idCol),
+      split(col(textCol), java.util.regex.Pattern.quote(sep)).as("lines"))
+    val lines = base
+      .select(col(idCol), posexplode(col("lines")).as(Seq("pos", "ln")))
+      .select(col(idCol), col("pos"), xxhash64(col("ln")).as("lh"))
+    val boiler = lines.groupBy(col("lh"))
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf).select("lh")
+    val drops = lines.join(boiler, "lh")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("ps"))
+    base.join(drops, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(col("lines"),
+          (x: Column, i: Column) =>
+            coalesce(!array_contains(col("ps"), i), lit(true))), sep)
+          .as("text"),
+        size(col("lines")).cast(LongType).as("n_lines"),
+        coalesce(size(col("ps")), lit(0)).cast(LongType).as("n_removed"))
+      .orderBy(idCol)
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): hash every k-token gram, then keep the MINIMUM
+    * hash in each w-wide window of consecutive k-gram hashes. The
+    * winnowing guarantee: any shared token run of length ≥ w + k − 1
+    * yields at least one shared fingerprint at ANY alignment, while
+    * only ~2/(w+1) of k-grams are selected — a density-guaranteed
+    * sketch where MinHash banding misses are probabilistic and
+    * stride-k blocks are alignment-blind. Hashes are md5 hex STRINGS
+    * under lexicographic order (a uniform total order both engines
+    * replay verbatim — no integer parsing); the window min keeps the
+    * smallest value (equal md5 inside a window ⇒ equal k-grams, so
+    * ties affect only positions, which we do not emit). Docs shorter
+    * than w + k − 1 tokens emit no fingerprints.
+    *
+    * Scale shape: the k-gram hash array is ONE array projection per
+    * doc; the posexplode is a Generate BARRIER, so that projection
+    * evaluates exactly once per doc (the ProfileQ76 CollapseProject
+    * lesson, fourth instance: a nested
+    * `transform(…, j => slice(kg, j+1, w))` inlines the whole kg
+    * expression into the lambda — every window re-hashes the whole
+    * document, O(n²) interpreted md5 per doc, MINUTES at sf0.1 —
+    * while this shape is O(n)). The window min runs over the
+    * doc-partitioned (pos, hash) rows — same one-narrow-shuffle
+    * shape as [[slidingScrub]] — and the per-doc fingerprint-set
+    * dedup is a collect_set on the SAME partitioning, so no second
+    * exchange. Output: (id, fp), one row per distinct fingerprint
+    * per doc. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && w > 0, "need k > 0 and w > 0")
+    import org.apache.spark.sql.expressions.Window
+    // greatest(…, 0) clamps: InferFiltersFromGenerate pushes a
+    // size(…) > 0 predicate (with the transform inlined) below the
+    // length filter, so the expression is evaluated on short docs
+    // too — an unclamped sequence(0, n−k) descends into negative
+    // indices and slice(…, 0, …) throws. For rows the filter keeps,
+    // the clamp is the identity.
+    val kg = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .select(col(idCol),
+        transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
+          i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " ")))
+          .as("kg"))
+    val ex = kg.select(col(idCol), (size(col("kg")) - w).as("maxp"),
+      posexplode(col("kg")).as(Seq("pos", "h")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    ex.select(col(idCol), col("pos"), col("maxp"),
+        min(col("h")).over(win).as("fp"))
+      .filter(col("pos") <= col("maxp"))
+      .groupBy(col(idCol)).agg(collect_set(col("fp")).as("fps"))
+      .select(col(idCol), explode(col("fps")).as("fp"))
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints —
+    * docs sharing ≥ `minShared` fingerprints, with the shared count
+    * as the match strength. Fingerprints held by more than `dfCap`
+    * docs are dropped FIRST (a fingerprint in half the corpus is
+    * boilerplate, not evidence — MOSS's common-code exclusion), and
+    * df = 1 fingerprints are dropped too (no pair can come from
+    * them), so the self-join runs over the rare informative
+    * fingerprints only — the bucket-cap discipline of
+    * [[Dedup.minHashCandidates]] with an explicit knob. Output:
+    * (id_a < id_b, n_shared), ordered. */
+  def winnowCandidates(docs: DataFrame, k: Int = 5, w: Int = 4,
+                       minShared: Long = 2, dfCap: Long = 50,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1 && dfCap >= 2, "need minShared >= 1, dfCap >= 2")
+    val fps = winnowFingerprints(docs, k, w, textCol, idCol)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select("fp")
+    val keyed = fps.join(rare, "fp")
+    keyed.select(col("fp"), col(idCol).as("id_a"))
+      .join(keyed.select(col("fp"), col(idCol).as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("id_a", "id_b")
   }
 }

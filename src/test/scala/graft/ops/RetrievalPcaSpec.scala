@@ -181,6 +181,19 @@ class RetrievalPcaSpec extends SparkSpec {
     // merged stats are the summed shard stats
     val st = spark.read.parquet(s"$base/merged/stats").collect().head
     assert(st.getDouble(0) == 5.0)
+    // overlapping shards (a doc indexed twice) are rejected, not
+    // silently double-counted into every BM25 score
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.mergeInvertedIndexes(spark,
+        Seq(s"$base/even", s"$base/full"), s"$base/bad")
+    }
+    assert(ex.getMessage.contains("overlap"))
+    // merging over an input in place would delete it mid-read
+    val ex2 = intercept[IllegalArgumentException] {
+      TextOps.mergeInvertedIndexes(spark,
+        Seq(s"$base/even", s"$base/odd"), s"$base/even")
+    }
+    assert(ex2.getMessage.contains("input"))
   }
 
   // --- driftReport --------------------------------------------------

@@ -121,4 +121,31 @@ class SplitSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(a == b)
   }
+
+  // --- epochOrder ---------------------------------------------------
+
+  test("epochOrder: shards are key ranges, epochs decorrelate, " +
+       "assignment is stable") {
+    val ids = (1L to 400L).toDF("doc_id")
+    val e1 = Split.epochOrder(ids, shards = 4, epoch = 1)
+      .as[(Long, String, String)].collect().toSeq
+    // every doc appears once, shards partition the key space: the
+    // global shuffle_key order IS (shard, within-shard key) order
+    assert(e1.map(_._1).sorted == (1L to 400L))
+    assert(e1.sortBy(_._2).map(_._1) == e1.map(_._1))
+    // near-equal shard sizes (binomial noise around 100)
+    val sizes = e1.groupBy(_._3).view.mapValues(_.size)
+    assert(sizes.size == 4 && sizes.values.forall(s => s > 60 && s < 140))
+    // a different epoch is a genuinely different permutation...
+    val e2 = Split.epochOrder(ids, shards = 4, epoch = 2)
+      .as[(Long, String, String)].collect().toSeq
+    assert(e1.map(_._1) != e2.map(_._1))
+    // ...but each epoch's own assignment is deterministic
+    assert(Split.epochOrder(ids, shards = 4, epoch = 1)
+      .as[(Long, String, String)].collect().toSeq == e1)
+    // non-power-of-two shard counts are rejected (inexact weights)
+    intercept[IllegalArgumentException] {
+      Split.epochOrder(ids, shards = 6, epoch = 1)
+    }
+  }
 }
