@@ -136,9 +136,12 @@ object Bench {
         Similarity.lshTopKAuto(emb, queries, 5))
       val ivf = Similarity.recallAtK(truth,
         Similarity.ivfTopK(emb, queries, 5, numCentroids = 32, nProbe = 16))
+      val ivfk = Similarity.recallAtK(truth,
+        Similarity.ivfKmeansTopK(emb, queries, 5, numCentroids = 32,
+          iters = 2, nProbe = 16))
       val ham = Similarity.recallAtK(truth,
         Similarity.hammingTopK(emb, queries, 5, rerank = 200))
-      s""""recall_at_5":{"q32_lsh_topk":${fmt(lsh)},"q36_ivf_topk":${fmt(ivf)},"q82_hamming_ann":${fmt(ham)}}"""
+      s""""recall_at_5":{"q32_lsh_topk":${fmt(lsh)},"q36_ivf_topk":${fmt(ivf)},"q128_ivf_kmeans":${fmt(ivfk)},"q82_hamming_ann":${fmt(ham)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall failed: ${e.getMessage}")
       s""""recall_at_5":{}"""

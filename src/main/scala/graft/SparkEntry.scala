@@ -515,6 +515,17 @@ object SparkEntry {
     "q126_epoch_order" -> ((s, dir) =>
       Split.epochOrder(Tables.documents(s, dir).select("doc_id"),
         shards = 8, epoch = 3)),
+    // IVF ANN with a LEARNED coarse quantizer (k-means cells, the
+    // Faiss shape) — fully oracle-gated INCLUDING the fit, unlike
+    // hash-cell q36 (rows-only): fixed-point means, argmax ties,
+    // dot/|c| probe ranking and exact re-rank all replay in SQL.
+    // recall@5 0.940 at 16/32 cells probed vs q36's 0.764 at the
+    // same fraction (ProfileIvfR7; per-round BENCH recall line).
+    "q128_ivf_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfKmeansTopK(emb, emb.filter(col("vec_id") < 50),
+        k = 5, numCentroids = 32, iters = 2, nProbe = 16)
+    }),
     // DSIR-style importance weights: target = src0 docs, raw = all;
     // hashed unigram+bigram buckets (3 md5 hex digits), add-1
     // smoothing, mean p_target/p_raw ratio per doc (rational
@@ -1330,6 +1341,7 @@ object SparkEntry {
     "q125_winnow_pairs"     -> Oracle.winnowPairs,
     "q126_epoch_order"      -> Oracle.epochOrder,
     "q127_importance_weights" -> Oracle.importanceWeights,
+    "q128_ivf_kmeans"       -> Oracle.ivfKmeans,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -2444,6 +2444,45 @@ SELECT cluster, CAST(rank AS BIGINT) AS rank, term, tf, df, score
 FROM ranked WHERE rank <= 10 ORDER BY cluster, rank"""
 
   /** q87 oracle: 3-iteration k-means on the bounded corpus. */
+  /** q128 oracle: learned-quantizer IVF replayed END TO END — the
+    * k-means fit (seeds, fixed-point means, argmax ties — the q87
+    * CTEs at 32×2), per-query probe ranking by dot/|c| (query norm
+    * is a per-query constant, so the order equals cosine order; ties
+    * to the lower cluster id), the cell candidate join, and the
+    * exact cosine re-rank with the q28 tail. */
+  val ivfKmeans: String = "WITH " + kmeansCtes(32, 2,
+    """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings""") + """,
+qs AS (SELECT vec_id, e FROM v WHERE vec_id < 50),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cluster AS cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.e, c.c)
+                        / sqrt(list_dot_product(c.c, c.c)) DESC,
+                      c.cluster) AS rn
+    FROM qs q, c2 c)
+  WHERE rn <= 16),
+cand AS (
+  SELECT DISTINCT p.query_id, f.vec_id AS corpus_id
+  FROM probes p JOIN fin f ON f.cluster = p.cell
+  WHERE f.vec_id <> p.query_id),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS cosine_sim
+  FROM cand
+  JOIN v q ON q.vec_id = cand.query_id
+  JOIN v c ON c.vec_id = cand.corpus_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS "rank"
+  FROM scored)
+SELECT query_id, CAST("rank" AS INTEGER) AS "rank", corpus_id, cosine_sim
+FROM ranked WHERE "rank" <= 5
+ORDER BY query_id, "rank""""
+
   val kmeans: String = "WITH " + kmeansCtes(8, 3,
     """
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

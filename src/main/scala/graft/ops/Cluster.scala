@@ -64,12 +64,14 @@ object Cluster {
       .drop("__best")
   }
 
-  /** K-means assignment with the vectors still attached —
-    * (id, e, cluster, centroid_sim). [[kmeans]] and [[semDedup]]
-    * share this. */
-  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int,
-                   idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+  /** The fitted centroids alone — (cluster id, centroid) sorted by
+    * cluster id, the tiny driver-side model state. Public so a
+    * consumer can reuse one fit across several assignment passes
+    * ([[Similarity.ivfKmeansTopK]] quantizes corpus AND queries with
+    * the same centroids). */
+  def kmeansFit(vectors: DataFrame, k: Int, iters: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
     require(k > 0 && iters >= 0, "need k>0, iters>=0")
     val v = vectors.select(col(idCol), asDouble(col(vecCol)).as("e"))
     // seeds: the k lowest-id vectors — deterministic, replayable
@@ -100,8 +102,26 @@ object Cluster {
         }.toMap
       cents = cents.map { case (cl, old) => (cl, means.getOrElse(cl, old)) }
     }
-    withAssignment(v, cents)
+    cents.sortBy(_._1)
   }
+
+  /** K-means assignment with the vectors still attached —
+    * (id, e, cluster, centroid_sim). [[kmeans]] and [[semDedup]]
+    * share this. */
+  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    assignWith(vectors, kmeansFit(vectors, k, iters, idCol, vecCol),
+      idCol, vecCol)
+
+  /** Assignment under externally fitted centroids (one fit, many
+    * assignment passes). */
+  private[ops] def assignWith(vectors: DataFrame,
+                              cents: Seq[(Long, Seq[Double])],
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame =
+    withAssignment(
+      vectors.select(col(idCol), asDouble(col(vecCol)).as("e")), cents)
 
   /** Spherical k-means: (id, cluster, centroid_sim), ordered by id.
     * `cluster` is the seed vector's id. */

@@ -161,6 +161,68 @@ object Similarity {
     * probe their `nProbe` nearest cells and rank exactly within the
     * candidates. Same ids-only join discipline as [[lshTopK]]. Recall
     * rises with nProbe; corpus-side cost is one int per vector. */
+  /** IVF ANN with a LEARNED coarse quantizer: [[Cluster.kmeansFit]]
+    * centroids define the cells — true Voronoi locality — instead of
+    * [[ivfTopK]]'s data-oblivious hash-plane cells. This is the
+    * textbook IVF of Faiss/SPANN: corpus vectors index under their
+    * nearest centroid (ONE narrow codegen'd argmax pass — the
+    * centroids are a driver literal, the corpus is never shuffled),
+    * and each query probes its `nProbe` nearest cells ranked by
+    * dot(q, c)/|c| (the query's own norm is a per-query constant, so
+    * the cell ORDER equals full-cosine order), ties to the lower
+    * cluster id. Exact cosine re-rank within the probed cells.
+    *
+    * Why it earns its fit cost over [[ivfTopK]]: hash-plane cells
+    * split neighbors with probability ∝ their angle regardless of
+    * data shape, so on THIS corpus (near-uniform synthetic
+    * embeddings, the adversarial case) recall tracks the probed
+    * fraction almost linearly — 0.76 at half the cells probed.
+    * Learned cells concentrate true neighbors: same probed fraction,
+    * measurably higher recall (ProfileIvfR7 / the BENCH recall
+    * line), and on real clustered corpora the gap widens. Everything
+    * (fixed-point means, argmax ties, probe ranking, re-rank) is
+    * engine-replayable — the q128 oracle replays the WHOLE pipeline
+    * including the k-means fit, where the hash-cell q36 can only get
+    * a rows-only check.
+    *
+    * 100 TB shape: fit cost = iters × (corpus scan + k·dim-row
+    * aggregate); index = one argmax pass; queries broadcast; the
+    * candidate join shuffles only (cell, id) rows. */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    numCentroids: Int = 32, iters: Int = 2,
+                    nProbe: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids,
+      s"need 1 <= nProbe <= numCentroids, got $nProbe/$numCentroids")
+    val cents = Cluster.kmeansFit(corpus, numCentroids, iters,
+      idCol, vecCol)
+    val cCell = Cluster.assignWith(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col("cluster").as("cell"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
+    val centArr = typedLit(cents.map(_._2))
+    val clArr = typedLit(cents.map(_._1))
+    // centroid norms fold on the driver in ascending component order
+    // — the same sequential order list_dot_product replays
+    val normArr = typedLit(cents.map(cc =>
+      math.sqrt(cc._2.foldLeft(0.0)((a, x) => a + x * x))))
+    val probes = q.select(col("query_id"), explode(slice(array_sort(
+        transform(sequence(lit(0), lit(cents.size - 1)), i =>
+          struct(
+            (-(dotFold(col("qv"), element_at(centArr, i + lit(1)))
+              / element_at(normArr, i + lit(1)))).as("neg"),
+            element_at(clArr, i + lit(1)).as("cell")))),
+        1, nProbe)).as("p"))
+      .select(col("query_id"), col("p").getField("cell").as("cell"))
+    val candIds = cCell.join(probes, "cell")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id").distinct()
+    rankTopK(scoreCandidates(candIds, q, c), k)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 64, nProbe: Int = 8,
               idCol: String = "vec_id",

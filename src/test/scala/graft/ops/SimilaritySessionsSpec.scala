@@ -82,6 +82,17 @@ class SimilaritySessionsSpec extends SparkSpec {
     val p1 = recall(neighbors(Similarity.lshTopK(emb, queries, 5, 6, 8, 1)))
     val p8 = recall(neighbors(Similarity.lshTopK(emb, queries, 5, 6, 8, 8)))
     assert(p8 >= p1, s"more probes must not lose recall: $p8 < $p1")
+    // the LEARNED quantizer must beat hash cells at the same probed
+    // fraction (16/32 cells) — Voronoi locality is the whole point
+    val ivfk = recall(neighbors(Similarity.ivfKmeansTopK(emb, queries, 5,
+      numCentroids = 32, iters = 2, nProbe = 16)))
+    assert(ivfk >= ivf,
+      s"learned cells must not lose to hash cells: $ivfk < $ivf")
+    assert(ivfk >= 0.9, s"ivfKmeansTopK recall@5 below 0.9: $ivfk")
+    // probing every cell IS brute force (exact re-rank, same ties)
+    val all = neighbors(Similarity.ivfKmeansTopK(emb, queries, 5,
+      numCentroids = 16, iters = 1, nProbe = 16))
+    assert(all == truth, "nProbe = numCentroids must equal brute force")
   }
 
   test("cosineDedupLsh ≡ exact cosineDedup on a near-dup-injected corpus") {
