@@ -515,6 +515,26 @@ object SparkEntry {
     "q126_epoch_order" -> ((s, dir) =>
       Split.epochOrder(Tables.documents(s, dir).select("doc_id"),
         shards = 8, epoch = 3)),
+    // Tokenizer coverage report: the q120 BPE table trained on a
+    // 10% train slice (doc_id % 10 = 0), applied corpus-wide —
+    // per-source OOV rate (char-fallback convention for unseen
+    // words) and fertility (mean pieces/word), the sequence-length
+    // canary.
+    "q130_tokenizer_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.tokenizerReport(docs,
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
+    // DSIR step 2: importance RESAMPLING — 64 systematic-PPS picks
+    // ∝ the q127 weights (fixed-point quantized, Madow grid — no
+    // RNG). Selection tilts the sample's n-gram profile toward the
+    // src0 target domain.
+    "q129_importance_resample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Importance.importanceResample(docs.select("doc_id", "text"),
+        docs.filter(col("source") === "src0").select("doc_id", "text"),
+        k = 64)
+    }),
     // IVF ANN with a LEARNED coarse quantizer (k-means cells, the
     // Faiss shape) — fully oracle-gated INCLUDING the fit, unlike
     // hash-cell q36 (rows-only): fixed-point means, argmax ties,
@@ -1342,6 +1362,8 @@ object SparkEntry {
     "q126_epoch_order"      -> Oracle.epochOrder,
     "q127_importance_weights" -> Oracle.importanceWeights,
     "q128_ivf_kmeans"       -> Oracle.ivfKmeans,
+    "q129_importance_resample" -> Oracle.importanceResample,
+    "q130_tokenizer_report" -> Oracle.tokenizerReport,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

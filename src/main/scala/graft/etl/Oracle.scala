@@ -1736,8 +1736,7 @@ FROM k ORDER BY shard, shuffle_key, doc_id"""
     * 4096 buckets, and the position-ordered ratio fold (list_reduce
     * starts at the first element; Spark folds 0.0 + x₁ + … — equal
     * because 0.0 + x = x in IEEE). */
-  val importanceWeights: String = """
-WITH t AS (
+  private val importanceCtes: String = """t AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
   FROM documents),
 f AS (
@@ -1767,13 +1766,39 @@ ratios AS (
             / (CAST(n.n_t AS DOUBLE) + 4096.0))
          / ((CAST(coalesce(cr.c_r, 0) AS DOUBLE) + 1.0)
             / (CAST(n.n_r AS DOUBLE) + 4096.0)) AS ratio
-  FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket, n)
-SELECT fb.doc_id, count(*) AS n_feats,
-       list_reduce(list(r.ratio ORDER BY fb.pos), (a, x) -> a + x)
-         / CAST(count(*) AS DOUBLE) AS weight
-FROM fb JOIN ratios r USING (bucket)
-GROUP BY fb.doc_id
-ORDER BY fb.doc_id"""
+  FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket, n),
+wts AS (
+  SELECT fb.doc_id, count(*) AS n_feats,
+         list_reduce(list(r.ratio ORDER BY fb.pos), (a, x) -> a + x)
+           / CAST(count(*) AS DOUBLE) AS weight
+  FROM fb JOIN ratios r USING (bucket)
+  GROUP BY fb.doc_id)"""
+
+  val importanceWeights: String = "WITH " + importanceCtes + """
+SELECT doc_id, n_feats, weight FROM wts ORDER BY doc_id"""
+
+  /** q129 oracle: DSIR importance RESAMPLING — the q127 weights
+    * quantized to fixed-point longs (floor(w·2²⁰ + 0.5)) feeding the
+    * q113 systematic-PPS grid over one corpus-wide stratum, k = 64
+    * equal cumulative-weight steps, id order. */
+  val importanceResample: String = "WITH " + importanceCtes + """,
+q AS (
+  SELECT doc_id,
+         CAST(floor(weight * 1048576.0 + 0.5) AS BIGINT) AS w
+  FROM wts),
+c AS (
+  SELECT doc_id, w,
+         sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER () AS total
+  FROM q),
+p AS (
+  SELECT doc_id, w,
+         CAST(floor(CAST(cum AS DOUBLE) / (CAST(total AS DOUBLE) / 64))
+            - floor(CAST(cum - w AS DOUBLE)
+                    / (CAST(total AS DOUBLE) / 64)) AS BIGINT) AS n_picks
+  FROM c WHERE total > 0)
+SELECT doc_id, w AS weight, n_picks
+FROM p WHERE n_picks > 0 ORDER BY doc_id"""
 
   /** q100 oracle: the deterministic hash split replayed — identical
     * md5 input string, identical first-8-hex extraction, identical
@@ -2607,6 +2632,30 @@ ORDER BY doc_id"""
     * and the same leftmost-non-overlap merge fold (list_reduce with
     * a string accumulator — append `b` separator-less when the last
     * symbol is exactly `a`). */
+  /** q130 oracle: tokenizer coverage report — the q120/q121 BPE
+    * rounds replayed on the 10% train slice, the induced word→pieces
+    * table LEFT-joined to every word occurrence corpus-wide,
+    * char-fallback for OOV, per-source OOV rate + fertility. */
+  val tokenizerReport: String = bpeCtes(10, " WHERE doc_id % 10 = 0") + """,
+tab AS (
+  SELECT word, CAST(len(string_split(sym, chr(31))) AS BIGINT)
+           AS n_pieces
+  FROM w10),
+wd AS (
+  SELECT d.source, unnest(string_split_regex(trim(d.text), ' +')) AS word
+  FROM documents d),
+ag AS (
+  SELECT source, count(*) AS n_words,
+         sum(CASE WHEN t.n_pieces IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         sum(coalesce(t.n_pieces, length(wd.word))) AS n_pieces_total
+  FROM wd LEFT JOIN tab t USING (word)
+  GROUP BY source)
+SELECT source, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(n_oov AS DOUBLE) / n_words AS oov_rate,
+       CAST(n_pieces_total AS DOUBLE) / n_words AS fertility
+FROM ag ORDER BY source"""
+
   val bpeLearn: String = bpeCtes(10) +
     "\nSELECT * FROM (\n" + (1 to 10).map { r =>
       s"""  SELECT CAST($r AS BIGINT) AS merge_rank, a AS "left",
@@ -2623,14 +2672,14 @@ SELECT word, n,
        replace(sym, chr(31), ' ') AS pieces
 FROM w10 ORDER BY word"""
 
-  private def bpeCtes(rounds: Int): String = {
+  private def bpeCtes(rounds: Int, corpusWhere: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= """WITH w0 AS (
+    sb ++= s"""WITH w0 AS (
   SELECT word, count(*) AS n,
          array_to_string(list_transform(range(1, length(word) + 1),
            i -> word[CAST(i AS INT):CAST(i AS INT)]), chr(31)) AS sym
   FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS word
-        FROM documents)
+        FROM documents$corpusWhere)
   GROUP BY word)"""
     for (r <- 1 to rounds) {
       sb ++= s""",

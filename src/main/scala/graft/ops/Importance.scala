@@ -88,4 +88,34 @@ object Importance {
         (col("__sum") / col("n_feats").cast(DoubleType)).as("weight"))
       .orderBy(idCol)
   }
+
+  /** DSIR step 2 — importance RESAMPLING: draw a k-doc sample from
+    * the raw corpus with inclusion probability ∝ importance weight,
+    * so the selected subset's n-gram profile tilts toward the
+    * target's. Deterministic end to end: weights quantize to
+    * fixed-point longs (floor(w·2²⁰ + 0.5) — integer cumsums are
+    * order-independent where double cumsums are not) and feed the
+    * systematic-PPS grid of [[TextOps.ppsSample]] — the id-ordered
+    * cumulative-weight line cut at k equal steps, Madow's method: no
+    * RNG, replayable on any engine, and heavy docs can be picked
+    * more than once (n_picks is the multiplicity, as in q64/q113).
+    *
+    * Scale shape: the weight stage is [[importanceWeights]]; the
+    * grid adds one cumsum window over (id, weight) rows — bodies
+    * stay put. Output: (id, weight [quantized], n_picks > 0),
+    * ordered by id. */
+  def importanceResample(raw: DataFrame, target: DataFrame, k: Int,
+                         buckets: Int = 4096, alpha: Double = 1.0,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val Q = 1048576.0
+    val qw = importanceWeights(raw, target, buckets, alpha, textCol,
+        idCol)
+      .select(lit("all").as("__s"), col(idCol),
+        floor(col("weight") * lit(Q) + lit(0.5)).cast(LongType)
+          .as("wq"))
+    TextOps.ppsSample(qw, k, "wq", stratumCol = "__s", idCol = idCol)
+      .select(col(idCol), col("weight"), col("n_picks"))
+      .orderBy(idCol)
+  }
 }

@@ -1633,6 +1633,41 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** Tokenizer COVERAGE report — the acceptance check a tokenizer
+    * ships with: apply a [[bpeSegment]] table trained on `train` to
+    * the full corpus and report, per source, the word count, the
+    * out-of-vocabulary count/rate (word occurrences the table has
+    * never seen — char-fallback territory, `n_pieces` = word length
+    * there, the byte-fallback convention), and the FERTILITY
+    * (mean pieces per word — the metric that predicts sequence-length
+    * inflation and thus training cost per document). A fertility or
+    * OOV spike in one source is the canary for a domain the
+    * tokenizer was not trained on.
+    *
+    * Scale shape: the segmentation table is vocabulary-sized and
+    * broadcasts; the corpus contributes one exploded (source, word)
+    * pass into a per-source partial-aggregated rollup — no
+    * corpus-sized shuffle. */
+  def tokenizerReport(docs: DataFrame, train: DataFrame,
+                      numMerges: Int = 10,
+                      textCol: String = "text",
+                      srcCol: String = "source"): DataFrame = {
+    val table = bpeSegment(train, numMerges, textCol)
+      .select(col("word"), col("n_pieces"))
+    docs.select(col(srcCol), explode(tokens(col(textCol))).as("word"))
+      .join(broadcast(table), Seq("word"), "left")
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("n_pieces").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("n_pieces"),
+          length(col("word")).cast(LongType))).as("__pieces"))
+      .select(col(srcCol), col("n_words"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_words")).as("oov_rate"),
+        (col("__pieces").cast(DoubleType) / col("n_words"))
+          .as("fertility"))
+      .orderBy(srcCol)
+  }
+
   /** C4/RefinedWeb-style LINE-level boilerplate removal: a line
     * whose exact text appears in at least `minDf` DISTINCT documents
     * is boilerplate (nav bars, cookie banners, footers — the scraped

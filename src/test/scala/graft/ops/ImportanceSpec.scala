@@ -39,6 +39,27 @@ class ImportanceSpec extends SparkSpec {
     assert(w(1L) > w(2L) && w(3L) > w(2L))
   }
 
+  test("importanceResample: exactly k systematic picks, tilted " +
+       "toward the target domain") {
+    val target = Seq(
+      (901L, "spark shuffle join broadcast partition codegen"),
+      (902L, "spark join partition shuffle broadcast exchange"))
+      .toDF("doc_id", "text")
+    // half the raw corpus is target-like, half vocabulary-disjoint
+    val raw = ((1L to 20L).map(i =>
+        (i, "spark shuffle join broadcast partition exchange")) ++
+      (21L to 40L).map(i =>
+        (i, "banana apple cherry mango papaya guava")))
+      .toDF("doc_id", "text")
+    val got = Importance.importanceResample(raw, target, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // Madow's method: multiplicities sum to exactly k
+    assert(got.map(_._2).sum == 10L)
+    // the target-like half outweighs the disjoint half in the sample
+    val (likeT, notT) = got.partition(_._1 <= 20L)
+    assert(likeT.map(_._2).sum > notT.map(_._2).sum)
+  }
+
   test("weights are partitioning-invariant (ordered fold, not " +
        "parallel sum)") {
     val target = Seq((201L, "aa bb cc dd"), (202L, "bb cc dd ee"))

@@ -83,4 +83,24 @@ class TokenizeSpec extends SparkSpec {
       ("aaab", 2L, 1L, "aaab"),
       ("ab", 1L, 1L, "ab")))
   }
+
+  test("tokenizerReport: OOV char-fallback and exact fertility " +
+       "arithmetic") {
+    // train vocab: {aaab, ab} — 2 merges fuse "aa" then "aaa"… the
+    // table maps aaab→pieces; "zzz" is unseen → OOV, 3 char pieces
+    val train = Seq((0L, "aaab ab aaab")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "aaab ab aaab", "s1"),   // all in-vocab
+      (1L, "aaab zzz", "s2")        // one OOV word of length 3
+    ).toDF("doc_id", "text", "source")
+    val table = TextOps.bpeSegment(train, numMerges = 5)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val got = TextOps.tokenizerReport(docs, train, numMerges = 5)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    val s1Pieces = 2 * table("aaab") + table("ab")
+    assert(got == Seq(
+      ("s1", 3L, 0L, 0.0, s1Pieces.toDouble / 3),
+      ("s2", 2L, 1L, 0.5, (table("aaab") + 3L).toDouble / 2)))
+  }
 }
