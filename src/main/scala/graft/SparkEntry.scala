@@ -535,6 +535,18 @@ object SparkEntry {
         docs.filter(col("source") === "src0").select("doc_id", "text"),
         k = 64)
     }),
+    // Maximal duplicated-span extraction: the variable-length q78
+    // upgrade — per-doc maximal contiguous duplicated token regions
+    // (start, extent, text) via gaps-and-islands over stride-1
+    // window hashes, on the same salted corpus as q78.
+    "q131_max_dup_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val salted = docs.unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 30), " ")
+            .as("text")))
+      TextOps.maxDupSpans(salted)
+    }),
     // IVF ANN with a LEARNED coarse quantizer (k-means cells, the
     // Faiss shape) — fully oracle-gated INCLUDING the fit, unlike
     // hash-cell q36 (rows-only): fixed-point means, argmax ties,
@@ -1364,6 +1376,7 @@ object SparkEntry {
     "q128_ivf_kmeans"       -> Oracle.ivfKmeans,
     "q129_importance_resample" -> Oracle.importanceResample,
     "q130_tokenizer_report" -> Oracle.tokenizerReport,
+    "q131_max_dup_spans"    -> Oracle.maxDupSpans,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

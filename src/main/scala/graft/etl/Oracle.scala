@@ -1493,6 +1493,51 @@ SELECT doc_id, n_windows, n_dup_windows, dup_ratio,
        dup_ratio >= 0.5 AS flagged
 FROM r ORDER BY doc_id"""
 
+  /** q131 oracle: maximal duplicated-span extraction replayed with
+    * window STRINGS over the identical q78 span salt — distinct-doc
+    * window frequency, gap ≤ 8 gaps-and-islands merge (lag + running
+    * sum, a NULL lag opens a region in both engines), span extent
+    * max(p) − min(p) + 8, and the exact token slice re-emitted. */
+  val maxDupSpans: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string((string_split_regex(trim(text), ' +'))[1:30], ' ')
+           AS text
+  FROM documents WHERE doc_id % 20 = 0),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM corp),
+w AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(toks[i : i + 7], ' ') AS win
+  FROM (SELECT doc_id, toks,
+               CAST(unnest(range(1, len(toks) - 8 + 2)) AS INTEGER) AS i
+        FROM t WHERE len(toks) >= 8)),
+dw AS (SELECT DISTINCT doc_id, win FROM w),
+dfreq AS (SELECT win, count(*) AS df FROM dw GROUP BY win),
+dup AS (
+  SELECT w.doc_id, w.p FROM w JOIN dfreq USING (win) WHERE df >= 2),
+fl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+              THEN 0 ELSE 1 END AS newgrp
+  FROM dup),
+g AS (
+  SELECT doc_id, p,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM fl),
+sp AS (
+  SELECT doc_id, min(p) AS s, max(p) - min(p) + 8 AS n,
+         count(*) AS nw
+  FROM g GROUP BY doc_id, grp)
+SELECT sp.doc_id, CAST(s AS BIGINT) AS start_pos,
+       CAST(n AS BIGINT) AS span_tokens,
+       CAST(nw AS BIGINT) AS n_windows,
+       array_to_string(t.toks[s + 1 : s + n], ' ') AS span_text
+FROM sp JOIN t USING (doc_id)
+ORDER BY sp.doc_id, start_pos"""
+
   /** q96 oracle: C4-style duplicated-span removal replayed — the
     * identical q78 span salt, tumbling 8-token blocks, corpus-wide
     * first occurrence by (doc_id, block_idx) via row_number, and

@@ -1345,6 +1345,72 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** MAXIMAL duplicated-span extraction — the variable-length upgrade
+    * of the [[dupSpans]] audit: instead of reporting window counts,
+    * report each document's maximal contiguous duplicated token
+    * REGIONS (start, length, text), the artifact a curation team
+    * actually inspects ("what exactly is boilerplate here, and how
+    * long is it"). Every stride-1 `k`-token window occurring in
+    * ≥ `minDf` distinct documents marks its positions; positions
+    * whose k-token coverage intervals touch or overlap (gap ≤ k)
+    * merge into one maximal region via gaps-and-islands — so a
+    * duplicated span of ANY length ≥ k, at ANY alignment, surfaces as
+    * one region of its exact token extent, where the tumbling q96
+    * blocks round to block boundaries and fixed-k audits report only
+    * ratios.
+    *
+    * Shape: the [[dupSpans]] discipline throughout — windows reduce
+    * to (id, pos, xxhash64(win)) before any exchange; document
+    * frequency is one count over the hash-partitioned distinct
+    * (id, hash) pairs; the island merge is a lag+running-sum window
+    * pair over the SAME (id)-partitioned sort (one shuffle); span
+    * text is sliced only for the final, dup-mass-bounded output join.
+    *
+    * Determinism: integer positions, integer counts, first-window
+    * coverage arithmetic — the DuckDB oracle replays window STRINGS
+    * and matches hash-exact modulo xxhash64 collisions (~n²/2⁶⁵).
+    * Output: (id, start_pos, span_tokens, n_windows, span_text),
+    * ordered by (id, start_pos). */
+  def maxDupSpans(docs: DataFrame, k: Int = 8, minDf: Long = 2,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && minDf >= 2, "need k > 0, minDf >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // greatest(…, 0) clamp: see slidingScrub (InferFiltersFromGenerate
+    // evaluates the transform below the length filter)
+    val wins = base.filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
+          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .select(col(idCol), col("pos").as("p"), xxhash64(col("col")).as("wh"))
+    val dupPairs = wins.select(col(idCol), col("wh")).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("wh")))
+      .filter(col("df") >= minDf)
+      .select(col(idCol), col("wh"))
+    val dupPos = wins.join(dupPairs, Seq(idCol, "wh"))
+      .select(col(idCol), col("p"))
+    val ord = Window.partitionBy(idCol).orderBy("p")
+    val spans = dupPos
+      // coverage intervals [p, p+k) merge when the position gap ≤ k
+      // (touching or overlapping); a null lag (first position) opens
+      // a region in both engines (null comparison → otherwise/ELSE)
+      .withColumn("newgrp",
+        when(col("p") - lag("p", 1).over(ord) <= k, 0).otherwise(1))
+      .withColumn("grp", sum("newgrp").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("p").as("s"), (max("p") - min("p") + k).as("n"),
+        count(lit(1)).as("nw"))
+    spans.join(base, Seq(idCol))
+      .select(col(idCol), col("s").cast(LongType).as("start_pos"),
+        col("n").cast(LongType).as("span_tokens"),
+        col("nw").as("n_windows"),
+        array_join(slice(col("toks"), col("s") + 1, col("n")), " ")
+          .as("span_text"))
+      .orderBy(col(idCol), col("start_pos"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1):
     * instead of [[qualityScore]]'s continuous signals, a fixed rule
     * battery with a per-rule verdict, an overall pass, and the FIRST

@@ -68,4 +68,62 @@ class SlidingScrubSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(3))).head
     assert(out == (("a b c d x y", 4L)))
   }
+
+  test("maxDupSpans: exact extent of a +1-offset duplicated span") {
+    val out = TextOps.maxDupSpans(corpus, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // the shared 8-token run surfaces at its exact extent and offset
+    // in BOTH docs (the audit reports every copy, not just later ones)
+    assert(out.toSeq == Seq(
+      (1L, 0L, 8L, 5L, "a b c d e f g h"),
+      (2L, 1L, 8L, 5L, "a b c d e f g h")))
+  }
+
+  test("maxDupSpans: distant repeats split into separate regions, " +
+       "near repeats merge") {
+    val docs = Seq(
+      // two copies of "a b c d" separated by 6 unique tokens: gap
+      // between dup positions (0 and 10) > k=4 → two regions
+      (1L, "a b c d u1 u2 u3 u4 u5 u6 a b c d"),
+      (2L, "a b c d z9"),
+      // overlapping dup coverage: windows "p q r s" (pos 0) and
+      // "q r s t" (pos 1) both duplicated → gap 1 ≤ k merges them
+      // into ONE 5-token region
+      (3L, "p q r s t"),
+      (4L, "p q r s t y")
+    ).toDF("doc_id", "text")
+    val out = TextOps.maxDupSpans(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(4)))
+    val byDoc = out.groupBy(_._1)
+    // doc1: regions at 0 and 10, each exactly 4 tokens — NOT one
+    // 14-token region (the gap exceeds k)
+    assert(byDoc(1L).map(t => (t._2, t._3)).toSet ==
+      Set((0L, 4L), (10L, 4L)))
+    // docs 3/4: one merged maximal region covering the shared run
+    assert(byDoc(3L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0L, 5L, "p q r s t")))
+    assert(byDoc(4L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0L, 5L, "p q r s t")))
+  }
+
+  test("maxDupSpans: island merge covers a long span shared across " +
+       "three docs at three alignments") {
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"),
+      (2L, "x s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"),
+      (3L, "y z s1 s2 s3 s4 s5 s6 s7 s8 s9 s10")
+    ).toDF("doc_id", "text")
+    val out = TextOps.maxDupSpans(docs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    val full = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    assert(out.toSeq == Seq(
+      (1L, 0L, 10L, full), (2L, 1L, 10L, full), (3L, 2L, 10L, full)))
+  }
+
+  test("maxDupSpans: clean corpus and short docs produce no spans") {
+    val clean = Seq((1L, "p q r s t u"), (2L, "v w x")).toDF("doc_id", "text")
+    assert(TextOps.maxDupSpans(clean, k = 4).count() == 0L)
+  }
 }
