@@ -547,6 +547,12 @@ object SparkEntry {
             .as("text")))
       TextOps.maxDupSpans(salted)
     }),
+    // Token-budget selection: fill a 20k-token training budget with
+    // the best documents by the q89 classifier probability — the
+    // bucket-partitioned exact greedy knapsack (no global
+    // single-partition cumsum).
+    "q132_budget_select" -> ((s, dir) =>
+      TextOps.budgetSelect(Tables.documents(s, dir), tokenBudget = 20000L)),
     // IVF ANN with a LEARNED coarse quantizer (k-means cells, the
     // Faiss shape) — fully oracle-gated INCLUDING the fit, unlike
     // hash-cell q36 (rows-only): fixed-point means, argmax ties,
@@ -1377,6 +1383,7 @@ object SparkEntry {
     "q129_importance_resample" -> Oracle.importanceResample,
     "q130_tokenizer_report" -> Oracle.tokenizerReport,
     "q131_max_dup_spans"    -> Oracle.maxDupSpans,
+    "q132_budget_select"    -> Oracle.budgetSelect,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

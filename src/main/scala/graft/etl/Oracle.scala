@@ -2611,6 +2611,54 @@ SELECT doc_id, clf_score,
        CASE WHEN clf_score >= 0.0 THEN 'keep' ELSE 'drop' END AS label
 FROM s ORDER BY doc_id"""
 
+  /** q132 oracle: token-budget selection replayed — the q89 score
+    * tree verbatim, the same 1024-range score bucketing, cross-bucket
+    * offsets from per-bucket totals, within-bucket (score desc, id)
+    * cumsum, and the identical ≤-budget gate. HUGEINT window sums
+    * cast back to BIGINT at the output boundary. */
+  val budgetSelect: String = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) AS word_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t),
+s AS (
+  SELECT doc_id, n_tokens,
+         -3.5 + 8.0 * (n_stop / n_tok) - 0.25 * (word_chars / n_tok)
+           + 2.0 * (n_dist / n_tok) + 0.5 * (n_tok / 100.0) AS clf_score
+  FROM f),
+sc AS (
+  SELECT doc_id, n_tokens,
+         (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5 AS score
+  FROM s),
+b AS (
+  SELECT doc_id, score, n_tokens,
+         least(CAST(floor(score * 1024.0) AS BIGINT), 1023) AS bkt
+  FROM sc),
+bt AS (SELECT bkt, sum(n_tokens) AS btoks FROM b GROUP BY bkt),
+o AS (
+  SELECT bkt,
+         coalesce(sum(btoks) OVER (ORDER BY bkt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM bt),
+c AS (
+  SELECT b.doc_id, b.score, b.n_tokens,
+         o.off + sum(b.n_tokens) OVER (PARTITION BY b.bkt
+           ORDER BY b.score DESC, b.doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM b JOIN o USING (bkt))
+SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 20000 ORDER BY cum_tokens"""
+
   /** q114 oracle: dedup lineage replayed — the q66 brute-force pair
     * + recursive closure labels each clustered doc's minimum
     * reachable id; singletons canonicalize to themselves. */

@@ -1734,6 +1734,71 @@ object TextOps {
       .orderBy(srcCol)
   }
 
+  /** TOKEN-BUDGET corpus selection — "fill a 100 B-token training
+    * budget with the best documents": greedy selection by quality
+    * (the [[qualityClassifier]] probability, replayed expression-
+    * for-expression), taking documents in (score desc, id asc) order
+    * while the running token total stays within `tokenBudget` — the
+    * canonical quality-density knapsack every pretraining data team
+    * runs last.
+    *
+    * Scale shape: the naive global cumsum is a single-partition
+    * window over the whole corpus — illegal at 100 TB. Instead the
+    * score axis is split into `buckets` fixed ranges
+    * (floor(score·B)): per-bucket token totals (≤ B rows) produce
+    * exact cross-bucket offsets via one bounded window, and the
+    * within-bucket cumsum runs partitioned by bucket — the global
+    * prefix sum reconstructed exactly, because (bucket desc, score
+    * desc, id) IS the global greedy order. Only (id, score, n_tokens)
+    * rows shuffle; bodies stay put.
+    *
+    * Determinism: integer token counts, IEEE-exact score (q89
+    * discipline), n_tokens ≥ 1 makes cum_tokens strictly increasing,
+    * so the output order is total. Output: (id, score, n_tokens,
+    * cum_tokens) in selection order. */
+  def budgetSelect(docs: DataFrame, tokenBudget: Long,
+                   buckets: Int = 1024, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(tokenBudget > 0, "need tokenBudget > 0")
+    require(buckets > 0, "need buckets > 0")
+    import org.apache.spark.sql.expressions.Window
+    val toksC = tokens(col(textCol))
+    val nTok = size(toksC).cast(DoubleType)
+    val nStop = size(filter(toksC,
+      t => t.isin(Stopwords.map(x => x: Any): _*))).cast(DoubleType)
+    val nDist = size(array_distinct(toksC)).cast(DoubleType)
+    val wordChars = (length(col(textCol)) - (size(toksC) - 1))
+      .cast(DoubleType)
+    // the q89 score tree verbatim — identical IEEE roundings
+    val score = lit(-3.5) + lit(8.0) * (nStop / nTok) -
+      lit(0.25) * (wordChars / nTok) + lit(2.0) * (nDist / nTok) +
+      lit(0.5) * (nTok / lit(100.0))
+    val prob = (score / (lit(1.0) + abs(score)) + lit(1.0)) * lit(0.5)
+    val scored = docs.select(col(idCol), prob.as("score"),
+      size(toksC).cast(LongType).as("n_tokens"))
+    // prob ∈ (0,1) strictly (rational sigmoid), so the clamp is
+    // belt-and-braces for an exact 1.0
+    val withB = scored.withColumn("bkt",
+      least(floor(col("score") * lit(buckets.toDouble)).cast(LongType),
+        lit(buckets - 1L)))
+    val btot = withB.groupBy("bkt").agg(sum("n_tokens").as("__btoks"))
+    // ≤ `buckets` rows: the unpartitioned window is bounded by
+    // construction, never corpus-sized
+    val off = btot.withColumn("__offset",
+      coalesce(sum("__btoks").over(Window.orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("__offset"))
+    val wb = Window.partitionBy("bkt")
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(off), Seq("bkt"))
+      .withColumn("cum_tokens", col("__offset") + sum("n_tokens").over(wb))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col(idCol), col("score"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy("cum_tokens")
+  }
+
   /** C4/RefinedWeb-style LINE-level boilerplate removal: a line
     * whose exact text appears in at least `minDf` DISTINCT documents
     * is boilerplate (nav bars, cookie banners, footers — the scraped

@@ -239,4 +239,44 @@ class QualitySpansSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
     assert(once.collect().toSeq == twice.collect().toSeq)
   }
+
+  // --- budgetSelect ---------------------------------------------
+
+  private def budgetDocs = Seq(
+    (1L, "the cat sat on the mat and it is a fine day to nap"),
+    (2L, "zz yy xx ww vv uu tt ss rr qq"),
+    (3L, "the quick brown fox jumps over a lazy dog of the farm"),
+    (4L, "one two three"),
+    (5L, "the a of and is to the a of and is to")
+  ).toDF("doc_id", "text")
+
+  test("budgetSelect equals the local greedy over classifier scores") {
+    val scores = TextOps.qualityClassifier(budgetDocs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nTok = TextOps.tokenStats(budgetDocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local reference: (score desc, id asc), keep while cum <= budget
+    val budget = 30L
+    val order = scores.toSeq.sortBy { case (id, s) => (-s, id) }
+    val expected = order.scanLeft((0L, 0L, 0L)) {
+      case ((_, _, cum), (id, _)) => (id, nTok(id), cum + nTok(id))
+    }.drop(1).takeWhile(_._3 <= budget)
+      .map { case (id, n, cum) => (id, scores(id), n, cum) }
+    val got = TextOps.budgetSelect(budgetDocs, budget).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    assert(got.nonEmpty && got.last._4 <= budget)
+  }
+
+  test("budgetSelect is bucket-count invariant (exact prefix sum)") {
+    val one = TextOps.budgetSelect(budgetDocs, 40L, buckets = 1)
+      .collect().toSeq
+    val many = TextOps.budgetSelect(budgetDocs, 40L, buckets = 4096)
+      .collect().toSeq
+    assert(one == many)
+  }
+
+  test("budgetSelect: budget below the best doc selects nothing") {
+    assert(TextOps.budgetSelect(budgetDocs, 2L).count() == 0L)
+  }
 }
