@@ -553,6 +553,10 @@ object SparkEntry {
     // single-partition cumsum).
     "q132_budget_select" -> ((s, dir) =>
       TextOps.budgetSelect(Tables.documents(s, dir), tokenBudget = 20000L)),
+    // Cross-source vocabulary affinity/contamination matrix: complete
+    // pairwise vocabulary Jaccard (vocab-sized shuffles only).
+    "q133_vocab_overlap" -> ((s, dir) =>
+      TextOps.sourceVocabOverlap(Tables.documents(s, dir))),
     // IVF ANN with a LEARNED coarse quantizer (k-means cells, the
     // Faiss shape) — fully oracle-gated INCLUDING the fit, unlike
     // hash-cell q36 (rows-only): fixed-point means, argmax ties,
@@ -1384,6 +1388,7 @@ object SparkEntry {
     "q130_tokenizer_report" -> Oracle.tokenizerReport,
     "q131_max_dup_spans"    -> Oracle.maxDupSpans,
     "q132_budget_select"    -> Oracle.budgetSelect,
+    "q133_vocab_overlap"    -> Oracle.sourceVocabOverlap,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -2659,6 +2659,30 @@ c AS (
 SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= 20000 ORDER BY cum_tokens"""
 
+  /** q133 oracle: source vocabulary overlap replayed — distinct
+    * (source, word), size cross for the complete matrix, shared-word
+    * counts from the word join, one IEEE Jaccard division. */
+  val sourceVocabOverlap: String = """
+WITH v AS (
+  SELECT DISTINCT source AS src,
+         unnest(string_split_regex(trim(text), ' +')) AS word
+  FROM documents),
+sz AS (SELECT src, count(*) AS n FROM v GROUP BY src),
+iv AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+  FROM v a JOIN v b ON a.word = b.word AND a.src < b.src
+  GROUP BY 1, 2),
+p AS (
+  SELECT sa.src AS src_a, sb.src AS src_b, sa.n AS n_a, sb.n AS n_b
+  FROM sz sa JOIN sz sb ON sa.src < sb.src)
+SELECT p.src_a, p.src_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(n_common, 0) AS DOUBLE)
+         / (n_a + n_b - coalesce(n_common, 0)) AS jaccard
+FROM p LEFT JOIN iv USING (src_a, src_b)
+ORDER BY src_a, src_b"""
+
   /** q114 oracle: dedup lineage replayed — the q66 brute-force pair
     * + recursive closure labels each clustered doc's minimum
     * reachable id; singletons canonicalize to themselves. */

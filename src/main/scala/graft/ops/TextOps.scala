@@ -1249,6 +1249,46 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Pairwise SOURCE VOCABULARY overlap — the cross-source affinity /
+    * contamination matrix: for every unordered source pair, the two
+    * vocabulary sizes, the shared-word count, and the vocabulary
+    * Jaccard. High overlap between supposedly-independent sources is
+    * the first signal of shared upstream scrapes (and the cheap
+    * precursor to the document-level q105 cross-source dup audit);
+    * near-zero overlap flags a source the tokenizer/LM will treat as
+    * out-of-domain.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (source, word) —
+    * vocabulary-sized, bodies never shuffle. The pair join is on
+    * `word` with per-key multiplicity bounded by the SOURCE COUNT
+    * (each word appears once per source), so join output is
+    * O(vocab · S²/2) worst-case with S small — no corpus-sized
+    * blowup possible. The complete matrix (including zero-overlap
+    * pairs) comes from the S²-row size cross, a driver-trivial frame.
+    *
+    * Determinism: integer counts + one IEEE division. Output:
+    * (src_a, src_b, n_a, n_b, n_common, jaccard), src_a < src_b,
+    * ordered. */
+  def sourceVocabOverlap(docs: DataFrame, textCol: String = "text",
+                         srcCol: String = "source"): DataFrame = {
+    val vocab = docs.select(col(srcCol).as("src"),
+      explode(tokens(col(textCol))).as("word")).distinct()
+    val sizes = vocab.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.word") === col("b.word") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("__common"))
+    val pairs = sizes.select(col("src").as("src_a"), col("n").as("n_a"))
+      .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("__common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard", col("n_common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_common")))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Characteristic terms per document: rational-idf TF-IDF top-k.
     * score = tf · (N/df) — for any fixed corpus this ranks per
     * document identically to tf·idf with idf = N/df; the classic

@@ -251,4 +251,21 @@ class BloomQuantizeSpec extends SparkSpec {
     // cum_tokens is the running sum in selection order
     assert(bySrc("a").map(_._4).sorted == Seq(4L, 8L, 12L))
   }
+
+  test("sourceVocabOverlap: exact Jaccard matrix incl. zero-overlap " +
+       "pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w x y", "s1"), (2L, "x y z", "s1"),   // s1 vocab {w,x,y,z}
+      (3L, "x y q", "s2"),                        // s2 vocab {x,y,q}
+      (4L, "m n", "s3")                           // s3 vocab {m,n}
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.sourceVocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("s1", "s2", 4L, 3L, 2L, 2.0 / 5),
+      ("s1", "s3", 4L, 2L, 0L, 0.0),
+      ("s2", "s3", 3L, 2L, 0L, 0.0)))
+  }
 }
