@@ -568,6 +568,16 @@ object SparkEntry {
       Similarity.ivfKmeansTopK(emb, emb.filter(col("vec_id") < 50),
         k = 5, numCentroids = 32, iters = 2, nProbe = 16)
     }),
+    // Product-quantization ANN (Faiss PQ, spherical): 8 learned
+    // 16-word subspace codebooks (32 bits/vector), ADC scan over the
+    // compressed corpus, exact re-rank of the top 200 — fully
+    // oracle-gated INCLUDING all eight subspace fits. Parameters from
+    // the ProfilePqR7 sweep: recall@5 0.976 at sf0.01.
+    "q134_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 50),
+        k = 5, m = 8, codesPerSub = 16, iters = 2, rerank = 200)
+    }),
     // DSIR-style importance weights: target = src0 docs, raw = all;
     // hashed unigram+bigram buckets (3 md5 hex digits), add-1
     // smoothing, mean p_target/p_raw ratio per doc (rational
@@ -1389,6 +1399,7 @@ object SparkEntry {
     "q131_max_dup_spans"    -> Oracle.maxDupSpans,
     "q132_budget_select"    -> Oracle.budgetSelect,
     "q133_vocab_overlap"    -> Oracle.sourceVocabOverlap,
+    "q134_pq_topk"          -> Oracle.pqTopK,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -2444,42 +2444,47 @@ FROM m ORDER BY cluster_size"""
     * double roundings are the same divisions Spark performs), empty
     * cells keep their previous centroid. `vBody` supplies the corpus
     * CTE body so callers can inject near-dups. Ends with `fin` =
-    * (vec_id, e, cluster, sim) under the final centroids. */
-  private def kmeansCtes(k: Int, iters: Int, vBody: String): String = {
+    * (vec_id, e, cluster, sim) under the final centroids. `dim` is
+    * the vector length (the mean unroll ranges over it); `prefix`
+    * namespaces every CTE so several fits coexist in one query (the
+    * q134 per-subspace PQ codebooks). */
+  private def kmeansCtes(k: Int, iters: Int, vBody: String,
+                         dim: Int = 64, prefix: String = ""): String = {
+    val p = prefix
     val cos = (v: String, c: String) =>
       s"""list_dot_product($v, $c)
            / (sqrt(list_dot_product($v, $v))
               * sqrt(list_dot_product($c, $c)))"""
     val sb = new StringBuilder
-    sb ++= s"""v AS ($vBody),
-c0 AS (SELECT vec_id AS cluster, e AS c FROM v ORDER BY vec_id LIMIT $k),
+    sb ++= s"""${p}v AS ($vBody),
+${p}c0 AS (SELECT vec_id AS cluster, e AS c FROM ${p}v ORDER BY vec_id LIMIT $k),
 """
     for (i <- 1 to iters) {
-      sb ++= s"""a$i AS (
+      sb ++= s"""${p}a$i AS (
   SELECT v.vec_id, v.e, c.cluster,
          ${cos("v.e", "c.c")} AS sim
-  FROM v, c${i - 1} c
+  FROM ${p}v v, ${p}c${i - 1} c
   QUALIFY row_number() OVER (PARTITION BY v.vec_id
                              ORDER BY sim DESC, c.cluster) = 1),
-s$i AS (
+${p}s$i AS (
   SELECT cluster, p.pos,
          sum(CAST(floor(e[p.pos] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
          count(*) AS n
-  FROM a$i, range(1, 65) p(pos) GROUP BY 1, 2),
-m$i AS (
+  FROM ${p}a$i, range(1, ${dim + 1}) p(pos) GROUP BY 1, 2),
+${p}m$i AS (
   SELECT cluster,
          list(CAST(sq AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)
               ORDER BY pos) AS c
-  FROM s$i GROUP BY 1),
-c$i AS (
-  SELECT c${i - 1}.cluster, coalesce(m$i.c, c${i - 1}.c) AS c
-  FROM c${i - 1} LEFT JOIN m$i USING (cluster)),
+  FROM ${p}s$i GROUP BY 1),
+${p}c$i AS (
+  SELECT c.cluster, coalesce(m.c, c.c) AS c
+  FROM ${p}c${i - 1} c LEFT JOIN ${p}m$i m USING (cluster)),
 """
     }
-    sb ++= s"""fin AS (
+    sb ++= s"""${p}fin AS (
   SELECT v.vec_id, v.e, c.cluster,
          ${cos("v.e", "c.c")} AS sim
-  FROM v, c$iters c
+  FROM ${p}v v, ${p}c$iters c
   QUALIFY row_number() OVER (PARTITION BY v.vec_id
                              ORDER BY sim DESC, c.cluster) = 1)"""
     sb.toString
@@ -2552,6 +2557,73 @@ ranked AS (
 SELECT query_id, CAST("rank" AS INTEGER) AS "rank", corpus_id, cosine_sim
 FROM ranked WHERE "rank" <= 5
 ORDER BY query_id, "rank""""
+
+  /** q134 oracle: product-quantization top-k replayed END TO END —
+    * eight independent 16×2 k-means fits on 8-dim vector slices (the
+    * prefixed CTE sets), corpus encoding = each fit's own final
+    * assignment, reconstructed norms over the selected codewords,
+    * the left-associative 8-term ADC sum per (query, corpus) pair,
+    * top-200 by (approx desc, corpus_id), and the exact q28 tail. */
+  val pqTopK: String = {
+    val m = 8; val sub = 8; val codes = 16; val rerank = 200
+    val subs = (0 until m).map { j =>
+      kmeansCtes(codes, 2,
+        s"\n  SELECT vec_id, e[${j * sub + 1}:${(j + 1) * sub}] AS e FROM vz",
+        dim = sub, prefix = s"p$j")
+    }
+    val finJoins = (1 until m)
+      .map(j => s"  JOIN p${j}fin f$j USING (vec_id)").mkString("\n")
+    val bookJoins = (0 until m)
+      .map(j => s"  JOIN p${j}c2 b$j ON b$j.cluster = f$j.cluster")
+      .mkString("\n")
+    val ws = (0 until m).map(j => s"b$j.c AS w$j").mkString(", ")
+    val wList = (0 until m).map(j => s"w$j").mkString(", ")
+    val normSum = (0 until m).map(j => s"list_dot_product(w$j, w$j)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val adcSum = (0 until m).map(j =>
+        s"list_dot_product(q.e[${j * sub + 1}:${(j + 1) * sub}], r.w$j)")
+      .reduceLeft((a, b) => s"($a\n            + $b)")
+    s"""WITH vz AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+""" + subs.mkString(",\n") + s""",
+enc AS (
+  SELECT f0.vec_id, $ws
+  FROM p0fin f0
+$finJoins
+$bookJoins),
+rn AS (
+  SELECT vec_id, $wList,
+         sqrt($normSum) AS rnorm
+  FROM enc),
+qs AS (SELECT vec_id, e FROM vz WHERE vec_id < 50),
+adc AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
+         ($adcSum)
+           / (sqrt(list_dot_product(q.e, q.e)) * r.rnorm) AS approx
+  FROM qs q, rn r
+  WHERE r.vec_id <> q.vec_id),
+cand AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx DESC, corpus_id) AS rr
+    FROM adc) WHERE rr <= $rerank),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS cosine_sim
+  FROM cand
+  JOIN vz q ON q.vec_id = cand.query_id
+  JOIN vz c ON c.vec_id = cand.corpus_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS "rank"
+  FROM scored)
+SELECT query_id, CAST("rank" AS INTEGER) AS "rank", corpus_id, cosine_sim
+FROM ranked WHERE "rank" <= 5
+ORDER BY query_id, "rank""""
+  }
 
   val kmeans: String = "WITH " + kmeansCtes(8, 3,
     """

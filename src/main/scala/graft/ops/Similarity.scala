@@ -223,6 +223,93 @@ object Similarity {
     rankTopK(scoreCandidates(candIds, q, c), k)
   }
 
+  /** Product-quantization approximate top-k (Jégou et al. 2011, the
+    * Faiss PQ shape, spherical variant): the vector space splits into
+    * `m` subspaces; each subspace learns its own `codesPerSub`-word
+    * codebook (the deterministic [[Cluster.kmeansFit]] on sliced
+    * vectors — fixed-point means, lowest-id ties); every corpus
+    * vector compresses to m small code indices plus one reconstructed
+    * norm. Queries score the ENTIRE compressed corpus by asymmetric
+    * distance (ADC): per query, an m×codes table of
+    * dot(query-slice, codeword) is computed ONCE, so each
+    * (query, corpus) pair costs m table lookups + m adds instead of a
+    * d-component dot — then the top-`rerank` candidates per query are
+    * re-ranked by EXACT cosine.
+    *
+    * Scale shape: the scan side reads m ints + 1 double per corpus
+    * vector (m=4: ~12 bytes vs 256+ for float32 d=64 — the
+    * [[hammingTopK]] compression story with a learned, data-shaped
+    * codebook). The codebooks are m·codes·(d/m) doubles of driver
+    * model state (the k-means discipline); only
+    * (query_id, corpus_id, approx) id-width rows shuffle for the
+    * group-limit, and exactly queries×rerank rows re-attach vectors.
+    *
+    * Determinism: codebooks replay engine-exactly (q87/q128
+    * precedent); ADC sums fold left-associatively over subspaces in
+    * index order; approx ties break on corpus_id; the exact tail is
+    * [[rankTopK]] — so the WHOLE pipeline including all m fits is
+    * oracle-replayable (q134). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, codesPerSub: Int = 8, iters: Int = 2,
+             rerank: Int = 50, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && codesPerSub > 0 && iters >= 0, "bad PQ params")
+    require(rerank >= k, s"need rerank >= k, got $rerank < $k")
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
+    // m bounded driver fits on sliced vectors; codewords arrive
+    // sorted by seed id, matching the oracle's tie order
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      Cluster.kmeansFit(
+        corpus.select(col(idCol),
+          slice(asDouble(col(vecCol)), j * sub + 1, sub).as(vecCol)),
+        codesPerSub, iters, idCol, vecCol).map(_._2)
+    }
+    // codeword norms², folded on the driver in component order (the
+    // same sequential sum list_dot_product replays)
+    val normSq: Seq[Seq[Double]] =
+      books.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+    // encode: m codegen'd argmax loops in ONE projection; code =
+    // index into the id-sorted codebook (argmax ties → lowest index
+    // = lowest seed id)
+    val enc0 = (0 until m).foldLeft(c) { (df, j) =>
+      df.withColumn(s"__c$j",
+        graft.functions.VectorExpressions.argmax_cosine(
+          slice(col("cv"), j * sub + 1, sub),
+          books(j).map(_.toArray).toArray)
+        .getItem(1).cast("int"))
+    }
+    val rnorm = sqrt((0 until m).map(j =>
+        element_at(typedLit(normSq(j)), col(s"__c$j") + 1))
+      .reduceLeft(_ + _))
+    val enc = enc0.select(col("corpus_id") +:
+      (0 until m).map(j => col(s"__c$j")) :+ rnorm.as("__rn"): _*)
+    // per-query ADC tables: dot(query-slice, codeword) per codeword
+    val qTabs = (0 until m).foldLeft(q) { (df, j) =>
+      df.withColumn(s"__t$j",
+        transform(sequence(lit(0), lit(codesPerSub - 1)),
+          i => dot(slice(col("qv"), j * sub + 1, sub),
+            element_at(typedLit(books(j)), i + 1))))
+    }.select(col("query_id") +:
+      (0 until m).map(j => col(s"__t$j")) :+ col("qn"): _*)
+    val approx = enc.crossJoin(broadcast(qTabs))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        ((0 until m).map(j =>
+            element_at(col(s"__t$j"), col(s"__c$j") + 1))
+          .reduceLeft(_ + _) / (col("qn") * col("__rn"))).as("approx"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("corpus_id"))
+    val candIds = approx.withColumn("__r", row_number().over(wA))
+      .filter(col("__r") <= rerank).select("query_id", "corpus_id")
+    rankTopK(scoreCandidates(candIds, q, c), k)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 64, nProbe: Int = 8,
               idCol: String = "vec_id",

@@ -93,6 +93,17 @@ class SimilaritySessionsSpec extends SparkSpec {
     val all = neighbors(Similarity.ivfKmeansTopK(emb, queries, 5,
       numCentroids = 16, iters = 1, nProbe = 16))
     assert(all == truth, "nProbe = numCentroids must equal brute force")
+    // PQ/ADC: compressed-scan recall at the q134 production
+    // parameters (8×16 codebooks, rerank 200 — ProfilePqR7 sweep)
+    // must clear 0.9; re-ranking every corpus vector reduces PQ to
+    // exact brute force
+    val pq = recall(neighbors(Similarity.pqTopK(emb, queries, 5,
+      m = 8, codesPerSub = 16, iters = 2, rerank = 200)))
+    assert(pq >= 0.9, s"pqTopK recall@5 below 0.9: $pq")
+    val corpusN = emb.count().toInt
+    val pqAll = neighbors(Similarity.pqTopK(emb, queries, 5,
+      m = 4, codesPerSub = 8, iters = 1, rerank = corpusN))
+    assert(pqAll == truth, "rerank = corpus size must equal brute force")
   }
 
   test("cosineDedupLsh ≡ exact cosineDedup on a near-dup-injected corpus") {
