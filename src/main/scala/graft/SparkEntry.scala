@@ -557,6 +557,15 @@ object SparkEntry {
     // pairwise vocabulary Jaccard (vocab-sized shuffles only).
     "q133_vocab_overlap" -> ((s, dir) =>
       TextOps.sourceVocabOverlap(Tables.documents(s, dir))),
+    // MMR diversified retrieval: greedy λ·rel − (1−λ)·redundancy
+    // re-rank of the exact top-20 — the post-ANN dedup step of a
+    // retrieval/RAG stack, 5 unrolled argmax rounds over bounded
+    // per-query frames.
+    "q135_mmr_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 50),
+        k = 5, cand = 20, lambda = 0.7)
+    }),
     // IVF ANN with a LEARNED coarse quantizer (k-means cells, the
     // Faiss shape) — fully oracle-gated INCLUDING the fit, unlike
     // hash-cell q36 (rows-only): fixed-point means, argmax ties,
@@ -1400,6 +1409,7 @@ object SparkEntry {
     "q132_budget_select"    -> Oracle.budgetSelect,
     "q133_vocab_overlap"    -> Oracle.sourceVocabOverlap,
     "q134_pq_topk"          -> Oracle.pqTopK,
+    "q135_mmr_topk"         -> Oracle.mmrTopK,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

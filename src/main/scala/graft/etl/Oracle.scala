@@ -850,6 +850,77 @@ ranked AS (
 SELECT query_id, CAST("rank" AS INT) AS "rank", corpus_id, cosine_sim
 FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank""""
 
+  /** q135 oracle: MMR diversified top-k replayed — the q28 exact
+    * top-20 candidates, pairwise candidate cosines, and the five
+    * greedy rounds unrolled as CTEs: round 1 is the relevance
+    * argmax; each later round scores the unpicked candidates with
+    * 0.7·rel − (1−0.7)·maxSimToPicked — the (1−λ) factor is a
+    * CAST-to-DOUBLE subtraction because DuckDB folds bare
+    * `1.0 - 0.7` in DECIMAL (exact 0.3), while Spark's
+    * `lit(1.0 - lambda)` is the IEEE double 0.30000000000000004 —
+    * then takes the (mmr desc, corpus_id) argmax. */
+  val mmrTopK: String = {
+    val k = 5
+    val sb = new StringBuilder
+    sb ++= """WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 50),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS rel
+  FROM q, v c WHERE c.vec_id <> q.vec_id),
+cands AS (
+  SELECT query_id, corpus_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY rel DESC, corpus_id) AS rn FROM scored)
+  WHERE rn <= 20),
+sims AS (
+  SELECT a.query_id, a.corpus_id AS a, b.corpus_id AS b,
+         list_dot_product(av.e, bv.e)
+           / (sqrt(list_dot_product(av.e, av.e))
+              * sqrt(list_dot_product(bv.e, bv.e))) AS sim
+  FROM cands a JOIN cands b ON a.query_id = b.query_id
+       AND a.corpus_id <> b.corpus_id
+  JOIN v av ON av.vec_id = a.corpus_id
+  JOIN v bv ON bv.vec_id = b.corpus_id),
+pk1 AS (
+  SELECT query_id, corpus_id, rel, rel AS mmr_score,
+         CAST(1 AS INTEGER) AS "rank"
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, corpus_id) AS rn FROM cands)
+  WHERE rn = 1)"""
+    for (r <- 2 to k) {
+      sb ++= s""",
+ms$r AS (
+  SELECT s.query_id, s.a AS corpus_id, max(s.sim) AS ms
+  FROM sims s JOIN pk${r - 1} p
+    ON p.query_id = s.query_id AND p.corpus_id = s.b
+  GROUP BY 1, 2),
+sc$r AS (
+  SELECT c.query_id, c.corpus_id, c.rel,
+         0.7 * c.rel
+           - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * m.ms
+           AS mmr_score
+  FROM cands c
+  JOIN ms$r m ON m.query_id = c.query_id AND m.corpus_id = c.corpus_id
+  WHERE NOT EXISTS (SELECT 1 FROM pk${r - 1} p
+    WHERE p.query_id = c.query_id AND p.corpus_id = c.corpus_id)),
+p$r AS (
+  SELECT query_id, corpus_id, rel, mmr_score,
+         CAST($r AS INTEGER) AS "rank"
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY mmr_score DESC, corpus_id) AS rn FROM sc$r)
+  WHERE rn = 1),
+pk$r AS (SELECT * FROM pk${r - 1} UNION ALL SELECT * FROM p$r)"""
+    }
+    sb ++= s"""
+SELECT query_id, "rank", corpus_id, rel AS cosine_sim, mmr_score
+FROM pk$k ORDER BY query_id, "rank""""
+    sb.toString
+  }
+
   /** q110 oracle: hard-negative mining replayed — the q28 exact
     * ranking with the band-pass ceiling filter applied before the
     * rank, identical IEEE cosine. */

@@ -310,6 +310,87 @@ object Similarity {
     rankTopK(scoreCandidates(candIds, q, c), k)
   }
 
+  /** Maximal-marginal-relevance (MMR, Carbonell & Goldstein 1998)
+    * diversified top-k: re-rank each query's top-`cand` cosine
+    * candidates so the k results balance RELEVANCE to the query
+    * against REDUNDANCY with already-selected results —
+    * mmr(c) = λ·cos(q, c) − (1−λ)·max over picked p of cos(c, p).
+    * The dedup step a retrieval/RAG stack applies after ANN: without
+    * it, a near-duplicated corpus returns k copies of one document.
+    *
+    * Shape: candidate generation is [[bruteForceTopK]]'s scan (swap
+    * in any ANN variant upstream); the greedy runs as k driver-
+    * unrolled rounds of per-query window argmax over BOUNDED frames —
+    * (query × cand) relevance rows and (query × cand²) pairwise-sim
+    * rows, ids + doubles only, never corpus-sized. k and cand are
+    * small constants (5/20), so the rounds are bounded jobs exactly
+    * like the BPE/k-means iteration discipline.
+    *
+    * Determinism: the mmr expression is two IEEE multiplies and one
+    * subtract in fixed order; max-over-picked is a max over ≤ k
+    * doubles; ties break on corpus_id — the DuckDB oracle unrolls
+    * the same k rounds and matches hash-exact. Output:
+    * (query_id, rank, corpus_id, cosine_sim, mmr_score). */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              cand: Int = 20, lambda: Double = 0.7,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && cand >= k, s"need 1 <= k <= cand, got $k/$cand")
+    require(lambda >= 0.0 && lambda <= 1.0, "need lambda in [0,1]")
+    // top-`cand` exact candidates per query, with their relevance
+    val rel = bruteForceTopK(corpus, queries, cand, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"),
+        col("cosine_sim").as("rel"))
+    // pairwise sims among each query's candidates (cand² per query,
+    // bounded); computed once, reused by every round
+    val c = corpus.select(col(idCol).as("__cid"),
+      asDouble(col(vecCol)).as("__cv")).withColumn("__cn", norm(col("__cv")))
+    val withVec = rel
+      .join(c, rel("corpus_id") === c("__cid")).drop("__cid")
+    val a = withVec.select(col("query_id"), col("corpus_id").as("a"),
+      col("__cv").as("av"), col("__cn").as("an"))
+    val b = withVec.select(col("query_id"), col("corpus_id").as("b"),
+      col("__cv").as("bv"), col("__cn").as("bn"))
+    val sims = a.join(b, Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        cosinePre(col("av"), col("an"), col("bv"), col("bn")).as("sim"))
+      .localCheckpoint()
+    val relCk = rel.localCheckpoint()
+    // round 1: pure relevance argmax (no picked set yet)
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("corpus_id"))
+    var picked = relCk.withColumn("__r", row_number().over(w1))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("corpus_id"), col("rel"),
+        col("rel").as("mmr_score"), lit(1).as("rank"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val remaining = relCk.join(
+        picked.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"), "left_anti")
+      // max sim of each remaining candidate to the picked set
+      val maxSim = sims.join(
+          picked.select(col("query_id"), col("corpus_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("corpus_id"))
+        .agg(max(col("sim")).as("__ms"))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("mmr_score").desc, col("corpus_id"))
+      val next = remaining.join(maxSim, Seq("query_id", "corpus_id"))
+        .withColumn("mmr_score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__ms"))
+        .withColumn("__r", row_number().over(wr))
+        .filter(col("__r") === 1)
+        .select(col("query_id"), col("corpus_id"), col("rel"),
+          col("mmr_score"), lit(r).as("rank"))
+      picked = picked.unionByName(next).localCheckpoint()
+    }
+    picked.select(col("query_id"), col("rank"), col("corpus_id"),
+        col("rel").as("cosine_sim"), col("mmr_score"))
+      .orderBy("query_id", "rank")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 64, nProbe: Int = 8,
               idCol: String = "vec_id",

@@ -106,6 +106,32 @@ class SimilaritySessionsSpec extends SparkSpec {
     assert(pqAll == truth, "rerank = corpus size must equal brute force")
   }
 
+  test("mmrTopK demotes the near-duplicate; λ=1 is pure relevance") {
+    // corpus: 2 is a near-copy of 1 (both highly relevant to the
+    // query axis), 3 is moderately relevant but diverse, 4 opposite
+    val c = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.05f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f)),
+      (10L, Array(0.95f, 0.05f, 0.0f))  // the query
+    ).toDF("vec_id", "embedding")
+    val q = c.filter($"vec_id" === 10L)
+    // pure relevance order: 2, 1, 3, 4 (2 is closest to the query)
+    val rel = Similarity.bruteForceTopK(c, q, 3).collect()
+      .map(_.getLong(2)).toSeq
+    assert(rel == Seq(2L, 1L, 3L))
+    // MMR with λ=0.5: pick 2 first, then 1 is punished for near-
+    // identity with 2 → diverse 3 takes rank 2
+    val mmr = Similarity.mmrTopK(c, q, k = 3, cand = 4, lambda = 0.5)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(mmr.toSeq == Seq((1, 2L), (2, 3L), (3, 1L)))
+    // λ=1 disables the redundancy term: MMR ≡ relevance ranking
+    val pure = Similarity.mmrTopK(c, q, k = 3, cand = 4, lambda = 1.0)
+      .collect().map(_.getLong(2)).toSeq
+    assert(pure == rel)
+  }
+
   test("cosineDedupLsh ≡ exact cosineDedup on a near-dup-injected corpus") {
     // the raw testdata embeddings have no cos≥0.9 pair (max ≈0.46), so
     // scaled copies are injected — same construction as q56 — to make
