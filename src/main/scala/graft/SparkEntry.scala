@@ -557,6 +557,18 @@ object SparkEntry {
     // pairwise vocabulary Jaccard (vocab-sized shuffles only).
     "q133_vocab_overlap" -> ((s, dir) =>
       TextOps.sourceVocabOverlap(Tables.documents(s, dir))),
+    // Content-defined chunking dedup audit: variable-size chunks cut
+    // at md5-boundary tokens (insertion-robust where fixed blocks
+    // misalign), deduplicated corpus-wide by chunk md5; same salted
+    // corpus as q78.
+    "q136_cdc_chunks" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val salted = docs.unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 30), " ")
+            .as("text")))
+      TextOps.cdcChunkAudit(salted)
+    }),
     // MMR diversified retrieval: greedy λ·rel − (1−λ)·redundancy
     // re-rank of the exact top-20 — the post-ANN dedup step of a
     // retrieval/RAG stack, 5 unrolled argmax rounds over bounded
@@ -1410,6 +1422,7 @@ object SparkEntry {
     "q133_vocab_overlap"    -> Oracle.sourceVocabOverlap,
     "q134_pq_topk"          -> Oracle.pqTopK,
     "q135_mmr_topk"         -> Oracle.mmrTopK,
+    "q136_cdc_chunks"       -> Oracle.cdcChunkAudit,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -1609,6 +1609,59 @@ SELECT sp.doc_id, CAST(s AS BIGINT) AS start_pos,
 FROM sp JOIN t USING (doc_id)
 ORDER BY sp.doc_id, start_pos"""
 
+  /** q136 oracle: content-defined chunking audit replayed — the q78
+    * span salt, the Horner 4-hex-digit md5 boundary predicate
+    * (mod 16), window chunk numbering (boundaries strictly before),
+    * md5 chunk keys, first occurrence by (doc, chunk), per-doc
+    * rollup. */
+  val cdcChunkAudit: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string((string_split_regex(trim(text), ' +'))[1:30], ' ')
+           AS text
+  FROM documents WHERE doc_id % 20 = 0),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM corp),
+tok AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        FROM t)),
+fl AS (
+  SELECT doc_id, i, tok,
+         CASE WHEN
+           ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1))
+           % 16 = 0 THEN 1 ELSE 0 END AS b
+  FROM tok),
+ch AS (
+  SELECT doc_id, i, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+  FROM fl),
+cs AS (
+  SELECT doc_id, chunk, count(*) AS n_tok,
+         md5(array_to_string(list(tok ORDER BY i), ' ')) AS h
+  FROM ch GROUP BY doc_id, chunk),
+mk AS (
+  SELECT *, row_number() OVER (PARTITION BY h
+    ORDER BY doc_id, chunk) AS rn
+  FROM cs),
+ag AS (
+  SELECT doc_id, sum(n_tok) AS n_tokens, count(*) AS n_chunks,
+         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+         sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS n_dup_tokens
+  FROM mk GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks,
+       CAST(n_dup_tokens AS BIGINT) AS n_dup_tokens,
+       CAST(n_dup_tokens AS DOUBLE) / n_tokens AS dup_ratio
+FROM ag ORDER BY doc_id"""
+
   /** q96 oracle: C4-style duplicated-span removal replayed — the
     * identical q78 span salt, tumbling 8-token blocks, corpus-wide
     * first occurrence by (doc_id, block_idx) via row_number, and

@@ -1451,6 +1451,67 @@ object TextOps {
       .orderBy(col(idCol), col("start_pos"))
   }
 
+  /** CONTENT-DEFINED chunking dedup audit — the rsync/CDC recipe at
+    * token granularity: a token whose hash satisfies the boundary
+    * predicate (first 4 md5 hex digits mod 2^`maskBits` = 0) CLOSES a
+    * chunk, so chunk boundaries are decided by content, not position.
+    * An insertion or deletion perturbs only the chunk it lands in —
+    * boundaries downstream re-synchronize — where fixed tumbling
+    * blocks ([[spanScrub]]) misalign every block after the edit.
+    * Chunks are then deduplicated corpus-wide by md5 (first
+    * occurrence by (doc, chunk) keeps), and each document reports its
+    * duplicated-chunk mass. Mean chunk length ≈ 2^maskBits tokens.
+    *
+    * Scale shape: chunking is entirely IN-ROW (higher-order
+    * functions build the variable spans from the boundary-position
+    * array — no token explode, no body shuffle); only
+    * (id, chunk_idx, md5, n_tok) rows reach the first-occurrence
+    * exchange, partitioned by chunk hash. The rollup map-side
+    * combines on id.
+    *
+    * Determinism: md5 predicate + md5 chunk keys replay on any
+    * engine; integer counts, one IEEE division. Output: (id,
+    * n_tokens, n_chunks, n_dup_chunks, n_dup_tokens, dup_ratio),
+    * ordered by id. */
+  def cdcChunkAudit(docs: DataFrame, maskBits: Int = 4,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 16, "need 1 <= maskBits <= 16")
+    import org.apache.spark.sql.expressions.Window
+    val modulus = 1L << maskBits
+    val isB = (t: Column) =>
+      conv(substring(md5(t), 1, 4), 16, 10).cast(LongType) % modulus === 0
+    val n = size(col("toks"))
+    val bpos = filter(sequence(lit(1), n),
+      i => isB(element_at(col("toks"), i)))
+    val starts = concat(array(lit(1)), transform(bpos, _ + lit(1)))
+    val ends = concat(bpos, array(n))
+    // a trailing boundary token yields an empty (start > end) span —
+    // dropped, matching the window-numbering replay exactly
+    val spans = filter(
+      zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
+      p => p.getField("s") <= p.getField("e"))
+    val chunks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode(transform(spans, p =>
+        struct(
+          (p.getField("e") - p.getField("s") + 1).as("n_tok"),
+          md5(array_join(slice(col("toks"), p.getField("s"),
+            p.getField("e") - p.getField("s") + 1), " ")).as("h")))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col.n_tok").cast(LongType).as("n_tok"), col("col.h").as("h"))
+    val marked = chunks.withColumn("__rn", row_number().over(
+      Window.partitionBy("h").orderBy(col(idCol), col("chunk_idx"))))
+    marked.groupBy(col(idCol))
+      .agg(sum("n_tok").as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__rn") > 1, col("n_tok")).otherwise(0L))
+          .as("n_dup_tokens"))
+      .withColumn("dup_ratio",
+        col("n_dup_tokens").cast(DoubleType) / col("n_tokens"))
+      .orderBy(idCol)
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1):
     * instead of [[qualityScore]]'s continuous signals, a fixed rule
     * battery with a per-rule verdict, an overall pass, and the FIRST

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** VERDICT r6 item 3: boundary-robust duplicated-span detection.
@@ -125,5 +127,46 @@ class SlidingScrubSpec extends SparkSpec {
   test("maxDupSpans: clean corpus and short docs produce no spans") {
     val clean = Seq((1L, "p q r s t u"), (2L, "v w x")).toDF("doc_id", "text")
     assert(TextOps.maxDupSpans(clean, k = 4).count() == 0L)
+  }
+
+  test("cdcChunkAudit: insertion-robust dedup — chunks re-sync after " +
+       "the edit") {
+    // find a boundary token with the op's own predicate (first 4 md5
+    // hex digits mod 16 == 0) so the test controls chunking exactly
+    val cands = (1 to 300).map(i => s"w$i").toDF("t")
+    val bt = cands.filter(
+      conv(substring(md5($"t"), 1, 4), 16, 10).cast("long") % 16 === 0)
+      .head().getString(0)
+    val suffix = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"pre1 pre2 pre3 $bt $suffix"),
+      // one token inserted BEFORE the boundary: the suffix chunk
+      // after the boundary re-synchronizes and dedupes
+      (2L, s"pre1 INS pre2 pre3 $bt $suffix")
+    ).toDF("doc_id", "text")
+    val out = TextOps.cdcChunkAudit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // doc 1 owns every first occurrence
+    assert(out(1L)._3 == 0L)
+    // doc 2: the post-boundary suffix chunk is caught as duplicated
+    // despite the upstream insertion (fixed blocks would misalign)
+    assert(out(2L)._3 >= 1L, s"expected a re-synced dup chunk: $out")
+    // token counts reconcile
+    assert(out(1L)._1 == 12L && out(2L)._1 == 13L)
+  }
+
+  test("cdcChunkAudit: no boundary token means one chunk per doc, " +
+       "exact-dup docs fully flagged") {
+    // tokens chosen from the complement of the boundary predicate
+    val cands = (1 to 50).map(i => s"w$i").toDF("t")
+    val nb = cands.filter(
+      conv(substring(md5($"t"), 1, 4), 16, 10).cast("long") % 16 =!= 0)
+      .collect().map(_.getString(0)).take(6)
+    val text = nb.mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = TextOps.cdcChunkAudit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(5)))
+    assert(out.toSeq == Seq((1L, 1L, 0L, 0.0), (2L, 1L, 1L, 1.0)))
   }
 }
