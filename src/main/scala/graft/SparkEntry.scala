@@ -557,6 +557,19 @@ object SparkEntry {
     // pairwise vocabulary Jaccard (vocab-sized shuffles only).
     "q133_vocab_overlap" -> ((s, dir) =>
       TextOps.sourceVocabOverlap(Tables.documents(s, dir))),
+    // Embedding-space decontamination: max cosine of every corpus
+    // vector against a broadcast eval pool (scaled near-copies, the
+    // q56 injection — paraphrase-leak semantics n-gram decon misses).
+    "q137_embedding_decon" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))")
+            .as("embedding"))
+      val evalSet = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.25)).as("embedding"))
+      Similarity.cosineDecontaminate(base, evalSet, tau = 0.9)
+    }),
     // Content-defined chunking dedup audit: variable-size chunks cut
     // at md5-boundary tokens (insertion-robust where fixed blocks
     // misalign), deduplicated corpus-wide by chunk md5; same salted
@@ -1423,6 +1436,7 @@ object SparkEntry {
     "q134_pq_topk"          -> Oracle.pqTopK,
     "q135_mmr_topk"         -> Oracle.mmrTopK,
     "q136_cdc_chunks"       -> Oracle.cdcChunkAudit,
+    "q137_embedding_decon"  -> Oracle.embeddingDecon,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

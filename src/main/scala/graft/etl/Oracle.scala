@@ -921,6 +921,32 @@ FROM pk$k ORDER BY query_id, "rank""""
     sb.toString
   }
 
+  /** q137 oracle: embedding-space decontamination replayed — the q56
+    * scaled-copy injection as the eval pool, exact cosine of every
+    * corpus vector against every pool vector, argmax by
+    * (sim desc, eval_id), one threshold verdict. */
+  val embeddingDecon: String = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id < 2000),
+ev AS (
+  SELECT vec_id + 100000 AS eval_id,
+         list_transform(e, x -> x * 1.25) AS e
+  FROM v WHERE vec_id % 5 = 0),
+sims AS (
+  SELECT c.vec_id, ev.eval_id,
+         list_dot_product(c.e, ev.e)
+           / (sqrt(list_dot_product(c.e, c.e))
+              * sqrt(list_dot_product(ev.e, ev.e))) AS sim
+  FROM v c, ev),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+    ORDER BY sim DESC, eval_id) AS rn
+  FROM sims)
+SELECT vec_id, eval_id AS nearest_eval_id, sim AS max_eval_sim,
+       sim >= 0.9 AS contaminated
+FROM r WHERE rn = 1 ORDER BY vec_id"""
+
   /** q110 oracle: hard-negative mining replayed — the q28 exact
     * ranking with the band-pass ceiling filter applied before the
     * rank, identical IEEE cosine. */

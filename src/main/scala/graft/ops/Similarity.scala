@@ -391,6 +391,47 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** EMBEDDING-space decontamination — the semantic sibling of the
+    * n-gram [[TextOps.decontaminate]]: a training vector whose cosine
+    * to ANY eval-set vector reaches `tau` is contaminated (a
+    * paraphrased eval leak that shares no 8-gram still sits next to
+    * its source in embedding space). Reports, per corpus vector, the
+    * max eval similarity, the argmax eval id (ties → lowest), and the
+    * verdict — the audit table a training run blocks on.
+    *
+    * Scale shape: the q67 discipline — the eval pool is BROADCAST
+    * (eval sets are thousands of rows; the corpus is the big side),
+    * the corpus is scanned ONCE with a codegen'd max-fold over the
+    * pool, nothing corpus-sized shuffles, output is corpus-row
+    * bounded. For eval pools too large to broadcast, prefilter with
+    * [[hammingTopK]]'s sign words; the exact scan here is the
+    * verdict-grade tail either way.
+    *
+    * Determinism: per-row max/argmax over a fixed-order pool with
+    * the sequential-fold cosine — engine-replayable. */
+  def cosineDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                          tau: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val e = evalSet.select(col(idCol).as("eval_id"),
+      asDouble(col(vecCol)).as("ev")).withColumn("en", norm(col("ev")))
+    // (corpus × eval) with the eval side broadcast; argmax by
+    // (sim desc, eval_id) via one window over corpus-partitioned rows
+    val sims = c.crossJoin(broadcast(e))
+      .select(col(idCol), col("eval_id"),
+        cosinePre(col("cv"), col("cn"), col("ev"), col("en")).as("sim"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("sim").desc, col("eval_id"))
+    sims.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("eval_id").as("nearest_eval_id"),
+        col("sim").as("max_eval_sim"),
+        (col("sim") >= tau).as("contaminated"))
+      .orderBy(idCol)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int = 64, nProbe: Int = 8,
               idCol: String = "vec_id",

@@ -132,6 +132,20 @@ class SimilaritySessionsSpec extends SparkSpec {
     assert(pure == rel)
   }
 
+  test("cosineDecontaminate flags only the leaked vector") {
+    // eval pool = a scaled copy of vector 1: same direction, cos ≈ 1
+    val evalSet = Seq((100L, Array(2.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // tau above vec 2's cos to the x-axis (0.9939) — only the exact
+    // direction match is a leak
+    val out = Similarity.cosineDecontaminate(vecs, evalSet, tau = 0.999)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(1L) == ((100L, true)))    // the leak
+    assert(!out(2L)._2 && !out(3L)._2 && !out(4L)._2)
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // every corpus row reports
+  }
+
   test("cosineDedupLsh ≡ exact cosineDedup on a near-dup-injected corpus") {
     // the raw testdata embeddings have no cos≥0.9 pair (max ≈0.46), so
     // scaled copies are injected — same construction as q56 — to make
