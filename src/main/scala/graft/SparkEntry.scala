@@ -557,6 +557,22 @@ object SparkEntry {
     // pairwise vocabulary Jaccard (vocab-sized shuffles only).
     "q133_vocab_overlap" -> ((s, dir) =>
       TextOps.sourceVocabOverlap(Tables.documents(s, dir))),
+    // Contrastive triplet mining: anchors with a near-dup positive
+    // (drop-first-token copies) and a hard band negative (first-half
+    // copies) from ONE lossless exact-Jaccard pass at the band floor.
+    "q138_triplet_mine" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val toks = TextOps.tokens(col("text"))
+      val near = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          array_join(slice(toks, lit(2), size(toks) - 1), " ").as("text"))
+      val half = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            floor((size(toks) + 1) / lit(2)).cast("int")), " ")
+            .as("text"))
+      Dedup.tripletMine(docs.unionByName(near).unionByName(half))
+    }),
     // Embedding-space decontamination: max cosine of every corpus
     // vector against a broadcast eval pool (scaled near-copies, the
     // q56 injection — paraphrase-leak semantics n-gram decon misses).
@@ -1437,6 +1453,7 @@ object SparkEntry {
     "q135_mmr_topk"         -> Oracle.mmrTopK,
     "q136_cdc_chunks"       -> Oracle.cdcChunkAudit,
     "q137_embedding_decon"  -> Oracle.embeddingDecon,
+    "q138_triplet_mine"     -> Oracle.tripletMine,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -1464,6 +1464,63 @@ e AS (
 SELECT id_a, id_b, n_a, n_b, jaccard
 FROM e WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""
 
+  /** q138 oracle: contrastive triplet mining replayed — the salted
+    * corpus (drop-first-token near-copies J≈0.98, first-half copies
+    * J≈0.48), brute-force 3-shingle Jaccard over all pairs (valid:
+    * the Spark prefix cover is lossless at the `negLo` threshold),
+    * symmetrized, per-anchor argmax windows for the positive
+    * (J ≥ 0.8) and band negative (0.4 ≤ J < 0.7), inner-joined. */
+  val tripletMine: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id,
+         array_to_string(
+           (string_split_regex(trim(text), ' +'))[2:], ' ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id,
+         array_to_string((string_split_regex(trim(text), ' +'))
+           [1:CAST((len(string_split_regex(trim(text), ' +')) + 1) // 2
+                AS INTEGER)], ' ') AS text
+  FROM documents WHERE doc_id % 20 = 0),
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM corp),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           AS jaccard
+  FROM s a, s b WHERE a.doc_id < b.doc_id),
+p AS (SELECT * FROM e WHERE jaccard >= 0.4),
+sym AS (
+  SELECT id_a AS anchor, id_b AS partner, jaccard FROM p
+  UNION ALL
+  SELECT id_b AS anchor, id_a AS partner, jaccard FROM p),
+pos AS (
+  SELECT anchor, partner AS pos_id, jaccard AS pos_jaccard
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+          ORDER BY jaccard DESC, partner) AS rn
+        FROM sym WHERE jaccard >= 0.8)
+  WHERE rn = 1),
+neg AS (
+  SELECT anchor, partner AS neg_id, jaccard AS neg_jaccard
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+          ORDER BY jaccard DESC, partner) AS rn
+        FROM sym WHERE jaccard >= 0.4 AND jaccard < 0.7)
+  WHERE rn = 1)
+SELECT pos.anchor AS anchor_id, pos_id, neg_id,
+       pos_jaccard, neg_jaccard
+FROM pos JOIN neg ON pos.anchor = neg.anchor
+ORDER BY anchor_id"""
+
   /** q105 oracle: the cross-source near-dup matrix replayed — brute-
     * force 3-shingle Jaccard pairs (bounded corpus), source lookups,
     * canonical (least, greatest) pair, one group-by. */

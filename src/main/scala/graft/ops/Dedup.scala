@@ -517,6 +517,55 @@ object Dedup {
       .select("id_a", "id_b", "n_a", "n_b", "jaccard")
       .orderBy("id_a", "id_b")
 
+  /** Contrastive TRIPLET mining — the training-pair builder for an
+    * embedding model: for every anchor document that has BOTH a
+    * near-duplicate (shingle Jaccard ≥ `posTau` — the positive) and
+    * a hard negative (Jaccard in [`negLo`, `negHi`) — similar enough
+    * to be informative, dissimilar enough to be a true negative),
+    * emit (anchor, positive, negative) with the hardest example of
+    * each kind (argmax Jaccard, ties → lowest partner id).
+    *
+    * Pairs come from ONE [[exactJaccardJoin]] pass at `negLo` — the
+    * lossless prefix filter holds at any threshold (lower θ ⇒ larger
+    * prefix ⇒ more candidates; on Zipfian corpora the df-ranked
+    * prefix still prunes hard — measured flat 1.0-1.4 s from θ=0.6
+    * down to 0.3 at sf0.01, ProfileTripletR7). Classification and
+    * argmax selection are two windows over the symmetrized id+double
+    * pair rows; bodies never reappear after the join.
+    *
+    * Determinism: exact Jaccard values, fixed tie order —
+    * hash-exact replayable (q138). */
+  def tripletMine(docs: DataFrame, posTau: Double = 0.8,
+                  negLo: Double = 0.4, negHi: Double = 0.7,
+                  shingleLen: Int = ShingleLen,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(negLo < negHi && negHi <= posTau,
+      "need negLo < negHi <= posTau")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = exactJaccardJoin(docs, negLo, shingleLen, textCol, idCol)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sym = pairs
+      .select(col("id_a").as("anchor"), col("id_b").as("partner"),
+        col("jaccard"))
+      .unionByName(pairs.select(col("id_b").as("anchor"),
+        col("id_a").as("partner"), col("jaccard")))
+    val w = Window.partitionBy("anchor")
+      .orderBy(col("jaccard").desc, col("partner"))
+    val pos = sym.filter(col("jaccard") >= posTau)
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("anchor"), col("partner").as("pos_id"),
+        col("jaccard").as("pos_jaccard"))
+    val neg = sym.filter(col("jaccard") >= negLo && col("jaccard") < negHi)
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("anchor"), col("partner").as("neg_id"),
+        col("jaccard").as("neg_jaccard"))
+    pos.join(neg, "anchor")
+      .select(col("anchor").as("anchor_id"), col("pos_id"),
+        col("neg_id"), col("pos_jaccard"), col("neg_jaccard"))
+      .orderBy("anchor_id")
+  }
+
   /** Cross-source near-dup PROVENANCE audit: for every unordered
     * source pair, the number of verified near-dup pairs straddling
     * it — the monitoring artifact that surfaces scraper overlap,

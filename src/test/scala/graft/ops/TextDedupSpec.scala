@@ -266,4 +266,29 @@ class TextDedupSpec extends SparkSpec {
       assert(got == want, s"theta=$theta")
     }
   }
+
+  test("tripletMine: anchors need BOTH a positive and a band negative") {
+    import spark.implicits._
+    // A: 12 tokens (10 shingles); B = A minus first token (9 shared
+    // shingles, J(A,B) = 9/10); C = A's first 7 tokens (5 shingles,
+    // J(A,C) = 5/10, J(B,C) = 4/10); D unrelated
+    val a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val docs = Seq(
+      (1L, a),
+      (2L, a.split(' ').drop(1).mkString(" ")),
+      (3L, a.split(' ').take(7).mkString(" ")),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.tripletMine(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // anchors 1 and 2 have positive (each other) + negative (3);
+    // 3 has only band partners (no positive), 4 has nothing
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    val byAnchor = out.map(t => t._1 -> t).toMap
+    assert(byAnchor(1L)._2 == 2L && byAnchor(1L)._3 == 3L)
+    assert(byAnchor(1L)._4 == 0.9 && byAnchor(1L)._5 == 0.5)
+    assert(byAnchor(2L)._2 == 1L && byAnchor(2L)._3 == 3L)
+    assert(byAnchor(2L)._5 == 0.4)
+  }
 }
