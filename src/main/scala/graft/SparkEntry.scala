@@ -557,6 +557,11 @@ object SparkEntry {
     // pairwise vocabulary Jaccard (vocab-sized shuffles only).
     "q133_vocab_overlap" -> ((s, dir) =>
       TextOps.sourceVocabOverlap(Tables.documents(s, dir))),
+    // Vocabulary coverage curve: token-mass coverage of the top-2^j
+    // types for j = 0..16 — the vocab-sizing artifact (bucketed
+    // exact global rank, no vocab-sized single-partition window).
+    "q139_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverageCurve(Tables.documents(s, dir))),
     // Contrastive triplet mining: anchors with a near-dup positive
     // (drop-first-token copies) and a hard band negative (first-half
     // copies) from ONE lossless exact-Jaccard pass at the band floor.
@@ -1454,6 +1459,7 @@ object SparkEntry {
     "q136_cdc_chunks"       -> Oracle.cdcChunkAudit,
     "q137_embedding_decon"  -> Oracle.embeddingDecon,
     "q138_triplet_mine"     -> Oracle.tripletMine,
+    "q139_vocab_coverage"   -> Oracle.vocabCoverageCurve,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

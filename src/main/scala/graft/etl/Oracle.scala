@@ -2962,6 +2962,32 @@ SELECT p.src_a, p.src_b,
 FROM p LEFT JOIN iv USING (src_a, src_b)
 ORDER BY src_a, src_b"""
 
+  /** q139 oracle: vocabulary coverage curve replayed — type counts,
+    * the (cnt desc, word asc) global rank, 17 power-of-two vocab
+    * sizes, covered token mass and one division per point. */
+  val vocabCoverageCurve: String = """
+WITH c AS (
+  SELECT word AS w, count(*) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+        FROM documents)
+  GROUP BY 1),
+r AS (
+  SELECT w, cnt,
+         row_number() OVER (ORDER BY cnt DESC, w) AS rank
+  FROM c),
+tot AS (SELECT sum(cnt) AS total FROM c),
+sizes AS (
+  SELECT CAST(power(2, j) AS BIGINT) AS vocab_size
+  FROM range(0, 17) s(j))
+SELECT s.vocab_size,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(r.cnt) AS BIGINT) AS tokens_covered,
+       CAST(sum(r.cnt) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+         AS coverage
+FROM sizes s JOIN r ON r.rank <= s.vocab_size, tot
+GROUP BY s.vocab_size, tot.total
+ORDER BY s.vocab_size"""
+
   /** q114 oracle: dedup lineage replayed — the q66 brute-force pair
     * + recursive closure labels each clustered doc's minimum
     * reachable id; singletons canonicalize to themselves. */

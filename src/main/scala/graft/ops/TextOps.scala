@@ -1249,6 +1249,59 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** VOCABULARY COVERAGE curve — the artifact that sizes a
+    * tokenizer's vocabulary: for each candidate vocab size 2^j
+    * (j = 0..`maxLog2`), the fraction of the corpus TOKEN MASS
+    * covered by the 2^j most frequent types (frequency desc, type
+    * asc). The knee of this curve is where vocab growth stops paying;
+    * the complement of the q130 OOV report (that measures one chosen
+    * vocab, this measures every candidate size at once).
+    *
+    * Scale shape: the corpus reduces to (type, count) — vocab-sized —
+    * in one map-side-combined groupBy. The global frequency rank is
+    * the [[budgetSelect]] two-level prefix discipline with the COUNT
+    * VALUE as the bucket (per-count totals give offsets over a
+    * bounded distinct-count frame; within-count ranking partitions by
+    * count) — no vocab-sized single-partition window. The curve
+    * itself is a broadcast threshold join over vocab-sized rows.
+    *
+    * Determinism: integer counts and ranks, one IEEE division per
+    * curve point. Output: (vocab_size, n_types, tokens_covered,
+    * coverage), ordered by vocab_size. */
+  def vocabCoverageCurve(docs: DataFrame, maxLog2: Int = 16,
+                         textCol: String = "text"): DataFrame = {
+    require(maxLog2 >= 0 && maxLog2 <= 40, "need 0 <= maxLog2 <= 40")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // two-level exact rank in (cnt desc, w asc) order: offsets from
+    // per-count totals (distinct-count-bounded window), within-count
+    // row_number partitioned by cnt
+    val ctot = counts.groupBy("cnt").agg(count(lit(1)).as("__n"))
+    val off = ctot.withColumn("__off",
+      coalesce(sum("__n").over(Window.orderBy(col("cnt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cnt"), col("__off"))
+    val ranked = counts.join(broadcast(off), Seq("cnt"))
+      .withColumn("rank", col("__off") + row_number().over(
+        Window.partitionBy("cnt").orderBy("w")))
+    val total = counts.agg(sum("cnt").as("__total"))
+    val sizes = (0 to maxLog2).map(j => 1L << j).toDF("vocab_size")
+    ranked.crossJoin(broadcast(sizes))
+      .filter(col("rank") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(count(lit(1)).as("n_types"),
+        sum("cnt").as("tokens_covered"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("n_types"), col("tokens_covered"),
+        (col("tokens_covered").cast(DoubleType) / col("__total"))
+          .as("coverage"))
+      .orderBy("vocab_size")
+  }
+
   /** Pairwise SOURCE VOCABULARY overlap — the cross-source affinity /
     * contamination matrix: for every unordered source pair, the two
     * vocabulary sizes, the shared-word count, and the vocabulary

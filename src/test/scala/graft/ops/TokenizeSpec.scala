@@ -84,6 +84,23 @@ class TokenizeSpec extends SparkSpec {
       ("ab", 1L, 1L, "ab")))
   }
 
+  test("vocabCoverageCurve: exact ranks, monotone coverage, " +
+       "saturation at full vocab") {
+    // counts: a×5, b×3, c×3, d×1 → rank order a, b, c, d (count
+    // desc, type asc); total 12 tokens, 4 types
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a a b c c d")
+    ).toDF("doc_id", "text")
+    val got = TextOps.vocabCoverageCurve(docs, maxLog2 = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 5L, 5.0 / 12),    // top-1: a
+      (2L, 2L, 8L, 8.0 / 12),    // +b (b before c at equal count)
+      (4L, 4L, 12L, 1.0),        // full vocab
+      (8L, 4L, 12L, 1.0)))       // saturated
+  }
+
   test("tokenizerReport: OOV char-fallback and exact fertility " +
        "arithmetic") {
     // train vocab: {aaab, ab} — 2 merges fuse "aa" then "aaa"… the
