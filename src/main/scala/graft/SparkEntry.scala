@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Importance, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Upsert}
+import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Eval, Importance, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -557,6 +557,23 @@ object SparkEntry {
     // pairwise vocabulary Jaccard (vocab-sized shuffles only).
     "q133_vocab_overlap" -> ((s, dir) =>
       TextOps.sourceVocabOverlap(Tables.documents(s, dir))),
+    // Label-relevance retrieval metrics: hits/MRR/precision@k/nDCG@k
+    // of the exact cosine top-10 against same-label relevance — the
+    // IR-eval counterpart of the recall gate. Driver-computed DCG
+    // discount literals + rank-ordered folds keep it hash-exact.
+    "q140_retrieval_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Eval.retrievalEval(emb, emb.filter(col("vec_id") < 50), k = 10)
+    }),
+    // Matryoshka dimension ablation: recall@5 of brute-force top-k on
+    // the first-d embedding prefix vs the full-dim ground truth, one
+    // row per width — the measured evidence for indexing a truncated
+    // prefix (4x cheaper ANN structures) with full-dim re-rank.
+    "q141_dim_ablation" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Eval.dimAblation(emb, emb.filter(col("vec_id") < 50), k = 5,
+        dims = Seq(8, 16, 32, 64))
+    }),
     // Vocabulary coverage curve: token-mass coverage of the top-2^j
     // types for j = 0..16 — the vocab-sizing artifact (bucketed
     // exact global rank, no vocab-sized single-partition window).
@@ -1460,6 +1477,8 @@ object SparkEntry {
     "q137_embedding_decon"  -> Oracle.embeddingDecon,
     "q138_triplet_mine"     -> Oracle.tripletMine,
     "q139_vocab_coverage"   -> Oracle.vocabCoverageCurve,
+    "q140_retrieval_eval"   -> Oracle.retrievalEval,
+    "q141_dim_ablation"     -> Oracle.dimAblation,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

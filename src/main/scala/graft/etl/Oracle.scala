@@ -2988,6 +2988,115 @@ FROM sizes s JOIN r ON r.rank <= s.vocab_size, tot
 GROUP BY s.vocab_size, tot.total
 ORDER BY s.vocab_size"""
 
+  /** q140 oracle: label-relevance retrieval metrics replayed — the
+    * q28 exact cosine top-10, same-label relevance, and the
+    * MRR/precision/DCG/nDCG tail. The DCG discounts are the SAME
+    * driver-computed double literals the Spark plan embeds
+    * ([[graft.ops.Eval.discounts]]) — neither engine evaluates
+    * log2 at query time — and both engines fold contributions in
+    * rank order seeded with 0.0 (list_prepend ≡ aggregate's init),
+    * so the doubles are bit-identical. */
+  val retrievalEval: String = {
+    val k = 10
+    // '…'::DOUBLE (string cast → correctly-rounded strtod), NOT a
+    // bare numeric literal: DuckDB parses those as DECIMAL and the
+    // DECIMAL→DOUBLE conversion is off by an ulp (the mmrTopK trap)
+    val ds = graft.ops.Eval.discounts(k)
+      .map(d => s"'${graft.ops.Eval.fmtDouble(d)}'::DOUBLE")
+      .mkString("[", ", ", "]")
+    s"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 50),
+lc AS (SELECT label, count(*) AS n_label FROM v GROUP BY label),
+disc AS (SELECT $ds AS ds),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+         c.vec_id AS corpus_id, c.label AS c_label,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS cosine_sim
+  FROM q, v c WHERE c.vec_id <> q.vec_id),
+top AS (
+  SELECT *, CASE WHEN c_label = q_label THEN 1::BIGINT
+                 ELSE 0::BIGINT END AS rel
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id)
+          AS "rank"
+        FROM scored)
+  WHERE "rank" <= $k),
+per_q AS (
+  SELECT query_id, q_label,
+         CAST(sum(rel) AS BIGINT) AS hits,
+         min(CASE WHEN rel = 1 THEN "rank" END) AS first_rel,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(rel AS DOUBLE) * ds["rank"] ORDER BY "rank")),
+           (a, b) -> a + b) AS dcg
+  FROM top, disc
+  GROUP BY query_id, q_label, ds),
+m AS (
+  SELECT p.query_id, p.q_label, lc.n_label - 1 AS n_rel, p.hits,
+         CASE WHEN p.first_rel IS NULL THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) / CAST(p.first_rel AS DOUBLE)
+         END AS mrr,
+         CAST(p.hits AS DOUBLE) / CAST($k AS DOUBLE) AS precision_at_k,
+         p.dcg,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             disc.ds[1:least(lc.n_label - 1, $k)]),
+           (a, b) -> a + b) AS idcg
+  FROM per_q p JOIN lc ON lc.label = p.q_label, disc)
+SELECT query_id, CAST(q_label AS INT) AS q_label,
+       CAST(n_rel AS BIGINT) AS n_rel, hits, mrr, precision_at_k, dcg,
+       CASE WHEN idcg > 0 THEN dcg / idcg
+            ELSE CAST(0.0 AS DOUBLE) END AS ndcg
+FROM m ORDER BY query_id"""
+  }
+
+  /** q141 oracle: Matryoshka dimension ablation replayed — per
+    * ablated prefix width, the exact top-k on the truncated vectors
+    * joined against the full-dim ground truth; integer hits and ONE
+    * final division (hash-exact average). */
+  val dimAblation: String = {
+    val k = 5
+    val dims = Seq(8, 16, 32, 64)
+    val perDim = dims.map { d =>
+      s"""a$d AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.e[1:$d], c.e[1:$d])
+               / (sqrt(list_dot_product(q.e[1:$d], q.e[1:$d]))
+                  * sqrt(list_dot_product(c.e[1:$d], c.e[1:$d]))) DESC,
+             c.vec_id) AS r
+    FROM q, v c WHERE c.vec_id <> q.vec_id) WHERE r <= $k),
+h$d AS (
+  SELECT CAST($d AS INT) AS dim, count(*) AS hits
+  FROM a$d JOIN gt USING (query_id, corpus_id))"""
+    }.mkString(",\n")
+    s"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 50),
+gt AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))) DESC,
+             c.vec_id) AS r
+    FROM q, v c WHERE c.vec_id <> q.vec_id) WHERE r <= $k),
+poss AS (SELECT count(*) AS possible FROM gt),
+$perDim
+SELECT u.dim, u.hits, poss.possible,
+       CAST(u.hits AS DOUBLE) / CAST(poss.possible AS DOUBLE) AS recall
+FROM (${dims.map(d => s"SELECT * FROM h$d").mkString(" UNION ALL ")}) u,
+     poss
+ORDER BY u.dim"""
+  }
+
   /** q114 oracle: dedup lineage replayed — the q66 brute-force pair
     * + recursive closure labels each clustered doc's minimum
     * reachable id; singletons canonicalize to themselves. */

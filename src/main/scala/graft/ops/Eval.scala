@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation over labeled embeddings.
+  *
+  * The bench's `recall_at_5` line answers "does the ANN index agree
+  * with brute force?"; these operators answer the question a
+  * retrieval user actually ships on: "does the retriever surface
+  * RELEVANT items?" — relevance taken from the `label` column
+  * (same-label = relevant), the standard proxy when no graded
+  * judgments exist.
+  *
+  * Determinism (the q85 playbook): the ranking is the exact
+  * deterministic cosine top-k, the per-rank DCG discounts are
+  * driver-computed double literals shared verbatim with the oracle
+  * SQL, and every per-query reduction is either an integer sum or a
+  * left-associative fold in rank order — so MRR/precision/nDCG are
+  * hash-exact replayable, not just "about right".
+  */
+object Eval {
+
+  /** 1/log2(rank+1) DCG discounts for ranks 1..k, computed ONCE on
+    * the driver. Both the Spark plan and the generated oracle SQL
+    * embed these exact doubles as literals (via
+    * [[java.lang.Double.toString]], which round-trips), so neither
+    * engine ever evaluates a transcendental at query time. */
+  def discounts(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** Render a double so that parsing it back yields the identical
+    * bits in any IEEE-754 engine (Java's shortest round-trip repr;
+    * DuckDB's strtod is correctly rounded). */
+  def fmtDouble(d: Double): String = java.lang.Double.toString(d)
+
+  /** Per-query IR metrics of the exact cosine top-`k` retriever
+    * against same-label relevance: hits@k, MRR, precision@k, DCG@k,
+    * nDCG@k (ideal DCG uses min(R, k) where R = number of relevant
+    * corpus items for the query, self excluded).
+    *
+    * 100 TB shape: the only heavy stage is the retriever itself
+    * (here the brute-force baseline; swap in any `(query_id, rank,
+    * corpus_id)` frame from the LSH/IVF/PQ paths — the metric tail
+    * is a label join + per-query fold over ≤ k rows). Label counts
+    * are one tiny aggregate broadcast back; nothing but (query × k)
+    * rows ever reaches the metric computation.
+    */
+  def retrievalEval(emb: DataFrame, queries: DataFrame,
+                    k: Int): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    // R per label: corpus count minus the query itself
+    val labelCounts = emb.groupBy("label")
+      .agg(count(lit(1)).as("n_label"))
+    val top = Similarity.bruteForceTopK(emb, queries, k)
+    val rel = top
+      .join(labels.select(col("vec_id").as("corpus_id"),
+        col("label").as("c_label")), "corpus_id")
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), "query_id")
+      .withColumn("rel",
+        when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+    val disc = array(discounts(k).map(lit): _*)
+    val perQuery = rel.groupBy("query_id", "q_label")
+      .agg(
+        sum("rel").as("hits"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        // rank-ordered left fold: collect_list order is
+        // plan-dependent, array_sort on (rank, rel) restores the
+        // total order (ranks are distinct), then a sequential fold
+        // accumulates rel·discount(rank) — bit-identical to the
+        // oracle's list_sort + list_reduce
+        aggregate(
+          array_sort(collect_list(struct(col("rank"), col("rel")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("rel").cast("double") *
+            element_at(disc, x.getField("rank"))).as("dcg"))
+    perQuery
+      .join(labelCounts.withColumnRenamed("label", "q_label"), "q_label")
+      .withColumn("n_rel", col("n_label") - 1)
+      .withColumn("mrr",
+        when(col("first_rel").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel").cast("double")))
+      .withColumn("precision_at_k",
+        col("hits").cast("double") / lit(k.toDouble))
+      .withColumn("idcg",
+        aggregate(
+          slice(disc, lit(1), least(col("n_rel"), lit(k.toLong)).cast("int")),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("ndcg",
+        when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
+      .select(col("query_id"), col("q_label").cast("int").as("q_label"),
+        col("n_rel").cast("long").as("n_rel"), col("hits"),
+        col("mrr"), col("precision_at_k"), col("dcg"), col("ndcg"))
+      .orderBy("query_id")
+  }
+
+  /** Matryoshka-style dimension ablation: recall@k of brute-force
+    * retrieval on the first `d` embedding dimensions vs the full-dim
+    * ground truth, one row per ablated width. Integer hit counts are
+    * summed exactly (BIGINT) and divided ONCE at the end, so the
+    * report is hash-exact despite being an average.
+    *
+    * Why it matters at 100 TB: if recall@k at d=16 ≈ d=64, every ANN
+    * structure (LSH planes, IVF centroids, PQ codebooks) can index
+    * the 16-dim prefix — 4× less bandwidth and memory on the path
+    * that dominates cost — with full-dim exact re-rank buying back
+    * the tail. This report is the measured evidence for that switch.
+    *
+    * Precondition: every truncated prefix must have nonzero norm
+    * (dense real-valued embeddings always do; a sparse corpus would
+    * need a zero-norm guard before the cosine).
+    */
+  def dimAblation(emb: DataFrame, queries: DataFrame, k: Int,
+                  dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0), "dims must be positive")
+    val truth = Similarity.bruteForceTopK(emb, queries, k)
+      .select("query_id", "corpus_id")
+    // 1-row stats frame attached by broadcast cross join (the repo's
+    // standard lazy alternative to a driver-side count())
+    val possible = truth.agg(count(lit(1)).as("possible"))
+    val perDim = dims.map { d =>
+      val trunc = (df: DataFrame) => df.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"), col("label"))
+      Similarity.bruteForceTopK(trunc(emb), trunc(queries), k)
+        .select("query_id", "corpus_id")
+        .join(truth, Seq("query_id", "corpus_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dim"), col("hits"))
+    }
+    perDim.reduce(_ unionByName _)
+      .crossJoin(broadcast(possible))
+      .withColumn("recall",
+        col("hits").cast("double") / col("possible").cast("double"))
+      .orderBy("dim")
+  }
+}
