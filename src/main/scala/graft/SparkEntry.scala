@@ -557,6 +557,20 @@ object SparkEntry {
     // pairwise vocabulary Jaccard (vocab-sized shuffles only).
     "q133_vocab_overlap" -> ((s, dir) =>
       TextOps.sourceVocabOverlap(Tables.documents(s, dir))),
+    // Token-distribution concentration (integer Herfindahl + top-token
+    // mass): the no-log entropy proxy for skew-repetitive junk that
+    // distinct-ratio filters miss. In-row counts, zero shuffle.
+    "q142_token_concentration" -> ((s, dir) =>
+      TextOps.tokenConcentration(Tables.documents(s, dir))),
+    // Per-source n-gram diversity (distinct-n TTR for n=1,2,3): the
+    // templated-source diagnostic; exact two-phase distinct counts.
+    "q143_ngram_diversity" -> ((s, dir) =>
+      TextOps.ngramDiversity(Tables.documents(s, dir))),
+    // Curriculum ordering: 4 quality tiers from the q89 classifier via
+    // the bucketed global-rank discipline (no corpus-sized window),
+    // md5 within-stage training order re-shuffled per epoch.
+    "q144_curriculum_order" -> ((s, dir) =>
+      TextOps.curriculumOrder(Tables.documents(s, dir))),
     // Label-relevance retrieval metrics: hits/MRR/precision@k/nDCG@k
     // of the exact cosine top-10 against same-label relevance — the
     // IR-eval counterpart of the recall gate. Driver-computed DCG
@@ -1479,6 +1493,9 @@ object SparkEntry {
     "q139_vocab_coverage"   -> Oracle.vocabCoverageCurve,
     "q140_retrieval_eval"   -> Oracle.retrievalEval,
     "q141_dim_ablation"     -> Oracle.dimAblation,
+    "q142_token_concentration" -> Oracle.tokenConcentration,
+    "q143_ngram_diversity"  -> Oracle.ngramDiversity,
+    "q144_curriculum_order" -> Oracle.curriculumOrder,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -2988,6 +2988,105 @@ FROM sizes s JOIN r ON r.rank <= s.vocab_size, tot
 GROUP BY s.vocab_size, tot.total
 ORDER BY s.vocab_size"""
 
+  /** q142 oracle: token-concentration (Herfindahl) replayed — the
+    * identical in-row per-type counts, EXACT integer Σcᵢ² (BIGINT
+    * fold seeded with 0, ≡ Spark's aggregate init since 0+x=x), and
+    * one final IEEE division per ratio. τ=0.25 is binary-exact so
+    * the DECIMAL→DOUBLE literal comparison cannot drift. */
+  val tokenConcentration: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         list_transform(list_distinct(toks),
+           tt -> len(list_filter(toks, x -> x = tt))) AS counts
+  FROM t),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(counts, x -> x * x)),
+           (a, b) -> a + b) AS BIGINT) AS sum_sq,
+         CAST(list_aggregate(counts, 'max') AS BIGINT) AS max_count
+  FROM c)
+SELECT doc_id, n_tokens, n_distinct, sum_sq, max_count,
+       CAST(sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+         AS concentration,
+       CAST(max_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_frac,
+       (CAST(sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE))
+         >= 0.25 AS repetitive
+FROM m ORDER BY doc_id"""
+
+  /** q143 oracle: per-source n-gram diversity replayed — the same
+    * shingle windows (clamped trailing slice for docs shorter than
+    * n), exact distinct/total counts, one division. */
+  val ngramDiversity: String = {
+    val perN = Seq(1, 2, 3).map { n =>
+      s"""  SELECT source, $n AS n,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - $n, 0) + 2),
+           i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram
+  FROM t"""
+    }.mkString("\n  UNION ALL\n")
+    s"""
+WITH t AS (
+  SELECT source, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+g AS (
+$perN)
+SELECT source, n,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+       CAST(count(DISTINCT gram) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS ttr
+FROM g GROUP BY source, n ORDER BY source, n"""
+  }
+
+  /** q144 oracle: curriculum ordering replayed — the q89 probability
+    * tree, a single global (score desc, id) row_number (the hash
+    * match PROVES the engine's bucketed two-level rank ≡ this
+    * window), integer `//` tier arithmetic, and the md5 within-stage
+    * order key. */
+  val curriculumOrder: String = """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) AS word_chars
+  FROM t),
+s AS (
+  SELECT doc_id,
+         -3.5 + 8.0 * (n_stop / n_tok) - 0.25 * (word_chars / n_tok)
+           + 2.0 * (n_dist / n_tok) + 0.5 * (n_tok / 100.0) AS clf_score
+  FROM f),
+sc AS (
+  SELECT doc_id,
+         (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5 AS score
+  FROM s),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS "rank"
+  FROM sc),
+nn AS (SELECT count(*) AS n FROM r),
+st AS (
+  SELECT r.doc_id, r.score, r."rank",
+         ((r."rank" - 1) * 4) // nn.n AS stage
+  FROM r, nn)
+SELECT doc_id, score, CAST("rank" AS BIGINT) AS "rank",
+       CAST(stage AS BIGINT) AS stage,
+       md5(concat_ws(':', 'curriculum:0:graft',
+         CAST(stage AS VARCHAR), CAST(doc_id AS VARCHAR))) AS order_key
+FROM st ORDER BY stage, order_key, doc_id"""
+
   /** q140 oracle: label-relevance retrieval metrics replayed — the
     * q28 exact cosine top-10, same-label relevance, and the
     * MRR/precision/DCG/nDCG tail. The DCG discounts are the SAME

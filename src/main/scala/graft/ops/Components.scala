@@ -202,6 +202,74 @@ object Components {
       .orderBy(idCol)
   }
 
+  /** Damped PageRank over an undirected edge list in EXACT integer
+    * arithmetic — centrality for near-dup clusters. Scores are fixed
+    * point at `Scale` = 10⁹ (initial mass `Scale` per node); one
+    * iteration is r′(v) = (85·Σ_{u∼v} (r(u) div deg(u))) div 100 +
+    * 0.15·Scale, i.e. the standard d=0.85 update with every divide
+    * an integer `div` — no doubles anywhere, so 3 unrolled rounds
+    * replay bit-exact as SQL CTEs (the k-means/BPE discipline).
+    *
+    * Scale shape: deg and the per-round contributions are (id, long)
+    * rows — O(iters) edge-keyed shuffles, the same class as the CC
+    * contraction; no driver state, no vertex program. Long bounds:
+    * Σ mass ≈ N·10⁹, so per-node scores stay < 2⁶³ for any corpus
+    * that fits a cluster (overflow needs a single component of
+    * ~10⁹·avg_deg docs).
+    *
+    * Output: (id, pr_scaled) for every node of `pairs`. */
+  def pageRank(pairs: DataFrame, iters: Int = 3,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val Scale = 1000000000L
+    val base = Scale * 15 / 100 // 0.15·Scale, exact
+    val e = pairs.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("src"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val sym = e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val symDeg = sym.join(
+        sym.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint() // reused every round: scan once, not iters×
+    var r = symDeg.select(col("src").as("id")).distinct()
+      .withColumn("pr", lit(Scale))
+    for (_ <- 1 to iters) {
+      r = symDeg.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("pr div deg").as("share"))
+        .groupBy("dst").agg(sum("share").as("s"))
+        .select(col("dst").as("id"),
+          (expr("(s * 85) div 100") + lit(base)).as("pr"))
+    }
+    r.select(col("id"), col("pr").as("pr_scaled"))
+  }
+
+  /** Centrality-based dedup survivor choice: per near-dup cluster,
+    * keep the [[pageRank]]-most-central member (ties → min id) — the
+    * graph-aware alternative to [[componentDedupBest]]'s scalar
+    * quality policy: the most-linked member is the one most
+    * representative of what the cluster duplicates. Output covers
+    * every CLUSTERED id: (id, component, pr_scaled, survivor);
+    * unclustered docs don't need a policy. The survivor window
+    * shuffles clustered ids only (clusters ≪ corpus). */
+  def centralitySurvivors(pairs: DataFrame, iters: Int = 3,
+                          srcCol: String = "src",
+                          dstCol: String = "dst"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val pr = pageRank(pairs, iters, srcCol, dstCol)
+    val w = Window.partitionBy("component")
+      .orderBy(col("pr_scaled").desc, col("id"))
+    cc.join(pr, "id")
+      .withColumn("survivor", row_number().over(w) === 1)
+      .select(col("id"), col("component"), col("pr_scaled"),
+        col("survivor"))
+      .orderBy("id")
+  }
+
   /** Dedup LINEAGE manifest — for every input id, WHERE it went:
     * its cluster's canonical (minimum) id and whether it was the one
     * dropped. [[componentDedup]] answers "what survived"; audits and

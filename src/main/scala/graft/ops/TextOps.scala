@@ -819,6 +819,70 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** Token-distribution CONCENTRATION (Herfindahl index Σpᵢ² and
+    * top-token mass) — the no-log entropy proxy: a doc whose token
+    * mass concentrates on few types ("buy buy buy cheap buy…") scores
+    * high even when [[repetitionScore]]'s distinct-ratio looks
+    * acceptable, because concentration weights the SKEW of the
+    * distribution, not just its support size. Σpᵢ² = Σcᵢ²/N² is
+    * computed in EXACT integer arithmetic (BIGINT Σcᵢ², one final
+    * IEEE division), so unlike a Shannon-entropy filter there is no
+    * transcendental — hash-exact replayable (the q89 no-libm rule).
+    *
+    * Shape at 100 TB: per-token counts stay IN-ROW (nested
+    * higher-order functions over the token array — O(distinct·n)
+    * per doc, zero shuffle); nothing leaves the narrow projection.
+    * `tau` must be a binary-exact literal (0.25, 0.125, …) so both
+    * engines compare the identical double. */
+  def tokenConcentration(docs: DataFrame, tau: Double = 0.25,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)).cast(LongType))
+    val n = size(toks).cast(LongType)
+    docs.select(col(idCol), n.as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+        aggregate(counts, lit(0L), (a, c) => a + c * c).as("sum_sq"),
+        array_max(counts).as("max_count"))
+      .withColumn("concentration", col("sum_sq").cast(DoubleType) /
+        (col("n_tokens") * col("n_tokens")).cast(DoubleType))
+      .withColumn("top_frac",
+        col("max_count").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("repetitive", col("concentration") >= lit(tau))
+      .orderBy(idCol)
+  }
+
+  /** Corpus n-gram DIVERSITY per source: distinct/total n-gram ratio
+    * (type-token ratio) for each n — the distinct-n diagnostic that
+    * catches a TEMPLATED source (every doc unique, but they all
+    * share the same bigram skeleton) which per-doc repetition and
+    * doc-level dedup both miss. Integer counts, one division per
+    * report row.
+    *
+    * Shape at 100 TB: the exchange carries (source, n, gram) with
+    * map-side partial aggregation deduplicating grams per partition
+    * before the shuffle; count(DISTINCT) is Spark's standard
+    * two-phase expand — no corpus-sized single point. This is the
+    * honest cost of an EXACT distinct count; a cheaper sketch
+    * (approx_count_distinct) drops the ratio's replayability. */
+  def ngramDiversity(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+                     textCol: String = "text",
+                     srcCol: String = "source"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0), "ns must be positive")
+    val perN = ns.map { n =>
+      docs.select(col(srcCol).as("source"), lit(n).as("n"),
+        explode(shingles(col(textCol), n)).as("gram"))
+    }
+    perN.reduce(_ unionByName _)
+      .groupBy("source", "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("gram")).as("distinct_ngrams"))
+      .withColumn("ttr", col("distinct_ngrams").cast(DoubleType) /
+        col("total_ngrams").cast(DoubleType))
+      .orderBy("source", "n")
+  }
+
   /** PII patterns, deliberately restricted to syntax Java regex and
     * RE2 interpret identically (explicit char classes, no \d, no
     * lookaround, greedy quantifiers) so any engine reproduces the
@@ -1951,6 +2015,66 @@ object TextOps {
       .select(col(idCol), col("score"), col("n_tokens"),
         col("cum_tokens"))
       .orderBy("cum_tokens")
+  }
+
+  /** CURRICULUM ordering: partition the corpus into `stages` equal
+    * quality tiers (stage 0 = highest q89 classifier probability =
+    * "easiest"), then give each stage a deterministic content-random
+    * training order (the [[Split.epochOrder]] md5 discipline, keyed
+    * by epoch AND stage so every epoch re-shuffles within tiers while
+    * the tier schedule stays fixed) — the anneal-from-clean-data
+    * ordering a curriculum trainer consumes.
+    *
+    * Global quality rank WITHOUT a corpus-sized window: the
+    * [[budgetSelect]] two-level prefix discipline — 1024 score-range
+    * buckets, per-bucket doc counts, cross-bucket offsets over a
+    * ≤1024-row window, within-bucket row_number. Stage is then pure
+    * integer arithmetic floor((rank−1)·stages/N) with N attached as
+    * a broadcast 1-row stats frame, and the within-stage order is a
+    * narrow md5 projection — ordering by (stage, order_key) needs no
+    * materialized sequence number. */
+  def curriculumOrder(docs: DataFrame, stages: Int = 4, epoch: Int = 0,
+                      buckets: Int = 1024, salt: String = "graft",
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(stages > 0, "need stages > 0")
+    import org.apache.spark.sql.expressions.Window
+    val toksC = tokens(col(textCol))
+    val nTok = size(toksC).cast(DoubleType)
+    val nStop = size(filter(toksC,
+      t => t.isin(Stopwords.map(x => x: Any): _*))).cast(DoubleType)
+    val nDist = size(array_distinct(toksC)).cast(DoubleType)
+    val wordChars = (length(col(textCol)) - (size(toksC) - 1))
+      .cast(DoubleType)
+    // the q89 score tree verbatim — identical IEEE roundings
+    val score = lit(-3.5) + lit(8.0) * (nStop / nTok) -
+      lit(0.25) * (wordChars / nTok) + lit(2.0) * (nDist / nTok) +
+      lit(0.5) * (nTok / lit(100.0))
+    val prob = (score / (lit(1.0) + abs(score)) + lit(1.0)) * lit(0.5)
+    val scored = docs.select(col(idCol), prob.as("score"))
+    val withB = scored.withColumn("bkt",
+      least(floor(col("score") * lit(buckets.toDouble)).cast(LongType),
+        lit(buckets - 1L)))
+    val btot = withB.groupBy("bkt").agg(count(lit(1)).as("__bdocs"))
+    val off = btot.withColumn("__offset",
+      coalesce(sum("__bdocs").over(Window.orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("__offset"))
+    val total = btot.agg(sum("__bdocs").as("__n"))
+    val wb = Window.partitionBy("bkt")
+      .orderBy(col("score").desc, col(idCol))
+    withB.join(broadcast(off), Seq("bkt"))
+      .withColumn("rank", col("__offset") + row_number().over(wb))
+      .crossJoin(broadcast(total))
+      // integer `div`, not `/`: Spark's `/` is double division, and
+      // a borderline (rank−1)·stages/N could round up across a tier
+      .withColumn("stage", expr(s"(rank - 1) * $stages div __n"))
+      .withColumn("order_key",
+        md5(concat_ws(":", lit(s"curriculum:$epoch:$salt"),
+          col("stage").cast("string"), col(idCol).cast("string"))))
+      .select(col(idCol), col("score"), col("rank"), col("stage"),
+        col("order_key"))
+      .orderBy("stage", "order_key", idCol)
   }
 
   /** C4/RefinedWeb-style LINE-level boilerplate removal: a line
