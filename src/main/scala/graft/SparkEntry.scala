@@ -1036,6 +1036,19 @@ object SparkEntry {
     // id + dropped flag — the inverse mapping takedown requests need
     // (q66 answers "what survived"; this answers "where did X go").
     // Same bounded corpus and pair machinery as q66.
+    // PageRank centrality dedup survivors: integer fixed-point
+    // PageRank (3 rounds, all-`div` arithmetic) over the verified
+    // near-dup graph; per cluster keep the most-central member — the
+    // graph-aware alternative to q80's scalar best-of-cluster.
+    "q145_centrality_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val verified = Dedup.jaccardVerify(
+          Dedup.minHashCandidates(docs), docs,
+          shingleLen = Dedup.ShingleLen)
+        .filter(col("jaccard") >= 0.8)
+      graft.ops.Components.centralitySurvivors(verified,
+        srcCol = "id_a", dstCol = "id_b")
+    }),
     "q114_dedup_lineage" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
       val verified = Dedup.jaccardVerify(
@@ -1496,6 +1509,7 @@ object SparkEntry {
     "q142_token_concentration" -> Oracle.tokenConcentration,
     "q143_ngram_diversity"  -> Oracle.ngramDiversity,
     "q144_curriculum_order" -> Oracle.curriculumOrder,
+    "q145_centrality_dedup" -> Oracle.centralityDedup,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -3229,6 +3229,57 @@ SELECT t.doc_id,
 FROM t LEFT JOIN cc ON cc.id = t.doc_id
 ORDER BY t.doc_id"""
 
+  /** q145 oracle: centrality dedup replayed — the q114 brute-force
+    * near-dup edges, THREE integer-PageRank rounds unrolled as CTEs
+    * (pr//deg shares, (Σ·85)//100 + 0.15·10⁹ update — every divide
+    * an integer `//`, so the fixed-point scores are engine-exact),
+    * the recursive-closure components, and the (pr desc, id)
+    * survivor window. */
+  val centralityDedup: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""r$i AS (
+  SELECT sym.dst AS id,
+         (CAST(sum(r${i - 1}.pr // deg.deg) AS BIGINT) * 85) // 100
+           + 150000000 AS pr
+  FROM sym JOIN r${i - 1} ON r${i - 1}.id = sym.src
+       JOIN deg ON deg.src = sym.src
+  GROUP BY sym.dst)"""
+    }.mkString(",\n")
+    s"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id < 1000),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+r0 AS (
+  SELECT DISTINCT src AS id, CAST(1000000000 AS BIGINT) AS pr FROM sym),
+$rounds,
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT r3.id, cc.component, CAST(r3.pr AS BIGINT) AS pr_scaled,
+       (row_number() OVER (PARTITION BY cc.component
+                           ORDER BY r3.pr DESC, r3.id)) = 1 AS survivor
+FROM r3 JOIN cc ON cc.id = r3.id
+ORDER BY r3.id"""
+  }
+
   /** q115 oracle: the corpus version diff replayed — identical
     * normalized-key arithmetic (q108 chain + md5), the same
     * edit/add/remove salt, FULL OUTER JOIN CDC classification. */
