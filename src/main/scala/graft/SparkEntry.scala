@@ -1040,6 +1040,37 @@ object SparkEntry {
     // PageRank (3 rounds, all-`div` arithmetic) over the verified
     // near-dup graph; per cluster keep the most-central member — the
     // graph-aware alternative to q80's scalar best-of-cluster.
+    // Classifier calibration: reliability bins + per-bin ECE terms
+    // for the q89 quality classifier against the q79 rule battery —
+    // "when the filter says 0.8, is it right 80% of the time?"
+    "q147_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Eval.calibrationReport(
+        TextOps.qualityClassifier(docs), TextOps.gopherRules(docs))
+    }),
+    // Table profiler: per-column completeness/cardinality/range over
+    // events — one scan, exact distincts (HLL++ twin documented in
+    // ops.Stats for the first-pass-over-unknown-data shape).
+    "q148_profile_table" -> ((s, dir) => {
+      import graft.ops.Stats
+      graft.ops.Stats.profileColumns(Tables.events(s, dir), Seq(
+        "event_id" -> Stats.asString,
+        "ts" -> ((c: org.apache.spark.sql.Column) =>
+          Stats.tsMicros(c.cast("timestamp"))),
+        "user_id" -> Stats.asString,
+        "event_type" -> Stats.asString,
+        "value" -> Stats.money2,
+        "props" -> Stats.asString))
+    }),
+    // Fuzzy entity resolution: the structured-data twin of document
+    // near-dup — token blocking, levenshtein verify, CC clustering,
+    // min-rid golden record over a deterministic dirty registry
+    // (catalog + one-char-deleted feed twin per part).
+    "q146_entity_resolve" -> ((s, dir) => {
+      graft.ops.Entity.entityResolve(
+          graft.ops.Entity.dirtyRegistry(Tables.part(s, dir)))
+        .orderBy("rid")
+    }),
     "q145_centrality_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
       val verified = Dedup.jaccardVerify(
@@ -1510,6 +1541,9 @@ object SparkEntry {
     "q143_ngram_diversity"  -> Oracle.ngramDiversity,
     "q144_curriculum_order" -> Oracle.curriculumOrder,
     "q145_centrality_dedup" -> Oracle.centralityDedup,
+    "q146_entity_resolve"   -> Oracle.entityResolve,
+    "q147_calibration"      -> Oracle.calibration,
+    "q148_profile_table"    -> Oracle.profileTable,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -3229,6 +3229,145 @@ SELECT t.doc_id,
 FROM t LEFT JOIN cc ON cc.id = t.doc_id
 ORDER BY t.doc_id"""
 
+  /** q147 oracle: calibration report replayed — the q89 score tree
+    * and q79 rule battery verbatim, the same floor-quantized
+    * fixed-point prediction sums (integer aggregates only), and the
+    * identical frac/mean/gap/ece expression trees. */
+  val calibration: String = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) AS word_chars
+  FROM t),
+s AS (
+  SELECT doc_id,
+         -3.5 + 8.0 * (n_stop / n_tok) - 0.25 * (word_chars / n_tok)
+           + 2.0 * (n_dist / n_tok) + 0.5 * (n_tok / 100.0) AS clf_score
+  FROM f),
+p AS (
+  SELECT doc_id,
+         (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5 AS p
+  FROM s),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks)
+           AS mean_word_len,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS BIGINT)
+           AS n_stopwords,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           AS distinct_ratio
+  FROM t),
+y AS (
+  SELECT doc_id,
+         ((n_tokens >= 20 AND n_tokens <= 90)
+          AND (mean_word_len >= 4.0 AND mean_word_len <= 10.0)
+          AND (n_stopwords >= 2) AND (distinct_ratio >= 0.35)) AS y
+  FROM m),
+j AS (
+  SELECT least(CAST(floor(p.p * 10.0) AS BIGINT), 9) AS bin, y.y,
+         CAST(floor(p.p * 1000000000.0) AS BIGINT) AS pq
+  FROM p JOIN y ON y.doc_id = p.doc_id),
+a AS (
+  SELECT CAST(bin AS INT) AS bin, count(*) AS n,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(pq) AS BIGINT) AS pq_sum
+  FROM j GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM a)
+SELECT a.bin, CAST(a.n AS BIGINT) AS n, a.n_pos,
+       CAST(a.n_pos AS DOUBLE) / CAST(a.n AS DOUBLE) AS frac_pos,
+       (CAST(a.pq_sum AS DOUBLE) / CAST(a.n AS DOUBLE)) / 1.0e9
+         AS mean_pred,
+       abs((CAST(a.pq_sum AS DOUBLE) / CAST(a.n AS DOUBLE)) / 1.0e9
+           - CAST(a.n_pos AS DOUBLE) / CAST(a.n AS DOUBLE)) AS gap,
+       abs((CAST(a.pq_sum AS DOUBLE) / CAST(a.n AS DOUBLE)) / 1.0e9
+           - CAST(a.n_pos AS DOUBLE) / CAST(a.n AS DOUBLE))
+         * (CAST(a.n AS DOUBLE) / CAST(tot.n_total AS DOUBLE)) AS ece_term
+FROM a, tot ORDER BY a.bin"""
+
+  /** q148 oracle: the per-column profile replayed — one UNION ALL arm
+    * per column with identical render expressions (money floor for
+    * doubles, explicit micros strftime for the timestamp, plain
+    * VARCHAR casts elsewhere). */
+  val profileTable: String = {
+    def arm(colName: String, render: String => String): String =
+      s"""SELECT '$colName' AS "column", count(*) AS n_rows,
+       count(*) - count($colName) AS n_nulls,
+       count(DISTINCT $colName) AS n_distinct,
+       ${render(s"min($colName)")} AS min_value,
+       ${render(s"max($colName)")} AS max_value
+FROM events"""
+    val str = (e: String) => s"CAST($e AS VARCHAR)"
+    val money = (e: String) =>
+      s"CAST(CAST(floor($e * 100.0 + 0.5) / 100.0 AS DECIMAL(18,2)) AS VARCHAR)"
+    val ts = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S.%f')"
+    Seq(
+      arm("event_id", str), arm("ts", ts), arm("user_id", str),
+      arm("event_type", str), arm("value", money), arm("props", str))
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
+  /** q146 oracle: fuzzy entity resolution replayed — the same
+    * deterministic dirty registry (catalog + one-char-deleted feed
+    * twin, deletion position key-derived), distinct-token blocking
+    * join, levenshtein ≤ 1 verify, recursive-closure components,
+    * min-rid golden record. Components are name-group-sized
+    * (bounded), so the closure stays linear in nodes. */
+  val entityResolve: String = """
+WITH RECURSIVE reg AS (
+  SELECT CAST(p_partkey AS BIGINT) AS rid, p_name AS name,
+         'catalog' AS src FROM part
+  UNION ALL
+  SELECT CAST(p_partkey + 1000000 AS BIGINT),
+         substr(p_name, 1, pos - 1) || substr(p_name, pos + 1),
+         'feed'
+  FROM (SELECT p_partkey, p_name,
+               CASE WHEN substr(p_name, p0, 1) = ' '
+                    THEN p0 + 1 ELSE p0 END AS pos
+        FROM (SELECT p_partkey, p_name,
+                     CAST(p_partkey % (length(p_name) - 1) + 2 AS INT) AS p0
+              FROM part))),
+tok AS (
+  SELECT rid, name, t AS tok
+  FROM (SELECT rid, name,
+               unnest(list_distinct(string_split(name, ' '))) AS t
+        FROM reg)
+  WHERE t <> ''),
+cand AS (
+  SELECT DISTINCT a.rid AS src, a.name AS na, b.rid AS dst, b.name AS nb
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.rid < b.rid),
+v AS (SELECT src, dst FROM cand WHERE levenshtein(na, nb) <= 1),
+sym AS (SELECT src, dst FROM v UNION SELECT dst, src FROM v),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+lab AS (
+  SELECT reg.rid, reg.name, reg.src,
+         coalesce(cc.component, reg.rid) AS entity_id
+  FROM reg LEFT JOIN cc ON cc.id = reg.rid),
+canon AS (
+  SELECT entity_id, name AS canonical_name FROM lab WHERE rid = entity_id),
+sizes AS (
+  SELECT entity_id, count(*) AS n_members FROM lab GROUP BY entity_id)
+SELECT lab.rid, lab.name, lab.src, lab.entity_id,
+       canon.canonical_name, CAST(sizes.n_members AS BIGINT) AS n_members
+FROM lab
+JOIN canon ON canon.entity_id = lab.entity_id
+JOIN sizes ON sizes.entity_id = lab.entity_id
+ORDER BY lab.rid"""
+
   /** q145 oracle: centrality dedup replayed — the q114 brute-force
     * near-dup edges, THREE integer-PageRank rounds unrolled as CTEs
     * (pr//deg shares, (Σ·85)//100 + 0.15·10⁹ update — every divide

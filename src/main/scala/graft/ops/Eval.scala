@@ -134,4 +134,56 @@ object Eval {
         col("hits").cast("double") / col("possible").cast("double"))
       .orderBy("dim")
   }
+
+  /** Calibration (reliability) report for a probabilistic quality
+    * classifier: bin predictions by predicted probability, compare
+    * each bin's mean prediction to the observed positive rate, and
+    * emit the per-bin ECE contribution (Σ ece_term = expected
+    * calibration error). The thing a team asks before trusting a
+    * model-scored corpus filter: "when it says 0.8, is it right 80%
+    * of the time?" — ground truth here is any boolean column (the
+    * rule-battery verdict in q147's case, human labels in
+    * production).
+    *
+    * Determinism: a mean of doubles is partition-order-dependent, so
+    * the per-bin mean prediction sums FLOOR-QUANTIZED longs
+    * (floor(p·10⁹), the fixed-point discipline from the PCA moments)
+    * and divides once — every aggregate is an integer sum, every
+    * double is produced by a fixed expression tree shared with the
+    * oracle SQL.
+    *
+    * 100 TB shape: one (bin, y, p_quantized) projection, one ≤`bins`-
+    * row aggregate with map-side partials, a broadcast 1-row total —
+    * nothing heavier than the scoring scan itself ever moves.
+    */
+  def calibrationReport(pred: DataFrame, truth: DataFrame,
+                        bins: Int = 10, idCol: String = "doc_id",
+                        probCol: String = "clf_prob",
+                        labelCol: String = "passes"): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val joined = pred.select(col(idCol), col(probCol).as("p"))
+      .join(truth.select(col(idCol), col(labelCol).cast("boolean").as("y")),
+        idCol)
+    val agg = joined
+      .select(
+        least(floor(col("p") * lit(bins.toDouble)), lit(bins - 1L))
+          .cast("int").as("bin"),
+        col("y"),
+        floor(col("p") * lit(1.0e9)).cast("long").as("pq"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("pq")).as("pq_sum"))
+    val total = agg.agg(sum(col("n")).as("n_total"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("frac_pos",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("mean_pred",
+        (col("pq_sum").cast("double") / col("n").cast("double")) / lit(1.0e9))
+      .withColumn("gap", abs(col("mean_pred") - col("frac_pos")))
+      .withColumn("ece_term",
+        col("gap") * (col("n").cast("double") / col("n_total").cast("double")))
+      .select("bin", "n", "n_pos", "frac_pos", "mean_pred", "gap", "ece_term")
+      .orderBy("bin")
+  }
 }

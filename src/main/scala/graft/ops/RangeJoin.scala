@@ -62,7 +62,12 @@ object RangeJoin {
     // order-preserving injection of the quotient is a valid join key,
     // so the division itself is never needed.
     def binOfMicros(us: Column): Column = us - pmod(us, lit(binMicros))
-    def binOf(t: Column): Column = binOfMicros(unix_micros(t))
+    // cast("timestamp") first: parquet written without the UTC flag
+    // reads as TIMESTAMP_NTZ, which unix_micros rejects; under the
+    // session's UTC zone the cast is value-exact and a no-op for
+    // already-zoned timestamps
+    def binOf(t: Column): Column =
+      binOfMicros(unix_micros(t.cast("timestamp")))
 
     val p = points.withColumn("__bin", binOf(col(pointTs)))
     // end is exclusive: the last covered bin is bin(end − 1µs),
@@ -75,7 +80,7 @@ object RangeJoin {
       .filter(col(endCol) > col(startCol))
       .withColumn("__bin",
         explode(sequence(binOf(col(startCol)),
-          binOfMicros(unix_micros(col(endCol)) - lit(1L)),
+          binOfMicros(unix_micros(col(endCol).cast("timestamp")) - lit(1L)),
           lit(binMicros))))
 
     p.join(i, Seq("__bin"))

@@ -18,7 +18,8 @@ object Sessions {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1)
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > gapMicros, 1)
           .otherwise(0))
     flagged
       .withColumn("session_id",

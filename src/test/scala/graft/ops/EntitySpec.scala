@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+class EntitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("dirtyRegistry: every feed twin is exactly one deletion from its catalog row") {
+    val part = Tables.part(spark, sfDir)
+    val reg = Entity.dirtyRegistry(part)
+    val paired = reg.filter($"src" === "catalog").as("c")
+      .join(reg.filter($"src" === "feed").as("f"),
+        col("c.rid") === col("f.rid") - 1000000L)
+      .select(col("c.name").as("cn"), col("f.name").as("fn"))
+    assert(paired.count() === part.count())
+    // one char shorter, levenshtein exactly 1, first char preserved
+    assert(paired.filter(length($"fn") =!= length($"cn") - 1).count() === 0)
+    assert(paired.filter(levenshtein($"cn", $"fn") =!= 1).count() === 0)
+    assert(paired.filter(substring($"cn", 1, 1) =!= substring($"fn", 1, 1))
+      .count() === 0)
+  }
+
+  test("every feed row resolves into the same entity as its catalog source") {
+    val reg = Entity.dirtyRegistry(Tables.part(spark, sfDir))
+    val resolved = Entity.entityResolve(reg)
+    val split = resolved.filter($"src" === "catalog")
+      .select($"rid", $"entity_id".as("ce")).as("c")
+      .join(resolved.filter($"src" === "feed")
+        .select(($"rid" - 1000000L).as("rid"), $"entity_id".as("fe")).as("f"),
+        "rid")
+    assert(split.count() > 0)
+    assert(split.filter($"ce" =!= $"fe").count() === 0)
+  }
+
+  test("exact-duplicate names share an entity; canonical is the min-rid member's name") {
+    val reg = Entity.dirtyRegistry(Tables.part(spark, sfDir))
+    val resolved = Entity.entityResolve(reg).cache()
+    // identical catalog names never land in different entities
+    val perName = resolved.filter($"src" === "catalog")
+      .groupBy("name").agg(countDistinct("entity_id").as("n"))
+    assert(perName.filter($"n" > 1).count() === 0)
+    // canonical_name is the name of the entity_id row itself
+    val canonOk = resolved.filter($"rid" === $"entity_id")
+      .filter($"name" =!= $"canonical_name")
+    assert(canonOk.count() === 0)
+    resolved.unpersist()
+  }
+
+  test("singletons resolve to themselves with n_members = 1") {
+    val reg = Seq(
+      (1L, "alpha beam", "a"), (2L, "alpha beams", "a"),
+      (3L, "zz qq", "a")).toDF("rid", "name", "src")
+    val r = Entity.entityResolve(reg).collect()
+      .map(x => x.getLong(0) -> (x.getLong(3), x.getLong(5))).toMap
+    assert(r(1L) === (1L, 2L)) // "alpha beam" ~1~ "alpha beams"
+    assert(r(2L) === (1L, 2L))
+    assert(r(3L) === (3L, 1L)) // no shared token with anything
+  }
+
+  test("blockDfCap drops stop-token-only pairs but keeps pairs sharing a rare token") {
+    // "the" is shared by everything (df 4 > cap); each true pair also
+    // shares an intact rare token (df 2 ≤ cap) and survives the cap
+    val reg = Seq(
+      (1L, "the kelvix aa", "a"), (2L, "the kelvix ab", "a"),
+      (3L, "the zorblat pp", "a"), (4L, "the zorblat pq", "a"))
+      .toDF("rid", "name", "src")
+    val capped = Entity.entityResolve(reg, maxEdit = 1, blockDfCap = 2)
+      .select("rid", "entity_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(capped(2L) === 1L)
+    assert(capped(4L) === 3L)
+    assert(capped(1L) === 1L && capped(3L) === 3L)
+
+    // when the ONLY shared token is the stop token, the capped path
+    // misses the pair (the documented recall trade) while the
+    // uncapped default still links it
+    val only = Seq((1L, "the kelvix", "a"), (2L, "the kelvi", "a"))
+      .toDF("rid", "name", "src")
+    val missed = Entity.entityResolve(only, maxEdit = 2, blockDfCap = 1)
+      .select("rid", "entity_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(missed(1L) === 1L && missed(2L) === 2L)
+    val linked = Entity.entityResolve(only, maxEdit = 2)
+      .select("rid", "entity_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(linked(1L) === 1L && linked(2L) === 1L)
+  }
+
+  test("maxEdit = 0 links only exact-equal names") {
+    val reg = Seq(
+      (1L, "hot gear", "a"), (2L, "hot gear", "a"), (3L, "hot gea", "a"))
+      .toDF("rid", "name", "src")
+    val r = Entity.entityResolve(reg, maxEdit = 0)
+      .select("rid", "entity_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) === 1L && r(2L) === 1L && r(3L) === 3L)
+  }
+}

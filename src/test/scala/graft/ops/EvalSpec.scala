@@ -93,4 +93,48 @@ class EvalSpec extends SparkSpec {
       .toMap
     assert(again(1) == r1 && again(4) == 1.0)
   }
+
+  test("calibrationReport: perfectly calibrated bins have gap 0; Σ ece_term = ECE") {
+    import spark.implicits._
+    // bin 2 (p=0.25): 1 of 4 positive, mean_pred 0.25 → gap 0
+    // bin 7 (p=0.75): 3 of 4 positive, mean_pred 0.75 → gap 0
+    val pred = (0 until 8).map(i =>
+      (i.toLong, if (i < 4) 0.25 else 0.75)).toDF("doc_id", "clf_prob")
+    val truth = (0 until 8).map(i =>
+      (i.toLong, i == 0 || i > 4)).toDF("doc_id", "passes")
+    val out = Eval.calibrationReport(pred, truth)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet === Set(2, 7))
+    assert(out(2).getAs[Long]("n") === 4)
+    assert(out(2).getAs[Double]("frac_pos") === 0.25)
+    assert(out(2).getAs[Double]("mean_pred") === 0.25)
+    assert(out(2).getAs[Double]("gap") === 0.0)
+    assert(out(7).getAs[Double]("gap") === 0.0)
+    assert(out.values.map(_.getAs[Double]("ece_term")).sum === 0.0)
+  }
+
+  test("calibrationReport: miscalibrated bin reports its gap, weighted by mass") {
+    import spark.implicits._
+    // all predictions 0.95 but only half positive → gap ≈ 0.45
+    val pred = (0 until 10).map(i => (i.toLong, 0.95))
+      .toDF("doc_id", "clf_prob")
+    val truth = (0 until 10).map(i => (i.toLong, i % 2 == 0))
+      .toDF("doc_id", "passes")
+    val out = Eval.calibrationReport(pred, truth).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getInt(0) === 9)
+    assert(math.abs(r.getAs[Double]("gap") - 0.45) < 1e-9)
+    // single bin holds all mass → ece_term == gap
+    assert(r.getAs[Double]("ece_term") === r.getAs[Double]("gap"))
+  }
+
+  test("calibrationReport: p = 1.0 clamps into the top bin") {
+    import spark.implicits._
+    val pred = Seq((1L, 1.0), (2L, 0.0)).toDF("doc_id", "clf_prob")
+    val truth = Seq((1L, true), (2L, false)).toDF("doc_id", "passes")
+    val bins = Eval.calibrationReport(pred, truth)
+      .collect().map(_.getInt(0)).toSet
+    assert(bins === Set(0, 9))
+  }
 }
