@@ -1040,6 +1040,15 @@ object SparkEntry {
     // PageRank (3 rounds, all-`div` arithmetic) over the verified
     // near-dup graph; per cluster keep the most-central member — the
     // graph-aware alternative to q80's scalar best-of-cluster.
+    // Padding-waste report for length-bucketed batching: what the
+    // bucket layout costs in padded FLOPs before you train with it.
+    "q149_length_buckets" -> ((s, dir) =>
+      TextOps.lengthBuckets(Tables.documents(s, dir))),
+    // Count-min sketch heavy-hitter audit: exact top-20 tokens with
+    // their CMS estimates — the measured one-sided error of the
+    // 1 KiB sketch that replaces a vocabulary-sized exact table.
+    "q150_cms_hitters" -> ((s, dir) =>
+      graft.ops.Sketch.cmsHeavyHitters(Tables.documents(s, dir), k = 20)),
     // Classifier calibration: reliability bins + per-bin ECE terms
     // for the q89 quality classifier against the q79 rule battery —
     // "when the filter says 0.8, is it right 80% of the time?"
@@ -1544,6 +1553,8 @@ object SparkEntry {
     "q146_entity_resolve"   -> Oracle.entityResolve,
     "q147_calibration"      -> Oracle.calibration,
     "q148_profile_table"    -> Oracle.profileTable,
+    "q149_length_buckets"   -> Oracle.lengthBuckets,
+    "q150_cms_hitters"      -> Oracle.cmsHitters,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -3229,6 +3229,68 @@ SELECT t.doc_id,
 FROM t LEFT JOIN cc ON cc.id = t.doc_id
 ORDER BY t.doc_id"""
 
+  /** q149 oracle: the padding-waste report replayed — the identical
+    * CASE-chain bucket assignment, least/greatest token masses, and
+    * the 1.0 − real/padded waste tree. */
+  val lengthBuckets: String = """
+WITH t AS (
+  SELECT len(string_split_regex(trim(text), ' +')) AS len
+  FROM documents),
+b AS (
+  SELECT CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+              WHEN len <= 64 THEN 64 ELSE 128 END AS bucket, len
+  FROM t)
+SELECT CAST(bucket AS INT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(least(len, bucket)) AS BIGINT) AS real_tokens,
+       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+       CAST(sum(greatest(len - 128, 0)) AS BIGINT) AS tokens_truncated,
+       1.0 - CAST(sum(least(len, bucket)) AS DOUBLE)
+             / CAST(count(*) * bucket AS DOUBLE) AS waste
+FROM b GROUP BY bucket ORDER BY bucket"""
+
+  /** q150 oracle: the CMS audit replayed end to end — the sketch
+    * itself is deterministic (row-j bucket = Horner 2-hex-digit
+    * md5("j:token") mod 256), so DuckDB rebuilds the identical d×w
+    * cell table, probes the same cells, and takes the same min. */
+  val cmsHitters: String = {
+    def bucket(j: Int, tok: String): String =
+      s"""((strpos('0123456789abcdef', substr(md5('$j:' || $tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5('$j:' || $tok), 2, 1)) - 1)) % 256"""
+    val rows = (0 until 4)
+    val cellArms = rows.map(j =>
+      s"SELECT $j AS row, ${bucket(j, "tok")} AS bucket FROM toks")
+      .mkString("\n  UNION ALL\n  ")
+    val probeArms = rows.map(j =>
+      s"SELECT tok, exact, $j AS row, ${bucket(j, "tok")} AS bucket FROM top")
+      .mkString("\n  UNION ALL\n  ")
+    s"""
+WITH toks AS (
+  SELECT t AS tok
+  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS t
+        FROM documents)
+  WHERE t <> ''),
+cms AS (
+  SELECT row, bucket, count(*) AS cnt
+  FROM ($cellArms)
+  GROUP BY row, bucket),
+top AS (
+  SELECT tok, count(*) AS exact FROM toks
+  GROUP BY tok ORDER BY exact DESC, tok LIMIT 20),
+probes AS (
+  $probeArms),
+est AS (
+  SELECT probes.tok, probes.exact, min(cms.cnt) AS cms_estimate
+  FROM probes JOIN cms ON cms.row = probes.row
+                      AND cms.bucket = probes.bucket
+  GROUP BY probes.tok, probes.exact)
+SELECT CAST(row_number() OVER (ORDER BY exact DESC, tok) AS INT) AS rank,
+       tok, CAST(exact AS BIGINT) AS exact,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate AS DOUBLE) / CAST(exact AS DOUBLE) AS inflation
+FROM est ORDER BY rank"""
+  }
+
   /** q147 oracle: calibration report replayed — the q89 score tree
     * and q79 rule battery verbatim, the same floor-quantized
     * fixed-point prediction sums (integer aggregates only), and the

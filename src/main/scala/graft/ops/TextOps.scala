@@ -2209,4 +2209,47 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
       .orderBy("id_a", "id_b")
   }
+
+  /** Padding-waste report for length-bucketed batching: assign each
+    * doc's token count to the smallest power-of-two bucket that holds
+    * it and report, per bucket, the document count, real token mass,
+    * padded token mass (n_docs × bucket cap), the waste fraction the
+    * padding burns, and the token mass truncation drops from docs
+    * past the top cap.
+    *
+    * [[packSequences]] answers "concatenate into fixed blocks";
+    * this answers the OTHER standard batching scheme — pad within a
+    * bucket — and tells you what the bucket layout costs before you
+    * train with it (padding waste is pure wasted FLOPs).
+    *
+    * The bucket assignment is a driver-unrolled CASE chain over the
+    * caps (no log2 at query time — transcendental-free, the house
+    * rule), so the whole report is one narrow scan + a ≤ |caps|-row
+    * aggregate; nothing but (bucket, len) pairs reach the exchange,
+    * map-side combined.
+    */
+  def lengthBuckets(docs: DataFrame, caps: Seq[Int] = Seq(16, 32, 64, 128),
+                    textCol: String = "text"): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps,
+      "caps must be sorted distinct")
+    val len = size(tokens(col(textCol)))
+    val maxCap = caps.last
+    val bucket = caps.init.foldRight(lit(maxCap): Column) {
+      case (cap, rest) => when(len <= cap, cap).otherwise(rest)
+    }
+    docs.select(bucket.cast("int").as("bucket"), len.as("len"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("len"), col("bucket")).cast("long")).as("real_tokens"),
+        sum(greatest(col("len") - lit(maxCap), lit(0)).cast("long"))
+          .as("tokens_truncated"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket"))
+      .withColumn("waste",
+        lit(1.0) - col("real_tokens").cast("double")
+          / col("padded_tokens").cast("double"))
+      .select("bucket", "n_docs", "real_tokens", "padded_tokens",
+        "tokens_truncated", "waste")
+      .orderBy("bucket")
+  }
 }
