@@ -3398,15 +3398,24 @@ WITH RECURSIVE reg AS (
         FROM (SELECT p_partkey, p_name,
                      CAST(p_partkey % (length(p_name) - 1) + 2 AS INT) AS p0
               FROM part))),
+names AS (
+  -- duplication collapse: the graph is over DISTINCT names, node id
+  -- = min rid bearing the name (so a component min IS the entity's
+  -- global min rid) — mirrors the Spark side exactly
+  SELECT name, min(rid) AS nid, count(*) AS cnt FROM reg GROUP BY name),
 tok AS (
-  SELECT rid, name, t AS tok
-  FROM (SELECT rid, name,
-               unnest(list_distinct(string_split(name, ' '))) AS t
-        FROM reg)
-  WHERE t <> ''),
+  -- deletion-key blocking (maxEdit=1 path): key_i = name minus
+  -- token i — the same drop-one-token keys the Spark side emits
+  SELECT DISTINCT nid, name,
+         array_to_string(
+           list_concat(ts[1:i - 1], ts[i + 1:len(ts)]), ' ') AS tok
+  FROM (SELECT nid, name, string_split(name, ' ') AS ts,
+               CAST(unnest(range(1, len(string_split(name, ' ')) + 1))
+                    AS INT) AS i
+        FROM names)),
 cand AS (
-  SELECT DISTINCT a.rid AS src, a.name AS na, b.rid AS dst, b.name AS nb
-  FROM tok a JOIN tok b ON a.tok = b.tok AND a.rid < b.rid),
+  SELECT DISTINCT a.nid AS src, a.name AS na, b.nid AS dst, b.name AS nb
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.nid < b.nid),
 v AS (SELECT src, dst FROM cand WHERE levenshtein(na, nb) <= 1),
 sym AS (SELECT src, dst FROM v UNION SELECT dst, src FROM v),
 nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -3415,20 +3424,21 @@ reach(id, r) AS (
   UNION
   SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
 cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-lab AS (
-  SELECT reg.rid, reg.name, reg.src,
-         coalesce(cc.component, reg.rid) AS entity_id
-  FROM reg LEFT JOIN cc ON cc.id = reg.rid),
+ncomp AS (
+  SELECT names.name, names.nid, names.cnt,
+         coalesce(cc.component, names.nid) AS entity_id
+  FROM names LEFT JOIN cc ON cc.id = names.nid),
 canon AS (
-  SELECT entity_id, name AS canonical_name FROM lab WHERE rid = entity_id),
+  SELECT entity_id, name AS canonical_name FROM ncomp WHERE nid = entity_id),
 sizes AS (
-  SELECT entity_id, count(*) AS n_members FROM lab GROUP BY entity_id)
-SELECT lab.rid, lab.name, lab.src, lab.entity_id,
+  SELECT entity_id, sum(cnt) AS n_members FROM ncomp GROUP BY entity_id)
+SELECT reg.rid, reg.name, reg.src, ncomp.entity_id,
        canon.canonical_name, CAST(sizes.n_members AS BIGINT) AS n_members
-FROM lab
-JOIN canon ON canon.entity_id = lab.entity_id
-JOIN sizes ON sizes.entity_id = lab.entity_id
-ORDER BY lab.rid"""
+FROM reg
+JOIN ncomp ON ncomp.name = reg.name
+JOIN canon ON canon.entity_id = ncomp.entity_id
+JOIN sizes ON sizes.entity_id = ncomp.entity_id
+ORDER BY reg.rid"""
 
   /** q145 oracle: centrality dedup replayed — the q114 brute-force
     * near-dup edges, THREE integer-PageRank rounds unrolled as CTEs

@@ -12,10 +12,18 @@ import org.apache.spark.sql.functions._
   * right similarity for short dirty identifiers is edit distance,
   * and the classic pipeline is Fellegi-Sunter-shaped:
   *
-  *   1. BLOCK: a candidate pair must share ≥ 1 whole token. Blocking
-  *      is what makes ER subquadratic — the shuffle moves
-  *      (token, rid) rows only, never names², and pairs are generated
-  *      per token bucket exactly like the LSH band join in
+  *   1. BLOCK: for `maxEdit <= 1` (the default), a candidate pair
+  *      must share a DELETION KEY — the name with one token removed.
+  *      A single-character edit is confined to one token (an edited
+  *      space changes the token count and is unreachable by ANY
+  *      token-structured blocking, including share-a-token), so two
+  *      names within edit distance 1 and equal token count agree on
+  *      the key that drops the edited token — the cover is exact,
+  *      and each key is nearly unique: block sizes stay O(1) even
+  *      when every token is corpus-common. For `maxEdit >= 2` the
+  *      classic share-a-token blocking applies instead. Either way
+  *      the shuffle moves (key, rid) rows only, never names², pairs
+  *      generated per bucket exactly like the LSH band join in
   *      [[Dedup.minHashCandidates]].
   *   2. VERIFY: `levenshtein(name_a, name_b) <= maxEdit` — pair-local,
   *      codegen'd, no state.
@@ -27,15 +35,21 @@ import org.apache.spark.sql.functions._
   *   4. SURVIVE: the golden record is the minimum-rid member; every
   *      input row gets (entity_id, canonical_name, n_members).
   *
-  * Skew: token blocking inherits Zipf skew — a stop-token shared by
-  * half the registry generates O(block²) candidate pairs. `blockDfCap`
-  * drops blocking tokens whose distinct-record df exceeds the cap
-  * (the standard common-token exclusion, same discipline as the
-  * LSH maxBucket star-cap in [[Dedup]]) — a pair sharing ONLY a
-  * stop-token is overwhelmingly a non-match, and any pair that also
-  * shares a sub-cap token is still generated. The cap is a recall
-  * trade: callers who need the lossless answer leave it at the
-  * default (MaxValue) and pay the quadratic block.
+  * Skew: share-a-token blocking inherits Zipf skew — a stop-token
+  * shared by half the registry generates O(block²) candidate pairs
+  * (on a 92-word catalog vocabulary EVERY token is a stop-token, and
+  * the block join degenerates to ~n²/|vocab| pairs — measured 137 s
+  * at sf0.1 before the deletion-key blocker replaced it for the
+  * maxEdit=1 path). `blockDfCap` tames the maxEdit>=2 path the same
+  * way the LSH maxBucket star-cap does in [[Dedup]]: tokens whose
+  * distinct-record df exceeds the cap stop blocking (a pair sharing
+  * ONLY a stop-token is overwhelmingly a non-match, and any pair
+  * that also shares a sub-cap token is still generated). The cap is
+  * a recall trade: callers who need the lossless answer leave it at
+  * the default (MaxValue) and pay the quadratic block. Deletion keys
+  * need no cap — a key is a near-full name, selective by
+  * construction; literal duplicate NAMES cost nothing because the
+  * whole pipeline runs over distinct names (see [[entityResolve]]).
   *
   * Precision note: maxEdit is the precision/recall knob — real
   * registries contain DISTINCT entities within small edit distance
@@ -84,55 +98,94 @@ object Entity {
     * every input row with its entity: (rid, name, src, entity_id,
     * canonical_name, n_members), entity_id = min rid of the
     * component, canonical_name = that record's name, singletons kept
-    * as their own entity. */
+    * as their own entity. Records with EQUAL names are always one
+    * entity (lev = 0 <= any maxEdit).
+    *
+    * DUPLICATION-COLLAPSED: all pairwise work runs over DISTINCT
+    * names, never records. Real registries are heavy-tailed — the
+    * same vendor string repeated 10⁶ times — so record-level pair
+    * generation is intrinsically quadratic IN THE DATA (every
+    * equal-name pair is a verified lev-0 edge; measured here: 11.5 M
+    * edges and 203 s for 40 k records with 64 distinct catalog
+    * names at sf0.1, any blocking scheme). Collapsing first makes
+    * the graph u = |distinct names| nodes (~600 here, 0.9 s): one
+    * map-side-combinable groupBy(name), the name-graph resolution,
+    * then a single hash join of the records against the tiny
+    * name→entity map. Record-level and name-level components agree
+    * because equal-name records are connected through their shared
+    * name node. */
   def entityResolve(registry: DataFrame, maxEdit: Int = 1,
                     blockDfCap: Int = Int.MaxValue): DataFrame = {
     require(maxEdit >= 0, "maxEdit must be non-negative")
     require(blockDfCap > 0, "blockDfCap must be positive")
 
-    // (token, rid, name): one row per DISTINCT token per record —
-    // names stay with their rid (short identifiers, not documents),
-    // so verify needs no join back to the registry
-    val toks = registry
-      .select(col("rid"), col("name"),
-        explode(array_distinct(split(col("name"), " "))).as("tok"))
-      .filter(col("tok") =!= "")
+    // distinct names, each carrying its min rid (the node id — the
+    // component minimum over node ids is then the entity's global
+    // min rid) and its record count
+    val names = registry.groupBy("name")
+      .agg(min(col("rid")).as("nid"), count(lit(1)).as("cnt"))
 
-    // common-token exclusion: df = distinct records per token
+    // (key, nid, name): blocking-key rows per DISTINCT name
     val blocked =
-      if (blockDfCap == Int.MaxValue) toks
-      else {
-        val df = toks.groupBy("tok")
-          .agg(count(lit(1)).as("df")) // toks is distinct per (rid, tok)
-          .filter(col("df") <= blockDfCap)
-          .select("tok")
-        toks.join(broadcast(df), "tok")
+      if (maxEdit <= 1) {
+        // deletion-key blocking: key_i = name with token i removed.
+        // Exact cover for lev<=1 (see scaladoc), and selective even
+        // on stop-token vocabularies. The trailing distinct: a name
+        // with a repeated token yields the same key twice.
+        val toks = names.select(col("nid"), col("name"),
+          split(col("name"), " ").as("ts"))
+        toks.select(col("nid"), col("name"),
+            explode(sequence(lit(0), size(col("ts")) - 1)).as("i"),
+            col("ts"))
+          .select(col("nid"), col("name"),
+            array_join(concat(
+              slice(col("ts"), lit(1), col("i")),
+              slice(col("ts"), col("i") + 2,
+                greatest(size(col("ts")) - col("i") - 1, lit(0)))),
+              " ").as("tok"))
+          .distinct()
+      } else {
+        val toks = names
+          .select(col("nid"), col("name"),
+            explode(array_distinct(split(col("name"), " "))).as("tok"))
+          .filter(col("tok") =!= "")
+        // common-token exclusion: df = distinct names per token
+        if (blockDfCap == Int.MaxValue) toks
+        else {
+          val df = toks.groupBy("tok")
+            .agg(count(lit(1)).as("df")) // toks is distinct per (nid, tok)
+            .filter(col("df") <= blockDfCap)
+            .select("tok")
+          toks.join(broadcast(df), "tok")
+        }
       }
 
-    // candidate pairs per token bucket, dedup'd across buckets, then
-    // the pair-local edit-distance verify
+    // candidate name pairs per key bucket, dedup'd across buckets,
+    // then the pair-local edit-distance verify
     val edges = blocked.as("a")
       .join(blocked.as("b"),
-        col("a.tok") === col("b.tok") && col("a.rid") < col("b.rid"))
-      .select(col("a.rid").as("rid_a"), col("a.name").as("name_a"),
-        col("b.rid").as("rid_b"), col("b.name").as("name_b"))
+        col("a.tok") === col("b.tok") && col("a.nid") < col("b.nid"))
+      .select(col("a.nid").as("nid_a"), col("a.name").as("name_a"),
+        col("b.nid").as("nid_b"), col("b.name").as("name_b"))
       .distinct()
       .filter(levenshtein(col("name_a"), col("name_b")) <= maxEdit)
 
-    val cc = Components.connectedComponents(edges, "rid_a", "rid_b")
-      .select(col("id").as("rid"), col("component"))
+    val cc = Components.connectedComponents(edges, "nid_a", "nid_b")
+      .select(col("id").as("nid"), col("component"))
 
-    // singletons resolve to themselves; canonical = the min-rid
-    // member's name (a self-join on the registry, broadcast-sized
-    // per entity count, id-only keys)
-    val labeled = registry.join(cc, Seq("rid"), "left")
-      .withColumn("entity_id", coalesce(col("component"), col("rid")))
+    // name → entity map (singleton names resolve to themselves);
+    // broadcast-sized whenever distinct names ≪ records
+    val ncomp = names.join(cc, Seq("nid"), "left")
+      .withColumn("entity_id", coalesce(col("component"), col("nid")))
       .drop("component")
-    val canon = labeled.filter(col("rid") === col("entity_id"))
+    val canon = ncomp.filter(col("nid") === col("entity_id"))
       .select(col("entity_id"), col("name").as("canonical_name"))
-    val sizes = labeled.groupBy("entity_id")
-      .agg(count(lit(1)).as("n_members"))
-    labeled.join(canon, "entity_id").join(sizes, "entity_id")
+    val sizes = ncomp.groupBy("entity_id")
+      .agg(sum(col("cnt")).as("n_members"))
+    val nameMap = ncomp.select(col("name"), col("entity_id"))
+      .join(canon, "entity_id").join(sizes, "entity_id")
+
+    registry.join(nameMap, "name")
       .select(col("rid"), col("name"), col("src"), col("entity_id"),
         col("canonical_name"), col("n_members"))
   }
