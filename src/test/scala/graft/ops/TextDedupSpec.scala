@@ -223,11 +223,15 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("exactJaccardJoin finds every qualifying pair (vs brute force)") {
+    // VARIED lengths (8..19 tokens): exercises the smaller-side
+    // probing and the |A| <= |B| <= |A|/θ size band of
+    // jaccardCandidates, not just the prefix
     val d = (1L to 30L).map { i =>
-      val toks = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}")
+      val len = 8 + (i % 12).toInt
+      val toks = (0 until len).map(j => s"w${(i * 7 + j * 3) % 40}")
       (i, toks.mkString(" "))
     }.toDF("doc_id", "text")
-    for (theta <- Seq(0.5, 0.8)) {
+    for (theta <- Seq(0.4, 0.5, 0.8)) {
       val got = Dedup.exactJaccardJoin(d, threshold = theta)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       val sets = d.select(col("doc_id"),
@@ -241,7 +245,22 @@ class TextDedupSpec extends SparkSpec {
           (sets(a).size + sets(b).size - inter) >= theta
       } yield (a, b)).toSet
       assert(got == want, s"theta=$theta")
+      assert(want.nonEmpty, s"theta=$theta degenerate corpus")
     }
+  }
+
+  test("exactJaccardJoin links exact duplicates and respects the size band") {
+    // identical docs (J=1, equal sizes — the n_a==n_b probe path) and
+    // a doc pair past the size band (J provably < θ) on one corpus
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),              // exact dup of 1
+      (3L, "a b c d e f g h i j k l m n o p q r s t u v w x y z " +
+           "aa bb cc dd ee ff gg hh"))       // superset, way past 1/θ
+      .toDF("doc_id", "text")
+    val got = Dedup.exactJaccardJoin(d, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
   }
 
   test("containment prefix filter is lossless vs brute-force pairs") {
