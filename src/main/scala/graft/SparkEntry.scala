@@ -1049,6 +1049,19 @@ object SparkEntry {
     // 1 KiB sketch that replaces a vocabulary-sized exact table.
     "q150_cms_hitters" -> ((s, dir) =>
       graft.ops.Sketch.cmsHeavyHitters(Tables.documents(s, dir), k = 20)),
+    // Deterministic 256-register HyperLogLog distinct-count audit —
+    // the md5-derived registers and the shift-based 2^-M sum replay
+    // exactly in ANSI SQL, so the APPROXIMATE path itself is
+    // oracle-gated (q48's builtin approx_count_distinct stays
+    // rows-only: its sketch is engine-internal).
+    "q151_hll_distinct" -> ((s, dir) =>
+      graft.ops.Sketch.hllDistinct(Tables.events(s, dir),
+        Seq("event_type"), "user_id")),
+    // KMV bottom-k distinct sketch audit — the order-statistics
+    // alternative; measured contrast to q151 (exact when sparse).
+    "q152_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketch.kmvDistinct(Tables.events(s, dir),
+        Seq("event_type"), "user_id")),
     // Classifier calibration: reliability bins + per-bin ECE terms
     // for the q89 quality classifier against the q79 rule battery —
     // "when the filter says 0.8, is it right 80% of the time?"
@@ -1555,6 +1568,8 @@ object SparkEntry {
     "q148_profile_table"    -> Oracle.profileTable,
     "q149_length_buckets"   -> Oracle.lengthBuckets,
     "q150_cms_hitters"      -> Oracle.cmsHitters,
+    "q151_hll_distinct"     -> Oracle.hllDistinct,
+    "q152_kmv_distinct"     -> Oracle.kmvDistinct,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

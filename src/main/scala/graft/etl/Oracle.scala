@@ -3291,6 +3291,114 @@ SELECT CAST(row_number() OVER (ORDER BY exact DESC, tok) AS INT) AS rank,
 FROM est ORDER BY rank"""
   }
 
+  /** Hex→integer without a conv() builtin: Horner over strpos of
+    * each digit in the hex alphabet (the q150 discipline, widened to
+    * n digits). */
+  private def hexInt(e: String, start: Int, n: Int): String =
+    (start until start + n).map(i =>
+        s"(strpos('0123456789abcdef', substr($e, $i, 1)) - 1)")
+      .reduce((acc, d) => s"($acc * 16 + $d)")
+
+  /** Shared rho expression: leading-zero bits of the 8 hex digits
+    * from position 3, + 1 — identical string/CASE arithmetic to
+    * `Sketch.hllRho`. */
+  private val hllRhoSql: String = """CASE WHEN st = '' THEN 33
+           ELSE (8 - length(st)) * 4 +
+                CASE WHEN substr(st, 1, 1) = '1' THEN 3
+                     WHEN substr(st, 1, 1) IN ('2', '3') THEN 2
+                     WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                     ELSE 0 END + 1 END"""
+
+  /** q151 oracle: the HLL audit replayed cell-exactly — same md5
+    * register/rho derivation, same shift-based 2^-M binary fractions
+    * (exact in double, so the sum is order-independent), the
+    * identical α·m² literal, and the identical driver-computed
+    * linear-counting table (shortest-roundtrip reprs parse back to
+    * the same IEEE doubles in both engines). */
+  val hllDistinct: String = {
+    val alphaM2 = graft.ops.Sketch.HllAlphaM2.toString
+    val lcList = graft.ops.Sketch.LinearCountTable
+      .map(_.toString).mkString("[", ", ", "]")
+    s"""
+WITH v AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+r AS (
+  SELECT event_type,
+         CAST(${hexInt("h", 1, 2)} AS INT) AS register,
+         ltrim(substr(h, 3, 8), '0') AS st
+  FROM v),
+regs AS (
+  SELECT event_type, register,
+         max($hllRhoSql) AS rho_max
+  FROM r GROUP BY 1, 2),
+e AS (
+  SELECT event_type,
+         sum(CAST(1.0 AS DOUBLE)
+             / CAST(1::BIGINT << rho_max AS DOUBLE)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT event_type,
+         256 - n_present AS vz,
+         $alphaM2 / (s_present + CAST(256 - n_present AS DOUBLE)) AS raw
+  FROM e),
+fin AS (
+  SELECT event_type, vz,
+         CASE WHEN raw <= 640.0 AND vz > 0
+              THEN ($lcList)[vz + 1]
+              ELSE raw END AS hll_estimate
+  FROM est),
+x AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1)
+SELECT x.event_type,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       fin.hll_estimate,
+       CAST(fin.vz AS BIGINT) AS n_zero_registers,
+       abs(fin.hll_estimate - CAST(x.exact_distinct AS DOUBLE))
+         / CAST(x.exact_distinct AS DOUBLE) AS rel_error
+FROM x JOIN fin USING (event_type)
+ORDER BY x.event_type"""
+  }
+
+  /** q152 oracle: KMV replayed — distinct 32-bit md5-prefix hashes,
+    * the 64th order statistic via one row_number window, and the
+    * same (k−1)·2³² scale literal. */
+  val kmvDistinct: String = {
+    val kmvScale = (63.0 * 4294967296.0).toString
+    s"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(${hexInt("md5(CAST(user_id AS VARCHAR))", 1, 8)} AS BIGINT)
+           AS hv
+  FROM events),
+rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h),
+agg AS (
+  SELECT event_type, count(*) AS n_distinct_hashes,
+         max(CASE WHEN rn = 64 THEN hv END) AS r64
+  FROM rk GROUP BY 1),
+x AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1),
+est AS (
+  SELECT event_type, n_distinct_hashes,
+         CASE WHEN n_distinct_hashes < 64
+              THEN CAST(n_distinct_hashes AS DOUBLE)
+              ELSE $kmvScale / CAST(r64 AS DOUBLE) END AS kmv_estimate
+  FROM agg)
+SELECT x.event_type,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(est.n_distinct_hashes AS BIGINT) AS n_distinct_hashes,
+       est.kmv_estimate,
+       abs(est.kmv_estimate - CAST(x.exact_distinct AS DOUBLE))
+         / CAST(x.exact_distinct AS DOUBLE) AS rel_error
+FROM x JOIN est USING (event_type)
+ORDER BY x.event_type"""
+  }
+
   /** q147 oracle: calibration report replayed — the q89 score tree
     * and q79 rule battery verbatim, the same floor-quantized
     * fixed-point prediction sums (integer aggregates only), and the

@@ -48,6 +48,16 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Cell-wise merge of [[cmsBuild]] sketches — CMS shards add:
+    * count(S₁ ∪ S₂) cells are the sums, so per-shard sketches built
+    * independently (per ingest batch, per day, per source) compact
+    * into the corpus sketch without touching the corpora. */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+  }
+
   /** Heavy-hitter audit: the exact top-`k` tokens with their CMS
     * estimates and measured inflation. Output: (rank, tok, exact,
     * cms_estimate, inflation) — estimate ≥ exact always (CMS
@@ -81,5 +91,169 @@ object Sketch {
         col("cms_estimate").cast("double") / col("exact").cast("double"))
       .select("rank", "tok", "exact", "cms_estimate", "inflation")
       .orderBy("rank")
+  }
+
+  /** Registers for HLL: m = 2^8 = 256 (standard error
+    * 1.04/√m ≈ 6.5%). Register index = first 2 md5 hex digits;
+    * rho = leading-zero count of the NEXT 8 hex digits (a 32-bit
+    * draw) + 1. */
+  val HllRegisters = 256
+
+  /** α₂₅₆ · m² precomputed once; the oracle embeds the same
+    * shortest-roundtrip literal so both engines hold the identical
+    * double. */
+  val HllAlphaM2: Double =
+    0.7213 / (1.0 + 1.079 / HllRegisters) * HllRegisters * HllRegisters
+
+  /** Small-range (linear counting) table: entry V = m·ln(m/V), the
+    * ballot-problem estimate from V empty registers, for V = 1..m
+    * (entry 0 unused). ln is libm-divergent between engines, but V
+    * is an integer ≤ m — so the whole correction is a 257-entry
+    * lookup of DRIVER-computed doubles, embedded as literals on both
+    * sides: engine-exact without a transcendental at query time. */
+  val LinearCountTable: IndexedSeq[Double] =
+    (0 to HllRegisters).map(v =>
+      if (v == 0) 0.0
+      else HllRegisters * math.log(HllRegisters.toDouble / v))
+
+  /** rho(hex8) = leading zero BITS of the 32-bit value the 8 hex
+    * digits spell, + 1 (= 33 when all zero) — derived from string
+    * arithmetic only (strip leading '0' nibbles, CASE on the first
+    * surviving nibble), no log2/bit-twiddling builtins, so DuckDB
+    * replays it verbatim. */
+  private[ops] def hllRho(hex8: Column): Column = {
+    val stripped = ltrim(hex8, "0")
+    val first = substring(stripped, 1, 1)
+    val extraZeroBits = when(first === "1", 3)
+      .when(first.isin("2", "3"), 2)
+      .when(first.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    when(length(stripped) === 0, lit(33))
+      .otherwise((lit(8) - length(stripped)) * 4 + extraZeroBits + 1)
+  }
+
+  /** Per-group HLL register table: (group..., register, rho_max).
+    * One narrow projection + one map-side-combinable max-aggregate —
+    * duplicate values collapse inside the partial agg, so the
+    * exchange carries at most |groups|·m rows regardless of input
+    * size. THE distinct-count shape for 100 TB: the q57 exact
+    * distinct shuffles every distinct (group, value) pair; this
+    * shuffles ≤ 256 rows per group, merges across shards by register
+    * max ([[hllMerge]]), and never rescans. */
+  def hllSketch(df: DataFrame, groupCols: Seq[String],
+                valueCol: String): DataFrame = {
+    val h = md5(col(valueCol).cast("string"))
+    df.select(
+        (groupCols.map(col) :+
+          conv(substring(h, 1, 2), 16, 10).cast("int").as("register") :+
+          hllRho(substring(h, 3, 8)).as("rho")): _*)
+      .groupBy("register", groupCols: _*)
+      .agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Register-wise max of HLL sketches — HLL's defining property:
+    * sketch(S₁ ∪ S₂) = max(sketch(S₁), sketch(S₂)) per register, so
+    * shard sketches compact losslessly into the union sketch. */
+  def hllMerge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("register", groupCols: _*)
+      .agg(max(col("rho_max")).as("rho_max"))
+  }
+
+  /** Estimate from a register table: raw E = α·m² / Σⱼ 2^(−Mⱼ),
+    * empty registers contributing 2⁰ = 1 (counted, not
+    * materialized); when raw E ≤ 2.5·m and zero registers exist,
+    * the small-range linear-counting estimate [[LinearCountTable]]
+    * applies instead (Flajolet et al. 2007 — the raw estimator is
+    * badly biased up when most registers are empty: measured 191 vs
+    * 15 exact before the correction). Every term is an exact binary
+    * fraction (1 / (1L << M)) and the sum is exact in double
+    * (≤ 2⁸ + 41-bit fractions), so the estimate is order-independent
+    * and engine-exact — no pow(), no query-time transcendentals. */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val vZero = lit(HllRegisters) - col("n_present")
+    val raw = lit(HllAlphaM2) /
+      (col("s_present") + vZero.cast("double"))
+    val lc = element_at(typedLit(LinearCountTable), vZero.cast("int") + 1)
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(lit(1.0) /
+            expr("shiftleft(CAST(1 AS BIGINT), rho_max)").cast("double"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .select((groupCols.map(col) :+
+        when(raw <= lit(2.5 * HllRegisters) && vZero > 0, lc)
+          .otherwise(raw).as("hll_estimate") :+
+        vZero.as("n_zero_registers")): _*)
+  }
+
+  /** HLL distinct-count AUDIT over a grouped column: per group, the
+    * exact distinct count, the HLL estimate from the 256-register
+    * sketch, the zero-register count, and the measured relative
+    * error. The exact side exists only to measure the sketch — the
+    * sketch itself never needs it (drop it at 100 TB; the q57 twin
+    * stays the exact gate). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String],
+                  valueCol: String): DataFrame = {
+    val est = hllEstimate(hllSketch(df, groupCols, valueCol), groupCols)
+    val exact = df.groupBy(groupCols.map(col): _*)
+      .agg(count_distinct(col(valueCol)).as("exact_distinct"))
+    exact.join(est, groupCols)
+      .withColumn("rel_error",
+        abs(col("hll_estimate") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double"))
+      .select((groupCols.map(col) :+ col("exact_distinct") :+
+        col("hll_estimate") :+ col("n_zero_registers") :+
+        col("rel_error")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** KMV (bottom-k / k-minimum-values) distinct sketch audit: per
+    * group, keep the k smallest DISTINCT 32-bit value hashes; with
+    * R = the k-th smallest, estimate = (k−1)·2³² / R (uniform order
+    * statistics), exact when fewer than k distinct hashes exist.
+    *
+    * The honest trade vs [[hllDistinct]], kept as its measured
+    * contrast: KMV needs DISTINCT hashes, so it pays one
+    * (group, hash) pre-aggregation — the same exchange shape as
+    * exact distinct (that is WHY HLL wins at scale) — but then the
+    * min-k aggregate ([[graft.functions.TopKAggregate]], map-side
+    * partial, ≤ k per partition per group) carries only k·16 B per
+    * group and merges across shards by min-k union. Output:
+    * (group..., exact_distinct, n_distinct_hashes, kmv_estimate,
+    * rel_error). */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String],
+                  valueCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val kmvScale = (k - 1).toDouble * 4294967296.0
+    val hashes = df.select(
+        (groupCols.map(col) :+
+          conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h")): _*)
+      .groupBy("h", groupCols: _*).agg(count(lit(1)).as("__n"))
+    val mins = hashes.groupBy(groupCols.map(col): _*)
+      .agg(
+        graft.functions.TopKAggregate
+          .topk_by_value((-col("h")).cast("double"), col("h"), k)
+          .as("mink"),
+        count(lit(1)).as("n_distinct_hashes"))
+    val est = mins.select((groupCols.map(col) :+
+      col("n_distinct_hashes") :+
+      when(col("n_distinct_hashes") < k,
+          col("n_distinct_hashes").cast("double"))
+        .otherwise(lit(kmvScale) /
+          element_at(col("mink"), k).getField("id").cast("double"))
+        .as("kmv_estimate")): _*)
+    val exact = df.groupBy(groupCols.map(col): _*)
+      .agg(count_distinct(col(valueCol)).as("exact_distinct"))
+    exact.join(est, groupCols)
+      .withColumn("rel_error",
+        abs(col("kmv_estimate") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double"))
+      .select((groupCols.map(col) :+ col("exact_distinct") :+
+        col("n_distinct_hashes") :+ col("kmv_estimate") :+
+        col("rel_error")): _*)
+      .orderBy(groupCols.map(col): _*)
   }
 }

@@ -81,4 +81,73 @@ class SketchSpec extends SparkSpec {
       TextOps.lengthBuckets(d, caps = Seq(32, 16))
     }
   }
+
+  test("cmsMerge: shard sketches sum to the union-corpus sketch") {
+    val a = docs("a a b c", "d e a")
+    val b = docs("b b c f", "a g")
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(split(col("text"), " ")).as("tok"))
+    val merged = Sketch.cmsMerge(Seq(
+        Sketch.cmsBuild(toks(a), 4, 64), Sketch.cmsBuild(toks(b), 4, 64)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = Sketch.cmsBuild(toks(a.unionByName(b)), 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === full)
+  }
+
+  private def events(rows: (String, Long)*) =
+    rows.toSeq.toDF("event_type", "user_id")
+
+  test("hllSketch: registers bounded, rho in range, duplicates don't move the sketch") {
+    val e = events(("c", 1L), ("c", 2L), ("c", 2L), ("v", 1L), ("v", 9L))
+    val sk = Sketch.hllSketch(e, Seq("event_type"), "user_id").collect()
+    assert(sk.forall(r => r.getAs[Int]("register") >= 0 &&
+      r.getAs[Int]("register") < 256))
+    assert(sk.forall(r => r.getAs[Int]("rho_max") >= 1 &&
+      r.getAs[Int]("rho_max") <= 33))
+    val dup = Sketch.hllSketch(e.unionByName(e), Seq("event_type"), "user_id")
+      .collect()
+    assert(sk.map(_.toSeq).toSet === dup.map(_.toSeq).toSet,
+      "HLL is insensitive to multiplicity")
+  }
+
+  test("hllMerge: register-max of shard sketches equals the union sketch") {
+    val a = events(("c", 1L), ("c", 2L), ("v", 3L))
+    val b = events(("c", 2L), ("c", 9L), ("w", 4L))
+    val merged = Sketch.hllMerge(
+        Seq(Sketch.hllSketch(a, Seq("event_type"), "user_id"),
+          Sketch.hllSketch(b, Seq("event_type"), "user_id")),
+        Seq("event_type")).collect().map(_.toSeq).toSet
+    val full = Sketch.hllSketch(a.unionByName(b), Seq("event_type"), "user_id")
+      .collect().map(_.toSeq).toSet
+    assert(merged === full)
+  }
+
+  test("hllDistinct: estimate within the 256-register error bound on real data") {
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = Sketch.hllDistinct(ev, Seq("event_type"), "user_id").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // 1.04/sqrt(256) = 6.5% std error; 4 sigma = 26%
+      assert(r.getAs[Double]("rel_error") < 0.26,
+        s"${r.getAs[String]("event_type")}: rel_error ${r.getAs[Double]("rel_error")}")
+      assert(r.getAs[Long]("n_zero_registers") >= 0)
+    }
+  }
+
+  test("kmvDistinct: exact below k, bounded error above") {
+    // below k: 3 distinct users -> estimate == exact == 3
+    val small = events(("c", 1L), ("c", 2L), ("c", 3L), ("c", 1L))
+    val s = Sketch.kmvDistinct(small, Seq("event_type"), "user_id").collect()
+    assert(s.head.getAs[Double]("kmv_estimate") === 3.0)
+    assert(s.head.getAs[Double]("rel_error") === 0.0)
+
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = Sketch.kmvDistinct(ev, Seq("event_type"), "user_id").collect()
+    out.foreach { r =>
+      // 1/sqrt(k-2) = 12.7% std at k=64; 4 sigma headroom
+      assert(r.getAs[Double]("rel_error") < 0.51,
+        s"${r.getAs[String]("event_type")}: rel_error ${r.getAs[Double]("rel_error")}")
+    }
+  }
 }
