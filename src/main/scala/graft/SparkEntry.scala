@@ -1062,6 +1062,13 @@ object SparkEntry {
     "q152_kmv_distinct" -> ((s, dir) =>
       graft.ops.Sketch.kmvDistinct(Tables.events(s, dir),
         Seq("event_type"), "user_id")),
+    // Histogram-quantile audit: the mergeable fixed-width histogram
+    // (the two-pass-free distributed quantile) against the exact
+    // rank statistic, with the one-bucket error bound.
+    "q153_hist_quantiles" -> ((s, dir) =>
+      graft.ops.Sketch.histQuantiles(Tables.documents(s, dir),
+        "n_chars", lo = 0.0, hi = 1024.0, buckets = 128,
+        qs = Seq(0.25, 0.5, 0.9, 0.99))),
     // Classifier calibration: reliability bins + per-bin ECE terms
     // for the q89 quality classifier against the q79 rule battery —
     // "when the filter says 0.8, is it right 80% of the time?"
@@ -1570,6 +1577,7 @@ object SparkEntry {
     "q150_cms_hitters"      -> Oracle.cmsHitters,
     "q151_hll_distinct"     -> Oracle.hllDistinct,
     "q152_kmv_distinct"     -> Oracle.kmvDistinct,
+    "q153_hist_quantiles"   -> Oracle.histQuantiles,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

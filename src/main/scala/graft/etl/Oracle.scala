@@ -3399,6 +3399,46 @@ FROM x JOIN est USING (event_type)
 ORDER BY x.event_type"""
   }
 
+  /** q153 oracle: histogram quantiles replayed — identical bucket
+    * floor arithmetic (the w literal is the same shortest-roundtrip
+    * double), cumulative counts, interpolation tree, and the exact
+    * rank-statistic pick. */
+  val histQuantiles: String = {
+    val lo = 0.0; val hi = 1024.0; val buckets = 128
+    val w = (hi - lo) / buckets
+    s"""
+WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents),
+st AS (SELECT count(*) AS n FROM s),
+h AS (
+  SELECT CAST(least(greatest(floor((v - $lo) / $w), 0),
+                    ${buckets - 1}) AS INT) AS bucket,
+         count(*) AS cnt
+  FROM s GROUP BY 1),
+hp AS (
+  SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket) AS cum,
+         sum(cnt) OVER (ORDER BY bucket) - cnt AS cum_prev
+  FROM h),
+qr AS (
+  SELECT q, CAST(ceil(q * CAST(n AS DOUBLE) - 1e-9) AS BIGINT) AS rank
+  FROM (SELECT unnest([0.25, 0.5, 0.9, 0.99]::DOUBLE[]) AS q), st),
+e AS (
+  SELECT qr.q, qr.rank, hp.bucket, hp.cnt, hp.cum_prev
+  FROM qr JOIN hp ON hp.cum >= qr.rank AND hp.cum_prev < qr.rank),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
+SELECT e.q,
+       $lo + $w * (CAST(e.bucket AS DOUBLE)
+         + CAST(e.rank - e.cum_prev AS DOUBLE) / CAST(e.cnt AS DOUBLE))
+         AS hist_estimate,
+       r.v AS exact_value,
+       abs($lo + $w * (CAST(e.bucket AS DOUBLE)
+         + CAST(e.rank - e.cum_prev AS DOUBLE) / CAST(e.cnt AS DOUBLE))
+         - r.v) AS abs_error,
+       CAST($w AS DOUBLE) AS bound
+FROM e JOIN r ON r.rn = e.rank
+ORDER BY e.q"""
+  }
+
   /** q147 oracle: calibration report replayed — the q89 score tree
     * and q79 rule battery verbatim, the same floor-quantized
     * fixed-point prediction sums (integer aggregates only), and the

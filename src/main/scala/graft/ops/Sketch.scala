@@ -256,4 +256,78 @@ object Sketch {
         col("rel_error")): _*)
       .orderBy(groupCols.map(col): _*)
   }
+
+  /** Fixed-width histogram of a numeric column over [lo, hi]:
+    * (bucket, cnt), bucket = clamp(⌊(x−lo)/w⌋, 0, buckets−1),
+    * w = (hi−lo)/buckets. The quantile member of the mergeable-
+    * sketch family (CMS = frequency, HLL/KMV = distinct): one
+    * map-side-combined aggregate whose exchange carries ≤ `buckets`
+    * rows per partition regardless of input size, shards merge by
+    * bucket addition ([[histMerge]]), and any quantile reads off the
+    * cumulative counts with error ≤ one bucket width — the
+    * two-pass-free distributed-quantile shape (contrast: exact
+    * quantiles sort, percentile_approx's GK sketch is
+    * engine-internal). All bucket arithmetic is one IEEE
+    * divide+floor both engines replay. */
+  def histSketch(df: DataFrame, valueCol: String,
+                 lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets > 0 && hi > lo, "need buckets > 0 and hi > lo")
+    val w = (hi - lo) / buckets
+    val b = least(greatest(
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(w)), lit(0)),
+      lit(buckets - 1)).cast("int")
+    df.select(b.as("bucket")).groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Bucket-wise sum of [[histSketch]] tables (same lo/hi/buckets):
+    * hist(S₁ ∪ S₂) = hist(S₁) + hist(S₂). */
+  def histMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Histogram-quantile AUDIT: for each q, the histogram estimate
+    * (within-bucket linear interpolation — pure IEEE arithmetic on
+    * integer counts) against the exact rank statistic (value at rank
+    * ⌈q·n⌉ — a deterministic PICK, no interpolation, so both engines
+    * agree bit-for-bit), plus the absolute error and the one-bucket
+    * error bound. Output: (q, hist_estimate, exact_value, abs_error,
+    * bound) — abs_error ≤ bound whenever [lo, hi] covers the data
+    * (clamped outliers land in edge buckets and void it; size the
+    * range from a profiling pass, q148). */
+  def histQuantiles(df: DataFrame, valueCol: String,
+                    lo: Double, hi: Double, buckets: Int,
+                    qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / buckets
+    val hist = histSketch(df, valueCol, lo, hi, buckets)
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val qrows = n.select(col("n"),
+        explode(typedLit(qs)).as("q"))
+      .withColumn("rank", ceil(col("q") * col("n").cast("double")
+        - lit(1e-9)).cast("long"))
+    // first bucket whose cumulative count reaches the rank
+    val est = qrows.join(broadcast(hist),
+        col("cum") >= col("rank") && col("cum_prev") < col("rank"))
+      .withColumn("hist_estimate",
+        lit(lo) + lit(w) * (col("bucket").cast("double") +
+          (col("rank") - col("cum_prev")).cast("double")
+            / col("cnt").cast("double")))
+    // exact rank statistic: value at position rank in sorted order
+    val ranked = df.select(col(valueCol).cast("double").as("v"))
+      .withColumn("rn", row_number().over(Window.orderBy("v")))
+    est.join(ranked, col("rn") === col("rank"))
+      .select(col("q"), col("hist_estimate"), col("v").as("exact_value"),
+        abs(col("hist_estimate") - col("v")).as("abs_error"),
+        lit(w).as("bound"))
+      .orderBy("q")
+  }
 }

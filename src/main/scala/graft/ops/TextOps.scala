@@ -2195,6 +2195,9 @@ object TextOps {
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
     require(minShared >= 1 && dfCap >= 2, "need minShared >= 1, dfCap >= 2")
+    // no checkpoint: the self-join sides and the df aggregate all
+    // land on the same fps shuffle, which ReusedExchange serves once
+    // (measured: a localCheckpoint here is net slower warmed)
     val fps = winnowFingerprints(docs, k, w, textCol, idCol)
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))

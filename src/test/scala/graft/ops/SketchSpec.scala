@@ -135,6 +135,51 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("histSketch/histMerge: clamping, counts, and the merge law") {
+    val a = Seq(-5.0, 0.0, 3.0, 9.99).toDF("x")   // -5 clamps to bucket 0
+    val b = Seq(10.0, 25.0, 99.0).toDF("x")       // 25, 99 clamp to top
+    val ha = Sketch.histSketch(a, "x", 0.0, 20.0, 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ha === Map(0 -> 4L))                   // all of a in [0,10)
+    val merged = Sketch.histMerge(Seq(
+        Sketch.histSketch(a, "x", 0.0, 20.0, 2),
+        Sketch.histSketch(b, "x", 0.0, 20.0, 2)))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val full = Sketch.histSketch(a.unionByName(b), "x", 0.0, 20.0, 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged === full)
+    assert(full === Map(0 -> 4L, 1 -> 3L))
+  }
+
+  test("histQuantiles: hand-computed estimate and the one-bucket bound") {
+    // 10 values 1..10, [0, 10) in 5 buckets of width 2
+    val d = (1 to 10).map(_.toDouble).toDF("x")
+    val out = Sketch.histQuantiles(d, "x", 0.0, 10.0, 5,
+        qs = Seq(0.5, 1.0)).collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    // q=0.5: rank 5, bucket 2 holds {4,5} cum 5, cum_prev 3
+    //   est = 0 + 2*(2 + (5-3)/2) = 6.0; exact value = 5.0
+    assert(out(0.5).getAs[Double]("hist_estimate") === 6.0)
+    assert(out(0.5).getAs[Double]("exact_value") === 5.0)
+    assert(out(0.5).getAs[Double]("abs_error") === 1.0)
+    // q=1.0: rank 10, top bucket {10} clamped in — bucket 4 holds
+    //   {8,9,10}: est = 2*(4 + 3/3) = 10.0, exact 10.0
+    assert(out(1.0).getAs[Double]("hist_estimate") === 10.0)
+    out.values.foreach(r =>
+      assert(r.getAs[Double]("abs_error") <= r.getAs[Double]("bound")))
+  }
+
+  test("histQuantiles: bound holds on real data at every quantile") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Sketch.histQuantiles(docs, "n_chars", 0.0, 1024.0, 128,
+      qs = Seq(0.25, 0.5, 0.9, 0.99)).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getAs[Double]("abs_error") <= r.getAs[Double]("bound"),
+        s"q=${r.getDouble(0)}")
+    }
+  }
+
   test("kmvDistinct: exact below k, bounded error above") {
     // below k: 3 distinct users -> estimate == exact == 3
     val small = events(("c", 1L), ("c", 2L), ("c", 3L), ("c", 1L))
