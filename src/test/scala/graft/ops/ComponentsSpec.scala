@@ -26,6 +26,13 @@ class ComponentsSpec extends SparkSpec {
     Components.connectedComponents(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
 
+  /** driverFinishEdges = 0 pins the PURE star-contraction path (the
+    * adaptive driver tail never triggers). */
+  private def runDistributed(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"),
+        driverFinishEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+
   test("chains, triangle, isolated pair, self-loop") {
     // chain 1-2-3-4-5 (diameter > 1 round), triangle 10-11-12,
     // pair 20-21, self-loop 30 (dropped), reversed-direction edge
@@ -39,10 +46,23 @@ class ComponentsSpec extends SparkSpec {
   test("long path converges within O(log n) rounds (not diameter)") {
     // a 200-node path has diameter 199: linear label propagation
     // would need ~199 rounds; star contraction must finish well
-    // inside maxIter=25 = default
+    // inside maxIter=25 = default. runDistributed so the adaptive
+    // driver tail can't answer for the contraction.
     val edges = (1L until 200L).map(i => (i, i + 1))
-    val got = run(edges)
+    val got = runDistributed(edges)
     assert(got == (1L to 200L).map(_ -> 1L).toMap)
+  }
+
+  test("adaptive driver tail == pure star contraction on every shape") {
+    val shapes = Seq(
+      Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+        (11L, 12L), (12L, 10L), (21L, 20L), (30L, 30L)),
+      (1L until 64L).map(i => (i, i + 1)),          // path
+      (1L until 40L).map(i => (1L, i + 1)),         // star
+      Seq.empty[(Long, Long)])                      // empty
+    shapes.zipWithIndex.foreach { case (edges, i) =>
+      assert(run(edges) == runDistributed(edges), s"shape $i diverged")
+    }
   }
 
   test("agrees with union-find on pseudo-random graphs") {
