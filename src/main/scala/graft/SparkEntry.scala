@@ -1069,6 +1069,11 @@ object SparkEntry {
       graft.ops.Sketch.histQuantiles(Tables.documents(s, dir),
         "n_chars", lo = 0.0, hi = 1024.0, buckets = 128,
         qs = Seq(0.25, 0.5, 0.9, 0.99))),
+    // Per-doc novelty: fraction of the doc's distinct 3-grams that
+    // no other doc has — the corpus-contribution signal near-dup
+    // dedup and per-doc repetition both miss.
+    "q154_doc_novelty" -> ((s, dir) =>
+      TextOps.docNovelty(Tables.documents(s, dir))),
     // Classifier calibration: reliability bins + per-bin ECE terms
     // for the q89 quality classifier against the q79 rule battery —
     // "when the filter says 0.8, is it right 80% of the time?"
@@ -1578,6 +1583,7 @@ object SparkEntry {
     "q151_hll_distinct"     -> Oracle.hllDistinct,
     "q152_kmv_distinct"     -> Oracle.kmvDistinct,
     "q153_hist_quantiles"   -> Oracle.histQuantiles,
+    "q154_doc_novelty"      -> Oracle.docNovelty,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

@@ -3439,6 +3439,29 @@ FROM e JOIN r ON r.rn = e.rank
 ORDER BY e.q"""
   }
 
+  /** q154 oracle: per-doc novelty replayed — the q71-style 3-gram
+    * windows (list_distinct'd per doc), gram df over docs, and one
+    * IEEE division. */
+  val docNovelty: String = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+  FROM t),
+d AS (SELECT gram, count(*) AS gdf FROM g GROUP BY 1),
+p AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS n_novel
+  FROM g JOIN d USING (gram) GROUP BY 1)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+FROM p ORDER BY doc_id"""
+
   /** q147 oracle: calibration report replayed — the q89 score tree
     * and q79 rule battery verbatim, the same floor-quantized
     * fixed-point prediction sums (integer aggregates only), and the

@@ -853,6 +853,36 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** Per-document NOVELTY: the fraction of a doc's distinct n-grams
+    * that appear in NO other document — the redundancy/contribution
+    * signal complementary to near-dup dedup (a doc can be far from
+    * every individual neighbor yet contribute nothing the corpus
+    * doesn't already have) and to per-doc repetition (which only
+    * sees the doc itself). Low novelty ⇒ boilerplate/templated mass;
+    * curriculum and budget-selection stages use it as an ordering
+    * key, dedup tuning uses its distribution to place thresholds.
+    *
+    * Shape at 100 TB: distinct (gram, id) pairs are the only
+    * exchange; gram df is one map-side-combined count, and the
+    * df join back is gram-keyed — Zipf-skewed exactly on boilerplate
+    * grams, which is what AQE skew-split handles. Integer counts +
+    * one division: engine-exact (q154). */
+  def docNovelty(docs: DataFrame, n: Int = 3,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val grams = docs.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val gdf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    grams.join(gdf, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .orderBy(idCol)
+  }
+
   /** Corpus n-gram DIVERSITY per source: distinct/total n-gram ratio
     * (type-token ratio) for each n — the distinct-n diagnostic that
     * catches a TEMPLATED source (every doc unique, but they all

@@ -88,4 +88,34 @@ class CurriculumDiversitySpec extends SparkSpec {
     assert(e1.map(_.getAs[String]("order_key")).toSet !=
       out.map(_.getAs[String]("order_key")).toSet)
   }
+
+  test("docNovelty: hand-computed shares, duplicates zero each other out") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"),        // grams: abc bcd cde
+      (2L, "a b c x y"),        // grams: abc bcx cxy — shares abc with 1
+      (3L, "p q r s t"),        // all novel
+      (4L, "p q r s t"))        // exact dup of 3 — all grams df=2
+      .toDF("doc_id", "text")
+    val out = TextOps.docNovelty(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out(1L) === ((3L, 2L, 2.0 / 3.0)))  // abc shared
+    assert(out(2L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(out(3L) === ((3L, 0L, 0.0)))        // dup kills all novelty
+    assert(out(4L) === ((3L, 0L, 0.0)))
+  }
+
+  test("docNovelty: repeated gram within one doc counts once (distinct per doc)") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b a b"), (2L, "z z z z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.docNovelty(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_grams")).toMap
+    // doc 1: windows aba bab aba bab -> distinct {aba, bab} = 2
+    assert(out(1L) === 2L)
+    // doc 2: windows zzz zzz -> distinct {zzz} = 1
+    assert(out(2L) === 1L)
+  }
 }
