@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Fuzzy entity resolution (record linkage): token blocking →
+/** Fuzzy entity resolution (record linkage): deletion-key blocking →
   * edit-distance verify → connected components → golden record.
   *
   * The one dedup family the near-dup stack doesn't cover: MinHash /
@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *      and each key is nearly unique: block sizes stay O(1) even
   *      when every token is corpus-common. For `maxEdit >= 2` the
   *      classic share-a-token blocking applies instead. Either way
-  *      the shuffle moves (key, rid) rows only, never names², pairs
+  *      the shuffle moves (key, nid) rows only — one per DISTINCT
+  *      name — never names², pairs
   *      generated per bucket exactly like the LSH band join in
   *      [[Dedup.minHashCandidates]].
   *   2. VERIFY: `levenshtein(name_a, name_b) <= maxEdit` — pair-local,
