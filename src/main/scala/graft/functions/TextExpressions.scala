@@ -482,6 +482,68 @@ case class SortedDistinctShingles(child: Expression, shingleLen: Int)
     copy(child = c)
 }
 
+/** Multiset sibling of [[SortedDistinctShingles]]: every k-token
+  * window in DOCUMENT order, duplicates kept — total n-gram counts
+  * (type-token ratios, collocation denominators) need the multiset,
+  * which the distinct variant cannot serve. Exists for the same
+  * reason it does: the composable `transform(sequence(...), i =>
+  * array_join(slice(toks, …)))` chain re-evaluates its token input
+  * per window once CollapseProject inlines it — measured 2.9-3.7 s
+  * for one explode over sf0.1's 5000 docs vs 0.4 s native. Window
+  * rule matches `TextOps.shingles` byte-for-byte: max(n−k, 0)+1
+  * windows, the trailing short window kept, zero tokens → [""]. */
+case class ShinglesMultiset(child: Expression, shingleLen: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  require(shingleLen > 0, "shingleLen must be positive")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_multiset"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n == 0)
+      return new GenericArrayData(
+        Array[AnyRef](UTF8String.fromString("")))
+    val space = UTF8String.fromString(" ")
+    val nWindows = math.max(n - shingleLen, 0) + 1
+    val out = new Array[AnyRef](nWindows)
+    var w = 0
+    while (w < nWindows) {
+      val end = math.min(w + shingleLen, n)
+      val parts = new Array[UTF8String](2 * (end - w) - 1)
+      var t = w
+      var k = 0
+      while (t < end) {
+        if (t > w) { parts(k) = space; k += 1 }
+        parts(k) = toks.getUTF8String(t); k += 1
+        t += 1
+      }
+      out(w) = UTF8String.concat(parts: _*)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shinglesMultiset", this,
+      classOf[ShinglesMultiset].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.nullSafeEval($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShinglesMultiset =
+    copy(child = c)
+}
+
 /** Greedy longest-match tokenizer encode (WordPiece-style, string →
   * array<struct<piece:string, vocab_id:int>>): starting at the front
   * of the word, repeatedly emit the LONGEST vocab entry that prefixes
@@ -591,6 +653,10 @@ object TextExpressions {
 
   def sorted_distinct_shingles(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(SortedDistinctShingles(
+      GraftSqlBridge.expression(tokens), n))
+
+  def shingles_multiset(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(ShinglesMultiset(
       GraftSqlBridge.expression(tokens), n))
 
   /** `vocab` as (token, vocab_id) pairs; sorted by length descending

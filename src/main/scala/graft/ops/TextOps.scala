@@ -871,8 +871,13 @@ object TextOps {
                  textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
     require(n > 0, "n must be positive")
+    // native sorted_distinct_shingles, not array_distinct(shingles):
+    // the lambda form re-tokenizes the doc per window after inlining
+    // (the q125 CollapseProject lesson) — measured 5.6 s → 1.5 s at
+    // sf0.1 for the extraction alone
     val grams = docs.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+      explode(graft.functions.TextExpressions.sorted_distinct_shingles(
+        tokens(col(textCol)), n)).as("gram"))
     val gdf = grams.groupBy("gram").agg(count(lit(1)).as("gdf"))
     grams.join(gdf, "gram")
       .groupBy(col(idCol))
@@ -900,9 +905,13 @@ object TextOps {
                      textCol: String = "text",
                      srcCol: String = "source"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ > 0), "ns must be positive")
+    // native multiset shingles: the composable transform() chain
+    // re-tokenizes per window after inlining (~3 s per explode at
+    // sf0.1 vs 0.4 s native — the q154/q125 lesson)
     val perN = ns.map { n =>
       docs.select(col(srcCol).as("source"), lit(n).as("n"),
-        explode(shingles(col(textCol), n)).as("gram"))
+        explode(graft.functions.TextExpressions.shingles_multiset(
+          tokens(col(textCol)), n)).as("gram"))
     }
     perN.reduce(_ unionByName _)
       .groupBy("source", "n")

@@ -60,6 +60,30 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("shingles_multiset == composable shingles() byte-for-byte (order + duplicates)") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOfN(60,
+      Gen.listOf(Gen.choose(0, 12).map(i => s"w$i")).map(_.take(30)))
+    val crafted = sample(gen, 17L).zipWithIndex
+      .map { case (ws, i) =>
+        (i.toLong, if (ws.isEmpty) "w0" else ws.mkString(" "))
+      }.toDF("doc_id", "text")
+    val real = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(TextExpressions.shingles_multiset($"toks", 2).as("got"))
+      .head().getSeq[String](0)
+    assert(empty == Seq(""))
+    for (df <- Seq(crafted, real); n <- Seq(1, 2, 3, 5)) {
+      val toks = graft.ops.TextOps.tokens($"text")
+      val mism = df.select(
+          TextExpressions.shingles_multiset(toks, n).as("got"),
+          graft.ops.TextOps.shingles($"text", n).as("want"))
+        .filter(not($"got" <=> $"want")).count()
+      assert(mism == 0, s"n=$n: $mism rows diverge from the model")
+    }
+  }
+
   test("DotProduct == Scala fold on random double vectors") {
     val gen = Gen.listOfN(50, Gen.zip(
       Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0)),
