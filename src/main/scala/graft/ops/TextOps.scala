@@ -806,7 +806,7 @@ object TextOps {
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     val toks = tokens(col(textCol))
-    val sh = shingles(col(textCol), n)
+    val sh = graft.functions.TextExpressions.shingles_multiset(toks, n)
     val nSh = size(sh).cast(LongType)
     val nShD = size(array_distinct(sh)).cast(LongType)
     val nTok = size(toks).cast(LongType)
@@ -1011,7 +1011,9 @@ object TextOps {
     * small edits, unlike a whole-document hash. */
   def fingerprint(docs: DataFrame, n: Int = 3, k: Int = 8,
                   textCol: String = "text"): DataFrame = {
-    val hashes = array_sort(transform(shingles(col(textCol), n), xxhash64(_)))
+    val hashes = array_sort(transform(
+      graft.functions.TextExpressions.shingles_multiset(
+        tokens(col(textCol)), n), xxhash64(_)))
     docs.select(
       col("doc_id"),
       xxhash64(array_join(slice(hashes, 1, k), ",")).as("fingerprint"),
@@ -2202,12 +2204,15 @@ object TextOps {
     // too — an unclamped sequence(0, n−k) descends into negative
     // indices and slice(…, 0, …) throws. For rows the filter keeps,
     // the clamp is the identity.
+    // native multiset shingles + a self-contained md5 lambda (no
+    // outer refs, so nothing re-evaluates per element) — the
+    // composable slice-per-index form re-tokenized per window
     val kg = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k + w - 1)
       .select(col(idCol),
-        transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
-          i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " ")))
-          .as("kg"))
+        transform(graft.functions.TextExpressions.shingles_multiset(
+            col("toks"), k),
+          g => md5(g)).as("kg"))
     val ex = kg.select(col(idCol), (size(col("kg")) - w).as("maxp"),
       posexplode(col("kg")).as(Seq("pos", "h")))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
