@@ -77,6 +77,100 @@ object SketchStream {
     (est, zeros)
   }
 
+  case class Tok(group: String, ts: java.sql.Timestamp, tok: String)
+  case class CmsState(cells: Array[Int], candTok: Array[String],
+                      candEst: Array[Long], lastMicros: Long)
+  case class HeavyHitter(group: String, rank: Int, tok: String,
+                         cms_estimate: Long)
+
+  /** CMS row-j bucket of a token — the JVM replay of
+    * `Sketch.bucketOf` (first 2 md5 hex digits of "j:token"). */
+  private[streaming] def cmsBucket(j: Int, tok: String, width: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$tok".getBytes("UTF-8"))
+    (((d(0) >> 4) & 0xf) * 16 + (d(0) & 0xf)) % width
+  }
+
+  /** Streaming heavy hitters — the streaming twin of
+    * `ops.Sketch.cmsHeavyHitters` (q150): per group, the 4×256 CMS
+    * cell array plus a `k`-entry candidate list (the space-saving
+    * composition: Charikar et al.'s CMS+heap), all as ONE bounded
+    * state value. Every arrival bumps its d cells; after each
+    * micro-batch the batch's distinct tokens are probed against the
+    * sketch (min over rows — the one-sided CMS estimate, identical
+    * arithmetic to the batch audit) and the candidate list keeps the
+    * k largest by (estimate desc, token asc). Memory per group is
+    * d·w ints + k strings FOREVER — independent of vocabulary size,
+    * stream length, and skew; the exact alternative holds the whole
+    * vocabulary. Emits the current top-k per group per batch (Update
+    * mode); idle groups flush their final list and evict. */
+  def heavyHitters(toks: Dataset[Tok], k: Int = 10,
+                   depth: Int = 4, width: Int = 256,
+                   watermarkDelay: String = "10 minutes",
+                   idleTimeout: String = "1 hour"): Dataset[HeavyHitter] = {
+    require(k > 0 && depth > 0 && width > 0 && 256 % width == 0,
+      "need k > 0, depth > 0, width dividing 256")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    import StreamTime.micros
+
+    toks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[CmsState, HeavyHitter](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: String, batch: Iterator[Tok], state: GroupState[CmsState]) =>
+          def topK(st: CmsState): Iterator[HeavyHitter] =
+            st.candTok.zip(st.candEst).sortBy { case (t, e) => (-e, t) }
+              .iterator.zipWithIndex.map { case ((t, e), i) =>
+                HeavyHitter(key, i + 1, t, e) }
+          if (state.hasTimedOut) {
+            val out = topK(state.get)
+            state.remove()
+            out
+          } else {
+            val st = state.getOption.getOrElse(
+              CmsState(new Array[Int](depth * width),
+                Array.empty, Array.empty, 0L))
+            val cells = st.cells.clone()
+            val seen = scala.collection.mutable.TreeSet.empty[String]
+            var last = st.lastMicros
+            batch.foreach { tk =>
+              var j = 0
+              while (j < depth) {
+                cells(j * width + cmsBucket(j, tk.tok, width)) += 1
+                j += 1
+              }
+              seen += tk.tok
+              val m = micros(tk.ts)
+              if (m > last) last = m
+            }
+            def estimate(tok: String): Long = {
+              var est = Long.MaxValue
+              var j = 0
+              while (j < depth) {
+                est = math.min(est,
+                  cells(j * width + cmsBucket(j, tok, width)).toLong)
+                j += 1
+              }
+              est
+            }
+            // re-probe prior candidates (their cells moved too) and
+            // the batch's distinct tokens, keep the k best
+            val cand = scala.collection.mutable.Map.empty[String, Long]
+            st.candTok.foreach(t => cand(t) = estimate(t))
+            seen.foreach(t => cand(t) = estimate(t))
+            val kept = cand.toSeq.sortBy { case (t, e) => (-e, t) }.take(k)
+            val next = CmsState(cells, kept.map(_._1).toArray,
+              kept.map(_._2).toArray, last)
+            state.update(next)
+            state.setTimeoutTimestamp(last / 1000, idleTimeout)
+            topK(next)
+          }
+      }
+  }
+
   /** Per-group running distinct estimate, one row per group per
     * micro-batch (Update mode). Idle groups evict by event-time
     * timeout, flushing their final estimate on the way out. */

@@ -86,6 +86,69 @@ class SketchStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHitters: final stream top-k == batch cmsHeavyHitters on the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // sparse vocabulary in the 4x256 sketch -> estimates exact, so
+    // stream (est-ranked) and batch (exact-ranked) orders coincide
+    val words = Seq.fill(9)("alpha") ++ Seq.fill(7)("beta") ++
+      Seq.fill(4)("gamma") ++ Seq.fill(2)("delta") ++ Seq("eps")
+    val batchOut = Sketch.cmsHeavyHitters(
+        Seq((1L, words.mkString(" "))).toDF("doc_id", "text"), k = 3)
+      .collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("cms_estimate"))
+      .toMap
+
+    val input = MemoryStream[SketchStream.Tok]
+    val q = SketchStream.heavyHitters(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // feed the same multiset in two arrival chunks
+      val (c1, c2) = words.splitAt(words.length / 2)
+      input.addData(c1.map(w =>
+        SketchStream.Tok("g", ts("2024-01-01 10:00:00"), w)): _*)
+      q.processAllAvailable()
+      input.addData(c2.map(w =>
+        SketchStream.Tok("g", ts("2024-01-01 10:01:00"), w)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT rank, tok, cms_estimate FROM cms_stream")
+        .collect().zipWithIndex
+      // last emission = rows with the highest index per rank
+      val last = rows.groupBy(_._1.getInt(0))
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(last === batchOut)
+      assert(last === Map("alpha" -> 9L, "beta" -> 7L, "gamma" -> 4L))
+    } finally q.stop()
+  }
+
+  test("heavyHitters: candidate list is bounded at k and re-ranks across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SketchStream.Tok]
+    val q = SketchStream.heavyHitters(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("cms_bounded")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        SketchStream.Tok("g", ts("2024-01-01 10:00:00"), "x"),
+        SketchStream.Tok("g", ts("2024-01-01 10:00:00"), "x"),
+        SketchStream.Tok("g", ts("2024-01-01 10:00:00"), "y"))
+      q.processAllAvailable()
+      // z floods in batch 2 and must displace y from the top-2
+      input.addData((1 to 5).map(_ =>
+        SketchStream.Tok("g", ts("2024-01-01 10:00:30"), "z")): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT rank, tok FROM cms_bounded")
+        .collect().zipWithIndex
+      val last = rows.groupBy(_._1.getInt(0))
+        .map { case (_, rs) => rs.maxBy(_._2)._1.getString(1) }.toSet
+      assert(last === Set("z", "x"))
+      // every emission respects the k bound
+      assert(rows.map(_._1.getInt(0)).forall(r => r >= 1 && r <= 2))
+    } finally q.stop()
+  }
+
   test("state is duplicate-proof: one value flooded never moves the estimate") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
