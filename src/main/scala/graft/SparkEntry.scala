@@ -1074,6 +1074,10 @@ object SparkEntry {
     // dedup and per-doc repetition both miss.
     "q154_doc_novelty" -> ((s, dir) =>
       TextOps.docNovelty(Tables.documents(s, dir))),
+    // q29's oracle-gated md5 twin (the q123 pattern): the min-k
+    // document signature replayed hash-for-hash in DuckDB.
+    "q155_fingerprint_md5" -> ((s, dir) =>
+      TextOps.fingerprintMd5(Tables.documents(s, dir))),
     // Classifier calibration: reliability bins + per-bin ECE terms
     // for the q89 quality classifier against the q79 rule battery —
     // "when the filter says 0.8, is it right 80% of the time?"
@@ -1584,6 +1588,7 @@ object SparkEntry {
     "q152_kmv_distinct"     -> Oracle.kmvDistinct,
     "q153_hist_quantiles"   -> Oracle.histQuantiles,
     "q154_doc_novelty"      -> Oracle.docNovelty,
+    "q155_fingerprint_md5"  -> Oracle.fingerprintMd5,
     "q97_containment_dedup" -> Oracle.containmentDedup,
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,

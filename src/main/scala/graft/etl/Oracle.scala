@@ -3462,6 +3462,24 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
 FROM p ORDER BY doc_id"""
 
+  /** q155 oracle: the md5 winnowing fingerprint replayed — the q71
+    * 3-gram windows, md5 per window, lexicographic sort, first-k
+    * comma-join, one md5 collapse. */
+  val fingerprintMd5: String = """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+         list_sort(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> md5(array_to_string(toks[i:i+2], ' ')))) AS h
+  FROM t)
+SELECT doc_id,
+       md5(array_to_string(h[1:8], ',')) AS fingerprint,
+       md5(text) AS exact_hash
+FROM s ORDER BY doc_id"""
+
   /** q147 oracle: calibration report replayed — the q89 score tree
     * and q79 rule battery verbatim, the same floor-quantized
     * fixed-point prediction sums (integer aggregates only), and the

