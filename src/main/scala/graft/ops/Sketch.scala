@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   * before the exchange. The probe side joins the top-k candidates
   * (tiny) against the d·w-cell table (broadcast). Nothing
   * vocabulary- or corpus-sized crosses an exchange unaggregated.
+  *
+  * Reference scope note: the reference engine has no sketch
+  * operators (its one approximate surface is absent entirely); this
+  * family extends the training-data surface (SURVEY.md north star)
+  * with the mergeable summaries a 100 TB pipeline monitors itself
+  * with — frequency (CMS), distinct (HLL q151 / KMV q152), quantiles
+  * (histogram q153) — each audited against its exact answer.
   */
 object Sketch {
 
