@@ -263,12 +263,24 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
     // m bounded driver fits on sliced vectors; codewords arrive
-    // sorted by seed id, matching the oracle's tie order
-    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      Cluster.kmeansFit(
-        corpus.select(col(idCol),
-          slice(asDouble(col(vecCol)), j * sub + 1, sub).as(vecCol)),
-        codesPerSub, iters, idCol, vecCol).map(_._2)
+    // sorted by seed id, matching the oracle's tie order. The fits
+    // are independent, so they SUBMIT CONCURRENTLY (driver-thread
+    // Spark jobs — the documented multi-job pattern): wall-clock is
+    // one fit, not m; assembly by subspace index keeps the result
+    // order-deterministic regardless of completion order.
+    val books: Seq[Seq[Seq[Double]]] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse((0 until m).toList) { j =>
+          Future {
+            Cluster.kmeansFit(
+              corpus.select(col(idCol),
+                slice(asDouble(col(vecCol)), j * sub + 1, sub).as(vecCol)),
+              codesPerSub, iters, idCol, vecCol).map(_._2)
+          }
+        }, Duration.Inf)
     }
     // codeword norms², folded on the driver in component order (the
     // same sequential sum list_dot_product replays)
