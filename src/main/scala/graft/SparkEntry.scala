@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
@@ -471,6 +471,42 @@ object SparkEntry {
       val d = Tables.documents(s, dir).select("doc_id", "text")
       Dedup.simHashDedupMd5(d.unionByName(d.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))))
+    }),
+    // BM25-mined hard negatives for retrieval training (the DPR
+    // recipe): 20 query docs, 5 rarest-term queries, top-5 negatives
+    // each, with the query itself AND its exact copies excluded —
+    // the planted +10000 copies make the exclusion observable (an
+    // identical doc would otherwise always rank #1). Candidate
+    // volume is bounded by the chosen RARE terms' postings, never
+    // Q × corpus; the data-dependent term sums fold in sorted term
+    // order so the oracle replays every IEEE addition.
+    "q156_bm25_negatives" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corp = d.unionByName(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      TextOps.bm25Negatives(corp, corp.filter(col("doc_id") < 20))
+    }),
+    // Blockhash near-dup dedup over BINARY payloads — the image
+    // near-duplicate shape on the multimodal asset table: 64-tile
+    // median blockhash of the byte signal (codegen'd, one pass in
+    // the scan stage), exhaustive 4×16-bit Hamming index, drop the
+    // higher asset id within 3 bits. The salt plants VALUE-jittered
+    // copies (+1 on every 20th non-space byte — the re-encode-noise
+    // model this sketch is robust to; alignment shifts are q136
+    // CDC's job). Fully oracle-gated: tile means, the median
+    // threshold, and every Hamming comparison replay in DuckDB.
+    "q157_blockhash_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val t = col("text")
+      def charAt(j: Column) = t.substr(j + lit(1), lit(1))
+      val jittered = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          array_join(transform(sequence(lit(0), length(t) - 1), j =>
+            when(j % 20 === 0 && charAt(j) =!= " ",
+              call_function("char", least(lit(125), ascii(charAt(j)) + 1)))
+              .otherwise(charAt(j))), "").as("text"))
+      Multimodal.blockHashDedup(
+        Multimodal.asBinaryAssets(d.unionByName(jittered)))
     }),
     // C4/RefinedWeb-style line-level boilerplate removal. The corpus
     // is the documents reshaped into 8-token lines with a planted
@@ -1557,6 +1593,8 @@ object SparkEntry {
     "q96_span_scrub"        -> Oracle.spanScrub,
     "q122_sliding_scrub"    -> Oracle.slidingScrub,
     "q123_simhash_md5_dedup" -> Oracle.simHashMd5Dedup,
+    "q156_bm25_negatives"   -> Oracle.bm25Negatives,
+    "q157_blockhash_dedup"  -> Oracle.blockHashDedup,
     "q124_line_dedup"       -> Oracle.lineDedup,
     "q125_winnow_pairs"     -> Oracle.winnowPairs,
     "q126_epoch_order"      -> Oracle.epochOrder,

@@ -1882,6 +1882,122 @@ SELECT doc_id FROM (SELECT DISTINCT doc_id FROM corp)
 WHERE doc_id NOT IN (SELECT id_b FROM dup)
 ORDER BY doc_id"""
 
+  /** q156 oracle: BM25 hard-negative mining replayed — same planted
+    * +10000 exact copies, rarest-5 query terms (df asc, term asc),
+    * the rational-idf term score with [[bm25Term]]'s literals, and
+    * the CANONICAL sorted-term fold: `list_reduce(list(s ORDER BY
+    * term))` replays Spark's `aggregate(sort_array(collect_list))`
+    * addition-for-addition (0.0 + s₁ ≡ s₁ in IEEE, so the missing
+    * init value cannot diverge). Exclusion = self OR md5-equal text;
+    * rank ties break on doc id. */
+  val bm25Negatives: String = """
+WITH corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text
+  FROM documents WHERE doc_id % 25 = 0),
+base AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS dln
+  FROM corp),
+post AS (
+  SELECT doc_id, dln, term, count(*) AS tf
+  FROM (SELECT doc_id, dln, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, dln, term),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dln) AS sum_dl
+  FROM base),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+qterms AS (
+  SELECT qid, term, df FROM (
+    SELECT qid, term, df,
+           row_number() OVER (PARTITION BY qid ORDER BY df, term) AS rn
+    FROM (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+          FROM base WHERE doc_id < 20)
+    JOIN dfs USING (term))
+  WHERE rn <= 5),
+scored AS (
+  SELECT qid, doc_id,
+         list_reduce(list(s ORDER BY term), (a, x) -> a + x) AS bm25
+  FROM (SELECT q.qid, p.doc_id, p.term,
+          (n_docs - CAST(q.df AS DOUBLE) + 0.5) / (CAST(q.df AS DOUBLE) + 0.5)
+          * (CAST(p.tf AS DOUBLE) * 2.2)
+          / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(p.dln AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+        FROM post p JOIN qterms q USING (term), st)
+  GROUP BY qid, doc_id),
+hq AS (SELECT doc_id AS qid, md5(text) AS qh FROM corp WHERE doc_id < 20),
+hd AS (SELECT doc_id, md5(text) AS dh FROM corp),
+ranked AS (
+  SELECT qid, doc_id, bm25,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored JOIN hq USING (qid) JOIN hd USING (doc_id)
+  WHERE doc_id <> qid AND dh <> qh)
+SELECT qid, CAST(rank AS INT) AS rank, doc_id AS neg_id, bm25
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank"""
+
+  /** q157 oracle: blockhash binary near-dup dedup replayed
+    * bit-for-bit — the SAME value-jitter salt (+1 on every 20th
+    * non-space char, capped at 125), byte j → tile j·64/n, tile
+    * means as `CAST(sum AS DOUBLE)/count` (ALL 64 tiles per doc —
+    * absent tiles get mean 0.0, matching the expression's n < 64
+    * handling), the lower-median threshold as the 32nd-smallest
+    * mean, and brute-force per-bit Hamming ≤ 3 (valid replay of the
+    * block-indexed path: the 4×16-bit index is exhaustive to
+    * Hamming 3 — the q123 argument). */
+  val blockHashDedup: String = """
+WITH jit AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN j % 20 = 0
+                          AND substr(text, CAST(j + 1 AS INTEGER), 1) <> ' '
+                         THEN chr(CAST(least(125,
+                           ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) + 1)
+                           AS INTEGER))
+                         ELSE substr(text, CAST(j + 1 AS INTEGER), 1) END,
+                    '' ORDER BY j) AS text
+  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS j
+        FROM documents WHERE doc_id % 25 = 0)
+  GROUP BY doc_id),
+corp AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM jit),
+ch AS (
+  SELECT doc_id, j,
+         ascii(substr(text, CAST(j + 1 AS INTEGER), 1)) AS v,
+         CAST(length(text) AS BIGINT) AS n
+  FROM (SELECT doc_id, text, unnest(range(0, length(text))) AS j
+        FROM corp)),
+tl AS (
+  SELECT doc_id, (j * 64) // n AS t, sum(v) AS ts, count(*) AS nb
+  FROM ch GROUP BY doc_id, (j * 64) // n),
+means AS (
+  SELECT d.doc_id, ti.t,
+         coalesce(CAST(tl.ts AS DOUBLE) / tl.nb, 0.0) AS mean
+  FROM (SELECT DISTINCT doc_id FROM corp) d
+  CROSS JOIN range(0, 64) ti(t)
+  LEFT JOIN tl ON tl.doc_id = d.doc_id AND tl.t = ti.t),
+med AS (
+  SELECT doc_id, mean AS med FROM (
+    SELECT doc_id, mean,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY mean, t) AS rn
+    FROM means)
+  WHERE rn = 32),
+bits AS (
+  SELECT m.doc_id, m.t, (m.mean > med.med) AS bit
+  FROM means m JOIN med USING (doc_id)),
+ham AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+  FROM bits a JOIN bits b ON b.t = a.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+dup AS (SELECT DISTINCT id_b FROM ham WHERE hamming <= 3)
+SELECT doc_id AS asset_id FROM (SELECT DISTINCT doc_id FROM corp)
+WHERE doc_id NOT IN (SELECT id_b FROM dup)
+ORDER BY asset_id"""
+
   /** q124 oracle: line-level boilerplate removal replayed with line
     * STRINGS (the Spark side hashes them — xxhash64 is internal
     * only, so string equality replays exactly): the same 8-token

@@ -387,6 +387,18 @@ object Dedup {
       docs.select(col(idCol), simHashMd5(col(textCol)).as("simhash")),
       maxHamming, idCol)
 
+  /** Generic 64-bit-signature Hamming dedup — the [[simHashDedup]]
+    * machinery (4×16-bit exhaustive block index, ≤ maxBucket
+    * all-pairs / star-capped flooded buckets, drop-higher-id rule)
+    * over ANY (id, simhash: long) signature frame: SimHash for text,
+    * [[graft.functions.BlockHash64]] for binary payloads
+    * (Multimodal.blockHashDedup), or any future 64-bit sketch. `ids`
+    * supplies the id universe the survivors are drawn from. */
+  def hammingDedupSig(ids: DataFrame, sig: DataFrame,
+                      maxHamming: Int = 3,
+                      idCol: String = "doc_id"): DataFrame =
+    simHashDedupSig(ids, sig, maxHamming, idCol)
+
   private def simHashDedupSig(docs: DataFrame, sig: DataFrame,
                               maxHamming: Int, idCol: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,

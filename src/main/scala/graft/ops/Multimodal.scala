@@ -90,6 +90,31 @@ object Multimodal {
             s"greatest(width, height) AS INT)")))
   }
 
+  /** Near-duplicate ASSET dedup over blockhash signatures — the
+    * image-near-dup shape for binary payload columns: one codegen'd
+    * [[graft.functions.BlockHash64]] pass per asset (64-tile median
+    * blockhash of the byte signal), then the exhaustive 4×16-bit
+    * Hamming block index ([[Dedup.hammingDedupSig]] — the q65/q123
+    * machinery) drops the higher asset_id of every pair within
+    * `maxHamming` bits. Robust to VALUE perturbations (re-encode
+    * jitter, noise, small in-place edits: planted ±1-byte jitter on
+    * every 20th byte stays ≤ 4 bits on the harness corpus; closest
+    * unrelated pair 17); alignment shifts are content-defined
+    * chunking's job (q136), by design.
+    *
+    * Scale shape: payload bytes are consumed in the scan stage
+    * (signature = one narrow projection); only (asset_id, 64-bit
+    * signature) ever reaches a shuffle — the same
+    * bodies-never-cross-the-exchange discipline as the text dedup
+    * family. Returns surviving asset ids, ordered. */
+  def blockHashDedup(assets: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.ops.Dedup.hammingDedupSig(
+      assets.select(col("asset_id")),
+      assets.select(col("asset_id"),
+        graft.functions.BinaryExpressions.block_hash64(col("payload"))
+          .as("simhash")),
+      maxHamming, "asset_id")
+
   /** Partition-local "decode" — the mapPartitions batch shape a real
     * decoder plugs into. The decode body is a deterministic stub:
     * width/height derive from the payload hash (a real impl would

@@ -2320,4 +2320,84 @@ object TextOps {
         "tokens_truncated", "waste")
       .orderBy("bucket")
   }
+
+  /** BM25-mined HARD NEGATIVES for retrieval training (the DPR
+    * recipe): for each query document, the top-`k` BM25-scored corpus
+    * documents that are NOT the query itself or an exact copy of it —
+    * lexically close enough to be informative negatives, unlabeled
+    * as positives. Query terms are each query doc's `m` RAREST
+    * distinct tokens (global df asc, token asc) — rare terms are the
+    * distinctive ones, and their short postings lists are what keeps
+    * the candidate volume bounded at scale.
+    *
+    * Shape at 100 TB: ONE tokenize pass feeds both the postings
+    * (term, doc, tf, dln) shuffle and the one-row corpus stats;
+    * query-term selection touches only the Q query docs joined
+    * against the per-term df table; scoring joins the tiny
+    * broadcast (qid, term, df) frame INTO the postings — candidates
+    * are bounded by Σ df(chosen rare terms), never Q × corpus — and
+    * the final top-k is one window partitioned by qid. No corpus
+    * cross product anywhere; compare [[bm25Search]], which scans the
+    * corpus once PER query.
+    *
+    * Determinism (the q90/q95 discipline, extended to data-dependent
+    * term sets): per-term scores use the rational idf and identical
+    * literals, and the per-(query, doc) sum folds the term scores in
+    * SORTED term order via `aggregate(sort_array(collect_list(...)))`
+    * — a canonical left-to-right IEEE fold the DuckDB oracle replays
+    * with `list_reduce(list(s ORDER BY term))`. Ties in the final
+    * ranking break on doc id. Output:
+    * (qid, rank, neg_id, bm25), ordered. */
+  def bm25Negatives(docs: DataFrame, queries: DataFrame,
+                    m: Int = 5, k: Int = 5,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && k > 0, "m and k must be positive")
+    val toksC = tokens(col(textCol))
+    val base = docs.select(col(idCol).as("id"), toksC.as("toks"),
+      size(toksC).cast(LongType).as("dln"))
+    val postings = base
+      .select(col("id"), col("dln"), explode(col("toks")).as("term"))
+      .groupBy("id", "dln", "term").agg(count(lit(1)).as("tf"))
+    val stats = base.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+      sum(col("dln")).as("sum_dl"))
+    // postings are unique per (id, term), so a per-term row count IS
+    // the document frequency
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col(idCol).as("qid"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .join(dfs, "term")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("df").asc, col("term").asc)))
+      .filter(col("rn") <= m)
+      .select("qid", "term", "df")
+    val dl = col("dln").cast(DoubleType)
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    val tfD = col("tf").cast(DoubleType)
+    val dfD = col("df").cast(DoubleType)
+    val termScore = (col("n_docs") - dfD + lit(0.5)) / (dfD + lit(0.5)) *
+      (tfD * lit(2.2)) /
+      (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
+    val scored = postings.join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("id"), col("term"), termScore.as("s"))
+      .groupBy("qid", "id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("bm25"))
+    val qh = queries.select(col(idCol).as("qid"), md5(col(textCol)).as("qh"))
+    val dh = docs.select(col(idCol).as("id"), md5(col(textCol)).as("dh"))
+    scored
+      .join(broadcast(qh), "qid")
+      .join(dh, "id")
+      .filter(col("id") =!= col("qid") && col("dh") =!= col("qh"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("bm25").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"),
+        col("id").as("neg_id"), col("bm25"))
+      .orderBy("qid", "rank")
+  }
 }
