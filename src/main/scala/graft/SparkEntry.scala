@@ -472,6 +472,25 @@ object SparkEntry {
       Dedup.simHashDedupMd5(d.unionByName(d.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))))
     }),
+    // k-anonymity / l-diversity release audit: equivalence classes
+    // over (nation, segment) that are SMALL (< 10 members — an
+    // attacker knowing the quasi-identifiers pins few rows) or
+    // HOMOGENEOUS (< 5 distinct acctbal-thousands — the class leaks
+    // its members' secret). One map-side-combined aggregate; the
+    // risky tail IS the artifact a release gate reads.
+    "q158_k_anonymity" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymityAudit(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"), k = 10, l = 5)),
+    // The enforcement half: customers whose class passes BOTH gates —
+    // the releasable subset, as a left-anti join against the risky
+    // classes (ids only; at 100 TB the risky-class key set is tiny
+    // and broadcasts).
+    "q159_k_suppress" -> ((s, dir) =>
+      graft.ops.Privacy.suppress(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"), k = 10, l = 5,
+        idCol = "c_custkey")),
     // BM25-mined hard negatives for retrieval training (the DPR
     // recipe): 20 query docs, 5 rarest-term queries, top-5 negatives
     // each, with the query itself AND its exact copies excluded —
@@ -1595,6 +1614,8 @@ object SparkEntry {
     "q123_simhash_md5_dedup" -> Oracle.simHashMd5Dedup,
     "q156_bm25_negatives"   -> Oracle.bm25Negatives,
     "q157_blockhash_dedup"  -> Oracle.blockHashDedup,
+    "q158_k_anonymity"      -> Oracle.kAnonymity,
+    "q159_k_suppress"       -> Oracle.kSuppress,
     "q124_line_dedup"       -> Oracle.lineDedup,
     "q125_winnow_pairs"     -> Oracle.winnowPairs,
     "q126_epoch_order"      -> Oracle.epochOrder,

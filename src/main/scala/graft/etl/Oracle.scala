@@ -1882,6 +1882,40 @@ SELECT doc_id FROM (SELECT DISTINCT doc_id FROM corp)
 WHERE doc_id NOT IN (SELECT id_b FROM dup)
 ORDER BY doc_id"""
 
+  /** q158 oracle: the k-anonymity / l-diversity audit — one grouped
+    * count + exact count-distinct of the floor(acctbal/1000) bucket
+    * (IEEE double division then floor: identical both engines),
+    * risky = n < 10 OR distinct < 5. */
+  val kAnonymity: String = """
+SELECT c_nationkey, c_mktsegment,
+       count(*) AS n,
+       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+         AS n_sensitive,
+       count(*) < 10 AS small,
+       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 5
+         AS uniform
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 10
+    OR count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 5
+ORDER BY c_nationkey, c_mktsegment"""
+
+  /** q159 oracle: the releasable complement — customers whose
+    * (nation, segment) class passes both gates. */
+  val kSuppress: String = """
+WITH risky AS (
+  SELECT c_nationkey, c_mktsegment
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+  HAVING count(*) < 10
+      OR count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 5)
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM risky r
+  WHERE r.c_nationkey = c.c_nationkey
+    AND r.c_mktsegment = c.c_mktsegment)
+ORDER BY c_custkey"""
+
   /** q156 oracle: BM25 hard-negative mining replayed — same planted
     * +10000 exact copies, rarest-5 query terms (df asc, term asc),
     * the rational-idf term score with [[bm25Term]]'s literals, and
