@@ -1901,7 +1901,9 @@ HAVING count(*) < 10
 ORDER BY c_nationkey, c_mktsegment"""
 
   /** q159 oracle: the releasable complement — customers whose
-    * (nation, segment) class passes both gates. */
+    * (nation, segment) class passes both gates. NULL-safe compare
+    * (IS NOT DISTINCT FROM ≡ Spark's `<=>`), matching the engine's
+    * null-safe anti-join. */
   val kSuppress: String = """
 WITH risky AS (
   SELECT c_nationkey, c_mktsegment
@@ -1912,8 +1914,8 @@ WITH risky AS (
 SELECT c_custkey FROM customer c
 WHERE NOT EXISTS (
   SELECT 1 FROM risky r
-  WHERE r.c_nationkey = c.c_nationkey
-    AND r.c_mktsegment = c.c_mktsegment)
+  WHERE r.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
+    AND r.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment)
 ORDER BY c_custkey"""
 
   /** q156 oracle: BM25 hard-negative mining replayed — same planted

@@ -172,14 +172,16 @@ case class SignLshProbes(child: Expression, numPlanes: Int, tables: Int,
   }
 
   /** Flip sets (bitmasks over planes) of size 1 and 2, precomputed
-    * once per expression instance — scored per query by Σ margin². */
-  @transient private lazy val flipSets: Array[Int] = {
-    val sets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    * once per expression instance — scored per query by Σ margin².
+    * Long masks: [[SignLshBuckets]] accepts up to 63 planes, and an
+    * Int `1 << a` silently aliases planes ≥ 32 back onto 0-7. */
+  @transient private lazy val flipSets: Array[Long] = {
+    val sets = scala.collection.mutable.ArrayBuffer.empty[Long]
     var a = 0
     while (a < numPlanes) {
-      sets += (1 << a)
+      sets += (1L << a)
       var b = a + 1
-      while (b < numPlanes) { sets += ((1 << a) | (1 << b)); b += 1 }
+      while (b < numPlanes) { sets += ((1L << a) | (1L << b)); b += 1 }
       a += 1
     }
     sets.toArray
@@ -209,7 +211,7 @@ case class SignLshProbes(child: Expression, numPlanes: Int, tables: Int,
         val scored = flipSets.map { m =>
           var s = 0.0
           var q = 0
-          while (q < numPlanes) { if ((m & (1 << q)) != 0) s += margins(q); q += 1 }
+          while (q < numPlanes) { if ((m & (1L << q)) != 0L) s += margins(q); q += 1 }
           (s, m)
         }.sortBy(_._1)
         var k = 1
@@ -217,7 +219,7 @@ case class SignLshProbes(child: Expression, numPlanes: Int, tables: Int,
           // fewer flip sets than probes (tiny numPlanes): repeat the
           // base bucket — harmless duplicate, candidates distinct later
           out(t * probes + k) =
-            if (k - 1 < scored.length) bucket ^ scored(k - 1)._2.toLong
+            if (k - 1 < scored.length) bucket ^ scored(k - 1)._2
             else bucket
           k += 1
         }

@@ -186,7 +186,12 @@ object Entity {
     val nameMap = ncomp.select(col("name"), col("entity_id"))
       .join(canon, "entity_id").join(sizes, "entity_id")
 
-    registry.join(nameMap, "name")
+    // NULL-safe on name: groupBy above keeps a NULL-name group (it
+    // resolves to itself, matching nothing), so the attach join must
+    // use <=> — a plain equi-join's NULL ≠ NULL would silently drop
+    // those registry rows, breaking the every-row-out contract
+    registry.join(nameMap.withColumnRenamed("name", "__nm_name"),
+        col("name") <=> col("__nm_name"))
       .select(col("rid"), col("name"), col("src"), col("entity_id"),
         col("canonical_name"), col("n_members"))
   }

@@ -44,13 +44,19 @@ object Privacy {
   /** Suppression: the rows whose equivalence class passes BOTH
     * gates — the releasable subset (identified by `idCol`, ordered).
     * Complement of [[kAnonymityAudit]] by construction: a left-anti
-    * join of the rows against the risky classes. */
+    * join of the rows against the risky classes, NULL-SAFE on every
+    * quasi column — groupBy treats NULL as a grouping value, so a
+    * risky all-NULL class must also match its rows here (a plain
+    * equi-join's NULL ≠ NULL would quietly RELEASE exactly the rows
+    * the audit flagged). */
   def suppress(rows: DataFrame, quasiCols: Seq[String],
                sensitive: Column, k: Long, l: Long,
                idCol: String): DataFrame = {
     val risky = kAnonymityAudit(rows, quasiCols, sensitive, k, l)
-      .select(quasiCols.map(col): _*)
-    rows.join(risky, quasiCols, "left_anti")
+      .select(quasiCols.map(c => col(c).as(s"__r_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__r_$c"))
+      .reduce(_ && _)
+    rows.join(risky, cond, "left_anti")
       .select(col(idCol))
       .orderBy(idCol)
   }

@@ -148,8 +148,15 @@ object Similarity {
   def lshTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                   targetBucket: Long = 8, tables: Int = 8,
                   probes: Int = 16, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
-    val n = math.max(1L, corpus.count())
+                  vecCol: String = "embedding",
+                  corpusSize: Option[Long] = None): DataFrame = {
+    // planes changes the PLAN STRUCTURE (bucket bit width), so the
+    // size must be known before planning — a lazy 1-row stats frame
+    // cannot feed it. Pass `corpusSize` when the caller already knows
+    // N (table stats, a prior count, the catalog); the count() here
+    // is the fallback, not the design: at warehouse scale N comes
+    // from metadata, never a scan per query batch.
+    val n = math.max(1L, corpusSize.getOrElse(corpus.count()))
     val planes = math.max(1, math.ceil(
       math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
     lshTopK(corpus, queries, k, planes, tables, probes, idCol, vecCol)

@@ -73,8 +73,13 @@ object TextOps {
     * this runs at scan speed. Swapping learned weights in changes
     * nothing structurally. Output: (doc_id, clf_score, clf_prob,
     * label), label = keep iff score ≥ 0. */
-  def qualityClassifier(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
+  /** The q89 classifier (score, prob) expression pair, built in ONE
+    * place so [[budgetSelect]] and [[curriculumOrder]] can never
+    * drift from [[qualityClassifier]] and its oracle. The tree is
+    * IEEE-ordering-sensitive: left-associative, exactly-representable
+    * weight literals, token-for-token the oracle SQL — do not
+    * restructure without updating all three oracles together. */
+  private def clfScoreProb(textCol: String): (Column, Column) = {
     val toks = tokens(col(textCol))
     val nTok = size(toks).cast(DoubleType)
     val nStop = size(filter(toks,
@@ -82,17 +87,20 @@ object TextOps {
     val nDist = size(array_distinct(toks)).cast(DoubleType)
     val wordChars = (length(col(textCol)) - (size(toks) - 1))
       .cast(DoubleType)
-    // weights are exactly-representable doubles; the expression tree
-    // mirrors the oracle SQL token-for-token (left-associative) so
-    // every intermediate rounding matches
     val score = lit(-3.5) + lit(8.0) * (nStop / nTok) -
       lit(0.25) * (wordChars / nTok) + lit(2.0) * (nDist / nTok) +
       lit(0.5) * (nTok / lit(100.0))
+    val prob = (score / (lit(1.0) + abs(score)) + lit(1.0)) * lit(0.5)
+    (score, prob)
+  }
+
+  def qualityClassifier(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val (score, prob) = clfScoreProb(textCol)
     docs.select(
       col(idCol),
       score.as("clf_score"),
-      ((score / (lit(1.0) + abs(score)) + lit(1.0)) * lit(0.5))
-        .as("clf_prob"),
+      prob.as("clf_prob"),
       when(score >= lit(0.0), lit("keep")).otherwise(lit("drop"))
         .as("label"))
       .orderBy(idCol)
@@ -1564,6 +1572,27 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** Stride-1 k-token window hashes over a (id, toks) frame —
+    * (id, p, wh) with p the 0-based window start and wh =
+    * xxhash64 of the space-joined window. The ONE extraction both
+    * [[slidingScrub]] and [[maxDupSpans]] build on (a drifted copy
+    * would make the scrub and the audit disagree about which spans
+    * are duplicated).
+    *
+    * greatest(…, 0) clamp: InferFiltersFromGenerate derives a
+    * size(…) > 0 predicate from the explode and pushes it BELOW the
+    * length filter, so the expression must be total — an unclamped
+    * sequence(0, n−k) descends into negative indices on a short doc
+    * and slice(…, 0, …) throws before the filter ever runs. The
+    * clamp changes nothing for surviving rows (n−k ≥ 0 there). */
+  private def stride1WindowHashes(base: DataFrame, k: Int,
+                                  idCol: String): DataFrame =
+    base.filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
+          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .select(col(idCol), col("pos").as("p"), xxhash64(col("col")).as("wh"))
+
   /** MAXIMAL duplicated-span extraction — the variable-length upgrade
     * of the [[dupSpans]] audit: instead of reporting window counts,
     * report each document's maximal contiguous duplicated token
@@ -1596,13 +1625,7 @@ object TextOps {
     require(k > 0 && minDf >= 2, "need k > 0, minDf >= 2")
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-    // greatest(…, 0) clamp: see slidingScrub (InferFiltersFromGenerate
-    // evaluates the transform below the length filter)
-    val wins = base.filter(size(col("toks")) >= k)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
-          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
-      .select(col(idCol), col("pos").as("p"), xxhash64(col("col")).as("wh"))
+    val wins = stride1WindowHashes(base, k, idCol)
     val dupPairs = wins.select(col(idCol), col("wh")).distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy("wh")))
       .filter(col("df") >= minDf)
@@ -1938,19 +1961,8 @@ object TextOps {
                    idCol: String = "doc_id"): DataFrame = {
     require(k > 0, "need k > 0")
     import org.apache.spark.sql.expressions.Window
-    val toksC = tokens(col(textCol))
-    val base = docs.select(col(idCol), toksC.as("toks"))
-    // greatest(…, 0): InferFiltersFromGenerate derives a size(…) > 0
-    // predicate from the explode and pushes it BELOW the length
-    // filter, so this expression must be total — an unclamped
-    // sequence(0, n−k) descends into negative indices on a short doc
-    // and slice(…, 0, …) throws before the filter ever runs. The
-    // clamp changes nothing for surviving rows (n−k ≥ 0 there).
-    val wins = base.filter(size(col("toks")) >= k)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), greatest(size(col("toks")) - k, lit(0))),
-          i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
-      .select(col(idCol), col("pos").as("p"), xxhash64(col("col")).as("wh"))
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val wins = stride1WindowHashes(base, k, idCol)
     val dups = wins
       .withColumn("first",
         min(struct(col(idCol).as("d"), col("p").as("q")))
@@ -2042,20 +2054,10 @@ object TextOps {
     require(tokenBudget > 0, "need tokenBudget > 0")
     require(buckets > 0, "need buckets > 0")
     import org.apache.spark.sql.expressions.Window
-    val toksC = tokens(col(textCol))
-    val nTok = size(toksC).cast(DoubleType)
-    val nStop = size(filter(toksC,
-      t => t.isin(Stopwords.map(x => x: Any): _*))).cast(DoubleType)
-    val nDist = size(array_distinct(toksC)).cast(DoubleType)
-    val wordChars = (length(col(textCol)) - (size(toksC) - 1))
-      .cast(DoubleType)
-    // the q89 score tree verbatim — identical IEEE roundings
-    val score = lit(-3.5) + lit(8.0) * (nStop / nTok) -
-      lit(0.25) * (wordChars / nTok) + lit(2.0) * (nDist / nTok) +
-      lit(0.5) * (nTok / lit(100.0))
-    val prob = (score / (lit(1.0) + abs(score)) + lit(1.0)) * lit(0.5)
+    // the q89 score tree via the shared helper — identical roundings
+    val (_, prob) = clfScoreProb(textCol)
     val scored = docs.select(col(idCol), prob.as("score"),
-      size(toksC).cast(LongType).as("n_tokens"))
+      size(tokens(col(textCol))).cast(LongType).as("n_tokens"))
     // prob ∈ (0,1) strictly (rational sigmoid), so the clamp is
     // belt-and-braces for an exact 1.0
     val withB = scored.withColumn("bkt",
@@ -2101,18 +2103,8 @@ object TextOps {
                       idCol: String = "doc_id"): DataFrame = {
     require(stages > 0, "need stages > 0")
     import org.apache.spark.sql.expressions.Window
-    val toksC = tokens(col(textCol))
-    val nTok = size(toksC).cast(DoubleType)
-    val nStop = size(filter(toksC,
-      t => t.isin(Stopwords.map(x => x: Any): _*))).cast(DoubleType)
-    val nDist = size(array_distinct(toksC)).cast(DoubleType)
-    val wordChars = (length(col(textCol)) - (size(toksC) - 1))
-      .cast(DoubleType)
-    // the q89 score tree verbatim — identical IEEE roundings
-    val score = lit(-3.5) + lit(8.0) * (nStop / nTok) -
-      lit(0.25) * (wordChars / nTok) + lit(2.0) * (nDist / nTok) +
-      lit(0.5) * (nTok / lit(100.0))
-    val prob = (score / (lit(1.0) + abs(score)) + lit(1.0)) * lit(0.5)
+    // the q89 score tree via the shared helper — identical roundings
+    val (_, prob) = clfScoreProb(textCol)
     val scored = docs.select(col(idCol), prob.as("score"))
     val withB = scored.withColumn("bkt",
       least(floor(col("score") * lit(buckets.toDouble)).cast(LongType),
@@ -2219,15 +2211,11 @@ object TextOps {
                          idCol: String = "doc_id"): DataFrame = {
     require(k > 0 && w > 0, "need k > 0 and w > 0")
     import org.apache.spark.sql.expressions.Window
-    // greatest(…, 0) clamps: InferFiltersFromGenerate pushes a
-    // size(…) > 0 predicate (with the transform inlined) below the
-    // length filter, so the expression is evaluated on short docs
-    // too — an unclamped sequence(0, n−k) descends into negative
-    // indices and slice(…, 0, …) throws. For rows the filter keeps,
-    // the clamp is the identity.
     // native multiset shingles + a self-contained md5 lambda (no
     // outer refs, so nothing re-evaluates per element) — the
-    // composable slice-per-index form re-tokenized per window
+    // composable slice-per-index form re-tokenized per window; it is
+    // also TOTAL on short docs, so no InferFiltersFromGenerate clamp
+    // is needed here (unlike stride1WindowHashes' sequence form)
     val kg = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k + w - 1)
       .select(col(idCol),

@@ -65,4 +65,28 @@ class VectorExpressionsSpec extends SparkSpec {
       VectorExpressions.cosine_sim($"v", $"v").as("c")).collect()
     c.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-15))
   }
+
+  test("sign_lsh_probes flips only valid planes past 32 (Long masks)") {
+    // with numPlanes > 32, Int-shift flip masks would alias planes
+    // >= 32 back onto planes 0-7; every probe bucket must differ from
+    // the base bucket in at most 2 bits, all within [0, numPlanes)
+    val planes = 40
+    val out = vecs.select(VectorExpressions.sign_lsh_probes(
+        $"v", numPlanes = planes, tables = 2, probes = 8).as("bs"))
+      .collect()
+    out.foreach { r =>
+      val bs = r.getSeq[Long](0)
+      assert(bs.length == 16)
+      for (t <- 0 until 2) {
+        val base = bs(t * 8)
+        for (k <- 1 until 8) {
+          val diff = base ^ bs(t * 8 + k)
+          assert(java.lang.Long.bitCount(diff) <= 2,
+            s"probe $k flips ${java.lang.Long.bitCount(diff)} bits")
+          assert((diff >>> planes) == 0L,
+            s"probe $k flips a plane >= $planes: ${diff.toBinaryString}")
+        }
+      }
+    }
+  }
 }

@@ -155,6 +155,18 @@ class EntitySpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("NULL-name rows pass through as their own entity (every row out)") {
+    val reg = Seq((1L, "acme corp", "catalog"), (2L, "acme corp", "feed"))
+      .toDF("rid", "name", "src")
+      .unionByName(Seq((3L, "feed")).toDF("rid", "src")
+        .select($"rid", lit(null: String).as("name"), $"src"))
+    val resolved = Entity.entityResolve(reg)
+    assert(resolved.count() === 3, "NULL-name row was dropped")
+    val row = resolved.filter($"rid" === 3L)
+      .select($"entity_id", $"n_members").as[(Long, Long)].head()
+    assert(row == ((3L, 1L)), "NULL name must resolve to itself alone")
+  }
+
   test("maxEdit = 0 links only exact-equal names") {
     val reg = Seq(
       (1L, "hot gear", "a"), (2L, "hot gear", "a"), (3L, "hot gea", "a"))

@@ -36,6 +36,18 @@ class PrivacySpec extends SparkSpec {
     assert(kept == Seq(8L, 9L, 10L, 11L))
   }
 
+  test("NULL quasi values suppress null-safely (NULL class must not leak)") {
+    val withNulls = rows.unionByName(Seq(
+      (20L, null.asInstanceOf[String], 7L),
+      (21L, null.asInstanceOf[String], 8L))
+      .toDF("id", "qi", "secret"))
+    // the NULL class has n=2 < 4 → risky; a plain equi-anti-join
+    // would release ids 20/21 because NULL != NULL
+    val kept = Privacy.suppress(withNulls, Seq("qi"), col("secret"),
+      k = 4, l = 2, idCol = "id").as[Long].collect().toSeq
+    assert(kept == Seq(8L, 9L, 10L, 11L))
+  }
+
   test("audit is non-empty on the real customer table at the q158 knobs") {
     val cust = graft.io.Tables.customer(spark, "/root/testdata/sf0.001")
     val audit = Privacy.kAnonymityAudit(cust,
