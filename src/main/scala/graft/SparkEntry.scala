@@ -482,12 +482,13 @@ object SparkEntry {
       graft.ops.Privacy.kAnonymityAudit(Tables.customer(s, dir),
         Seq("c_nationkey", "c_mktsegment"),
         floor(col("c_acctbal") / 1000.0).cast("long"), k = 10, l = 5)),
-    // The enforcement half: customers whose class passes BOTH gates —
-    // the releasable subset, as a left-anti join against the risky
-    // classes (ids only; at 100 TB the risky-class key set is tiny
-    // and broadcasts).
+    // The enforcement half: a release decision per customer row —
+    // null-safe membership against the risky classes (ids only; at
+    // 100 TB the risky-class key set is tiny and broadcasts). The
+    // per-row form stays meaningful at every SF (at sf0.001 EVERY
+    // class is risky, so a released-only view would be empty).
     "q159_k_suppress" -> ((s, dir) =>
-      graft.ops.Privacy.suppress(Tables.customer(s, dir),
+      graft.ops.Privacy.releaseDecisions(Tables.customer(s, dir),
         Seq("c_nationkey", "c_mktsegment"),
         floor(col("c_acctbal") / 1000.0).cast("long"), k = 10, l = 5,
         idCol = "c_custkey")),

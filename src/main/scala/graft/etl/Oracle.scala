@@ -1900,10 +1900,10 @@ HAVING count(*) < 10
     OR count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 5
 ORDER BY c_nationkey, c_mktsegment"""
 
-  /** q159 oracle: the releasable complement — customers whose
-    * (nation, segment) class passes both gates. NULL-safe compare
+  /** q159 oracle: a release decision per customer row — released iff
+    * the (nation, segment) class passes both gates. NULL-safe compare
     * (IS NOT DISTINCT FROM ≡ Spark's `<=>`), matching the engine's
-    * null-safe anti-join. */
+    * null-safe class-membership join. */
   val kSuppress: String = """
 WITH risky AS (
   SELECT c_nationkey, c_mktsegment
@@ -1911,11 +1911,13 @@ WITH risky AS (
   GROUP BY c_nationkey, c_mktsegment
   HAVING count(*) < 10
       OR count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 5)
-SELECT c_custkey FROM customer c
-WHERE NOT EXISTS (
-  SELECT 1 FROM risky r
-  WHERE r.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
-    AND r.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment)
+SELECT c_custkey,
+       NOT EXISTS (
+         SELECT 1 FROM risky r
+         WHERE r.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
+           AND r.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment)
+         AS released
+FROM customer c
 ORDER BY c_custkey"""
 
   /** q156 oracle: BM25 hard-negative mining replayed — same planted

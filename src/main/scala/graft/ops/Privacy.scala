@@ -60,4 +60,23 @@ object Privacy {
       .select(col(idCol))
       .orderBy(idCol)
   }
+
+  /** Per-row release DECISIONS: (id, released) for EVERY input row —
+    * the record-level artifact a release pipeline consumes (and, on
+    * a fully-risky corpus, still a meaningful non-empty output where
+    * [[suppress]]'s released-only view collapses to zero rows). Same
+    * null-safe class membership as [[suppress]]; a left join + flag
+    * instead of the anti-join. */
+  def releaseDecisions(rows: DataFrame, quasiCols: Seq[String],
+                       sensitive: Column, k: Long, l: Long,
+                       idCol: String): DataFrame = {
+    val risky = kAnonymityAudit(rows, quasiCols, sensitive, k, l)
+      .select(quasiCols.map(c => col(c).as(s"__r_$c")) :+
+        lit(1).as("__risky"): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__r_$c"))
+      .reduce(_ && _)
+    rows.join(risky, cond, "left")
+      .select(col(idCol), col("__risky").isNull.as("released"))
+      .orderBy(idCol)
+  }
 }

@@ -48,6 +48,18 @@ class PrivacySpec extends SparkSpec {
     assert(kept == Seq(8L, 9L, 10L, 11L))
   }
 
+  test("releaseDecisions covers every row and agrees with suppress") {
+    val dec = Privacy.releaseDecisions(rows, Seq("qi"), col("secret"),
+      k = 4, l = 2, idCol = "id").as[(Long, Boolean)].collect().toMap
+    assert(dec.size == 11, "one decision per input row")
+    val kept = Privacy.suppress(rows, Seq("qi"), col("secret"),
+      k = 4, l = 2, idCol = "id").as[Long].collect().toSet
+    dec.foreach { case (id, released) =>
+      assert(released == kept.contains(id),
+        s"decision for $id disagrees with suppress")
+    }
+  }
+
   test("audit is non-empty on the real customer table at the q158 knobs") {
     val cust = graft.io.Tables.customer(spark, "/root/testdata/sf0.001")
     val audit = Privacy.kAnonymityAudit(cust,
