@@ -448,10 +448,7 @@ object Dedup {
     val sets = docs.select(col(idCol).as("id"),
       graft.functions.TextExpressions.sorted_distinct_shingles(
         TextOps.tokens(col(textCol)), shingleLen).as("sh"))
-    // n_a rides the explode (set size is known before it) — one
-    // window fewer than counting per id after the fact
-    val inv = sets.select(col("id"),
-      size(col("sh")).cast("long").as("n_a"), explode(col("sh")).as("s"))
+    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
     val withDf = inv.withColumn("df",
       count(lit(1)).over(Window.partitionBy("s")))
     // rarest-first prefix of the CONTAINED side: rank each doc's
@@ -462,6 +459,7 @@ object Dedup {
     // bound whenever (1−θ)n is an exact integer, e.g. θ=0.8, n=10
     // → 1.9999… → a one-short prefix that silently misses pairs)
     val ranked = withDf
+      .withColumn("n_a", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("s"))))
     val prefix = ranked.filter(
@@ -513,13 +511,11 @@ object Dedup {
     val sets = docs.select(col(idCol).as("id"),
       graft.functions.TextExpressions.sorted_distinct_shingles(
         TextOps.tokens(col(textCol)), shingleLen).as("sh"))
-    // n_a rides the explode (set size is known before it) — one
-    // window fewer than counting per id after the fact
-    val inv = sets.select(col("id"),
-      size(col("sh")).cast("long").as("n_a"), explode(col("sh")).as("s"))
+    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
     val withDf = inv.withColumn("df",
       count(lit(1)).over(Window.partitionBy("s")))
     val ranked = withDf
+      .withColumn("n_a", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("s"))))
     val alpha = ceil(
