@@ -293,6 +293,57 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED long arrays — the dictionary-
+  * encoded sibling of [[SortedIntersectCount]]. The similarity-join
+  * verify stage maps shingle strings to dense long ids first
+  * (Vernica et al. 2010's token ordering): intersection COUNTS are
+  * invariant under any bijective re-encoding, and the long arrays
+  * are ~3× lighter than UTF8String arrays through the two verify
+  * joins — the stage's cost is carried array bytes, not compares. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.numElements() && j < b.numElements()) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** [[SimHash64]]'s ORACLE-REPLAYABLE twin: identical ±1 bit-vote
   * aggregation, but the per-token 64 bits come from the FIRST 16 hex
   * digits of the standard md5 — bit i = (value of hex digit ⌊i/4⌋)
@@ -649,6 +700,10 @@ object TextExpressions {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def sorted_long_intersect_count(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedLongIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   def sorted_distinct_shingles(tokens: Column, n: Int): Column =

@@ -67,13 +67,20 @@ object Importance {
     // full outer: a bucket seen in only one corpus still needs its
     // smoothed ratio (that asymmetry IS the signal)
     val aB = alpha * buckets
+    // n_t / n_r are the corpora's TOTAL feature counts — which are
+    // exactly Σ c_t / Σ c_r over the bucket table already in hand.
+    // Summing the ≤`buckets`-row counts (one global window over a
+    // tiny frame) replaces two further full-corpus tokenize+hash
+    // scans (measured: q127 3.1 → ~1.8 s at sf0.1); integer sums, so
+    // the smoothed ratios are bit-identical.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
     val ratios = ct.join(cr, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("c_t"), lit(0L)).as("c_t"),
         coalesce(col("c_r"), lit(0L)).as("c_r"))
-      .crossJoin(broadcast(
-        features(target).agg(count(lit(1)).as("n_t"))
-          .crossJoin(features(raw).agg(count(lit(1)).as("n_r")))))
+      .withColumn("n_t", sum(col("c_t")).over(w))
+      .withColumn("n_r", sum(col("c_r")).over(w))
       .select(col("bucket"),
         (((col("c_t").cast(DoubleType) + lit(alpha))
             / (col("n_t").cast(DoubleType) + lit(aB)))
