@@ -1281,6 +1281,34 @@ object SparkEntry {
       TextOps.mixtureSample(Tables.documents(s, dir),
         Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
           "src3" -> 0.1), budget = 120)),
+    // Epoch-repetition mixture (the up-sampling half of q104): budget
+    // = corpus size, so the per-source shapes are SF-invariant —
+    // src0's 0.22-weight target is 4.4× its inventory (hits the
+    // maxEpochs=4 cap), src1's 1.2× repeats a full epoch plus an md5
+    // fractional top-up, src2's 0.4× degenerates to plain sampling.
+    // One inventory aggregate + one selection window + a ≤4-wide
+    // sequence explode: output cardinality IS the work.
+    "q160_epoch_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.epochMixture(docs,
+        Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02),
+        budget = docs.count(), maxEpochs = 4)
+    }),
+    // Per-cluster graph cohesion audit: node/edge/triangle counts and
+    // density for every near-dup component — separates template
+    // families (density → 1) from transitive chain over-merges BEFORE
+    // a one-per-cluster dedup commits. Same verified-pair source and
+    // closure oracle as q66; triangle counting is the canonical
+    // a<b<c wedge-close join, counted once per triangle.
+    "q162_cluster_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val verified = Dedup.jaccardVerify(
+          Dedup.minHashCandidates(docs), docs,
+          shingleLen = Dedup.ShingleLen)
+        .filter(col("jaccard") >= 0.8)
+      graft.ops.Components.componentStats(verified,
+        srcCol = "id_a", dstCol = "id_b")
+    }),
     // Cross-source near-dup provenance audit: verified near-dup pairs
     // counted per unordered source pair — scraper-overlap and mirror
     // detection between ingest feeds. Bounded corpus per the q66
@@ -1298,6 +1326,18 @@ object SparkEntry {
       Similarity.knnClassify(
         v.filter(col("vec_id") % 2 === 0),
         v.filter(col("vec_id") % 2 === 1 && col("vec_id") < 400),
+        k = 5, rerank = 50)
+    }),
+    // Label-error detection (confident-learning shape): every audited
+    // vector scored against the majority label of its 5 nearest OTHER
+    // labeled points via the deterministic Hamming+exact-rerank
+    // index; flagged = neighborhood outvotes the own label. The
+    // bounded query slice is the audit batch; neighbors come from the
+    // FULL labeled pool. Hash-exact like q103, so label-noise
+    // regressions gate like correctness ones.
+    "q161_label_errors" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir)
+      Similarity.labelErrors(v, v.filter(col("vec_id") < 400),
         k = 5, rerank = 50)
     }),
     // CCNet-style perplexity buckets: bigram-LM score -> 3 equal
@@ -1655,6 +1695,9 @@ object SparkEntry {
     "q102_ppl_buckets"      -> Oracle.pplBuckets,
     "q103_knn_label"        -> Oracle.knnLabel,
     "q104_mixture_apply"    -> Oracle.mixtureApply,
+    "q160_epoch_mixture"    -> Oracle.epochMixture,
+    "q161_label_errors"     -> Oracle.labelErrors,
+    "q162_cluster_stats"    -> Oracle.clusterStats,
     "q105_cross_source_dups" -> Oracle.crossSourceDups,
     "q106_token_mixture"    -> Oracle.tokenMixture,
     "q107_multi_decon"      -> Oracle.multiDecon,

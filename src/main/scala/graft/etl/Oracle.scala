@@ -1362,6 +1362,40 @@ FROM r JOIN tgt USING (source)
 WHERE rn <= n_keep
 ORDER BY r.source, rn"""
 
+  /** q160 oracle: epoch-repetition mixture replayed — budget = corpus
+    * size (SF-invariant shapes), the same floor(budget·w + 0.5)
+    * target with the maxEpochs·n cap, integer full/remainder split,
+    * the shared md5 selection order (salt "epoch"), and the epoch
+    * fan-out as an unnested range — exactly t_s rows per source. */
+  val epochMixture: String = """
+WITH d AS (SELECT doc_id, source FROM documents),
+b AS (SELECT CAST(count(*) AS DOUBLE) AS budget FROM d),
+inv AS (SELECT source, count(*) AS n FROM d
+        GROUP BY 1 HAVING source IN ('src0', 'src1', 'src2')),
+t AS (
+  SELECT source, n,
+         least(CAST(floor(budget * CASE source WHEN 'src0' THEN 0.22
+                 WHEN 'src1' THEN 0.06 WHEN 'src2' THEN 0.02
+                 END + 0.5) AS BIGINT), 4 * n) AS tgt
+  FROM inv, b),
+f AS (SELECT source, tgt // n AS ful, tgt % n AS rem FROM t),
+r AS (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5(concat('epoch', ':', CAST(doc_id AS VARCHAR))), doc_id)
+    AS rn
+  FROM d WHERE source IN ('src0', 'src1', 'src2')),
+e AS (
+  SELECT r.source, r.doc_id, r.rn,
+         ful + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS n_ep
+  FROM r JOIN f USING (source)),
+g AS (SELECT source, doc_id, rn,
+             unnest(range(1, n_ep + 1)) AS epoch
+      FROM e)
+SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch,
+       CAST(rn AS BIGINT) AS sample_rank
+FROM g ORDER BY source, doc_id, epoch"""
+
   /** q106 oracle: token-budget mixture replayed — identical weight
     * CASE, floor(budget·w + 0.5) token targets, md5-ordered running
     * sums (unique order key, so RANGE ≡ ROWS framing), and the
@@ -2396,6 +2430,51 @@ WHERE doc_id NOT IN (SELECT id FROM cc)
    OR doc_id IN (SELECT id FROM best)
 ORDER BY doc_id"""
 
+  /** q162 oracle: per-cluster graph cohesion stats replayed — the q66
+    * brute-force verified pairs + recursive closure, then per
+    * component: node count, edge count, the once-per-triangle
+    * a<b<c wedge-close count, and density 2e/(n(n−1)). */
+  val clusterStats: String = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents WHERE doc_id < 1000),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= 0.8),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+nn AS (SELECT component, count(*) AS n_nodes FROM cc GROUP BY 1),
+ne AS (SELECT cc.component, count(*) AS n_edges
+       FROM e JOIN cc ON cc.id = e.src GROUP BY 1),
+tri AS (
+  SELECT cc.component, count(*) AS n_triangles
+  FROM e ab JOIN e bc ON bc.src = ab.dst
+       JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+       JOIN cc ON cc.id = ab.src
+  GROUP BY 1)
+SELECT nn.component, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(ne.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(coalesce(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(coalesce(ne.n_edges, 0) AS DOUBLE) * 2.0
+         / CAST(nn.n_nodes * (nn.n_nodes - 1) AS DOUBLE) AS density
+FROM nn LEFT JOIN ne USING (component) LEFT JOIN tri USING (component)
+ORDER BY component"""
+
   /** q81 oracle: the curation-v2 composite replayed stage by stage —
     * the q79 rule battery gates the universe, the q80 recursive
     * closure + token-count argmax picks cluster survivors, and the
@@ -2661,6 +2740,61 @@ wnr AS (
 SELECT query_id AS vec_id, lbl AS label_pred,
        CAST(n_votes AS BIGINT) AS n_votes
 FROM wnr WHERE rk = 1 ORDER BY vec_id"""
+
+  /** q161 oracle: label-error detection replayed — the q103 Hamming+
+    * exact-rerank kNN machinery with the FULL labeled pool as corpus
+    * (self excluded), majority winner (n_votes desc, label asc), plus
+    * the own-label vote count and the flagged comparison. */
+  val labelErrors: String = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings),
+w AS (
+  SELECT vec_id, e,
+         list_reduce(list_transform(range(0, 63), i ->
+             CASE WHEN e[CAST(i AS INT) + 1] > 0
+                  THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END),
+           (a, b) -> a | b)
+         | CASE WHEN e[64] > 0 THEN (-9223372036854775808)::BIGINT
+                ELSE 0::BIGINT END AS word
+  FROM v),
+q AS (SELECT * FROM w WHERE vec_id < 400),
+h AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         bit_count(xor(q.word, c.word)) AS hamming, q.e AS qe, c.e AS ce
+  FROM q, w c WHERE c.vec_id <> q.vec_id),
+cand AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, corpus_id) AS hrank
+  FROM h),
+rr AS (
+  SELECT query_id, corpus_id,
+         list_dot_product(qe, ce)
+           / (sqrt(list_dot_product(qe, qe))
+              * sqrt(list_dot_product(ce, ce))) AS cosine_sim
+  FROM cand WHERE hrank <= 50),
+ranked AS (
+  SELECT query_id, corpus_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS rk
+  FROM rr),
+votes AS (
+  SELECT r.query_id, CAST(lv.label AS BIGINT) AS lbl,
+         count(*) AS n_votes
+  FROM ranked r JOIN v lv ON lv.vec_id = r.corpus_id
+  WHERE r.rk <= 5 GROUP BY 1, 2),
+wnr AS (
+  SELECT query_id, lbl, n_votes, row_number() OVER (
+    PARTITION BY query_id ORDER BY n_votes DESC, lbl) AS rk
+  FROM votes)
+SELECT q.vec_id, CAST(q2.label AS BIGINT) AS label,
+       wnr.lbl AS label_pred, CAST(wnr.n_votes AS BIGINT) AS n_votes,
+       CAST(coalesce(ov.n_votes, 0) AS BIGINT) AS own_votes,
+       (wnr.lbl <> CAST(q2.label AS BIGINT)) AS flagged
+FROM q JOIN v q2 ON q2.vec_id = q.vec_id
+JOIN wnr ON wnr.query_id = q.vec_id AND wnr.rk = 1
+LEFT JOIN votes ov ON ov.query_id = q.vec_id
+  AND ov.lbl = CAST(q2.label AS BIGINT)
+ORDER BY q.vec_id"""
 
   /** q83 oracle: per-language centroid outlier scores replayed — the
     * same fixed-point quantization (floor(x·2^20 + 0.5), exact

@@ -199,6 +199,51 @@ object Components {
       .orderBy("cluster_size")
   }
 
+  /** Per-cluster GRAPH cohesion stats for the near-dup graph — the
+    * audit that separates true duplicate families from chains of
+    * borderline matches before a one-per-cluster dedup commits: a
+    * template family is near-complete (density → 1, triangles ≈
+    * C(n,3)), while a low-density chain through a hub is transitive
+    * over-merging (one threshold notch away from collapsing distinct
+    * docs). Per component: n_nodes, n_edges, n_triangles and density
+    * = 2e/(n(n−1)).
+    *
+    * Triangles are counted once each via the canonical ordering
+    * a<b<c: wedge join (a,b)⋈(b,c) then close with (a,c) — the
+    * standard distributed triangle count; join volume is Σ_v C(deg v,
+    * 2) over the DUP GRAPH only (tiny relative to the corpus; a
+    * pathological hub is exactly what this audit exists to surface).
+    * All counts are integers and the density division is one IEEE
+    * op on exact integers — hash-exact, oracle-replayable. */
+  def componentStats(pairs: DataFrame,
+                     srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val e = pairs.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val nodes = cc.groupBy("component").agg(count(lit(1)).as("n_nodes"))
+    val edges = e.join(cc.select(col("id").as("a"), col("component")), "a")
+      .groupBy("component").agg(count(lit(1)).as("n_edges"))
+    val wedges = e.join(
+      e.select(col("a").as("b"), col("b").as("c")), "b")
+    val tris = wedges.join(
+        e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .join(cc.select(col("id").as("a"), col("component")), "a")
+      .groupBy("component").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(edges, Seq("component"), "left")
+      .join(tris, Seq("component"), "left")
+      .select(col("component"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        (coalesce(col("n_edges"), lit(0L)).cast("double") * lit(2.0) /
+          (col("n_nodes") * (col("n_nodes") - 1)).cast("double"))
+          .as("density"))
+      .orderBy("component")
+  }
+
   /** Cluster-aware dedup: given the full id universe and near-dup
     * candidate pairs, keep ONE representative (the minimum id) per
     * connected component plus every unpaired id. This is the

@@ -585,6 +585,52 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Label-error detection (the confident-learning / cleanlab shape):
+    * each LABELED vector is scored against the majority label of its
+    * k nearest OTHER labeled neighbors — a point whose neighborhood
+    * votes against its own label is a likely annotation error, the
+    * single highest-yield audit before training a classifier on
+    * bought labels. Neighbors come from [[hammingTopK]] (sign-packed
+    * Hamming prefilter + exact cosine re-rank, ties → corpus_id), the
+    * majority is (n_votes desc, label asc), and own_votes counts the
+    * point's own label among the k — so the flag AND its evidence are
+    * deterministic and hash-exact, like [[knnClassify]].
+    *
+    * Scale shape: identical to knnClassify (the corpus scan is
+    * 8 bytes/vector/word; votes/winner are aggregates over k·Q rows)
+    * plus one broadcastable own-label join. Output: (id, label,
+    * label_pred, n_votes, own_votes, flagged) for every query. */
+  def labelErrors(labeled: DataFrame, queries: DataFrame, k: Int,
+                  rerank: Int = 50, labelCol: String = "label",
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val nn = hammingTopK(labeled, queries, k, rerank, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val lab = labeled.select(col(idCol).as("corpus_id"),
+      col(labelCol).cast("long").as("lbl"))
+    val votes = nn.join(lab, "corpus_id")
+      .groupBy(col("query_id"), col("lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val winner = votes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("n_votes").desc, col("lbl"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("lbl").as("label_pred"),
+        col("n_votes"))
+    val own = queries.select(col(idCol).as("query_id"),
+      col(labelCol).cast("long").as("label"))
+    val ownVotes = votes.select(col("query_id").as("__qid"),
+      col("lbl").as("__lbl"), col("n_votes").as("own_votes"))
+    own.join(winner, "query_id")
+      .join(ownVotes, col("query_id") === col("__qid") &&
+        col("__lbl") === col("label"), "left")
+      .select(col("query_id").as(idCol), col("label"), col("label_pred"),
+        col("n_votes"), coalesce(col("own_votes"), lit(0L)).as("own_votes"),
+        (col("label_pred") =!= col("label")).as("flagged"))
+      .orderBy(idCol)
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k
     * MOST similar corpus vectors whose cosine is still below
     * `ceiling` — similar enough to be informative negatives, not so

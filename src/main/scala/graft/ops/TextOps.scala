@@ -1295,6 +1295,64 @@ object TextOps {
       .orderBy(col(sourceCol), col("cum_tokens"))
   }
 
+  /** [[mixtureSample]] with EPOCH REPETITION — the up-sampling half
+    * of mixture materialization (Pile/Dolma style: a high-value
+    * source whose target exceeds its inventory is REPEATED for whole
+    * epochs rather than capped at one pass). Source s with inventory
+    * n_s and target t_s = min(floor(budget·w_s + 0.5), maxEpochs·n_s)
+    * emits every document floor(t_s/n_s) times (epochs 1..full) plus
+    * the first t_s − full·n_s documents of the shared min-k md5
+    * order once more at epoch full+1 — so exactly t_s rows per
+    * source unless the maxEpochs cap bites (the cap is the honest
+    * bound: unbounded repetition of a tiny source is memorization,
+    * not mixing). A target under inventory degenerates to
+    * [[mixtureSample]] at epoch 1.
+    *
+    * Scale shape: one map-side-combined inventory aggregate
+    * (broadcast back), one per-source selection window, and the
+    * epoch fan-out is a narrow per-row `sequence`+`explode` whose
+    * multiplicity is ≤ maxEpochs — no join ever exceeds output
+    * cardinality Σ t_s. Output: (source, id, epoch, sample_rank). */
+  def epochMixture(docs: DataFrame, weights: Seq[(String, Double)],
+                   budget: Long, maxEpochs: Int = 4,
+                   sourceCol: String = "source",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "need non-empty positive weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "source names must be distinct")
+    import org.apache.spark.sql.expressions.Window
+    val wExpr = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, w)) =>
+        when(col(sourceCol) === lit(s), lit(w)).otherwise(acc)
+    }
+    val targets = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wExpr)
+      .filter(col("__w").isNotNull)
+      .select(col(sourceCol), col("__n"),
+        least(floor(lit(budget.toDouble) * col("__w") + lit(0.5))
+            .cast(LongType),
+          lit(maxEpochs.toLong) * col("__n")).as("__t"))
+      .select(col(sourceCol), col("__n"),
+        (col("__t") / col("__n")).cast(LongType).as("__full"),
+        (col("__t") % col("__n")).as("__rem"))
+    val sel = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(concat_ws(":", lit("epoch"), col(idCol).cast("string"))),
+        col(idCol))
+    val nEp = col("__full") +
+      when(col("__rn") <= col("__rem"), lit(1L)).otherwise(lit(0L))
+    docs.withColumn("__rn", row_number().over(sel))
+      .join(broadcast(targets), sourceCol)
+      .withColumn("epoch", explode(when(nEp >= 1,
+        sequence(lit(1L), nEp)).otherwise(array())))
+      .select(col(sourceCol), col(idCol), col("epoch"),
+        col("__rn").cast(LongType).as("sample_rank"))
+      .orderBy(col(sourceCol), col(idCol), col("epoch"))
+  }
+
   /** [[decontaminate]] against MULTIPLE eval benchmarks at once, with
     * per-benchmark attribution — production decontamination screens
     * dozens of eval sets and must report WHICH benchmark each doc

@@ -156,4 +156,31 @@ class BinaryAnnSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 3L, 1L)))
   }
+
+  // --- labelErrors -------------------------------------------------
+
+  test("labelErrors flags the planted mislabel, keeps clean points") {
+    def v(axis: Int, eps: Double) =
+      Array.tabulate(8)(d =>
+        (if (d == axis) 1.0 else if (d == (axis + 1) % 8) eps else 0.0)
+          .toFloat)
+    // two tight clusters; vec 12 sits in the axis-0 cluster but
+    // carries the axis-4 cluster's label (the planted error)
+    val pool = Seq(
+      (10L, v(0, 0.01), 7), (11L, v(0, 0.02), 7), (12L, v(0, 0.03), 2),
+      (13L, v(0, 0.04), 7), (20L, v(4, 0.01), 2), (21L, v(4, 0.02), 2),
+      (22L, v(4, 0.03), 2), (23L, v(4, 0.04), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelErrors(pool, pool, k = 3)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(got.size == 8)
+    // the planted error: own label 2, neighborhood votes 3×7, 0 own
+    assert(byId(12L) == ((12L, 2L, 7L, 3L, 0L, true)))
+    // its clean cluster-mates survive with unanimous own votes
+    assert(byId(10L) == ((10L, 7L, 7L, 2L, 2L, false)))
+    assert(!byId(20L)._6 && !byId(21L)._6 && !byId(23L)._6)
+    // axis-4 points see only label-2 neighbors at k=3 (12 is far)
+    assert(byId(21L)._4 == 3L && byId(21L)._5 == 3L)
+  }
 }

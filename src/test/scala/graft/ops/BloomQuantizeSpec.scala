@@ -210,6 +210,44 @@ class BloomQuantizeSpec extends SparkSpec {
     }
   }
 
+  test("epochMixture: full epochs, fractional top-up, maxEpochs cap") {
+    val docs = (1L to 30L).map { i =>
+      val src = if (i <= 5) "a" else if (i <= 20) "b" else "c"
+      (i, src)
+    }.toDF("doc_id", "source")
+    // budget 60, maxEpochs 3:
+    //   a (n=5):  floor(60*0.5+0.5)=30 capped at 3*5=15 -> 3 full epochs
+    //   b (n=15): floor(60*0.3+0.5)=18 -> 1 full epoch + 3 top-ups
+    //   c (n=10): floor(60*0.1+0.5)=6  -> fractional only (6 of 10)
+    val got = TextOps.epochMixture(docs,
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.1),
+        budget = 60L, maxEpochs = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc("a").size == 15 && bySrc("b").size == 18 &&
+      bySrc("c").size == 6)
+    // a: every doc appears exactly 3 times, epochs 1..3
+    assert(bySrc("a").groupBy(_._2).forall {
+      case (_, rows) => rows.map(_._3).sorted == Seq(1L, 2L, 3L) })
+    // b: every doc at least once; exactly the 3 smallest md5 ranks
+    // appear twice (epoch 2)
+    val bEpochs = bySrc("b").groupBy(_._2).map {
+      case (id, rows) => id -> rows.map(_._3).max }
+    assert(bEpochs.values.count(_ == 2L) == 3)
+    assert(bEpochs.values.count(_ == 1L) == 12)
+    val topUps = bySrc("b").filter(_._3 == 2L).map(_._4)
+    assert(topUps.forall(_ <= 3L)) // top-ups are the lowest ranks
+    // c: single epoch, 6 selected, ranks contiguous
+    assert(bySrc("c").forall(_._3 == 1L))
+    assert(bySrc("c").map(_._4).sorted == (1L to 6L))
+    // total rows per source == its (capped) target, deterministic
+    val again = TextOps.epochMixture(docs,
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.1),
+        budget = 60L, maxEpochs = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == again)
+  }
+
   test("quality-weighted PPS: exactly k grid picks per stratum") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val weighted = docs.select($"lang", $"doc_id")

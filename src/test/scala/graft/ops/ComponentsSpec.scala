@@ -136,6 +136,24 @@ class ComponentsSpec extends SparkSpec {
     assert(none == Seq((1L, 8L, 8L, 0L)))
   }
 
+  test("componentStats: density and triangles per cluster shape") {
+    // K4 on 1-4 (complete: 6 edges, 4 triangles, density 1),
+    // path 10-11-12 (2 edges, 0 triangles, density 2/3),
+    // triangle-plus-tail 20-21-22-20, 22-23 (4 edges, 1 triangle)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (22L, 23L),
+      (2L, 1L) // reversed duplicate must not double-count
+    ).toDF("src", "dst")
+    val got = Components.componentStats(pairs)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 6L, 4L, 1.0),
+      (10L, 3L, 2L, 0L, 2.0 / 3.0),
+      (20L, 4L, 4L, 1L, 4.0 * 2.0 / 12.0)))
+  }
+
   test("dedupManifest maps every doc to its canonical; agrees with dedup") {
     val ids = (1L to 8L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
