@@ -1294,6 +1294,29 @@ object SparkEntry {
         Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02),
         budget = docs.count(), maxEpochs = 4)
     }),
+    // Term-distribution drift between corpus versions: exact-integer
+    // total-variation contributions (|c_old·N_new − c_new·N_old| as
+    // decimal ≡ HUGEINT — the ranking never touches a float), IEEE
+    // divisions only at the output boundary. Version B drops src0 —
+    // the "re-crawl lost a feed" story.
+    "q163_term_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Diff.termDrift(docs,
+        docs.filter(col("source") =!= "src0"), topK = 50)
+    }),
+    // Per-source quantile normalization of the q89 classifier score:
+    // percent_rank within each source (unique order via the id
+    // tie-break — the rational (rank−1)/(n−1) replays engine-exact),
+    // keep = top 80% of EVERY source rather than a global cutoff
+    // that over-keeps easy-scoring feeds.
+    "q164_score_normalize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.scoreQuantileNorm(
+        docs.select("doc_id", "source")
+          .join(TextOps.qualityClassifier(docs)
+            .select(col("doc_id"), col("clf_prob")), "doc_id"),
+        dropFrac = 0.2, scoreCol = "clf_prob")
+    }),
     // Per-cluster graph cohesion audit: node/edge/triangle counts and
     // density for every near-dup component — separates template
     // families (density → 1) from transitive chain over-merges BEFORE
@@ -1698,6 +1721,8 @@ object SparkEntry {
     "q160_epoch_mixture"    -> Oracle.epochMixture,
     "q161_label_errors"     -> Oracle.labelErrors,
     "q162_cluster_stats"    -> Oracle.clusterStats,
+    "q163_term_drift"       -> Oracle.termDrift,
+    "q164_score_normalize"  -> Oracle.scoreNormalize,
     "q105_cross_source_dups" -> Oracle.crossSourceDups,
     "q106_token_mixture"    -> Oracle.tokenMixture,
     "q107_multi_decon"      -> Oracle.multiDecon,

@@ -3178,6 +3178,79 @@ SELECT doc_id, clf_score,
        CASE WHEN clf_score >= 0.0 THEN 'keep' ELSE 'drop' END AS label
 FROM s ORDER BY doc_id"""
 
+  /** q163 oracle: term-distribution drift replayed — BIGINT counts,
+    * HUGEINT cross-products |c_old·N_new − c_new·N_old| (≡ Spark's
+    * decimal(38,0) — the ranking is exact-integer in both engines),
+    * and the two output-boundary IEEE divisions in the same
+    * left-associative order. */
+  val termDrift: String = """
+WITH ta AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS term
+  FROM documents),
+tb AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS term
+  FROM documents WHERE source <> 'src0'),
+ca AS (SELECT term, count(*) AS c_old FROM ta GROUP BY 1),
+cb AS (SELECT term, count(*) AS c_new FROM tb GROUP BY 1),
+j AS (
+  SELECT coalesce(ca.term, cb.term) AS term,
+         coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+  FROM ca FULL OUTER JOIN cb ON cb.term = ca.term),
+n AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new FROM j),
+x AS (
+  SELECT term, c_old, c_new,
+         abs(c_old * n_new - c_new * n_old) AS l1,
+         CASE WHEN c_new * n_old > c_old * n_new THEN 'up'
+              WHEN c_new * n_old < c_old * n_new THEN 'down'
+              ELSE 'flat' END AS direction
+  FROM j, n),
+tot AS (SELECT sum(l1) AS t FROM x),
+r AS (SELECT *, row_number() OVER (ORDER BY l1 DESC, term)
+        AS drift_rank FROM x)
+SELECT term, CAST(c_old AS BIGINT) AS c_old,
+       CAST(c_new AS BIGINT) AS c_new, direction,
+       CAST(drift_rank AS BIGINT) AS drift_rank,
+       CAST(l1 AS DOUBLE)
+         / (2.0 * CAST(n.n_old AS DOUBLE) * CAST(n.n_new AS DOUBLE))
+         AS tv_contrib,
+       CAST(tot.t AS DOUBLE)
+         / (2.0 * CAST(n.n_old AS DOUBLE) * CAST(n.n_new AS DOUBLE))
+         AS tv_total
+FROM r, n, tot WHERE drift_rank <= 50 ORDER BY drift_rank"""
+
+  /** q164 oracle: per-source quantile normalization replayed — the
+    * q89 score tree verbatim, percent_rank over the same unique
+    * (score, id) order, and the ≥ 0.2 keep gate. */
+  val scoreNormalize: String = """
+WITH t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) AS word_chars
+  FROM t),
+s AS (
+  SELECT doc_id, source,
+         -3.5 + 8.0 * (n_stop / n_tok) - 0.25 * (word_chars / n_tok)
+           + 2.0 * (n_dist / n_tok) + 0.5 * (n_tok / 100.0) AS clf_score
+  FROM f),
+p AS (
+  SELECT doc_id, source,
+         (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5 AS clf_prob
+  FROM s)
+SELECT doc_id, source, clf_prob,
+       percent_rank() OVER (PARTITION BY source
+         ORDER BY clf_prob, doc_id) AS pct_rank,
+       (percent_rank() OVER (PARTITION BY source
+         ORDER BY clf_prob, doc_id) >= 0.2) AS keep
+FROM p ORDER BY doc_id"""
+
   /** q132 oracle: token-budget selection replayed — the q89 score
     * tree verbatim, the same 1024-range score bucketing, cross-bucket
     * offsets from per-bucket totals, within-bucket (score desc, id)

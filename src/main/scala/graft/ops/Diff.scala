@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Snapshot diff / change-data-capture between two versions of a
@@ -55,4 +55,61 @@ object Diff {
               keys: Seq[String]): DataFrame =
     snapshotDiff(old, latest, keys)
       .filter(col("change_type") =!= "unchanged")
+
+  /** Term-distribution drift between two corpus versions — the audit
+    * that catches a silent language shift after a re-crawl, a filter
+    * change, or a lost feed ("did dropping that source change what
+    * the model will read?"). Per term, the total-variation
+    * contribution |p_old − p_new| / 2 is computed in EXACT integer
+    * arithmetic: the numerator |c_old·N_new − c_new·N_old| is a
+    * decimal(38,0) product of exact counts (Spark) ≡ HUGEINT
+    * (DuckDB), so the drift RANKING never depends on a floating
+    * division; the two IEEE divisions happen once at the output
+    * boundary (tv_contrib, and the corpus-level tv_total every row
+    * carries). Output: the topK drifting terms as (term, c_old,
+    * c_new, direction, drift_rank, tv_contrib, tv_total).
+    *
+    * Scale shape: two map-side-combined term-count aggregates, one
+    * term-keyed full-outer join (Zipf skew lands on boilerplate
+    * terms — AQE skew territory, and counts are already combined),
+    * 1-row totals broadcast back, one top-K rank. Bodies never
+    * cross an exchange. */
+  def termDrift(old: DataFrame, latest: DataFrame, topK: Int = 50,
+                textCol: String = "text"): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def counts(df: DataFrame, as: String) = df
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(as))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val joined = counts(old, "c_old")
+      .join(counts(latest, "c_new"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val totals = joined.agg(
+      sum(dec(col("c_old"))).as("n_old"), sum(dec(col("c_new"))).as("n_new"))
+    val x = joined.crossJoin(broadcast(totals))
+      .withColumn("__up", dec(col("c_old")) * col("n_new"))
+      .withColumn("__vp", dec(col("c_new")) * col("n_old"))
+      .withColumn("__l1", abs(col("__up") - col("__vp")))
+    val tot = x.agg(sum(col("__l1")).as("__t"))
+    val denom = lit(2.0) * col("n_old").cast("double") *
+      col("n_new").cast("double")
+    x.crossJoin(broadcast(tot))
+      // global rank window: VOCABULARY-bounded rows (the same bound
+      // every vocab/tokenizer op here accepts), not corpus-bounded
+      .withColumn("drift_rank", row_number().over(
+        Window.orderBy(col("__l1").desc, col("term"))))
+      .filter(col("drift_rank") <= topK)
+      .select(col("term"), col("c_old"), col("c_new"),
+        when(col("__vp") > col("__up"), "up")
+          .when(col("__vp") < col("__up"), "down")
+          .otherwise("flat").as("direction"),
+        col("drift_rank").cast("long").as("drift_rank"),
+        (col("__l1").cast("double") / denom).as("tv_contrib"),
+        (col("__t").cast("double") / denom).as("tv_total"))
+      .orderBy("drift_rank")
+  }
 }

@@ -106,6 +106,36 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** Per-group quantile normalization of a quality score — the fix
+    * for the classic per-domain thresholding bug: a single global
+    * cutoff on a raw score keeps almost everything from an
+    * easy-scoring source and almost nothing from a hard one, because
+    * the score DISTRIBUTIONS differ per source even when the quality
+    * doesn't. Each row gets its within-group percent_rank
+    * ((rank−1)/(n−1), unique order via the id tie-break, so the
+    * rational division replays engine-exact), making one global
+    * `keep` threshold mean the same thing in every group: keep =
+    * pct_rank ≥ dropFrac drops the bottom dropFrac of EACH source.
+    *
+    * Scale shape: one window per group partition — the score column
+    * and ids are the only shuffled payload; groups are sources, so
+    * partitions are balanced by ingest feed. Output: (id, group,
+    * score, pct_rank, keep). */
+  def scoreQuantileNorm(scored: DataFrame, dropFrac: Double,
+                        groupCol: String = "source",
+                        scoreCol: String = "score",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    scored.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("keep", col("pct_rank") >= lit(dropFrac))
+      .orderBy(idCol)
+  }
+
   /** BM25 keyword retrieval with a RATIONAL idf — the classic
     * quality-mining / targeted-extraction query ("pull the top-k docs
     * about X out of the corpus"). The textbook BM25 idf is

@@ -47,4 +47,32 @@ class DiffSpec extends SparkSpec {
       (1L, "changed", Some(10.0), Some(11.0)),
       (2L, "added", None, Some(2.0))))
   }
+
+  test("termDrift: exact TV contributions, direction, vanished term") {
+    // old: 10 tokens (a×5 b×4 c×1); new: 5 tokens (a×1 b×4) — c
+    // vanished, b's share doubled, a's collapsed
+    val old = Seq((1L, "a a a a a b b b b c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "a b b b b")).toDF("doc_id", "text")
+    val got = Diff.termDrift(old, neu, topK = 10)
+      .as[(String, Long, Long, String, Long, Double, Double)]
+      .collect().toSeq
+    // l1 numerators (N_old=10, N_new=5): a |5·5−1·10|=15,
+    // b |4·5−4·10|=20, c |1·5−0|=5 → rank b, a, c; total TV
+    // = (20+15+5)/(2·10·5) = 0.4
+    assert(got.map(r => (r._1, r._4, r._5)) ==
+      Seq(("b", "up", 1L), ("a", "down", 2L), ("c", "down", 3L)))
+    assert(got.map(_._6) == Seq(0.2, 0.15, 0.05))
+    assert(got.forall(_._7 == 0.4))
+    assert(got.map(r => (r._2, r._3)) ==
+      Seq((4L, 4L), (5L, 1L), (1L, 0L)))
+  }
+
+  test("termDrift: identical corpora drift nowhere") {
+    val d = Seq((1L, "x y z"), (2L, "x x")).toDF("doc_id", "text")
+    val got = Diff.termDrift(d, d, topK = 10)
+      .as[(String, Long, Long, String, Long, Double, Double)]
+      .collect().toSeq
+    assert(got.size == 3 && got.forall(_._4 == "flat"))
+    assert(got.forall(_._6 == 0.0) && got.forall(_._7 == 0.0))
+  }
 }

@@ -158,4 +158,31 @@ class TextPipelineSpec extends SparkSpec {
     val noZh = TextOps.weightedInterleave(docs, Map("de" -> 1.0), k = 10)
     assert(noZh.select("lang").distinct().as[String].collect().toSeq == Seq("de"))
   }
+
+  test("scoreQuantileNorm: per-group ranks make one threshold fair") {
+    // source a scores high (0.6-0.9), source b low (0.1-0.4): a global
+    // 0.5 cutoff would keep all of a, none of b; per-group pct_rank
+    // drops exactly the bottom 20% of EACH
+    val scored = Seq(
+      (1L, "a", 0.6), (2L, "a", 0.7), (3L, "a", 0.8), (4L, "a", 0.85),
+      (5L, "a", 0.9), (10L, "b", 0.1), (11L, "b", 0.2), (12L, "b", 0.3),
+      (13L, "b", 0.35), (14L, "b", 0.4)
+    ).toDF("doc_id", "source", "score")
+    val got = TextOps.scoreQuantileNorm(scored, dropFrac = 0.2)
+      .as[(Long, String, Double, Double, Boolean)].collect().toSeq
+    val dropped = got.filter(!_._5).map(_._1)
+    assert(dropped == Seq(1L, 10L)) // each group's single worst (rank 0)
+    // pct_rank is (rank-1)/(n-1): 0, .25, .5, .75, 1 within each group
+    assert(got.filter(_._2 == "a").map(_._4) ==
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    // ties break by id: equal scores get distinct ranks
+    val tied = Seq((1L, "a", 0.5), (2L, "a", 0.5), (3L, "a", 0.5))
+      .toDF("doc_id", "source", "score")
+    val tr = TextOps.scoreQuantileNorm(tied, dropFrac = 0.4)
+      .as[(Long, String, Double, Double, Boolean)].collect().toSeq
+    assert(tr.map(_._4) == Seq(0.0, 0.5, 1.0))
+    intercept[IllegalArgumentException] {
+      TextOps.scoreQuantileNorm(scored, dropFrac = 1.0)
+    }
+  }
 }
