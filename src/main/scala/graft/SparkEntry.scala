@@ -1294,6 +1294,14 @@ object SparkEntry {
         Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02),
         budget = docs.count(), maxEpochs = 4)
     }),
+    // Exact stratified split: every language stratum allocates
+    // floor(n·0.1 + 0.5) rows to test and to val by md5 rank,
+    // remainder train — the eval-carving primitive hash splitting
+    // (q100, probabilistic proportions) deliberately is not. For
+    // frozen snapshots; growth-stable assignment stays q100's job.
+    "q165_stratified_split" -> ((s, dir) =>
+      graft.ops.Split.stratifiedSplit(Tables.documents(s, dir),
+        Seq("test" -> 0.1, "val" -> 0.1), strataCols = Seq("lang"))),
     // Term-distribution drift between corpus versions: exact-integer
     // total-variation contributions (|c_old·N_new − c_new·N_old| as
     // decimal ≡ HUGEINT — the ranking never touches a float), IEEE
@@ -1723,6 +1731,7 @@ object SparkEntry {
     "q162_cluster_stats"    -> Oracle.clusterStats,
     "q163_term_drift"       -> Oracle.termDrift,
     "q164_score_normalize"  -> Oracle.scoreNormalize,
+    "q165_stratified_split" -> Oracle.stratifiedSplit,
     "q105_cross_source_dups" -> Oracle.crossSourceDups,
     "q106_token_mixture"    -> Oracle.tokenMixture,
     "q107_multi_decon"      -> Oracle.multiDecon,

@@ -3251,6 +3251,30 @@ SELECT doc_id, source, clf_prob,
          ORDER BY clf_prob, doc_id) >= 0.2) AS keep
 FROM p ORDER BY doc_id"""
 
+  /** q165 oracle: exact stratified split replayed — per-stratum
+    * counts, identical independent floor(n·f + 0.5) targets summed
+    * into cumulative BIGINT bounds, the same salted md5 rank order,
+    * first-matching-bound split decision. */
+  val stratifiedSplit: String = """
+WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+r AS (
+  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+    ORDER BY md5(concat('strat', ':', CAST(doc_id AS VARCHAR))), doc_id)
+    AS rn
+  FROM documents),
+t AS (
+  SELECT lang,
+         CAST(floor(0.1 * CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS t_test,
+         CAST(floor(0.1 * CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS t_val
+  FROM n)
+SELECT r.doc_id, r.lang,
+       CASE WHEN rn <= t_test THEN 'test'
+            WHEN rn <= t_test + t_val THEN 'val'
+            ELSE 'train' END AS split,
+       CAST(rn AS BIGINT) AS strat_rank
+FROM r JOIN t USING (lang)
+ORDER BY r.doc_id"""
+
   /** q132 oracle: token-budget selection replayed — the q89 score
     * tree verbatim, the same 1024-range score bucketing, cross-bucket
     * offsets from per-bucket totals, within-bucket (score desc, id)

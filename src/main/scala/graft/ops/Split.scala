@@ -67,6 +67,59 @@ object Split {
     df.select(col(idCol),
       splitColumn(weights, salt, idCol).as("split")).orderBy(idCol)
 
+  /** EXACT stratified split — the eval-set construction primitive
+    * [[hashSplit]] deliberately is not: hash splitting is stable
+    * under growth but only PROBABILISTICALLY proportional, so a
+    * small stratum (a rare language, a tiny source) can land a 2×
+    * over- or under-sized eval slice exactly where sizing matters
+    * most. Here each stratum allocates floor(n·frac + 0.5) rows to
+    * every named split in order, by the shared min-k md5 rank;
+    * whatever remains is `train`. Exact per-stratum counts, fully
+    * deterministic — the trade is stability: unlike hashSplit,
+    * adding rows to a stratum can re-assign earlier ones (ranks
+    * shift), so this is for FROZEN snapshots (eval carving), not
+    * append-only corpora.
+    *
+    * Scale shape: one count aggregate broadcast back + one rank
+    * window per stratum carrying (id, strata) only. Output:
+    * (id, strataCols…, split, strat_rank), ordered by id. */
+  def stratifiedSplit(df: DataFrame, fracs: Seq[(String, Double)],
+                      strataCols: Seq[String],
+                      salt: String = "strat",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(_._2 > 0),
+      "need non-empty, positive fractions")
+    require(fracs.map(_._2).sum < 1.0,
+      "named fractions must sum below 1 — the remainder is train")
+    require((fracs.map(_._1) :+ "train").distinct.size == fracs.size + 1,
+      "split names must be distinct and not 'train'")
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    import org.apache.spark.sql.expressions.Window
+    val strata = strataCols.map(col)
+    val n = df.groupBy(strata: _*).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(strata: _*)
+      .orderBy(md5(concat_ws(":", lit(salt), col(idCol).cast("string"))),
+        col(idCol))
+    // cumulative integer thresholds: each split's target is floored
+    // INDEPENDENTLY (so a named split never absorbs another's
+    // rounding), then summed exactly
+    val targets = fracs.map { case (_, f) =>
+      floor(lit(f) * col("__n").cast("double") + lit(0.5)).cast("long")
+    }
+    val cums = targets.scanLeft(lit(0L))(_ + _).tail
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(n), strataCols)
+      // nesting puts earlier splits outermost, so the FIRST matching
+      // cumulative bound wins — rank ranges stay disjoint
+      .withColumn("split", fracs.zip(cums).reverse.foldLeft(lit("train")) {
+        case (rest, ((name, _), cum)) =>
+          when(col("__rn") <= cum, lit(name)).otherwise(rest)
+      })
+      .select(col(idCol) +: strata :+ col("split") :+
+        col("__rn").cast("long").as("strat_rank"): _*)
+      .orderBy(idCol)
+  }
+
   /** Leakage-safe split: near-dup clusters (LSH candidates → exact
     * shingle-Jaccard ≥ `threshold` → connected components, the q66
     * stack) are assigned AS UNITS — every member hashes on its

@@ -148,4 +148,39 @@ class SplitSpec extends SparkSpec {
       Split.epochOrder(ids, shards = 6, epoch = 1)
     }
   }
+
+  test("stratifiedSplit: exact per-stratum counts incl. tiny stratum") {
+    val docs = ((1L to 10L).map(i => (i, "a")) ++
+      (21L to 23L).map(i => (i, "b"))).toDF("doc_id", "lang")
+    val got = Split.stratifiedSplit(docs,
+        Seq("test" -> 0.2, "val" -> 0.3), strataCols = Seq("lang"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    val byStratum = got.groupBy(_._2)
+    // a (n=10): test floor(2.5)=2, val floor(3.5)=3, train 5
+    val aCounts = byStratum("a").groupBy(_._3).view.mapValues(_.size).toMap
+    assert(aCounts == Map("test" -> 2, "val" -> 3, "train" -> 5))
+    // b (n=3): test floor(1.1)=1, val floor(1.4)=1, train 1 — the
+    // tiny stratum a hash split can easily leave eval-empty
+    val bCounts = byStratum("b").groupBy(_._3).view.mapValues(_.size).toMap
+    assert(bCounts == Map("test" -> 1, "val" -> 1, "train" -> 1))
+    // rank ranges are disjoint and ordered: test gets the lowest
+    // md5 ranks, then val, then train
+    val aByRank = byStratum("a").sortBy(_._4)
+    assert(aByRank.map(_._3) == Seq("test", "test", "val", "val", "val",
+      "train", "train", "train", "train", "train"))
+    // deterministic
+    val again = Split.stratifiedSplit(docs,
+        Seq("test" -> 0.2, "val" -> 0.3), strataCols = Seq("lang"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == again)
+    // fractions must leave a train remainder; 'train' name reserved
+    intercept[IllegalArgumentException] {
+      Split.stratifiedSplit(docs, Seq("test" -> 0.6, "val" -> 0.4),
+        strataCols = Seq("lang"))
+    }
+    intercept[IllegalArgumentException] {
+      Split.stratifiedSplit(docs, Seq("train" -> 0.2),
+        strataCols = Seq("lang"))
+    }
+  }
 }
