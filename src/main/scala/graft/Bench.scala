@@ -141,7 +141,10 @@ object Bench {
           iters = 2, nProbe = 16))
       val ham = Similarity.recallAtK(truth,
         Similarity.hammingTopK(emb, queries, 5, rerank = 200))
-      s""""recall_at_5":{"q32_lsh_topk":${fmt(lsh)},"q36_ivf_topk":${fmt(ivf)},"q128_ivf_kmeans":${fmt(ivfk)},"q82_hamming_ann":${fmt(ham)}}"""
+      val pq = Similarity.recallAtK(truth,
+        Similarity.pqTopK(emb, queries, 5, m = 8, codesPerSub = 16,
+          iters = 2, rerank = 400))
+      s""""recall_at_5":{"q32_lsh_topk":${fmt(lsh)},"q36_ivf_topk":${fmt(ivf)},"q128_ivf_kmeans":${fmt(ivfk)},"q82_hamming_ann":${fmt(ham)},"q134_pq_topk":${fmt(pq)}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall failed: ${e.getMessage}")
       s""""recall_at_5":{}"""

@@ -712,13 +712,15 @@ object SparkEntry {
     }),
     // Product-quantization ANN (Faiss PQ, spherical): 8 learned
     // 16-word subspace codebooks (32 bits/vector), ADC scan over the
-    // compressed corpus, exact re-rank of the top 200 — fully
-    // oracle-gated INCLUDING all eight subspace fits. Parameters from
-    // the ProfilePqR7 sweep: recall@5 0.976 at sf0.01.
+    // compressed corpus, exact re-rank of the top 400 — fully
+    // oracle-gated INCLUDING all eight subspace fits. 32-bit codes
+    // are SF-sensitive (PqProbe at sf0.1: rerank 200→0.804,
+    // 400→0.940, the q128 level, with 80% of the corpus still
+    // ADC-pruned); the per-round BENCH recall line tracks it.
     "q134_pq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 50),
-        k = 5, m = 8, codesPerSub = 16, iters = 2, rerank = 200)
+        k = 5, m = 8, codesPerSub = 16, iters = 2, rerank = 400)
     }),
     // DSIR-style importance weights: target = src0 docs, raw = all;
     // hashed unigram+bigram buckets (3 md5 hex digits), add-1
@@ -1294,6 +1296,17 @@ object SparkEntry {
         Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02),
         budget = docs.count(), maxEpochs = 4)
     }),
+    // Curation v3 — the release-shape composite chaining the r7-cont
+    // operators end-to-end: per-source quantile quality gate (drop
+    // bottom 20% of each source) → exact stratified test/val carving
+    // among survivors → epoch-repetition mixture of the train
+    // partition (budget = |train|, maxEpochs 2). Per-doc manifest
+    // with the final epoch multiplicity.
+    "q166_curation_v3" -> ((s, dir) =>
+      TextOps.curationV3(Tables.documents(s, dir), dropFrac = 0.2,
+        evalFracs = Seq("test" -> 0.1, "val" -> 0.1),
+        weights = Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02),
+        maxEpochs = 2)),
     // Exact stratified split: every language stratum allocates
     // floor(n·0.1 + 0.5) rows to test and to val by md5 rank,
     // remainder train — the eval-carving primitive hash splitting
@@ -1732,6 +1745,7 @@ object SparkEntry {
     "q163_term_drift"       -> Oracle.termDrift,
     "q164_score_normalize"  -> Oracle.scoreNormalize,
     "q165_stratified_split" -> Oracle.stratifiedSplit,
+    "q166_curation_v3"      -> Oracle.curationV3,
     "q105_cross_source_dups" -> Oracle.crossSourceDups,
     "q106_token_mixture"    -> Oracle.tokenMixture,
     "q107_multi_decon"      -> Oracle.multiDecon,

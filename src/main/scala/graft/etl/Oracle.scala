@@ -3060,7 +3060,7 @@ ORDER BY query_id, "rank""""
     * the left-associative 8-term ADC sum per (query, corpus) pair,
     * top-200 by (approx desc, corpus_id), and the exact q28 tail. */
   val pqTopK: String = {
-    val m = 8; val sub = 8; val codes = 16; val rerank = 200
+    val m = 8; val sub = 8; val codes = 16; val rerank = 400
     val subs = (0 until m).map { j =>
       kmeansCtes(codes, 2,
         s"\n  SELECT vec_id, e[${j * sub + 1}:${(j + 1) * sub}] AS e FROM vz",
@@ -3274,6 +3274,82 @@ SELECT r.doc_id, r.lang,
        CAST(rn AS BIGINT) AS strat_rank
 FROM r JOIN t USING (lang)
 ORDER BY r.doc_id"""
+
+  /** q166 oracle: curation v3 replayed stage by stage — the q89
+    * score tree + q164's per-source percent_rank gate, the q165
+    * stratified carving RE-RANKED over the survivors, then the q160
+    * epoch arithmetic over the train partition with budget =
+    * |train| (maxEpochs 2). Decision + epoch multiplicity per doc. */
+  val curationV3: String = """
+WITH t AS (
+  SELECT doc_id, source, lang, text,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, source, lang,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) AS word_chars
+  FROM t),
+s AS (
+  SELECT doc_id, source, lang,
+         -3.5 + 8.0 * (n_stop / n_tok) - 0.25 * (word_chars / n_tok)
+           + 2.0 * (n_dist / n_tok) + 0.5 * (n_tok / 100.0) AS clf_score
+  FROM f),
+k AS (
+  SELECT doc_id, source, lang,
+         (percent_rank() OVER (PARTITION BY source
+            ORDER BY (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5,
+              doc_id) >= 0.2) AS keep
+  FROM s),
+ke AS (SELECT doc_id, source, lang FROM k WHERE keep),
+sn AS (SELECT lang, count(*) AS n FROM ke GROUP BY 1),
+sr AS (
+  SELECT doc_id, source, lang, row_number() OVER (PARTITION BY lang
+    ORDER BY md5(concat('strat', ':', CAST(doc_id AS VARCHAR))), doc_id)
+    AS rn
+  FROM ke),
+stt AS (
+  SELECT lang,
+         CAST(floor(0.1 * CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS t_test,
+         CAST(floor(0.1 * CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS t_val
+  FROM sn),
+sp AS (
+  SELECT sr.doc_id, sr.source, sr.lang,
+         CASE WHEN rn <= t_test THEN 'test'
+              WHEN rn <= t_test + t_val THEN 'val'
+              ELSE 'train' END AS split
+  FROM sr JOIN stt USING (lang)),
+tr AS (SELECT doc_id, source FROM sp WHERE split = 'train'),
+b AS (SELECT CAST(count(*) AS DOUBLE) AS budget FROM tr),
+inv AS (SELECT source, count(*) AS n FROM tr
+        GROUP BY 1 HAVING source IN ('src0', 'src1', 'src2')),
+tt AS (
+  SELECT source, n,
+         least(CAST(floor(budget * CASE source WHEN 'src0' THEN 0.22
+                 WHEN 'src1' THEN 0.06 WHEN 'src2' THEN 0.02
+                 END + 0.5) AS BIGINT), 2 * n) AS tgt
+  FROM inv, b),
+ff AS (SELECT source, tgt // n AS ful, tgt % n AS rem FROM tt),
+er AS (
+  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+    ORDER BY md5(concat('epoch', ':', CAST(doc_id AS VARCHAR))), doc_id)
+    AS rn
+  FROM tr WHERE source IN ('src0', 'src1', 'src2')),
+ne AS (
+  SELECT er.doc_id,
+         ful + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS n_ep
+  FROM er JOIN ff USING (source))
+SELECT k.doc_id, k.source, k.lang,
+       CASE WHEN NOT k.keep THEN 'dropped_quality'
+            ELSE sp.split END AS decision,
+       CAST(coalesce(ne.n_ep, 0) AS BIGINT) AS n_epochs
+FROM k LEFT JOIN sp ON sp.doc_id = k.doc_id
+LEFT JOIN ne ON ne.doc_id = k.doc_id
+ORDER BY k.doc_id"""
 
   /** q132 oracle: token-budget selection replayed — the q89 score
     * tree verbatim, the same 1024-range score bucketing, cross-bucket

@@ -1953,6 +1953,55 @@ object TextOps {
       .orderBy(idCol)
   }
 
+  /** Curation v3 — the RELEASE-SHAPE composite over the r7-cont
+    * operators, proving they compose: (1) per-source quantile gate on
+    * the q89 classifier ([[scoreQuantileNorm]] — drop the bottom
+    * dropFrac of EVERY source, not a skewed global cutoff), (2) exact
+    * stratified eval carving among survivors
+    * ([[Split.stratifiedSplit]] — test/val sized per stratum), (3)
+    * epoch-repetition mixture of the TRAIN partition
+    * ([[epochMixture]], budget = |train|, one count job). Output is
+    * the per-document release manifest: (id, source, stratum,
+    * decision ∈ dropped_quality|test|val|train, n_epochs) — n_epochs
+    * counts the doc's appearances in the final mix (0 for eval docs,
+    * quality drops, and train docs of unlisted sources).
+    *
+    * Scale shape: each stage's own contract (one window per source /
+    * per stratum, broadcastable targets), chained by ids-only
+    * semi-joins — the q81/q86 composite discipline. */
+  def curationV3(docs: DataFrame, dropFrac: Double,
+                 evalFracs: Seq[(String, Double)],
+                 weights: Seq[(String, Double)], maxEpochs: Int,
+                 strataCol: String = "lang",
+                 sourceCol: String = "source",
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val scored = scoreQuantileNorm(
+      docs.select(col(idCol), col(sourceCol))
+        .join(qualityClassifier(docs, textCol, idCol)
+          .select(col(idCol), col("clf_prob")), idCol),
+      dropFrac, sourceCol, "clf_prob", idCol)
+    val kept = docs.join(
+      scored.filter(col("keep")).select(col(idCol)), idCol)
+    val split = Split.stratifiedSplit(kept, evalFracs, Seq(strataCol),
+      idCol = idCol)
+    val train = kept.join(
+      split.filter(col("split") === "train").select(col(idCol)), idCol)
+    val epochs = epochMixture(train, weights, budget = train.count(),
+      maxEpochs, sourceCol, idCol)
+    val nEp = epochs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_epochs"))
+    docs.select(col(idCol), col(sourceCol), col(strataCol))
+      .join(scored.select(col(idCol), col("keep")), idCol)
+      .join(split.select(col(idCol), col("split")), Seq(idCol), "left")
+      .join(nEp, Seq(idCol), "left")
+      .select(col(idCol), col(sourceCol), col(strataCol),
+        when(!col("keep"), lit("dropped_quality"))
+          .otherwise(col("split")).as("decision"),
+        coalesce(col("n_epochs"), lit(0L)).as("n_epochs"))
+      .orderBy(idCol)
+  }
+
   /** C4-style duplicated-span REMOVAL — the rewriting sibling of the
     * [[dupSpans]] audit (Raffel et al. 2020 §2.2 remove repeated
     * spans; here at token-block granularity since the synthetic

@@ -185,4 +185,44 @@ class TextPipelineSpec extends SparkSpec {
       TextOps.scoreQuantileNorm(scored, dropFrac = 1.0)
     }
   }
+
+  test("curationV3: stages compose into a complete, consistent manifest") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextOps.curationV3(docs, dropFrac = 0.2,
+        evalFracs = Seq("test" -> 0.1, "val" -> 0.1),
+        weights = Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02),
+        maxEpochs = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // exactly one decision per input doc, from the closed domain
+    assert(got.size == docs.count())
+    assert(got.map(_._4).toSet ==
+      Set("dropped_quality", "test", "val", "train"))
+    // uniform 25-doc sources: pct_rank >= 0.2 keeps ranks 6..25 →
+    // exactly 5 dropped per source, 100 of 500
+    assert(got.count(_._4 == "dropped_quality") == 100)
+    // per-source drop is balanced (the reason this op exists)
+    assert(got.filter(_._4 == "dropped_quality").groupBy(_._2)
+      .forall(_._2.size == 5))
+    // epochs only in train, only for listed sources, bounded by cap
+    val listed = Set("src0", "src1", "src2")
+    assert(got.filter(_._4 != "train").forall(_._5 == 0L))
+    assert(got.filter(r => r._4 == "train" && !listed(r._2))
+      .forall(_._5 == 0L))
+    // listed train docs carry 0..maxEpochs appearances — 0 means "in
+    // the mix universe but under the source's target" (the q104 cap
+    // semantics); the totals check below pins the exact allocation
+    val trainListed = got.filter(r => r._4 == "train" && listed(r._2))
+    assert(trainListed.nonEmpty && trainListed.exists(_._5 >= 1L) &&
+      trainListed.forall(_._5 <= 2L))
+    // mix totals reconcile with the stage-3 arithmetic: per source,
+    // sum(n_epochs) == min(floor(|train|·w + 0.5), maxEpochs·inv)
+    val nTrain = got.count(_._4 == "train").toDouble
+    val bySrc = trainListed.groupBy(_._2)
+    for ((src, w) <- Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02);
+         rows <- bySrc.get(src)) {
+      val target = math.min(math.floor(nTrain * w + 0.5).toLong,
+        2L * rows.size)
+      assert(rows.map(_._5).sum == target, s"$src mix total")
+    }
+  }
 }
