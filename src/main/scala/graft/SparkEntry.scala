@@ -1296,6 +1296,32 @@ object SparkEntry {
         Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02),
         budget = docs.count(), maxEpochs = 4)
     }),
+    // Embedding validity audit — the first QA gate before indexing:
+    // dimension / zero-norm / NaN flags per vector, one codegen'd
+    // scan. The salt plants the three production corruption modes
+    // (failed-encode zeros, model-mixup dim-32, overflow NaN) so
+    // every flag is observably binding.
+    "q167_embedding_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      def plant(id: Long)(f: Column => Column) =
+        emb.filter(col("vec_id") === id)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            f(col("embedding")).as("embedding"), col("label"))
+      val zeroed = plant(0)(e => transform(e, _ => lit(0.0f)))
+      val shortd = plant(1)(e => slice(e, 1, 32))
+      val nand = plant(2)(e =>
+        concat(array(lit(Float.NaN)), slice(e, 2, 63)))
+      graft.ops.Pca.embeddingAudit(
+        emb.unionByName(zeroed).unionByName(shortd).unionByName(nand),
+        expectedDim = 64)
+    }),
+    // Pairwise Jaccard histogram — the threshold-tuning artifact
+    // (how many more pairs does 0.75 catch than 0.8; is there a
+    // boilerplate mode at 0.5). Bounded brute-force sample per the
+    // q27 discipline; thresholds are tuned on samples in practice.
+    "q168_jaccard_histogram" -> ((s, dir) =>
+      Dedup.jaccardHistogram(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000))),
     // Curation v3 — the release-shape composite chaining the r7-cont
     // operators end-to-end: per-source quantile quality gate (drop
     // bottom 20% of each source) → exact stratified test/val carving
@@ -1746,6 +1772,8 @@ object SparkEntry {
     "q164_score_normalize"  -> Oracle.scoreNormalize,
     "q165_stratified_split" -> Oracle.stratifiedSplit,
     "q166_curation_v3"      -> Oracle.curationV3,
+    "q167_embedding_audit"  -> Oracle.embeddingAudit,
+    "q168_jaccard_histogram" -> Oracle.jaccardHistogram,
     "q105_cross_source_dups" -> Oracle.crossSourceDups,
     "q106_token_mixture"    -> Oracle.tokenMixture,
     "q107_multi_decon"      -> Oracle.multiDecon,

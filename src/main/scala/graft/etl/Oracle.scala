@@ -833,6 +833,51 @@ SELECT id_a, id_b,
        CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
 FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""
 
+  /** q167 oracle: embedding validity audit replayed — the identical
+    * plants (zeroed, truncated-to-32, NaN-prepended), the shared
+    * sequential-fold norm, and NaN routing through has_nan (NaN
+    * compares false against the zero epsilon in both engines). */
+  val embeddingAudit: String = """
+WITH v0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+plant AS (
+  SELECT vec_id + 10000 AS vec_id, list_transform(e, x -> 0.0) AS e
+  FROM v0 WHERE vec_id = 0
+  UNION ALL
+  SELECT vec_id + 10000, e[1:32] FROM v0 WHERE vec_id = 1
+  UNION ALL
+  SELECT vec_id + 10000, list_concat(['NaN'::DOUBLE], e[2:64])
+  FROM v0 WHERE vec_id = 2),
+u AS (SELECT vec_id, e FROM v0 UNION ALL SELECT vec_id, e FROM plant)
+SELECT vec_id, CAST(len(e) AS BIGINT) AS dim,
+       sqrt(list_dot_product(e, e)) AS l2_norm,
+       (len(e) = 64) AS dim_ok,
+       (sqrt(list_dot_product(e, e)) < 0.000001) AS is_zero,
+       (len(list_filter(e, x -> isnan(x))) > 0) AS has_nan,
+       ((len(e) = 64)
+         AND NOT (sqrt(list_dot_product(e, e)) < 0.000001)
+         AND NOT (len(list_filter(e, x -> isnan(x))) > 0)) AS ok
+FROM u ORDER BY vec_id"""
+
+  /** q168 oracle: pairwise Jaccard histogram replayed — the q27
+    * bounded all-pairs token-set Jaccard, identical bucket floor
+    * (j·20) and the bucket_lo division. */
+  val jaccardHistogram: String = """
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+  FROM documents WHERE doc_id < 1000),
+p AS (
+  SELECT len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS n_inter,
+         len(a.toks) AS na, len(b.toks) AS nb
+  FROM s a, s b WHERE a.doc_id < b.doc_id),
+j AS (
+  SELECT CAST(floor(CAST(n_inter AS DOUBLE) / (na + nb - n_inter)
+           * 20.0) AS BIGINT) AS bucket
+  FROM p)
+SELECT CAST(bucket AS DOUBLE) / 20.0 AS bucket_lo,
+       count(*) AS n_pairs
+FROM j GROUP BY bucket ORDER BY bucket_lo"""
+
   val cosineTopK: String = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -292,6 +292,41 @@ object Dedup {
       .limit(topN)
   }
 
+  /** Pairwise-similarity HISTOGRAM — the threshold-tuning artifact a
+    * dedup rollout reads before committing to a cutoff: how many
+    * pairs sit in each Jaccard bucket, i.e. how many more dups a
+    * 0.75 threshold would catch than 0.8, and whether a boilerplate
+    * mode lurks at 0.5. Like [[jaccardTopPairs]] this is the
+    * BOUNDED brute-force baseline (all pairs of a deterministic
+    * sample — in practice thresholds are tuned on a sample anyway);
+    * the unbounded production path stays LSH candidates + verify.
+    * Buckets are floor(j·(1/width)) with j ∈ [0,1], so bucket_lo =
+    * bucket·width and exact-duplicate pairs land in the final
+    * closed bucket [1.0, 1.0]. Output: (bucket_lo, n_pairs), only
+    * non-empty buckets, ascending. */
+  def jaccardHistogram(docs: DataFrame, buckets: Int = 20,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val sets = docs.select(col(idCol),
+      TextOps.tokenSetSorted(col(textCol)).as("toks"))
+    val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
+    val b = sets.select(col(idCol).as("id_b"), col("toks").as("toks_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("n_inter",
+        graft.functions.TextExpressions.sorted_intersect_count(
+          col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("n_inter")))
+      .select(floor(col("jaccard") * lit(buckets.toDouble))
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .select((col("bucket").cast("double") / lit(buckets.toDouble))
+        .as("bucket_lo"), col("n_pairs"))
+      .orderBy("bucket_lo")
+  }
+
   /** SimHash-64 of the token array, computed columnar: for each bit
     * position, sum the ±1 contributions of every token's xxhash64 bit;
     * bit set iff the sum is positive. `aggregate` + `zip_with` keep it

@@ -35,6 +35,37 @@ object Pca {
   /** Fixed-point quantum (2^20) — see [[Cluster]]. */
   private val Q = 1048576.0
 
+  /** Embedding VALIDITY audit — the first QA gate before any vector
+    * lands in an index: per vector, its dimensionality, L2 norm
+    * (the shared sequential-fold, oracle-replayable), and the three
+    * corruption flags that actually occur in production embedding
+    * pipelines — wrong dimension (a model/version mix-up), an
+    * (effectively) all-zero vector (a failed encode defaulted), and
+    * NaN contamination (an upstream overflow). `ok` is the
+    * release gate. One narrow codegen'd scan, no shuffle — at
+    * 100 TB it fuses into the read. Output: (id, dim, l2_norm,
+    * dim_ok, is_zero, has_nan, ok). */
+  def embeddingAudit(vectors: DataFrame, expectedDim: Int,
+                     zeroEps: Double = 1e-6,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(expectedDim > 0, "expectedDim must be positive")
+    val e = transform(col(vecCol), _.cast("double"))
+    val n = Similarity.norm(e)
+    val hasNan = exists(e, x => isnan(x))
+    // norm(NaN-poisoned) is NaN: comparisons are false, so the zero
+    // and dim flags stay meaningful and ok routes through has_nan
+    vectors.select(col(idCol),
+        size(col(vecCol)).cast(LongType).as("dim"),
+        n.as("l2_norm"),
+        (size(col(vecCol)) === expectedDim).as("dim_ok"),
+        (n < lit(zeroEps)).as("is_zero"),
+        hasNan.as("has_nan"))
+      .withColumn("ok",
+        col("dim_ok") && !col("is_zero") && !col("has_nan"))
+      .orderBy(idCol)
+  }
+
   /** Per-dimension z-score standardization — the feature-scaling
     * stage that usually precedes clustering/PCA. Moments use the
     * same fixed-point discipline as [[powerIteration]]: per-dimension

@@ -269,4 +269,26 @@ class RetrievalPcaSpec extends SparkSpec {
     assert(a.map(_._1).distinct == (0L until 10L))
     assert(a.size == 40)
   }
+
+  test("embeddingAudit flags each corruption mode independently") {
+    val good = Array.tabulate(4)(i => (i + 1).toFloat) // norm √30
+    val rows = Seq(
+      (1L, good),
+      (2L, Array.fill(4)(0.0f)),                 // zero vector
+      (3L, Array(1.0f, 2.0f)),                   // wrong dim
+      (4L, Array(Float.NaN, 1.0f, 1.0f, 1.0f)),  // NaN poison
+      (5L, Array(1e-9f, 0.0f, 0.0f, 0.0f))       // effectively zero
+    ).toDF("vec_id", "embedding")
+    val got = Pca.embeddingAudit(rows, expectedDim = 4)
+      .as[(Long, Long, Double, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 4L, math.sqrt(30.0), true, false, false, true)))
+    assert(m(2L)._5 && !m(2L)._6 && !m(2L)._7) // zero, not nan, not ok
+    assert(!m(3L)._4 && !m(3L)._7)             // dim 2 rejected
+    assert(m(4L)._6 && !m(4L)._7)              // nan flagged
+    assert(m(4L)._3.isNaN)                     // norm is honestly NaN
+    assert(!m(4L)._5)                          // NaN ≠ zero vector
+    assert(m(5L)._5 && !m(5L)._7)              // sub-epsilon norm
+  }
 }

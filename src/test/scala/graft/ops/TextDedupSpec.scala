@@ -333,4 +333,18 @@ class TextDedupSpec extends SparkSpec {
     assert(byAnchor(2L)._2 == 1L && byAnchor(2L)._3 == 3L)
     assert(byAnchor(2L)._5 == 0.4)
   }
+
+  test("jaccardHistogram buckets every pair once, exact dups at 1.0") {
+    // token sets: {a b c d}, {a b c d} (exact dup -> j=1),
+    // {a b x y} (j=2/6 with the first two), {p q r s} (j=0)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b x y"), (4L, "p q r s")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardHistogram(docs, buckets = 20)
+      .as[(Double, Long)].collect().toSeq
+    // 6 pairs total: (1,2) j=1 -> bucket 1.0; (1,3),(2,3) j=1/3 ->
+    // floor(6.66)=6 -> 0.3; (1,4),(2,4),(3,4) j=0 -> 0.0
+    assert(got == Seq((0.0, 3L), (0.3, 2L), (1.0, 1L)))
+    assert(got.map(_._2).sum == 6L) // every pair counted exactly once
+  }
 }
