@@ -598,8 +598,11 @@ object Similarity {
     *
     * Scale shape: identical to knnClassify (the corpus scan is
     * 8 bytes/vector/word; votes/winner are aggregates over k·Q rows)
-    * plus one broadcastable own-label join. Output: (id, label,
-    * label_pred, n_votes, own_votes, flagged) for every query. */
+    * plus one broadcastable own-label join. Labels must be non-null
+    * (a null label would silently zero its own-vote count — the
+    * q158 groupBy-null-key lesson; filter or impute first). Output:
+    * (id, label, label_pred, n_votes, own_votes, flagged) for every
+    * query. */
   def labelErrors(labeled: DataFrame, queries: DataFrame, k: Int,
                   rerank: Int = 50, labelCol: String = "label",
                   idCol: String = "vec_id",

@@ -107,8 +107,15 @@ object Split {
       floor(lit(f) * col("__n").cast("double") + lit(0.5)).cast("long")
     }
     val cums = targets.scanLeft(lit(0L))(_ + _).tail
+    // null-safe stratum join: the key came OUT of a groupBy, which
+    // makes a NULL-stratum class — a plain equi-join would silently
+    // drop those rows from the split (the q158/entityResolve lesson)
+    val nR = n.select(
+      strataCols.map(c => col(c).as(s"__s_$c")) :+ col("__n"): _*)
+    val cond = strataCols.map(c => col(c) <=> col(s"__s_$c"))
+      .reduce(_ && _)
     df.withColumn("__rn", row_number().over(w))
-      .join(broadcast(n), strataCols)
+      .join(broadcast(nR), cond)
       // nesting puts earlier splits outermost, so the FIRST matching
       // cumulative bound wins — rank ranges stay disjoint
       .withColumn("split", fracs.zip(cums).reverse.foldLeft(lit("train")) {

@@ -1367,7 +1367,10 @@ object TextOps {
             .cast(LongType),
           lit(maxEpochs.toLong) * col("__n")).as("__t"))
       .select(col(sourceCol), col("__n"),
-        (col("__t") / col("__n")).cast(LongType).as("__full"),
+        // `div` is exact integral division (the oracle's `//`) — a
+        // double-divide-then-cast is only floor-exact while the
+        // quotient stays >½ulp from an integer
+        expr("__t div __n").as("__full"),
         (col("__t") % col("__n")).as("__rem"))
     val sel = Window.partitionBy(col(sourceCol))
       .orderBy(md5(concat_ws(":", lit("epoch"), col(idCol).cast("string"))),

@@ -173,6 +173,15 @@ class SplitSpec extends SparkSpec {
         Seq("test" -> 0.2, "val" -> 0.3), strataCols = Seq("lang"))
       .as[(Long, String, String, Long)].collect().toSeq
     assert(got == again)
+    // a NULL stratum is a real class, not a silently dropped row
+    // (null-safe count join — the q158 groupBy-null-key lesson)
+    val withNull = docs.unionByName(
+      Seq((30L, Option.empty[String])).toDF("doc_id", "lang"))
+    val nullRow = Split.stratifiedSplit(withNull,
+        Seq("test" -> 0.2, "val" -> 0.3), strataCols = Seq("lang"))
+      .filter($"doc_id" === 30L)
+      .as[(Long, Option[String], String, Long)].collect().toSeq
+    assert(nullRow == Seq((30L, None, "train", 1L)))
     // fractions must leave a train remainder; 'train' name reserved
     intercept[IllegalArgumentException] {
       Split.stratifiedSplit(docs, Seq("test" -> 0.6, "val" -> 0.4),
