@@ -1296,6 +1296,13 @@ object SparkEntry {
         Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02),
         budget = docs.count(), maxEpochs = 4)
     }),
+    // k-center greedy coreset: the 8 vectors that jointly span the
+    // embedding space (max-min cosine distance, Sener & Savarese
+    // 2018) — diversity-aware selection next to q92's balance and
+    // q88's dedup. Driver holds ≤ k·dim model state; one narrow
+    // scan per pick; fully oracle-gated via unrolled CTEs.
+    "q169_coreset_select" -> ((s, dir) =>
+      graft.ops.Cluster.coresetSelect(Tables.embeddings(s, dir), k = 8)),
     // Embedding validity audit — the first QA gate before indexing:
     // dimension / zero-norm / NaN flags per vector, one codegen'd
     // scan. The salt plants the three production corruption modes
@@ -1774,6 +1781,7 @@ object SparkEntry {
     "q166_curation_v3"      -> Oracle.curationV3,
     "q167_embedding_audit"  -> Oracle.embeddingAudit,
     "q168_jaccard_histogram" -> Oracle.jaccardHistogram,
+    "q169_coreset_select"   -> Oracle.coresetSelect,
     "q105_cross_source_dups" -> Oracle.crossSourceDups,
     "q106_token_mixture"    -> Oracle.tokenMixture,
     "q107_multi_decon"      -> Oracle.multiDecon,

@@ -833,6 +833,38 @@ SELECT id_a, id_b,
        CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
 FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""
 
+  /** q169 oracle: k-center greedy coreset replayed — the seed is the
+    * lowest id, each later pick an unrolled CTE taking the argmax of
+    * the exact min over the previously selected rows' cosine
+    * distances (variadic `least` ≡ Spark's least fold: an exact min
+    * is order-free), ties → lowest id. */
+  val coresetSelect: String = {
+    val k = 8
+    def cos(p: String) =
+      s"list_dot_product(v.e, $p.e) / (sqrt(list_dot_product(v.e, v.e))" +
+        s" * sqrt(list_dot_product($p.e, $p.e)))"
+    val sb = new StringBuilder
+    sb ++= "WITH v AS (\n  SELECT vec_id AS id, CAST(embedding AS " +
+      "DOUBLE[]) AS e FROM embeddings),\ns1 AS (SELECT id, e, 0.0 AS d " +
+      "FROM v ORDER BY id LIMIT 1)"
+    for (r <- 2 to k) {
+      val prev = (1 until r).map(i => s"s$i")
+      val terms = prev.map(p => s"1.0 - (${cos(p)})")
+      val dexpr =
+        if (terms.size == 1) terms.head
+        else terms.mkString("least(", ", ", ")")
+      sb ++= s",\ns$r AS (\n  SELECT v.id, v.e, $dexpr AS d\n  FROM v, " +
+        s"${prev.mkString(", ")}\n  WHERE v.id NOT IN " +
+        s"(${prev.map(_ + ".id").mkString(", ")})\n" +
+        "  ORDER BY d DESC, v.id LIMIT 1)"
+    }
+    sb ++= "\n" + (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS sel_rank, id AS vec_id, " +
+        s"d AS min_dist FROM s$i").mkString("\nUNION ALL\n")
+    sb ++= "\nORDER BY sel_rank"
+    sb.toString
+  }
+
   /** q167 oracle: embedding validity audit replayed — the identical
     * plants (zeroed, truncated-to-32, NaN-prepended), the shared
     * sequential-fold norm, and NaN routing through has_nan (NaN

@@ -64,6 +64,53 @@ object Cluster {
       .drop("__best")
   }
 
+  /** k-center greedy CORESET selection — diversity-maximizing data
+    * selection (the coverage objective behind coreset/active-learning
+    * selection, Sener & Savarese 2018): start from the lowest-id
+    * vector, then repeatedly take the point FARTHEST (cosine
+    * distance) from everything selected so far, ties → lowest id.
+    * The selected set is a 2-approximation of the optimal k-center
+    * cover — the subset that "spans" the embedding space, where
+    * [[balancedSample]] balances counts and [[semDedup]] removes
+    * redundancy.
+    *
+    * Same discipline as [[kmeansFit]]: the selected set (≤ k·dim
+    * doubles) is driver-held model state folded into literal
+    * codegen'd expressions; each round is ONE narrow corpus scan +
+    * a TakeOrdered(1) — k scans total, corpus never shuffled, never
+    * collected. Determinism: the min-over-selected is an exact min
+    * of deterministic cosine folds (no NaN, order-free), the argmax
+    * tie-breaks by id, and the seed is fixed — so all k picks replay
+    * in SQL as unrolled CTEs. Output: (sel_rank, id, min_dist) with
+    * min_dist = the max-min distance at pick time (0 for the seed) —
+    * the decreasing min_dist curve is the coverage-radius diagnostic
+    * (pick k where it flattens). */
+  def coresetSelect(vectors: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("e"))
+    require(v.count() >= k, s"corpus smaller than k=$k")
+    val seed = v.orderBy("id").limit(1).as[(Long, Seq[Double])].head()
+    var selected = Vector((seed._1, seed._2, 0.0))
+    for (_ <- 2 to k) {
+      val dists = selected.map { case (_, s, _) =>
+        lit(1.0) - Similarity.cosine(col("e"), typedLit(s)) }
+      val minD = dists.reduce(least(_, _))
+      val pick = v.filter(!col("id").isin(selected.map(_._1): _*))
+        .select(col("id"), col("e"), minD.as("d"))
+        .orderBy(col("d").desc, col("id")).limit(1)
+        .as[(Long, Seq[Double], Double)].head()
+      selected = selected :+ ((pick._1, pick._2, pick._3))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("sel_rank", idCol, "min_dist")
+  }
+
   /** The fitted centroids alone — (cluster id, centroid) sorted by
     * cluster id, the tiny driver-side model state. Public so a
     * consumer can reuse one fit across several assignment passes

@@ -87,6 +87,34 @@ class ClusterSpec extends SparkSpec {
     assert(out3.getDouble(1) == 0.0 && out3.getDouble(0).isNaN)
   }
 
+  test("coresetSelect: one pick per orthogonal cluster, then the " +
+       "closest-tie; min_dist non-increasing") {
+    def v(axis: Int, eps: Double) = (0 until 8).map(d =>
+      if (d == axis) 1.0f else if (d == (axis + 1) % 8) eps.toFloat
+      else 0.0f)
+    // four exactly-orthogonal axis pairs (support sets disjoint)
+    val pool = Seq(
+      (10L, v(0, 0.01)), (11L, v(0, 0.02)),
+      (20L, v(2, 0.01)), (21L, v(2, 0.02)),
+      (30L, v(4, 0.01)), (31L, v(4, 0.02)),
+      (40L, v(6, 0.01)), (41L, v(6, 0.02))
+    ).toDF("vec_id", "embedding")
+    val got = Cluster.coresetSelect(pool, k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    // seed = lowest id; rounds 2-4 take one representative per
+    // remaining axis at distance exactly 1.0, ties -> lowest id;
+    // round 5 falls into the near-dup tier
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 11L)))
+    assert(got.map(_._3).take(4) == Seq(0.0, 1.0, 1.0, 1.0))
+    assert(got(4)._3 > 0.0 && got(4)._3 < 0.001)
+    // the coverage radius never increases after the seed
+    assert(got.drop(1).map(_._3).sliding(2).forall(p => p(1) <= p(0)))
+    intercept[IllegalArgumentException] {
+      Cluster.coresetSelect(pool, k = 9)
+    }
+  }
+
   test("balancedSample: sqrt-proportional per-cell targets, md5 order") {
     val docs = (0 until 30).map(i =>
       (i.toLong, s"doc body number $i with words")).toDF("doc_id", "text")
