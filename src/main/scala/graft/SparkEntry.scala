@@ -1312,7 +1312,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       def plant(id: Long)(f: Column => Column) =
         emb.filter(col("vec_id") === id)
-          .select((col("vec_id") + 10000).as("vec_id"),
+          .select((col("vec_id") + 100000).as("vec_id"),
             f(col("embedding")).as("embedding"), col("label"))
       val zeroed = plant(0)(e => transform(e, _ => lit(0.0f)))
       val shortd = plant(1)(e => slice(e, 1, 32))

@@ -873,12 +873,12 @@ FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""
 WITH v0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 plant AS (
-  SELECT vec_id + 10000 AS vec_id, list_transform(e, x -> 0.0) AS e
+  SELECT vec_id + 100000 AS vec_id, list_transform(e, x -> 0.0) AS e
   FROM v0 WHERE vec_id = 0
   UNION ALL
-  SELECT vec_id + 10000, e[1:32] FROM v0 WHERE vec_id = 1
+  SELECT vec_id + 100000, e[1:32] FROM v0 WHERE vec_id = 1
   UNION ALL
-  SELECT vec_id + 10000, list_concat(['NaN'::DOUBLE], e[2:64])
+  SELECT vec_id + 100000, list_concat(['NaN'::DOUBLE], e[2:64])
   FROM v0 WHERE vec_id = 2),
 u AS (SELECT vec_id, e FROM v0 UNION ALL SELECT vec_id, e FROM plant)
 SELECT vec_id, CAST(len(e) AS BIGINT) AS dim,
@@ -3324,8 +3324,9 @@ p AS (
 SELECT doc_id, source, clf_prob,
        percent_rank() OVER (PARTITION BY source
          ORDER BY clf_prob, doc_id) AS pct_rank,
-       (percent_rank() OVER (PARTITION BY source
-         ORDER BY clf_prob, doc_id) >= 0.2) AS keep
+       (count(*) OVER (PARTITION BY source) = 1
+        OR percent_rank() OVER (PARTITION BY source
+             ORDER BY clf_prob, doc_id) >= 0.2) AS keep
 FROM p ORDER BY doc_id"""
 
   /** q165 oracle: exact stratified split replayed — per-stratum
@@ -3340,16 +3341,16 @@ r AS (
     AS rn
   FROM documents),
 t AS (
-  SELECT lang,
+  SELECT lang, n,
          CAST(floor(0.1 * CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS t_test,
          CAST(floor(0.1 * CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS t_val
   FROM n)
 SELECT r.doc_id, r.lang,
-       CASE WHEN rn <= t_test THEN 'test'
-            WHEN rn <= t_test + t_val THEN 'val'
+       CASE WHEN rn <= least(t_test, n) THEN 'test'
+            WHEN rn <= least(t_test + t_val, n) THEN 'val'
             ELSE 'train' END AS split,
        CAST(rn AS BIGINT) AS strat_rank
-FROM r JOIN t USING (lang)
+FROM r JOIN t ON r.lang IS NOT DISTINCT FROM t.lang
 ORDER BY r.doc_id"""
 
   /** q166 oracle: curation v3 replayed stage by stage — the q89
@@ -3378,9 +3379,10 @@ s AS (
   FROM f),
 k AS (
   SELECT doc_id, source, lang,
-         (percent_rank() OVER (PARTITION BY source
-            ORDER BY (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5,
-              doc_id) >= 0.2) AS keep
+         (count(*) OVER (PARTITION BY source) = 1
+          OR percent_rank() OVER (PARTITION BY source
+               ORDER BY (clf_score / (1.0 + abs(clf_score)) + 1.0) * 0.5,
+                 doc_id) >= 0.2) AS keep
   FROM s),
 ke AS (SELECT doc_id, source, lang FROM k WHERE keep),
 sn AS (SELECT lang, count(*) AS n FROM ke GROUP BY 1),
@@ -3390,16 +3392,16 @@ sr AS (
     AS rn
   FROM ke),
 stt AS (
-  SELECT lang,
+  SELECT lang, n,
          CAST(floor(0.1 * CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS t_test,
          CAST(floor(0.1 * CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS t_val
   FROM sn),
 sp AS (
   SELECT sr.doc_id, sr.source, sr.lang,
-         CASE WHEN rn <= t_test THEN 'test'
-              WHEN rn <= t_test + t_val THEN 'val'
+         CASE WHEN rn <= least(t_test, n) THEN 'test'
+              WHEN rn <= least(t_test + t_val, n) THEN 'val'
               ELSE 'train' END AS split
-  FROM sr JOIN stt USING (lang)),
+  FROM sr JOIN stt ON sr.lang IS NOT DISTINCT FROM stt.lang),
 tr AS (SELECT doc_id, source FROM sp WHERE split = 'train'),
 b AS (SELECT CAST(count(*) AS DOUBLE) AS budget FROM tr),
 inv AS (SELECT source, count(*) AS n FROM tr

@@ -273,9 +273,12 @@ object Dedup {
     * (O(N²): fine for corpus samples / oracle checks; the scale path
     * is [[minHashCandidates]] + [[jaccardVerify]]). Deterministic
     * total order: (jaccard desc, id_a, id_b). */
-  def jaccardTopPairs(docs: DataFrame, topN: Int,
-                      textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
+  /** All (id_a < id_b) pairs with their token-set Jaccard — the
+    * shared bounded brute-force kernel of [[jaccardTopPairs]] and
+    * [[jaccardHistogram]] (one definition, so the two artifacts can
+    * never silently disagree on the pair measure). */
+  private def allPairsJaccard(docs: DataFrame, textCol: String,
+                              idCol: String): DataFrame = {
     val sets = docs.select(col(idCol),
       TextOps.tokenSetSorted(col(textCol)).as("toks"))
     val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
@@ -288,9 +291,14 @@ object Dedup {
         col("n_inter").cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) - col("n_inter")))
       .select("id_a", "id_b", "jaccard")
+  }
+
+  def jaccardTopPairs(docs: DataFrame, topN: Int,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    allPairsJaccard(docs, textCol, idCol)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(topN)
-  }
 
   /** Pairwise-similarity HISTOGRAM — the threshold-tuning artifact a
     * dedup rollout reads before committing to a cutoff: how many
@@ -308,17 +316,7 @@ object Dedup {
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val sets = docs.select(col(idCol),
-      TextOps.tokenSetSorted(col(textCol)).as("toks"))
-    val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
-    val b = sets.select(col(idCol).as("id_b"), col("toks").as("toks_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("n_inter",
-        graft.functions.TextExpressions.sorted_intersect_count(
-          col("toks_a"), col("toks_b")))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("n_inter")))
+    allPairsJaccard(docs, textCol, idCol)
       .select(floor(col("jaccard") * lit(buckets.toDouble))
         .cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))

@@ -83,11 +83,16 @@ object Diff {
       .select(explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as(as))
     def dec(c: Column) = c.cast(DecimalType(38, 0))
+    // localCheckpoint: the joined counts feed THREE sinks (totals,
+    // the TV-total aggregate, and the ranked output) — uncached,
+    // Spark would tokenize and aggregate both corpora three times.
+    // The checkpointed frame is vocabulary-bounded, not corpus-sized.
     val joined = counts(old, "c_old")
       .join(counts(latest, "c_new"), Seq("term"), "full_outer")
       .select(col("term"),
         coalesce(col("c_old"), lit(0L)).as("c_old"),
         coalesce(col("c_new"), lit(0L)).as("c_new"))
+      .localCheckpoint()
     val totals = joined.agg(
       sum(dec(col("c_old"))).as("n_old"), sum(dec(col("c_new"))).as("n_new"))
     val x = joined.crossJoin(broadcast(totals))

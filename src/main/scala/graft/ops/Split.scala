@@ -74,7 +74,10 @@ object Split {
     * over- or under-sized eval slice exactly where sizing matters
     * most. Here each stratum allocates floor(n·frac + 0.5) rows to
     * every named split in order, by the shared min-k md5 rank;
-    * whatever remains is `train`. Exact per-stratum counts, fully
+    * whatever remains is `train`. On a tiny stratum the rounded
+    * targets can sum past n — the cumulative bounds are clamped at
+    * n, so the shortfall lands on the LAST splits (then train) in
+    * declaration order. Exact per-stratum counts, fully
     * deterministic — the trade is stability: unlike hashSplit,
     * adding rows to a stratum can re-assign earlier ones (ranks
     * shift), so this is for FROZEN snapshots (eval carving), not
@@ -102,11 +105,16 @@ object Split {
         col(idCol))
     // cumulative integer thresholds: each split's target is floored
     // INDEPENDENTLY (so a named split never absorbs another's
-    // rounding), then summed exactly
+    // rounding), then summed exactly. The cumulative bound is clamped
+    // at the stratum size: on a tiny stratum the rounded targets can
+    // sum past n even when the fractions don't, and the clamp makes
+    // the shortfall land on the LAST splits (then train) in
+    // declaration order instead of silently misallocating
     val targets = fracs.map { case (_, f) =>
       floor(lit(f) * col("__n").cast("double") + lit(0.5)).cast("long")
     }
     val cums = targets.scanLeft(lit(0L))(_ + _).tail
+      .map(c => least(c, col("__n")))
     // null-safe stratum join: the key came OUT of a groupBy, which
     // makes a NULL-stratum class — a plain equi-join would silently
     // drop those rows from the split (the q158/entityResolve lesson)

@@ -117,6 +117,11 @@ object TextOps {
     * `keep` threshold mean the same thing in every group: keep =
     * pct_rank ≥ dropFrac drops the bottom dropFrac of EACH source.
     *
+    * A singleton group is KEPT outright: its percent_rank is 0.0 in
+    * both engines, so a plain `>= dropFrac` gate would annihilate
+    * every one-document source — the opposite of what a per-source
+    * fairness fix should do to a rare feed.
+    *
     * Scale shape: one window per group partition — the score column
     * and ids are the only shuffled payload; groups are sources, so
     * partitions are balanced by ingest feed. Output: (id, group,
@@ -130,9 +135,11 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol), col(idCol))
+    val szW = Window.partitionBy(col(groupCol))
     scored.select(col(idCol), col(groupCol), col(scoreCol))
       .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("keep", col("pct_rank") >= lit(dropFrac))
+      .withColumn("keep", count(lit(1)).over(szW) === 1 ||
+        col("pct_rank") >= lit(dropFrac))
       .orderBy(idCol)
   }
 
@@ -1979,24 +1986,33 @@ object TextOps {
                  sourceCol: String = "source",
                  textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
-    val scored = scoreQuantileNorm(
+    // each stage's ids-only outcome is localCheckpointed: the final
+    // manifest reads every stage from THREE sinks (the budget count,
+    // the next stage's semi-join, the output join) — uncached, the
+    // classifier scan and both rank windows would run 3-4× per call.
+    // Checkpointed frames carry (id, flag) only — corpus-row-bounded,
+    // never the bodies.
+    val scoredIds = scoreQuantileNorm(
       docs.select(col(idCol), col(sourceCol))
         .join(qualityClassifier(docs, textCol, idCol)
           .select(col(idCol), col("clf_prob")), idCol),
       dropFrac, sourceCol, "clf_prob", idCol)
+      .select(col(idCol), col("keep")).localCheckpoint()
     val kept = docs.join(
-      scored.filter(col("keep")).select(col(idCol)), idCol)
-    val split = Split.stratifiedSplit(kept, evalFracs, Seq(strataCol),
-      idCol = idCol)
-    val train = kept.join(
-      split.filter(col("split") === "train").select(col(idCol)), idCol)
-    val epochs = epochMixture(train, weights, budget = train.count(),
+      scoredIds.filter(col("keep")).select(col(idCol)), idCol)
+    val splitIds = Split.stratifiedSplit(kept, evalFracs,
+        Seq(strataCol), idCol = idCol)
+      .select(col(idCol), col("split")).localCheckpoint()
+    val trainIds = splitIds.filter(col("split") === "train")
+      .select(col(idCol))
+    val train = kept.join(trainIds, idCol)
+    val epochs = epochMixture(train, weights, budget = trainIds.count(),
       maxEpochs, sourceCol, idCol)
     val nEp = epochs.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_epochs"))
     docs.select(col(idCol), col(sourceCol), col(strataCol))
-      .join(scored.select(col(idCol), col("keep")), idCol)
-      .join(split.select(col(idCol), col("split")), Seq(idCol), "left")
+      .join(scoredIds, idCol)
+      .join(splitIds, Seq(idCol), "left")
       .join(nEp, Seq(idCol), "left")
       .select(col(idCol), col(sourceCol), col(strataCol),
         when(!col("keep"), lit("dropped_quality"))

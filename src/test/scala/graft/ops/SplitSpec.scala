@@ -182,6 +182,14 @@ class SplitSpec extends SparkSpec {
       .filter($"doc_id" === 30L)
       .as[(Long, Option[String], String, Long)].collect().toSeq
     assert(nullRow == Seq((30L, None, "train", 1L)))
+    // tiny-stratum overrun: rounded targets (1+1+1) exceed n=2; the
+    // clamp starves the LAST split (and train), never misallocates
+    val tiny = Seq((1L, "z"), (2L, "z")).toDF("doc_id", "lang")
+    val tz = Split.stratifiedSplit(tiny,
+        Seq("s1" -> 0.3, "s2" -> 0.3, "s3" -> 0.3),
+        strataCols = Seq("lang"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(tz.map(_._3).sorted == Seq("s1", "s2"))
     // fractions must leave a train remainder; 'train' name reserved
     intercept[IllegalArgumentException] {
       Split.stratifiedSplit(docs, Seq("test" -> 0.6, "val" -> 0.4),

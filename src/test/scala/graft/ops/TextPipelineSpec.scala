@@ -184,6 +184,14 @@ class TextPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.scoreQuantileNorm(scored, dropFrac = 1.0)
     }
+    // a singleton group survives outright — its pct_rank is 0.0, and
+    // annihilating a one-document source is the opposite of fairness
+    val withSingle = Seq((1L, "a", 0.9), (2L, "a", 0.1), (3L, "b", 0.5))
+      .toDF("doc_id", "source", "score")
+    val ws = TextOps.scoreQuantileNorm(withSingle, dropFrac = 0.5)
+      .as[(Long, String, Double, Double, Boolean)].collect().toSeq
+    assert(ws.find(_._1 == 3L).get._5)  // singleton kept
+    assert(!ws.find(_._1 == 2L).get._5) // two-doc group still gated
   }
 
   test("curationV3: stages compose into a complete, consistent manifest") {
