@@ -85,4 +85,65 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("stratifiedSplit matches the clamped declared-order model " +
+       "on random stratum sizes") {
+    val fracs = Seq("t1" -> 0.22, "t2" -> 0.17, "t3" -> 0.31)
+    for (seed <- 11L to 13L) {
+      val sizes = sample(Gen.listOfN(6, Gen.chooseNum(1, 30)), seed)
+      val docs = sizes.zipWithIndex.flatMap { case (n, si) =>
+        (1 to n).map(i => (si * 1000L + i, s"s$si"))
+      }.toDF("doc_id", "lang")
+      val got = graft.ops.Split.stratifiedSplit(docs, fracs, Seq("lang"))
+        .as[(Long, String, String, Long)].collect().toSeq
+      assert(got.size == sizes.sum) // every row assigned exactly once
+      sizes.zipWithIndex.foreach { case (n, si) =>
+        val counts = got.filter(_._2 == s"s$si").groupBy(_._3)
+          .view.mapValues(_.size.toLong).toMap
+        val targets = fracs.map { case (_, f) =>
+          math.floor(f * n + 0.5).toLong }
+        val cums = targets.scanLeft(0L)(_ + _).tail
+          .map(c => math.min(c, n.toLong))
+        val perSplit = fracs.map(_._1).zip(
+          cums.zip(0L +: cums.init).map { case (c, p) => c - p })
+        perSplit.foreach { case (name, want) =>
+          assert(counts.getOrElse(name, 0L) == want,
+            s"split $name of s$si (n=$n, seed=$seed)") }
+        assert(counts.getOrElse("train", 0L) == n - cums.last,
+          s"train of s$si (n=$n, seed=$seed)")
+      }
+    }
+  }
+
+  test("epochMixture emits exactly the clamped target per source, " +
+       "epochs contiguous, appearances within 1") {
+    import graft.ops.TextOps
+    val weights = Seq("s0" -> 0.5, "s1" -> 0.25, "s2" -> 0.05)
+    for (seed <- 21L to 23L) {
+      val sizes = sample(Gen.listOfN(4, Gen.chooseNum(1, 25)), seed)
+      val docs = sizes.zipWithIndex.flatMap { case (n, si) =>
+        (1 to n).map(i => (si * 1000L + i, s"s$si"))
+      }.toDF("doc_id", "source")
+      val got = TextOps.epochMixture(docs, weights,
+          budget = 60L, maxEpochs = 3)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(!got.exists(_._1 == "s3")) // unlisted source excluded
+      weights.foreach { case (s, w) =>
+        val n = sizes(s.drop(1).toInt)
+        val target = math.min(math.floor(60.0 * w + 0.5).toLong, 3L * n)
+        val rows = got.filter(_._1 == s)
+        assert(rows.size.toLong == target, s"$s total (n=$n, seed=$seed)")
+        val perDoc = rows.groupBy(_._2)
+          .view.mapValues(_.map(_._3).sorted).toMap
+        // each doc's epochs are contiguous 1..m; appearance counts
+        // across docs differ by at most 1 (full epochs + one top-up)
+        perDoc.values.foreach(es =>
+          assert(es.toList == (1L to es.size.toLong).toList))
+        if (perDoc.nonEmpty) {
+          val m = perDoc.values.map(_.size).toSet
+          assert(m.max - m.min <= 1, s"$s appearances (seed=$seed)")
+        }
+      }
+    }
+  }
 }
