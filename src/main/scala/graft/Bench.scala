@@ -132,19 +132,25 @@ object Bench {
       val emb = Tables.embeddings(spark, sfDir)
       val queries = emb.filter(col("vec_id") < 50)
       val truth = Similarity.bruteForceTopK(emb, queries, 5)
-      val lsh = Similarity.recallAtK(truth,
-        Similarity.lshTopKAuto(emb, queries, 5))
-      val ivf = Similarity.recallAtK(truth,
-        Similarity.ivfTopK(emb, queries, 5, numCentroids = 32, nProbe = 16))
-      val ivfk = Similarity.recallAtK(truth,
-        Similarity.ivfKmeansTopK(emb, queries, 5, numCentroids = 32,
-          iters = 2, nProbe = 16))
-      val ham = Similarity.recallAtK(truth,
-        Similarity.hammingTopK(emb, queries, 5, rerank = 200))
-      val pq = Similarity.recallAtK(truth,
-        Similarity.pqTopK(emb, queries, 5, m = 8, codesPerSub = 16,
-          iters = 2, rerank = 400))
-      s""""recall_at_5":{"q32_lsh_topk":${fmt(lsh)},"q36_ivf_topk":${fmt(ivf)},"q128_ivf_kmeans":${fmt(ivfk)},"q82_hamming_ann":${fmt(ham)},"q134_pq_topk":${fmt(pq)}}"""
+      // per-probe isolation: one expensive probe failing (e.g. the
+      // PQ fits under memory pressure) must not wipe the metrics
+      // already computed — each records -1.0 for itself only
+      def probe(name: String)(mk: => org.apache.spark.sql.DataFrame) =
+        name -> (try Similarity.recallAtK(truth, mk)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] recall $name failed: ${e.getMessage}")
+          -1.0 })
+      val metrics = Seq(
+        probe("q32_lsh_topk")(Similarity.lshTopKAuto(emb, queries, 5)),
+        probe("q36_ivf_topk")(Similarity.ivfTopK(emb, queries, 5,
+          numCentroids = 32, nProbe = 16)),
+        probe("q128_ivf_kmeans")(Similarity.ivfKmeansTopK(emb, queries,
+          5, numCentroids = 32, iters = 2, nProbe = 16)),
+        probe("q82_hamming_ann")(Similarity.hammingTopK(emb, queries,
+          5, rerank = 200)),
+        probe("q134_pq_topk")(Similarity.pqTopK(emb, queries, 5, m = 8,
+          codesPerSub = 16, iters = 2, rerank = 400)))
+      s""""recall_at_5":${jsonMap(metrics)}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall failed: ${e.getMessage}")
       s""""recall_at_5":{}"""

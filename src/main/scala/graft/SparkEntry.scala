@@ -1363,14 +1363,11 @@ object SparkEntry {
     // tie-break — the rational (rank−1)/(n−1) replays engine-exact),
     // keep = top 80% of EVERY source rather than a global cutoff
     // that over-keeps easy-scoring feeds.
-    "q164_score_normalize" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+    "q164_score_normalize" -> ((s, dir) =>
       TextOps.scoreQuantileNorm(
-        docs.select("doc_id", "source")
-          .join(TextOps.qualityClassifier(docs)
-            .select(col("doc_id"), col("clf_prob")), "doc_id"),
-        dropFrac = 0.2, scoreCol = "clf_prob")
-    }),
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          TextOps.qualityProb().as("clf_prob")),
+        dropFrac = 0.2, scoreCol = "clf_prob")),
     // Per-cluster graph cohesion audit: node/edge/triangle counts and
     // density for every near-dup component — separates template
     // families (density → 1) from transitive chain over-merges BEFORE

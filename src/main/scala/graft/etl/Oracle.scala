@@ -3135,7 +3135,8 @@ ORDER BY query_id, "rank""""
     * prefixed CTE sets), corpus encoding = each fit's own final
     * assignment, reconstructed norms over the selected codewords,
     * the left-associative 8-term ADC sum per (query, corpus) pair,
-    * top-200 by (approx desc, corpus_id), and the exact q28 tail. */
+    * the top-`rerank` ADC cut by (approx desc, corpus_id), and the
+    * exact q28 tail. */
   val pqTopK: String = {
     val m = 8; val sub = 8; val codes = 16; val rerank = 400
     val subs = (0 until m).map { j =>

@@ -93,7 +93,10 @@ object Cluster {
     import spark.implicits._
     val v = vectors.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("e"))
-    require(v.count() >= k, s"corpus smaller than k=$k")
+    // bounded guard: limit(k) stops the scan after k rows — a full
+    // count() here would add a (k+1)-th corpus pass and break the
+    // documented "k scans total" contract
+    require(v.limit(k).count() == k, s"corpus smaller than k=$k")
     val seed = v.orderBy("id").limit(1).as[(Long, Seq[Double])].head()
     var selected = Vector((seed._1, seed._2, 0.0))
     for (_ <- 2 to k) {

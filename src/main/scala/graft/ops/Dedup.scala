@@ -269,10 +269,6 @@ object Dedup {
       .orderBy(idCol)
   }
 
-  /** Exact all-pairs n-gram Jaccard top-N — the brute-force baseline
-    * (O(N²): fine for corpus samples / oracle checks; the scale path
-    * is [[minHashCandidates]] + [[jaccardVerify]]). Deterministic
-    * total order: (jaccard desc, id_a, id_b). */
   /** All (id_a < id_b) pairs with their token-set Jaccard — the
     * shared bounded brute-force kernel of [[jaccardTopPairs]] and
     * [[jaccardHistogram]] (one definition, so the two artifacts can
@@ -293,6 +289,10 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact all-pairs n-gram Jaccard top-N — the brute-force baseline
+    * (O(N²): fine for corpus samples / oracle checks; the scale path
+    * is [[minHashCandidates]] + [[jaccardVerify]]). Deterministic
+    * total order: (jaccard desc, id_a, id_b). */
   def jaccardTopPairs(docs: DataFrame, topN: Int,
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame =

@@ -565,22 +565,39 @@ object Similarity {
     * 8 bytes/vector/word); votes are one (query, label) aggregate
     * over k·Q rows and the winner one per-query window over ≤
     * k·Q rows. Output: (id, label_pred, n_votes). */
-  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int,
-                  rerank: Int = 50, labelCol: String = "label",
-                  idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+  /** Shared kNN vote machinery of [[knnClassify]] and [[labelErrors]]
+    * — (votes, winner): per-(query, label) neighbor counts and the
+    * majority winner under the (n_votes desc, label asc) tie order.
+    * One definition, so the two oracle-gated consumers can never
+    * drift on the vote semantics. */
+  private def majorityVotes(labeled: DataFrame, queries: DataFrame,
+                            k: Int, rerank: Int, labelCol: String,
+                            idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
     val nn = hammingTopK(labeled, queries, k, rerank, idCol, vecCol)
       .select(col("query_id"), col("corpus_id"))
     val lab = labeled.select(col(idCol).as("corpus_id"),
       col(labelCol).cast("long").as("lbl"))
-    nn.join(lab, "corpus_id")
+    val votes = nn.join(lab, "corpus_id")
       .groupBy(col("query_id"), col("lbl"))
       .agg(count(lit(1)).as("n_votes"))
+    val winner = votes
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("n_votes").desc, col("lbl"))))
       .filter(col("rk") === 1)
-      .select(col("query_id").as(idCol), col("lbl").as("label_pred"),
+      .select(col("query_id"), col("lbl").as("label_pred"),
+        col("n_votes"))
+    (votes, winner)
+  }
+
+  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int,
+                  rerank: Int = 50, labelCol: String = "label",
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val (_, winner) = majorityVotes(labeled, queries, k, rerank,
+      labelCol, idCol, vecCol)
+    winner.select(col("query_id").as(idCol), col("label_pred"),
         col("n_votes"))
       .orderBy(idCol)
   }
@@ -607,20 +624,8 @@ object Similarity {
                   rerank: Int = 50, labelCol: String = "label",
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    val nn = hammingTopK(labeled, queries, k, rerank, idCol, vecCol)
-      .select(col("query_id"), col("corpus_id"))
-    val lab = labeled.select(col(idCol).as("corpus_id"),
-      col(labelCol).cast("long").as("lbl"))
-    val votes = nn.join(lab, "corpus_id")
-      .groupBy(col("query_id"), col("lbl"))
-      .agg(count(lit(1)).as("n_votes"))
-    val winner = votes
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("n_votes").desc, col("lbl"))))
-      .filter(col("rk") === 1)
-      .select(col("query_id"), col("lbl").as("label_pred"),
-        col("n_votes"))
+    val (votes, winner) = majorityVotes(labeled, queries, k, rerank,
+      labelCol, idCol, vecCol)
     val own = queries.select(col(idCol).as("query_id"),
       col(labelCol).cast("long").as("label"))
     val ownVotes = votes.select(col("query_id").as("__qid"),

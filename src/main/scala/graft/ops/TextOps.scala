@@ -94,6 +94,13 @@ object TextOps {
     (score, prob)
   }
 
+  /** The q89 classifier probability as a pure COLUMN over `textCol` —
+    * what score-consuming composites (q164, [[curationV3]]) project
+    * in the same scan instead of joining [[qualityClassifier]]'s
+    * output back on the id. */
+  def qualityProb(textCol: String = "text"): Column =
+    clfScoreProb(textCol)._2
+
   def qualityClassifier(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val (score, prob) = clfScoreProb(textCol)
@@ -1354,7 +1361,10 @@ object TextOps {
                    budget: Long, maxEpochs: Int = 4,
                    sourceCol: String = "source",
                    idCol: String = "doc_id"): DataFrame = {
-    require(budget > 0, "budget must be positive")
+    // budget 0 (e.g. an empty corpus counted at the call site) is a
+    // valid degenerate input: every target floors to 0 and the mix
+    // is empty — matching the oracle, which cannot throw
+    require(budget >= 0, "budget must be non-negative")
     require(maxEpochs >= 1, "maxEpochs must be >= 1")
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "need non-empty positive weights")
@@ -1993,9 +2003,8 @@ object TextOps {
     // Checkpointed frames carry (id, flag) only — corpus-row-bounded,
     // never the bodies.
     val scoredIds = scoreQuantileNorm(
-      docs.select(col(idCol), col(sourceCol))
-        .join(qualityClassifier(docs, textCol, idCol)
-          .select(col(idCol), col("clf_prob")), idCol),
+      docs.select(col(idCol), col(sourceCol),
+        qualityProb(textCol).as("clf_prob")),
       dropFrac, sourceCol, "clf_prob", idCol)
       .select(col(idCol), col("keep")).localCheckpoint()
     val kept = docs.join(
