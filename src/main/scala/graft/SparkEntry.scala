@@ -1296,6 +1296,26 @@ object SparkEntry {
         Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02),
         budget = docs.count(), maxEpochs = 4)
     }),
+    // Cohort retention matrix over orders: customers cohorted by
+    // first-order month; each (cohort, months_since) cell counts the
+    // returners. Ids-only distinct + a user-keyed min join — the
+    // classic warehouse retention artifact the reference's
+    // presentation layer stops short of.
+    "q170_cohort_retention" -> ((s, dir) =>
+      graft.ops.Analytics.cohortRetention(Tables.orders(s, dir),
+        userCol = "o_custkey", tsCol = "o_orderdate")),
+    // RFM segmentation: recency/frequency/monetary quartiles with
+    // the custkey tie-break (engine-exact ntile), tier 1 = best,
+    // "111" = champion.
+    "q171_rfm_segments" -> ((s, dir) =>
+      graft.ops.Analytics.rfm(Tables.orders(s, dir))),
+    // Per-priority weekly revenue trend: closed-form least squares
+    // over exact decimal/long sums — the only IEEE op is the final
+    // slope division, so the regression replays hash-exact (unlike
+    // float-accumulated regr_slope).
+    "q172_trend_slope" -> ((s, dir) =>
+      graft.ops.Analytics.trendSlope(Tables.orders(s, dir),
+        "o_orderpriority", "o_orderdate", "o_totalprice")),
     // k-center greedy coreset: the 8 vectors that jointly span the
     // embedding space (max-min cosine distance, Sener & Savarese
     // 2018) — diversity-aware selection next to q92's balance and
@@ -1779,6 +1799,9 @@ object SparkEntry {
     "q167_embedding_audit"  -> Oracle.embeddingAudit,
     "q168_jaccard_histogram" -> Oracle.jaccardHistogram,
     "q169_coreset_select"   -> Oracle.coresetSelect,
+    "q170_cohort_retention" -> Oracle.cohortRetention,
+    "q171_rfm_segments"     -> Oracle.rfmSegments,
+    "q172_trend_slope"      -> Oracle.trendSlope,
     "q105_cross_source_dups" -> Oracle.crossSourceDups,
     "q106_token_mixture"    -> Oracle.tokenMixture,
     "q107_multi_decon"      -> Oracle.multiDecon,

@@ -833,6 +833,80 @@ SELECT id_a, id_b,
        CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
 FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""
 
+  /** q170 oracle: cohort retention replayed — distinct (customer,
+    * month), first-month cohorts, month-difference cells, one IEEE
+    * division per cell. */
+  val cohortRetention: String = """
+WITH m AS (
+  SELECT DISTINCT o_custkey AS user_id,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+  FROM orders),
+c AS (SELECT user_id, min(month) AS cohort_month FROM m GROUP BY 1),
+s AS (SELECT cohort_month, count(*) AS cohort_size FROM c GROUP BY 1),
+a AS (
+  SELECT c.cohort_month,
+         date_diff('month', c.cohort_month, m.month) AS months_since,
+         count(*) AS n_active
+  FROM m JOIN c USING (user_id) GROUP BY 1, 2)
+SELECT a.cohort_month, CAST(a.months_since AS BIGINT) AS months_since,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS retention_pct
+FROM a JOIN s USING (cohort_month)
+ORDER BY cohort_month, months_since"""
+
+  /** q171 oracle: RFM segmentation replayed — money-rounded decimal
+    * monetary sums, the shared anchor recency, and ntile tiers whose
+    * order keys carry the custkey tie-break. */
+  val rfmSegments: String = s"""
+WITH per AS (
+  SELECT o_custkey AS custkey, max(o_orderdate) AS last_date,
+         count(*) AS n_orders,
+         CAST(sum(CAST(${money("o_totalprice")} AS DECIMAL(18, 2)))
+           AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1),
+a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+t AS (
+  SELECT custkey, date_diff('day', last_date, anchor) AS r_days,
+         n_orders, monetary,
+         ntile(4) OVER (ORDER BY date_diff('day', last_date, anchor),
+           custkey) AS r_tier,
+         ntile(4) OVER (ORDER BY n_orders DESC, custkey) AS f_tier,
+         ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_tier
+  FROM per, a)
+SELECT custkey, CAST(r_days AS BIGINT) AS r_days,
+       CAST(n_orders AS BIGINT) AS n_orders, monetary,
+       CAST(r_tier AS BIGINT) AS r_tier,
+       CAST(f_tier AS BIGINT) AS f_tier,
+       CAST(m_tier AS BIGINT) AS m_tier,
+       CAST(r_tier AS VARCHAR) || CAST(f_tier AS VARCHAR)
+         || CAST(m_tier AS VARCHAR) AS segment
+FROM t ORDER BY custkey"""
+
+  /** q172 oracle: per-group weekly trend replayed — identical exact
+    * decimal/long sums and the single guarded slope division. */
+  val trendSlope: String = s"""
+WITH w AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         sum(CAST(${money("o_totalprice")} AS DECIMAL(18, 2))) AS y
+  FROM orders GROUP BY 1, 2),
+x AS (
+  SELECT o_orderpriority, y,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY week) AS BIGINT) AS x
+  FROM w),
+s AS (
+  SELECT o_orderpriority, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(y * x) AS sxy, sum(x * x) AS sxx
+  FROM x GROUP BY 1)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n_weeks,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+FROM s ORDER BY o_orderpriority"""
+
   /** q169 oracle: k-center greedy coreset replayed — the seed is the
     * lowest id, each later pick an unrolled CTE taking the argmax of
     * the exact min over the previously selected rows' cosine

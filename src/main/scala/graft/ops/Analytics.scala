@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Product-analytics extensions over the event/order tables — the
+  * classic warehouse trio the reference's presentation layer stops
+  * short of: cohort retention, RFM segmentation, and per-group
+  * linear trend. All three follow the engine's determinism contract
+  * (exact integer/decimal sums, unique window tie-breaks, IEEE
+  * divisions only at the output boundary) so they gate hash-exact
+  * against the DuckDB oracle like every other operator.
+  */
+object Analytics {
+
+  /** Cohort retention matrix: users are cohorted by their FIRST
+    * active month; each (cohort_month, months_since) cell counts how
+    * many of that cohort were active again that many months later —
+    * the standard product-retention artifact (month-0 row = cohort
+    * size, retention_pct = 1.0).
+    *
+    * Scale shape: one distinct over (user, month) — ids only, the
+    * event payload never shuffles; cohorts are a user-keyed
+    * min-aggregate joined back on the user id; the matrix is a tiny
+    * (months × months) aggregate. Output: (cohort_month,
+    * months_since, n_active, cohort_size, retention_pct). */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val monthly = events.select(col(userCol).as("user"),
+        date_trunc("month", col(tsCol)).cast("date").as("month"))
+      .distinct()
+    val cohorts = monthly.groupBy("user")
+      .agg(min("month").as("cohort_month"))
+    val sizes = cohorts.groupBy("cohort_month")
+      .agg(count(lit(1)).as("cohort_size"))
+    monthly.join(cohorts, "user")
+      .withColumn("months_since",
+        months_between(col("month"), col("cohort_month")).cast(LongType))
+      .groupBy("cohort_month", "months_since")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_month")
+      .select(col("cohort_month"), col("months_since"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast(DoubleType) /
+          col("cohort_size").cast(DoubleType)).as("retention_pct"))
+      .orderBy("cohort_month", "months_since")
+  }
+
+  /** RFM segmentation: per customer, Recency (days since their last
+    * order, anchored at the corpus-wide latest date so the result is
+    * reproducible), Frequency (order count) and Monetary (money-
+    * rounded decimal revenue sum), each cut into `n` quantile tiers
+    * by ntile with the customer id as the unique tie-break — so the
+    * tier boundaries replay engine-exact. Tier 1 is always BEST
+    * (most recent / most frequent / highest spend), giving the
+    * familiar "111 = champion" segment code.
+    *
+    * Scale shape: one customer-keyed aggregate; the three ntile
+    * windows are global but carry (custkey, metric) only — at
+    * warehouse scale swap ntile for pre-computed quantile bounds
+    * from [[Sketch.histQuantiles]] if a single-pass global sort is
+    * unwanted. Output: (custkey, r_days, n_orders, monetary, r_tier,
+    * f_tier, m_tier, segment). */
+  def rfm(orders: DataFrame, n: Int = 4,
+          custCol: String = "o_custkey",
+          dateCol: String = "o_orderdate",
+          priceCol: String = "o_totalprice"): DataFrame = {
+    require(n >= 2, "need at least 2 tiers")
+    import org.apache.spark.sql.expressions.Window
+    val money: Column => Column = c =>
+      floor(c * lit(100.0) + lit(0.5)).cast(DoubleType) / lit(100.0)
+    val per = orders.groupBy(col(custCol).as("custkey"))
+      .agg(max(col(dateCol)).as("last_date"),
+        count(lit(1)).as("n_orders"),
+        sum(money(col(priceCol)).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("monetary"))
+    val anchor = orders.agg(max(col(dateCol)).as("anchor"))
+    val rW = Window.orderBy(col("r_days"), col("custkey"))
+    val fW = Window.orderBy(col("n_orders").desc, col("custkey"))
+    val mW = Window.orderBy(col("monetary").desc, col("custkey"))
+    per.crossJoin(broadcast(anchor))
+      .withColumn("r_days",
+        datediff(col("anchor"), col("last_date")).cast(LongType))
+      .withColumn("r_tier", ntile(n).over(rW).cast(LongType))
+      .withColumn("f_tier", ntile(n).over(fW).cast(LongType))
+      .withColumn("m_tier", ntile(n).over(mW).cast(LongType))
+      .select(col("custkey"), col("r_days"), col("n_orders"),
+        col("monetary"), col("r_tier"), col("f_tier"), col("m_tier"),
+        concat(col("r_tier"), col("f_tier"), col("m_tier")).as("segment"))
+      .orderBy("custkey")
+  }
+
+  /** Per-group linear TREND over a weekly series — closed-form least
+    * squares on (week index, money-rounded revenue): slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Every sum is exact (x is a
+    * LONG rank, y a DECIMAL money sum, products decimal/long), so
+    * the single slope division at the output boundary is the only
+    * IEEE operation — the regression replays engine-exact, unlike a
+    * float-accumulated `regr_slope`. The week index is the per-group
+    * rank of the week (1..n, gaps collapsed), making slopes
+    * comparable across groups with different calendars.
+    *
+    * Scale shape: one (group, week) aggregate, one per-group rank
+    * window over week rows (tiny), one group aggregate of the sums.
+    * Output: (group, n_weeks, slope) — slope in money units per
+    * week. */
+  def trendSlope(df: DataFrame, groupCol: String, dateCol: String,
+                 valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val money: Column => Column = c =>
+      floor(c * lit(100.0) + lit(0.5)).cast(DoubleType) / lit(100.0)
+    val weekly = df.select(col(groupCol).as("grp"),
+        date_trunc("week", col(dateCol)).cast("date").as("week"),
+        money(col(valueCol)).cast(DecimalType(18, 2)).as("y0"))
+      .groupBy("grp", "week").agg(sum("y0").as("y"))
+      .withColumn("x", row_number().over(
+        Window.partitionBy("grp").orderBy("week")).cast(LongType))
+    weekly.groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("x")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(groupCol), col("n_weeks"),
+        // a single-week series has no slope: NULL, not a 0/0 NaN
+        // whose rendering the two engines need not share
+        when(col("n_weeks") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("n_weeks") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+            (col("n_weeks") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType)).as("slope"))
+      .orderBy(groupCol)
+  }
+}

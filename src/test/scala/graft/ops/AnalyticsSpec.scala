@@ -1,0 +1,69 @@
+package graft.ops
+
+import java.sql.Date
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("cohortRetention: first-month cohorts, return cells, month-0 = 1.0") {
+    // u1: Jan, Feb, Apr; u2: Jan only; u3: Feb, Apr
+    val events = Seq(
+      (1L, d("2024-01-05")), (1L, d("2024-01-20")), (1L, d("2024-02-02")),
+      (1L, d("2024-04-11")), (2L, d("2024-01-09")),
+      (3L, d("2024-02-14")), (3L, d("2024-04-01"))
+    ).toDF("user_id", "ts")
+    val got = Analytics.cohortRetention(events)
+      .as[(Date, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (d("2024-01-01"), 0L, 2L, 2L, 1.0),   // Jan cohort: u1, u2
+      (d("2024-01-01"), 1L, 1L, 2L, 0.5),   // only u1 returns in Feb
+      (d("2024-01-01"), 3L, 1L, 2L, 0.5),   // only u1 in Apr
+      (d("2024-02-01"), 0L, 1L, 1L, 1.0),   // Feb cohort: u3
+      (d("2024-02-01"), 2L, 1L, 1L, 1.0)))  // u3 returns in Apr
+  }
+
+  test("rfm: tiers from ordered metrics, champion segment code") {
+    val orders = Seq(
+      (101L, 10L, d("2024-03-10"), 100.0),
+      (102L, 10L, d("2024-03-01"), 100.0),
+      (103L, 10L, d("2024-02-01"), 100.0),  // A: recent, 3 orders, 300
+      (104L, 20L, d("2024-03-08"), 60.0),
+      (105L, 20L, d("2024-01-15"), 40.0),   // B: 2 days old, 2, 100
+      (106L, 30L, d("2024-03-05"), 50.0),   // C: 5 days old, 1, 50
+      (107L, 40L, d("2024-03-01"), 10.0)    // D: 9 days old, 1, 10
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.rfm(orders, n = 2)
+      .as[(Long, Long, Long, Double, Long, Long, Long, String)]
+      .collect().toSeq
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(10L) == ((10L, 0L, 3L, 300.0, 1L, 1L, 1L, "111")))
+    assert(m(20L) == ((20L, 2L, 2L, 100.0, 1L, 1L, 1L, "111")))
+    assert(m(30L) == ((30L, 5L, 1L, 50.0, 2L, 2L, 2L, "222")))
+    assert(m(40L) == ((40L, 9L, 1L, 10.0, 2L, 2L, 2L, "222")))
+  }
+
+  test("trendSlope: exact closed-form slope; single-week series null") {
+    // g: y = 10,20,30,40 over 4 weeks -> slope exactly 10.0/week;
+    // h: one week -> no slope (null, not NaN)
+    val rows = Seq(
+      ("g", d("2024-01-01"), 10.0), ("g", d("2024-01-08"), 20.0),
+      ("g", d("2024-01-15"), 30.0), ("g", d("2024-01-22"), 40.0),
+      ("h", d("2024-01-01"), 7.0)
+    ).toDF("grp_in", "dt", "val")
+    val got = Analytics.trendSlope(rows, "grp_in", "dt", "val")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(("g", 4L, Some(10.0)), ("h", 1L, None)))
+    // two rows in the SAME week aggregate before the fit
+    val dup = rows.union(Seq(("g", d("2024-01-02"), 5.0))
+      .toDF("grp_in", "dt", "val"))
+    val g2 = Analytics.trendSlope(dup, "grp_in", "dt", "val")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    // week1 y becomes 15: points (1,15),(2,20),(3,30),(4,40) ->
+    // slope = (4*(15+40+90+160) - 10*105) / 20 = (1220-1050)/20 = 8.5
+    assert(g2.find(_._1 == "g").get._3 == Some(8.5))
+  }
+}
