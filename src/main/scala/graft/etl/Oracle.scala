@@ -884,13 +884,16 @@ SELECT custkey, CAST(r_days AS BIGINT) AS r_days,
          || CAST(m_tier AS VARCHAR) AS segment
 FROM t ORDER BY custkey"""
 
-  /** q172 oracle: per-group weekly trend replayed — identical exact
-    * decimal/long sums and the single guarded slope division. */
-  val trendSlope: String = s"""
+  /** q172 oracle: per-group weekly trend replayed — integer-cent
+    * HUGEINT sums (≡ Spark's decimal(38,0); a scaled-decimal product
+    * would silently overflow DuckDB's 38-digit multiply into DOUBLE)
+    * and the same guarded division + /100 rescale in the same
+    * order. */
+  val trendSlope: String = """
 WITH w AS (
   SELECT o_orderpriority,
          CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
-         sum(CAST(${money("o_totalprice")} AS DECIMAL(18, 2))) AS y
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS y
   FROM orders GROUP BY 1, 2),
 x AS (
   SELECT o_orderpriority, y,
@@ -904,7 +907,7 @@ s AS (
 SELECT o_orderpriority, CAST(n AS BIGINT) AS n_weeks,
        CASE WHEN n * sxx - sx * sx <> 0 THEN
          CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+           / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 END AS slope
 FROM s ORDER BY o_orderpriority"""
 
   /** q169 oracle: k-center greedy coreset replayed — the seed is the

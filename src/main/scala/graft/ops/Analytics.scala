@@ -23,8 +23,10 @@ object Analytics {
     * Scale shape: one distinct over (user, month) — ids only, the
     * event payload never shuffles; cohorts are a user-keyed
     * min-aggregate joined back on the user id; the matrix is a tiny
-    * (months × months) aggregate. Output: (cohort_month,
-    * months_since, n_active, cohort_size, retention_pct). */
+    * (months × months) aggregate. User ids and timestamps must be
+    * non-null (the oracle's join/order null semantics differ —
+    * filter first). Output: (cohort_month, months_since, n_active,
+    * cohort_size, retention_pct). */
   def cohortRetention(events: DataFrame, userCol: String = "user_id",
                       tsCol: String = "ts"): DataFrame = {
     val monthly = events.select(col(userCol).as("user"),
@@ -60,8 +62,10 @@ object Analytics {
     * windows are global but carry (custkey, metric) only — at
     * warehouse scale swap ntile for pre-computed quantile bounds
     * from [[Sketch.histQuantiles]] if a single-pass global sort is
-    * unwanted. Output: (custkey, r_days, n_orders, monetary, r_tier,
-    * f_tier, m_tier, segment). */
+    * unwanted. Customer keys and dates must be non-null (Spark
+    * orders NULLS FIRST, the oracle NULLS LAST — filter first).
+    * Output: (custkey, r_days, n_orders, monetary, r_tier, f_tier,
+    * m_tier, segment). */
   def rfm(orders: DataFrame, n: Int = 4,
           custCol: String = "o_custkey",
           dateCol: String = "o_orderdate",
@@ -92,14 +96,20 @@ object Analytics {
   }
 
   /** Per-group linear TREND over a weekly series — closed-form least
-    * squares on (week index, money-rounded revenue): slope =
-    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Every sum is exact (x is a
-    * LONG rank, y a DECIMAL money sum, products decimal/long), so
-    * the single slope division at the output boundary is the only
-    * IEEE operation — the regression replays engine-exact, unlike a
+    * squares on (week index, revenue in integer CENTS): slope =
+    * [(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)] / 100. Every sum is exact —
+    * x is a LONG rank and y an INTEGER cent total (decimal(38,0) in
+    * Spark ≡ HUGEINT in DuckDB; a decimal-with-scale product would
+    * silently overflow DuckDB's 38-digit multiply into DOUBLE at
+    * warehouse magnitudes and break the exactness claim) — so the
+    * two IEEE operations at the output boundary (one division, one
+    * /100 rescale, identical order in both engines) are all a
+    * regression needs to replay hash-exact, unlike a
     * float-accumulated `regr_slope`. The week index is the per-group
     * rank of the week (1..n, gaps collapsed), making slopes
-    * comparable across groups with different calendars.
+    * comparable across groups with different calendars. Dates and
+    * group keys must be non-null (a NULL week would rank NULLS FIRST
+    * in Spark but NULLS LAST in the oracle — filter first).
     *
     * Scale shape: one (group, week) aggregate, one per-group rank
     * window over week rows (tiny), one group aggregate of the sums.
@@ -108,11 +118,11 @@ object Analytics {
   def trendSlope(df: DataFrame, groupCol: String, dateCol: String,
                  valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val money: Column => Column = c =>
-      floor(c * lit(100.0) + lit(0.5)).cast(DoubleType) / lit(100.0)
+    val cents =
+      floor(col(valueCol) * lit(100.0) + lit(0.5)).cast(DecimalType(38, 0))
     val weekly = df.select(col(groupCol).as("grp"),
         date_trunc("week", col(dateCol)).cast("date").as("week"),
-        money(col(valueCol)).cast(DecimalType(18, 2)).as("y0"))
+        cents.as("y0"))
       .groupBy("grp", "week").agg(sum("y0").as("y"))
       .withColumn("x", row_number().over(
         Window.partitionBy("grp").orderBy("week")).cast(LongType))
@@ -129,7 +139,7 @@ object Analytics {
           (col("n_weeks") * col("sxy") - col("sx") * col("sy"))
               .cast(DoubleType) /
             (col("n_weeks") * col("sxx") - col("sx") * col("sx"))
-              .cast(DoubleType)).as("slope"))
+              .cast(DoubleType) / lit(100.0)).as("slope"))
       .orderBy(groupCol)
   }
 }

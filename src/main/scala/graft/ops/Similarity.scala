@@ -552,19 +552,6 @@ object Similarity {
       .orderBy(idCol)
   }
 
-  /** kNN label propagation — the FineWeb-Edu-style pattern of labeling
-    * a large corpus from a small annotated seed set: each query doc
-    * takes the MAJORITY label of its k nearest labeled neighbors
-    * (ties → the smaller label id). Neighbors come from
-    * [[hammingTopK]] (sign-packed Hamming prefilter + exact cosine
-    * re-rank), so the whole classification is deterministic and
-    * hash-exact — label-propagation regressions gate like
-    * correctness ones.
-    *
-    * Scale shape: the labeled seed set is the ANN corpus (scans
-    * 8 bytes/vector/word); votes are one (query, label) aggregate
-    * over k·Q rows and the winner one per-query window over ≤
-    * k·Q rows. Output: (id, label_pred, n_votes). */
   /** Shared kNN vote machinery of [[knnClassify]] and [[labelErrors]]
     * — (votes, winner): per-(query, label) neighbor counts and the
     * majority winner under the (n_votes desc, label asc) tie order.
@@ -591,6 +578,19 @@ object Similarity {
     (votes, winner)
   }
 
+  /** kNN label propagation — the FineWeb-Edu-style pattern of labeling
+    * a large corpus from a small annotated seed set: each query doc
+    * takes the MAJORITY label of its k nearest labeled neighbors
+    * (ties → the smaller label id). Neighbors come from
+    * [[hammingTopK]] (sign-packed Hamming prefilter + exact cosine
+    * re-rank), so the whole classification is deterministic and
+    * hash-exact — label-propagation regressions gate like
+    * correctness ones.
+    *
+    * Scale shape: the labeled seed set is the ANN corpus (scans
+    * 8 bytes/vector/word); votes are one (query, label) aggregate
+    * over k·Q rows and the winner one per-query window over ≤
+    * k·Q rows. Output: (id, label_pred, n_votes). */
   def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int,
                   rerank: Int = 50, labelCol: String = "label",
                   idCol: String = "vec_id",
