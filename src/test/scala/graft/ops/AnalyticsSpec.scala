@@ -26,6 +26,22 @@ class AnalyticsSpec extends SparkSpec {
       (d("2024-02-01"), 2L, 1L, 1L, 1.0)))  // u3 returns in Apr
   }
 
+  test("cohortRetention on real orders: month-0 cells reconcile") {
+    val orders = graft.io.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select($"o_custkey".as("user_id"), $"o_orderdate".as("ts"))
+    val got = Analytics.cohortRetention(orders)
+      .as[(Date, Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // month 0: every cohort member is active by definition
+    val m0 = got.filter(_._2 == 0L)
+    assert(m0.forall(r => r._3 == r._4 && r._5 == 1.0))
+    // cohort sizes sum to the distinct-user universe
+    val users = orders.select("user_id").distinct().count()
+    assert(m0.map(_._4).sum == users)
+    // retention never exceeds 1 and cells never exceed cohort size
+    assert(got.forall(r => r._3 <= r._4 && r._5 <= 1.0))
+  }
+
   test("rfm: tiers from ordered metrics, champion segment code") {
     val orders = Seq(
       (101L, 10L, d("2024-03-10"), 100.0),

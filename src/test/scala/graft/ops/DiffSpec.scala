@@ -67,6 +67,26 @@ class DiffSpec extends SparkSpec {
       Seq((4L, 4L), (5L, 1L), (1L, 0L)))
   }
 
+  test("termDrift: contributions reconcile with the carried total " +
+       "when topK covers the vocabulary") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val got = Diff.termDrift(docs, docs.filter($"doc_id" % 2 === 0),
+        topK = 100000)
+      .as[(String, Long, Long, String, Long, Double, Double)]
+      .collect().toSeq
+    assert(got.nonEmpty)
+    val total = got.head._7
+    assert(got.forall(_._7 == total)) // every row carries the same total
+    // Σ per-term contributions = total (double-sum tolerance only —
+    // the engines' own reconciliation is exact-integer)
+    assert(math.abs(got.map(_._6).sum - total) < 1e-12)
+    // directions partition the vocabulary consistently: a term with
+    // zero new-count can only be 'down' (or flat if also zero-old)
+    assert(got.filter(_._3 == 0L).forall(r =>
+      r._4 == "down" || (r._2 == 0L && r._4 == "flat")))
+  }
+
   test("termDrift: identical corpora drift nowhere") {
     val d = Seq((1L, "x y z"), (2L, "x x")).toDF("doc_id", "text")
     val got = Diff.termDrift(d, d, topK = 10)

@@ -334,6 +334,17 @@ class TextDedupSpec extends SparkSpec {
     assert(byAnchor(2L)._5 == 0.4)
   }
 
+  test("jaccardHistogram on real docs reconciles with C(n,2)") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 200).select($"doc_id", $"text")
+    val n = docs.count()
+    val got = Dedup.jaccardHistogram(docs)
+      .as[(Double, Long)].collect().toSeq
+    assert(got.map(_._2).sum == n * (n - 1) / 2)
+    assert(got.map(_._1) == got.map(_._1).sorted) // ascending buckets
+    assert(got.forall(r => r._1 >= 0.0 && r._1 <= 1.0))
+  }
+
   test("jaccardHistogram buckets every pair once, exact dups at 1.0") {
     // token sets: {a b c d}, {a b c d} (exact dup -> j=1),
     // {a b x y} (j=2/6 with the first two), {p q r s} (j=0)
