@@ -1296,6 +1296,12 @@ object SparkEntry {
         Seq("src0" -> 0.22, "src1" -> 0.06, "src2" -> 0.02),
         budget = docs.count(), maxEpochs = 4)
     }),
+    // Market-basket lift: item pairs co-ordered more often than
+    // independence predicts — exact integer counts rank the top-100
+    // (total tie order), the two ratios are output-boundary
+    // divisions. Pair volume is Σ C(basket, 2) — basket-bounded.
+    "q173_basket_lift" -> ((s, dir) =>
+      graft.ops.Analytics.basketLift(Tables.lineitem(s, dir))),
     // Cohort retention matrix over orders: customers cohorted by
     // first-order month; each (cohort, months_since) cell counts the
     // returners. Ids-only distinct + a user-keyed min join — the
@@ -1802,6 +1808,7 @@ object SparkEntry {
     "q170_cohort_retention" -> Oracle.cohortRetention,
     "q171_rfm_segments"     -> Oracle.rfmSegments,
     "q172_trend_slope"      -> Oracle.trendSlope,
+    "q173_basket_lift"      -> Oracle.basketLift,
     "q105_cross_source_dups" -> Oracle.crossSourceDups,
     "q106_token_mixture"    -> Oracle.tokenMixture,
     "q107_multi_decon"      -> Oracle.multiDecon,

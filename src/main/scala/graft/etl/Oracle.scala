@@ -833,6 +833,33 @@ SELECT id_a, id_b,
        CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
 FROM p ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""
 
+  /** q173 oracle: market-basket lift replayed — distinct (order,
+    * item), order-keyed pair self-join (a < b), exact counts, the
+    * same total-order top-100 cut and the two boundary divisions. */
+  val basketLift: String = """
+WITH i AS (
+  SELECT DISTINCT l_orderkey AS ord, l_partkey AS item FROM lineitem),
+n AS (SELECT count(DISTINCT ord) AS n_orders FROM i),
+c AS (SELECT item, count(*) AS item_orders FROM i GROUP BY 1),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_orders
+  FROM i a JOIN i b ON a.ord = b.ord AND a.item < b.item
+  GROUP BY 1, 2),
+t AS (
+  SELECT p.item_a, p.item_b, p.pair_orders,
+         ca.item_orders AS orders_a, cb.item_orders AS orders_b
+  FROM p JOIN c ca ON ca.item = p.item_a
+         JOIN c cb ON cb.item = p.item_b)
+SELECT item_a, item_b, CAST(pair_orders AS BIGINT) AS pair_orders,
+       CAST(orders_a AS BIGINT) AS orders_a,
+       CAST(orders_b AS BIGINT) AS orders_b,
+       CAST(pair_orders AS DOUBLE) / CAST(n_orders AS DOUBLE)
+         AS support,
+       CAST(pair_orders * n_orders AS DOUBLE)
+         / CAST(orders_a * orders_b AS DOUBLE) AS lift
+FROM t, n
+ORDER BY pair_orders DESC, item_a, item_b LIMIT 100"""
+
   /** q170 oracle: cohort retention replayed — distinct (customer,
     * month), first-month cohorts, month-difference cells, one IEEE
     * division per cell. */

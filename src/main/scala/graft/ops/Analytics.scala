@@ -95,6 +95,56 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** Market-basket co-occurrence with LIFT — which item pairs are
+    * ordered together more often than independence predicts (the
+    * classic affinity artifact behind "frequently bought together").
+    * Per unordered pair (a < b): pair_orders (distinct orders
+    * containing both), each item's own order count, support =
+    * pair/n_orders, and lift = pair·n / (n_a·n_b) — both ratios are
+    * single IEEE divisions over exact integers, and the top-N cut
+    * ranks by the exact pair COUNT (ties → a, b), so the result
+    * replays hash-exact.
+    *
+    * Scale shape: the pair generation is an order-keyed self-join of
+    * the distinct (order, item) set — row volume Σ_orders C(k, 2)
+    * with k = items per order (baskets are small; a pathological
+    * mega-basket is the skew to cap upstream), and the pair
+    * aggregate is map-side combined. Item counts and n_orders are
+    * one aggregate each, broadcast back. Output: (item_a, item_b,
+    * pair_orders, orders_a, orders_b, support, lift). */
+  def basketLift(lineitem: DataFrame, topN: Int = 100,
+                 orderCol: String = "l_orderkey",
+                 itemCol: String = "l_partkey"): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val items = lineitem.select(col(orderCol).as("ord"),
+      col(itemCol).as("item")).distinct()
+    val nOrders = items.select(col("ord")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCounts = items.groupBy("item")
+      .agg(count(lit(1)).as("item_orders"))
+    val pairs = items.select(col("ord"), col("item").as("item_a"))
+      .join(items.select(col("ord"), col("item").as("item_b")), "ord")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_orders"))
+    pairs
+      .join(itemCounts.select(col("item").as("item_a"),
+        col("item_orders").as("orders_a")), "item_a")
+      .join(itemCounts.select(col("item").as("item_b"),
+        col("item_orders").as("orders_b")), "item_b")
+      .crossJoin(broadcast(nOrders))
+      .orderBy(col("pair_orders").desc, col("item_a"), col("item_b"))
+      .limit(topN)
+      .select(col("item_a"), col("item_b"), col("pair_orders"),
+        col("orders_a"), col("orders_b"),
+        (col("pair_orders").cast(DoubleType) /
+          col("n_orders").cast(DoubleType)).as("support"),
+        ((col("pair_orders") * col("n_orders")).cast(DoubleType) /
+          (col("orders_a") * col("orders_b")).cast(DoubleType))
+          .as("lift"))
+      .orderBy(col("pair_orders").desc, col("item_a"), col("item_b"))
+  }
+
   /** Per-group linear TREND over a weekly series — closed-form least
     * squares on (week index, revenue in integer CENTS): slope =
     * [(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)] / 100. Every sum is exact —

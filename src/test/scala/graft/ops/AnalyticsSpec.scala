@@ -62,6 +62,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(m(40L) == ((40L, 9L, 1L, 10.0, 2L, 2L, 2L, "222")))
   }
 
+  test("basketLift: counts, independence baseline, dup lines collapse") {
+    // orders: o1{A,B,C}, o2{A,B}, o3{A}, o4{D} — A+B together twice;
+    // duplicate (o1, A) line must not double-count
+    val li = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "A"), (4L, "D")
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Analytics.basketLift(li, topN = 10)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    val m = got.map(r => (r._1, r._2) -> r).toMap
+    // A,B: pair 2 of 4 orders; A in 3, B in 2 -> lift = 2*4/(3*2)
+    assert(m(("A", "B")) ==
+      (("A", "B", 2L, 3L, 2L, 0.5, 8.0 / 6.0)))
+    assert(m(("A", "C"))._3 == 1L && m(("B", "C"))._3 == 1L)
+    assert(!m.contains(("A", "D"))) // never co-ordered
+    // ranked by exact pair count, ties by item ids
+    assert(got.head._3 == 2L && got.map(_._3).sliding(2)
+      .forall(p => p.size < 2 || p(1) <= p(0)))
+  }
+
   test("trendSlope: exact closed-form slope; single-week series null") {
     // g: y = 10,20,30,40 over 4 weeks -> slope exactly 10.0/week;
     // h: one week -> no slope (null, not NaN)
