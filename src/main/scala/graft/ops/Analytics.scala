@@ -127,14 +127,17 @@ object Analytics {
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("pair_orders"))
+    // cut FIRST: the top-N rank depends only on the exact pair count
+    // (total tie order), so the item-count and total joins touch
+    // topN rows, never the full pair set
     pairs
+      .orderBy(col("pair_orders").desc, col("item_a"), col("item_b"))
+      .limit(topN)
       .join(itemCounts.select(col("item").as("item_a"),
         col("item_orders").as("orders_a")), "item_a")
       .join(itemCounts.select(col("item").as("item_b"),
         col("item_orders").as("orders_b")), "item_b")
       .crossJoin(broadcast(nOrders))
-      .orderBy(col("pair_orders").desc, col("item_a"), col("item_b"))
-      .limit(topN)
       .select(col("item_a"), col("item_b"), col("pair_orders"),
         col("orders_a"), col("orders_b"),
         (col("pair_orders").cast(DoubleType) /
