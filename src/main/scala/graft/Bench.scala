@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions.{col, date_format}
 
+import scala.util.control.NonFatal
+
 import graft.etl.Analog
 import graft.io.Tables
 import graft.ops.Similarity
@@ -65,7 +67,7 @@ object Bench {
     val samples = (1 to Passes).map { _ =>
       items.map { case (name, a) =>
         try timed(run(a))
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0 }
       }
@@ -81,7 +83,7 @@ object Bench {
     // warm up codegen/JIT/parquet-footer caches outside the timings
     try spark.read.parquet(s"$sfDir/orders.parquet")
       .groupBy("o_orderstatus").count().count()
-    catch { case _: Throwable => }
+    catch { case NonFatal(_) => }
 
     // a failed query records -1.0 (never a fake small timing), and the
     // sorted Seq keeps the JSON keys in query order
@@ -115,13 +117,13 @@ object Bench {
       }
       val aTotal = aq.map(_._2).filter(_ >= 0).sum
       s""""amortized":{"silver_build":${fmt(silverBuild)},"total":${fmt(aTotal)},"queries":${jsonMap(aq)}}"""
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] amortized failed: ${e.getMessage}")
       s""""amortized":{"silver_build":-1.0,"total":-1.0,"queries":{}}"""
     } finally {
       try org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(silverDir))
-      catch { case _: Throwable => }
+      catch { case NonFatal(_) => }
     }
 
     // ---- ANN recall@5 at the production q32/q36 parameters, measured
@@ -134,10 +136,14 @@ object Bench {
       val truth = Similarity.bruteForceTopK(emb, queries, 5)
       // per-probe isolation: one expensive probe failing (e.g. the
       // PQ fits under memory pressure) must not wipe the metrics
-      // already computed — each records -1.0 for itself only
+      // already computed — each records -1.0 for itself only.
+      // NonFatal only (here and at every bench catch): an OOM or
+      // other VM error must ABORT the run rather than continue on a
+      // corrupted runtime recording plausible-looking timings
+      // (r7 ADVICE)
       def probe(name: String)(mk: => org.apache.spark.sql.DataFrame) =
         name -> (try Similarity.recallAtK(truth, mk)
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           System.err.println(s"[bench] recall $name failed: ${e.getMessage}")
           -1.0 })
       val metrics = Seq(
@@ -151,7 +157,7 @@ object Bench {
         probe("q134_pq_topk")(Similarity.pqTopK(emb, queries, 5, m = 8,
           codesPerSub = 16, iters = 2, rerank = 400)))
       s""""recall_at_5":${jsonMap(metrics)}"""
-    } catch { case e: Throwable =>
+    } catch { case NonFatal(e) =>
       System.err.println(s"[bench] recall failed: ${e.getMessage}")
       s""""recall_at_5":{}"""
     }
@@ -167,7 +173,7 @@ object Bench {
           "/root/repo/BENCH_DETAIL.json"))
       java.nio.file.Files.write(p,
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => }
+    } catch { case NonFatal(_) => }
     // the compact total line is printed LAST so it always sits inside
     // the driver's fixed-size stdout tail — the headline number of the
     // round can no longer be lost to line-length (r4's was)

@@ -1330,10 +1330,10 @@ object SparkEntry {
     "q169_coreset_select" -> ((s, dir) =>
       graft.ops.Cluster.coresetSelect(Tables.embeddings(s, dir), k = 8)),
     // Embedding validity audit — the first QA gate before indexing:
-    // dimension / zero-norm / NaN flags per vector, one codegen'd
-    // scan. The salt plants the three production corruption modes
-    // (failed-encode zeros, model-mixup dim-32, overflow NaN) so
-    // every flag is observably binding.
+    // dimension / zero-norm / NaN / ±Inf flags per vector, one
+    // codegen'd scan. The salt plants the four production corruption
+    // modes (failed-encode zeros, model-mixup dim-32, overflow NaN,
+    // pre-NaN overflow Inf) so every flag is observably binding.
     "q167_embedding_audit" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       def plant(id: Long)(f: Column => Column) =
@@ -1344,8 +1344,11 @@ object SparkEntry {
       val shortd = plant(1)(e => slice(e, 1, 32))
       val nand = plant(2)(e =>
         concat(array(lit(Float.NaN)), slice(e, 2, 63)))
+      val infd = plant(3)(e =>
+        concat(array(lit(Float.PositiveInfinity)), slice(e, 2, 63)))
       graft.ops.Pca.embeddingAudit(
-        emb.unionByName(zeroed).unionByName(shortd).unionByName(nand),
+        emb.unionByName(zeroed).unionByName(shortd)
+          .unionByName(nand).unionByName(infd),
         expectedDim = 64)
     }),
     // Pairwise Jaccard histogram — the threshold-tuning artifact

@@ -970,9 +970,11 @@ FROM s ORDER BY o_orderpriority"""
   }
 
   /** q167 oracle: embedding validity audit replayed — the identical
-    * plants (zeroed, truncated-to-32, NaN-prepended), the shared
-    * sequential-fold norm, and NaN routing through has_nan (NaN
-    * compares false against the zero epsilon in both engines). */
+    * plants (zeroed, truncated-to-32, NaN-prepended, Inf-prepended),
+    * the shared sequential-fold norm, NaN routing through has_nan
+    * (NaN compares false against the zero epsilon in both engines)
+    * and ±Inf through has_inf (isinf(NaN) is false, so the flags
+    * stay independent). */
   val embeddingAudit: String = """
 WITH v0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -983,16 +985,21 @@ plant AS (
   SELECT vec_id + 100000, e[1:32] FROM v0 WHERE vec_id = 1
   UNION ALL
   SELECT vec_id + 100000, list_concat(['NaN'::DOUBLE], e[2:64])
-  FROM v0 WHERE vec_id = 2),
+  FROM v0 WHERE vec_id = 2
+  UNION ALL
+  SELECT vec_id + 100000, list_concat(['Infinity'::DOUBLE], e[2:64])
+  FROM v0 WHERE vec_id = 3),
 u AS (SELECT vec_id, e FROM v0 UNION ALL SELECT vec_id, e FROM plant)
 SELECT vec_id, CAST(len(e) AS BIGINT) AS dim,
        sqrt(list_dot_product(e, e)) AS l2_norm,
        (len(e) = 64) AS dim_ok,
        (sqrt(list_dot_product(e, e)) < 0.000001) AS is_zero,
        (len(list_filter(e, x -> isnan(x))) > 0) AS has_nan,
+       (len(list_filter(e, x -> isinf(x))) > 0) AS has_inf,
        ((len(e) = 64)
          AND NOT (sqrt(list_dot_product(e, e)) < 0.000001)
-         AND NOT (len(list_filter(e, x -> isnan(x))) > 0)) AS ok
+         AND NOT (len(list_filter(e, x -> isnan(x))) > 0)
+         AND NOT (len(list_filter(e, x -> isinf(x))) > 0)) AS ok
 FROM u ORDER BY vec_id"""
 
   /** q168 oracle: pairwise Jaccard histogram replayed — the q27

@@ -72,6 +72,24 @@ object Analytics {
           priceCol: String = "o_totalprice"): DataFrame = {
     require(n >= 2, "need at least 2 tiers")
     import org.apache.spark.sql.expressions.Window
+    val rW = Window.orderBy(col("r_days"), col("custkey"))
+    val fW = Window.orderBy(col("n_orders").desc, col("custkey"))
+    val mW = Window.orderBy(col("monetary").desc, col("custkey"))
+    rfmBase(orders, custCol, dateCol, priceCol)
+      .withColumn("r_tier", ntile(n).over(rW).cast(LongType))
+      .withColumn("f_tier", ntile(n).over(fW).cast(LongType))
+      .withColumn("m_tier", ntile(n).over(mW).cast(LongType))
+      .select(col("custkey"), col("r_days"), col("n_orders"),
+        col("monetary"), col("r_tier"), col("f_tier"), col("m_tier"),
+        concat(col("r_tier"), col("f_tier"), col("m_tier")).as("segment"))
+      .orderBy("custkey")
+  }
+
+  /** Shared R/F/M per-customer frame: (custkey, r_days, n_orders,
+    * monetary) — one customer-keyed aggregate plus the broadcast
+    * one-row anchor. [[rfm]] windows it; [[rfmSketch]] buckets it. */
+  private def rfmBase(orders: DataFrame, custCol: String,
+                      dateCol: String, priceCol: String): DataFrame = {
     val money: Column => Column = c =>
       floor(c * lit(100.0) + lit(0.5)).cast(DoubleType) / lit(100.0)
     val per = orders.groupBy(col(custCol).as("custkey"))
@@ -80,18 +98,94 @@ object Analytics {
         sum(money(col(priceCol)).cast(DecimalType(18, 2)))
           .cast(DoubleType).as("monetary"))
     val anchor = orders.agg(max(col(dateCol)).as("anchor"))
-    val rW = Window.orderBy(col("r_days"), col("custkey"))
-    val fW = Window.orderBy(col("n_orders").desc, col("custkey"))
-    val mW = Window.orderBy(col("monetary").desc, col("custkey"))
     per.crossJoin(broadcast(anchor))
       .withColumn("r_days",
         datediff(col("anchor"), col("last_date")).cast(LongType))
-      .withColumn("r_tier", ntile(n).over(rW).cast(LongType))
-      .withColumn("f_tier", ntile(n).over(fW).cast(LongType))
-      .withColumn("m_tier", ntile(n).over(mW).cast(LongType))
-      .select(col("custkey"), col("r_days"), col("n_orders"),
-        col("monetary"), col("r_tier"), col("f_tier"), col("m_tier"),
-        concat(col("r_tier"), col("f_tier"), col("m_tier")).as("segment"))
+      .select("custkey", "r_days", "n_orders", "monetary")
+  }
+
+  /** The WAREHOUSE-SCALE RFM tiering ([[rfm]]'s scaladoc names the
+    * swap; r7 verdict item 4): the three global single-direction
+    * ntile sorts are replaced by fixed-width-histogram quantile
+    * BOUNDS ([[Sketch.histSketch]]'s discipline — a map-side-combined
+    * aggregate whose exchange carries ≤ `buckets` rows regardless of
+    * customer count), so at 10⁹ customers nothing is globally sorted:
+    * orders are scanned ONCE into the per-customer frame (eagerly
+    * materialized — custkey + three numerics, GBs at warehouse
+    * scale), each metric's histogram is one tiny aggregate over it,
+    * and tier assignment is a broadcast-literal projection.
+    *
+    * Tier semantics: tiers are VALUE-cut at the estimated quantile
+    * bounds (error ≤ one bucket width by the histogram-quantile
+    * argument), so they agree with [[rfm]]'s ntile tiers for every
+    * customer whose metric sits ≥ one bucket width from the exact
+    * boundary — RfmSketchSpec proves that on testdata. Two honest
+    * differences from ntile: boundary-adjacent customers can land
+    * one tier off, and TIED metric values share a tier (ntile splits
+    * ties by custkey to force equal-size groups; a value-based cut
+    * cannot and should not). Tier 1 is BEST on all three axes, as in
+    * [[rfm]]. Output schema = [[rfm]]'s. */
+  def rfmSketch(orders: DataFrame, n: Int = 4, buckets: Int = 1024,
+                custCol: String = "o_custkey",
+                dateCol: String = "o_orderdate",
+                priceCol: String = "o_totalprice"): DataFrame = {
+    require(n >= 2, "need at least 2 tiers")
+    require(buckets >= n, "need at least as many buckets as tiers")
+    import org.apache.spark.sql.expressions.Window
+    val per = rfmBase(orders, custCol, dateCol, priceCol)
+      .localCheckpoint(true)
+    val metrics = Seq("r_days", "n_orders", "monetary")
+    // one row: global count + per-metric lo/hi (bounded collect —
+    // the k-means-centroid convention)
+    val statCols = count(lit(1)).as("n_cust") +:
+      metrics.flatMap(m => Seq(
+        min(col(m).cast(DoubleType)).as(s"lo_$m"),
+        max(col(m).cast(DoubleType)).as(s"hi_$m")))
+    val statsRow = per.agg(statCols.head, statCols.tail: _*).head()
+    val nCust = statsRow.getAs[Long]("n_cust")
+    require(nCust > 0, "no customers")
+    // estimated quantile bounds per metric: the first histogram
+    // bucket whose cumulative count reaches rank ⌈i/n·N⌉, linearly
+    // interpolated within the bucket (histQuantiles arithmetic)
+    val bounds: Map[String, Seq[Double]] = metrics.map { m =>
+      val lo = statsRow.getAs[Double](s"lo_$m")
+      val hi = statsRow.getAs[Double](s"hi_$m")
+      m -> (if (hi <= lo) Seq.empty[Double] // constant metric: 1 tier
+      else {
+        val w = (hi - lo) / buckets
+        val hist = Sketch.histSketch(per, m, lo, hi, buckets)
+          .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cum_prev", col("cum") - col("cnt"))
+          .collect() // ≤ `buckets` rows by construction
+          .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("cum"),
+            r.getAs[Long]("cum_prev")))
+        (1 until n).map { i =>
+          val rank = math.ceil(i.toDouble / n * nCust - 1e-9).toLong
+          val (b, cum, cumPrev) =
+            hist.find { case (_, c, p) => c >= rank && p < rank }.get
+          lo + w * (b.toDouble + (rank - cumPrev).toDouble / (cum - cumPrev))
+        }
+      })
+    }.toMap
+    def gtCount(m: String): Column = bounds(m)
+      .map(b => (col(m).cast(DoubleType) > lit(b)).cast(LongType))
+      .foldLeft(lit(0L).cast(LongType))(_ + _)
+    // recency: smaller is better → ascending cut; frequency/monetary:
+    // larger is better → tier n − (#bounds exceeded). A constant
+    // metric (empty bounds) carries no signal: everyone tier 1
+    def ascTier(m: String): Column =
+      if (bounds(m).isEmpty) lit(1L) else lit(1L) + gtCount(m)
+    def descTier(m: String): Column =
+      if (bounds(m).isEmpty) lit(1L) else lit(n.toLong) - gtCount(m)
+    val rTier = ascTier("r_days")
+    val fTier = descTier("n_orders")
+    val mTier = descTier("monetary")
+    per.select(col("custkey"), col("r_days"), col("n_orders"),
+        col("monetary"), rTier.as("r_tier"), fTier.as("f_tier"),
+        mTier.as("m_tier"))
+      .withColumn("segment",
+        concat(col("r_tier"), col("f_tier"), col("m_tier")))
       .orderBy("custkey")
   }
 
@@ -151,10 +245,12 @@ object Analytics {
   /** Per-group linear TREND over a weekly series — closed-form least
     * squares on (week index, revenue in integer CENTS): slope =
     * [(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)] / 100. Every sum is exact —
-    * x is a LONG rank and y an INTEGER cent total (decimal(38,0) in
-    * Spark ≡ HUGEINT in DuckDB; a decimal-with-scale product would
-    * silently overflow DuckDB's 38-digit multiply into DOUBLE at
-    * warehouse magnitudes and break the exactness claim) — so the
+    * x is a week rank and y an INTEGER cent total, and BOTH sides
+    * accumulate in decimal(38,0) in Spark ≡ HUGEINT in DuckDB (a
+    * long Σx², or the sx·sx product below, would silently wrap at
+    * ~7.8e4 weeks per group; a decimal-with-scale product would
+    * overflow DuckDB's 38-digit multiply into DOUBLE at warehouse
+    * magnitudes and break the exactness claim) — so the
     * two IEEE operations at the output boundary (one division, one
     * /100 rescale, identical order in both engines) are all a
     * regression needs to replay hash-exact, unlike a
@@ -179,12 +275,18 @@ object Analytics {
       .groupBy("grp", "week").agg(sum("y0").as("y"))
       .withColumn("x", row_number().over(
         Window.partitionBy("grp").orderBy("week")).cast(LongType))
+    // x-side terms go through decimal(38,0) BEFORE any multiply —
+    // sum(BIGINT) promotes to HUGEINT in the DuckDB oracle, and a
+    // long x*x (or the later sx*sx) would silently wrap in Spark at
+    // ~7.8e4 weeks per group while the oracle keeps 128-bit exactness
+    // (r7 ADVICE); the y side is already decimal
+    val xd = col("x").cast(DecimalType(38, 0))
     weekly.groupBy(col("grp").as(groupCol))
       .agg(count(lit(1)).as("n_weeks"),
-        sum(col("x")).as("sx"),
+        sum(xd).as("sx"),
         sum(col("y")).as("sy"),
         sum(col("y") * col("x")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum(xd * xd).as("sxx"))
       .select(col(groupCol), col("n_weeks"),
         // a single-week series has no slope: NULL, not a 0/0 NaN
         // whose rendering the two engines need not share

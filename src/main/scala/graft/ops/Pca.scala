@@ -40,11 +40,13 @@ object Pca {
     * (the shared sequential-fold, oracle-replayable), and the three
     * corruption flags that actually occur in production embedding
     * pipelines — wrong dimension (a model/version mix-up), an
-    * (effectively) all-zero vector (a failed encode defaulted), and
-    * NaN contamination (an upstream overflow). `ok` is the
-    * release gate. One narrow codegen'd scan, no shuffle — at
-    * 100 TB it fuses into the read. Output: (id, dim, l2_norm,
-    * dim_ok, is_zero, has_nan, ok). */
+    * (effectively) all-zero vector (a failed encode defaulted), NaN
+    * contamination, and ±Inf contamination (float overflow typically
+    * yields Inf BEFORE NaN, and isnan(Inf) is false — without its
+    * own flag an Inf-poisoned vector would pass every other gate;
+    * r7 ADVICE). `ok` is the release gate. One narrow codegen'd
+    * scan, no shuffle — at 100 TB it fuses into the read. Output:
+    * (id, dim, l2_norm, dim_ok, is_zero, has_nan, has_inf, ok). */
   def embeddingAudit(vectors: DataFrame, expectedDim: Int,
                      zeroEps: Double = 1e-6,
                      idCol: String = "vec_id",
@@ -53,16 +55,24 @@ object Pca {
     val e = transform(col(vecCol), _.cast("double"))
     val n = Similarity.norm(e)
     val hasNan = exists(e, x => isnan(x))
+    // abs(NaN) is NaN and NaN === Inf is false, so the two flags
+    // stay independent (a vector can trip both)
+    val hasInf = exists(e,
+      x => abs(x) === lit(Double.PositiveInfinity))
     // norm(NaN-poisoned) is NaN: comparisons are false, so the zero
-    // and dim flags stay meaningful and ok routes through has_nan
+    // and dim flags stay meaningful and ok routes through has_nan;
+    // norm(Inf-poisoned) is +Inf → is_zero false, ok routes through
+    // has_inf
     vectors.select(col(idCol),
         size(col(vecCol)).cast(LongType).as("dim"),
         n.as("l2_norm"),
         (size(col(vecCol)) === expectedDim).as("dim_ok"),
         (n < lit(zeroEps)).as("is_zero"),
-        hasNan.as("has_nan"))
+        hasNan.as("has_nan"),
+        hasInf.as("has_inf"))
       .withColumn("ok",
-        col("dim_ok") && !col("is_zero") && !col("has_nan"))
+        col("dim_ok") && !col("is_zero") && !col("has_nan") &&
+          !col("has_inf"))
       .orderBy(idCol)
   }
 

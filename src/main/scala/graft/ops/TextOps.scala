@@ -182,33 +182,48 @@ object TextOps {
   /** The BM25 scoring core — (id, bm25 > 0) for every matching unit,
     * no ranking tail. Shared by [[bm25Search]] (global top-k) and
     * [[passageSearch]] (per-document max-pooling), so the two can
-    * never drift on the scoring arithmetic. */
+    * never drift on the scoring arithmetic.
+    *
+    * ONE tokenize pass (r7 verdict item 1 — the lazy two-subtree
+    * plan re-tokenized the corpus under both the stats aggregate and
+    * the scoring projection, ProfileQ90 measures the cost): the scan
+    * projects a per-unit (id, dln, tf_0..tf_q) frame — q+1 longs per
+    * unit, GBs not TBs at warehouse doc counts — which is eagerly
+    * materialized (localCheckpoint; the blocks are freed when the
+    * result frame is GC'd); the corpus-stats aggregate and the
+    * scoring projection both read the tiny frame. tf values are
+    * identical longs to the inline formulation (same long→double
+    * cast order), so scores stay bit-exact vs the q90 oracle. */
   private def bm25Scored(docs: DataFrame, terms: Seq[String],
-                         textCol: String, idCol: String): DataFrame = {
+                         textCol: String, idCol: String,
+                         carryCols: Seq[String] = Nil): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val toksC = tokens(col(textCol))
-    val base = docs.select(col(idCol), toksC.as("toks"),
-      size(toksC).cast(LongType).as("dln"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toksC, x => x === lit(t))).cast(LongType).as(s"tf_$i")
+    }
+    val base = docs.select(
+      (col(idCol) +: carryCols.map(col) :+
+        size(toksC).cast(LongType).as("dln")) ++ tfCols: _*)
+      .localCheckpoint(true)
     val aggCols =
       count(lit(1)).cast(DoubleType).as("n_docs") +:
       sum(col("dln")).as("sum_dl") +:
-      terms.zipWithIndex.map { case (t, i) =>
-        sum((size(filter(col("toks"), x => x === lit(t))) > 0)
-          .cast(LongType)).as(s"df_$i")
+      terms.indices.map { i =>
+        sum((col(s"tf_$i") > 0).cast(LongType)).as(s"df_$i")
       }
     val stats = base.agg(aggCols.head, aggCols.tail: _*)
     val dl = col("dln").cast(DoubleType)
     val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
-    val score = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("toks"), x => x === lit(t)))
-        .cast(DoubleType)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast(DoubleType)
       val df = col(s"df_$i").cast(DoubleType)
       (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) *
         (tf * lit(2.2)) /
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
     }.reduce(_ + _)
     base.crossJoin(broadcast(stats))
-      .select(col(idCol), score.as("bm25"))
+      .select(col(idCol) +: carryCols.map(col) :+ score.as("bm25"): _*)
       .filter(col("bm25") > lit(0.0))
   }
 
@@ -232,9 +247,10 @@ object TextOps {
         concat_ws("#", col(idCol).cast("string"),
           col("chunk_idx").cast("string")).as("passage_id"),
         col("chunk_text"))
-    val scored = bm25Scored(passages, terms, "chunk_text", "passage_id")
-      .join(passages.select("passage_id", idCol, "chunk_idx"),
-        "passage_id")
+    // doc id + chunk index ride through the checkpointed tf frame —
+    // no join back to `passages` (which would re-run the chunking)
+    val scored = bm25Scored(passages, terms, "chunk_text", "passage_id",
+      carryCols = Seq(idCol, "chunk_idx"))
     val best = scored.withColumn("__prn", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("bm25").desc, col("chunk_idx"))))

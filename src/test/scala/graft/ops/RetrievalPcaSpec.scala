@@ -277,18 +277,30 @@ class RetrievalPcaSpec extends SparkSpec {
       (2L, Array.fill(4)(0.0f)),                 // zero vector
       (3L, Array(1.0f, 2.0f)),                   // wrong dim
       (4L, Array(Float.NaN, 1.0f, 1.0f, 1.0f)),  // NaN poison
-      (5L, Array(1e-9f, 0.0f, 0.0f, 0.0f))       // effectively zero
+      (5L, Array(1e-9f, 0.0f, 0.0f, 0.0f)),      // effectively zero
+      (6L, Array(Float.PositiveInfinity, 1.0f, 1.0f, 1.0f)), // +Inf
+      (7L, Array(Float.NegativeInfinity, 1.0f, 1.0f, 1.0f))  // -Inf
     ).toDF("vec_id", "embedding")
     val got = Pca.embeddingAudit(rows, expectedDim = 4)
-      .as[(Long, Long, Double, Boolean, Boolean, Boolean, Boolean)]
+      .as[(Long, Long, Double, Boolean, Boolean, Boolean, Boolean,
+        Boolean)]
       .collect().toSeq
     val m = got.map(r => r._1 -> r).toMap
-    assert(m(1L) == ((1L, 4L, math.sqrt(30.0), true, false, false, true)))
-    assert(m(2L)._5 && !m(2L)._6 && !m(2L)._7) // zero, not nan, not ok
-    assert(!m(3L)._4 && !m(3L)._7)             // dim 2 rejected
-    assert(m(4L)._6 && !m(4L)._7)              // nan flagged
+    assert(m(1L) ==
+      ((1L, 4L, math.sqrt(30.0), true, false, false, false, true)))
+    assert(m(2L)._5 && !m(2L)._6 && !m(2L)._8) // zero, not nan, not ok
+    assert(!m(3L)._4 && !m(3L)._8)             // dim 2 rejected
+    assert(m(4L)._6 && !m(4L)._8)              // nan flagged
     assert(m(4L)._3.isNaN)                     // norm is honestly NaN
     assert(!m(4L)._5)                          // NaN ≠ zero vector
-    assert(m(5L)._5 && !m(5L)._7)              // sub-epsilon norm
+    assert(!m(4L)._7)                          // NaN alone is not Inf
+    assert(m(5L)._5 && !m(5L)._8)              // sub-epsilon norm
+    // the r7-ADVICE hole: Inf poison has has_nan=false, is_zero=false,
+    // dim_ok=true — only has_inf blocks the release gate
+    Seq(6L, 7L).foreach { id =>
+      assert(m(id)._7 && !m(id)._8)            // inf flagged, not ok
+      assert(!m(id)._6 && !m(id)._5 && m(id)._4)
+      assert(m(id)._3.isPosInfinity)           // norm overflows to +Inf
+    }
   }
 }
