@@ -841,9 +841,11 @@ WITH i AS (
   SELECT DISTINCT l_orderkey AS ord, l_partkey AS item FROM lineitem),
 n AS (SELECT count(DISTINCT ord) AS n_orders FROM i),
 c AS (SELECT item, count(*) AS item_orders FROM i GROUP BY 1),
+keep AS (SELECT ord FROM i GROUP BY ord HAVING count(*) <= 4096),
+cap AS (SELECT i.* FROM i JOIN keep USING (ord)),
 p AS (
   SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_orders
-  FROM i a JOIN i b ON a.ord = b.ord AND a.item < b.item
+  FROM cap a JOIN cap b ON a.ord = b.ord AND a.item < b.item
   GROUP BY 1, 2),
 t AS (
   SELECT p.item_a, p.item_b, p.pair_orders,

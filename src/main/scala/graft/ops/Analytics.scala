@@ -201,23 +201,40 @@ object Analytics {
     *
     * Scale shape: the pair generation is an order-keyed self-join of
     * the distinct (order, item) set — row volume Σ_orders C(k, 2)
-    * with k = items per order (baskets are small; a pathological
-    * mega-basket is the skew to cap upstream), and the pair
-    * aggregate is map-side combined. Item counts and n_orders are
-    * one aggregate each, broadcast back. Output: (item_a, item_b,
-    * pair_orders, orders_a, orders_b, support, lift). */
+    * with k = items per order — and the pair aggregate is map-side
+    * combined. `maxBasket` is the skew guard (the [[Dedup.maxBucket]]
+    * discipline; r7 verdict item 5): a basket with more than
+    * `maxBasket` distinct items is EXCLUDED from pair generation — a
+    * single pathological 10⁶-line basket would otherwise contribute
+    * C(10⁶,2) ≈ 5·10¹¹ pair rows on one shuffle key. The drop is
+    * deterministic (a size predicate, no sampling), only the
+    * quadratic expansion is capped: item counts, n_orders, and hence
+    * both ratio denominators still count every order, so a capped
+    * run UNDERSTATES a mega-basket pair's support/lift and never
+    * inflates anything (and a basket that size is catalog noise, not
+    * co-purchase signal). The basket-size count rides the same
+    * hash(ord) exchange the self-join needs — AQE reuses it, no
+    * extra shuffle. Item counts and n_orders are one aggregate each,
+    * broadcast back. Output: (item_a, item_b, pair_orders, orders_a,
+    * orders_b, support, lift). */
   def basketLift(lineitem: DataFrame, topN: Int = 100,
                  orderCol: String = "l_orderkey",
-                 itemCol: String = "l_partkey"): DataFrame = {
+                 itemCol: String = "l_partkey",
+                 maxBasket: Int = 4096): DataFrame = {
     require(topN > 0, "topN must be positive")
+    require(maxBasket >= 2, "maxBasket must be at least 2")
+    import org.apache.spark.sql.expressions.Window
     val items = lineitem.select(col(orderCol).as("ord"),
       col(itemCol).as("item")).distinct()
     val nOrders = items.select(col("ord")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCounts = items.groupBy("item")
       .agg(count(lit(1)).as("item_orders"))
-    val pairs = items.select(col("ord"), col("item").as("item_a"))
-      .join(items.select(col("ord"), col("item").as("item_b")), "ord")
+    val capped = items.withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy("ord")))
+      .filter(col("__bn") <= maxBasket).drop("__bn")
+    val pairs = capped.select(col("ord"), col("item").as("item_a"))
+      .join(capped.select(col("ord"), col("item").as("item_b")), "ord")
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("pair_orders"))

@@ -83,6 +83,42 @@ class AnalyticsSpec extends SparkSpec {
       .forall(p => p.size < 2 || p(1) <= p(0)))
   }
 
+  test("basketLift: maxBasket drops a mega-basket's pairs only") {
+    // o1..o3 are normal baskets; o9 is a planted 6-item mega-basket
+    val normal = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "C")
+    )
+    val mega = (1 to 6).map(i => (9L, s"X$i"))
+    val li = (normal ++ mega).toDF("l_orderkey", "l_partkey")
+    val capped = Analytics.basketLift(li, topN = 100, maxBasket = 5)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    // no pair touches the dropped basket's items
+    assert(capped.forall(r => !r._1.startsWith("X")))
+    // but the ratio denominators still count o9: 4 orders total
+    assert(capped.forall(r => r._6 == r._3.toDouble / 4.0))
+    val m = capped.map(r => (r._1, r._2) -> r).toMap
+    assert(m(("A", "B"))._3 == 2L)
+    // the same data uncapped: X-pairs present, A/B row identical —
+    // the cap changes NOTHING but the over-cap basket's own pairs
+    val full = Analytics.basketLift(li, topN = 100)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(full.count(_._1.startsWith("X")) == 15) // C(6,2)
+    assert(full.filterNot(_._1.startsWith("X")).toSet == capped.toSet)
+  }
+
+  test("basketLift: default cap leaves real testdata unchanged") {
+    // r7 verdict item 5's 'top-N unchanged' gate: TPC-H baskets are
+    // ≤ 7 lines, so the 4096 default must be a no-op on testdata
+    val li = graft.io.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val a = Analytics.basketLift(li, topN = 50)
+      .collect().toSeq
+    val b = Analytics.basketLift(li, topN = 50, maxBasket = Int.MaxValue)
+      .collect().toSeq
+    assert(a == b && a.size == 50)
+  }
+
   test("trendSlope: exact closed-form slope; single-week series null") {
     // g: y = 10,20,30,40 over 4 weeks -> slope exactly 10.0/week;
     // h: one week -> no slope (null, not NaN)
