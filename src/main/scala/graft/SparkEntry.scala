@@ -311,17 +311,17 @@ object SparkEntry {
             .as("exact_val"))
         .orderBy("lang", "quantile")
     }),
-    // Approximate aggregates: HLL++ distinct-user counts next to the
-    // exact answer (no SQL oracle — sketch internals differ per
-    // engine; spec asserts the error bound). The exact column is
-    // oracle-gated separately as q57.
-    "q48_approx_distinct" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .orderBy("event_type")),
-    // q48's exact companion, split out so the distinct-aggregation
+    // Approximate-distinct NOTE (r8, verdict item 7): the former
+    // q48_approx_distinct (builtin approx_count_distinct next to the
+    // exact count) is RETIRED as a driver query — its HLL++ sketch is
+    // engine-internal, so it could only ever be a rows-only row. Its
+    // three verifiable facets all remain gated: the exact
+    // distinct-aggregation path is q57 (hash-exact oracle), the
+    // approximate path itself is q151's deterministic 256-register
+    // HLL whose arithmetic replays in ANSI SQL (hash-exact oracle),
+    // and the BUILTIN sketch's ≤5% error bound stays spec-asserted
+    // (TopKAggregateSpec "approx_count_distinct stays within 5%").
+    // The exact companion, split out so the distinct-aggregation
     // path (partial de-dup expand + final count) gets a hash-exact
     // oracle row of its own.
     "q57_exact_distinct" -> ((s, dir) =>
@@ -784,15 +784,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopKAuto(emb, emb.filter(col("vec_id") < 50), 5)
     }),
-    // IVF-bucketed approximate ANN: deterministic coarse quantizer,
-    // query probes nProbe cells (no SQL oracle — rows-only check).
-    // nProbe=16 of 32 cells measured at recall@5 = 0.64 (was 0.40 at
-    // nProbe=8) — same spec harness as q32.
-    "q36_ivf_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), 5,
-        numCentroids = 32, nProbe = 16)
-    }),
+    // IVF NOTE (r8, verdict item 7): the former q36_ivf_topk
+    // (hash-codebook coarse quantizer, sign-LSH cells) is RETIRED as
+    // a driver query — q128_ivf_kmeans is its strict superior
+    // (oracle-gated END-TO-END including the k-means fit, recall@5
+    // 0.940 vs 0.764 at the same probe fraction). The hash-cell
+    // contrast itself stays measured: Similarity.ivfTopK is still
+    // recall-gated every round in the Bench recall line (probe label
+    // "q36_ivf_topk" kept for series continuity) and spec-covered by
+    // SimilaritySessionsSpec.
     // Embedding-cosine near-dup dedup (exact baseline; q56 is the
     // LSH-fed scale path). Bounded to a deterministic 2000-vector
     // sample.
@@ -1851,5 +1851,26 @@ object SparkEntry {
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition
+  )
+
+  /** The rows-only ledger (r8, verdict item 7): every query WITHOUT
+    * an [[oracleSql]] entry — all xxhash64-bound (DuckDB has no
+    * xxhash64) — mapped to the ORACLE-GATED twin that replays the
+    * same algorithm with an md5/deterministic hash. AllQueriesSpec
+    * enforces the set equality (queries \ oracleSql ≡ this keySet,
+    * twins ⊆ oracleSql), and Verify dumps it next to oracle_sql.json
+    * so the correctness artifact carries the pointers. */
+  def rowsOnlyTwins: Map[String, String] = Map(
+    // xxhash64 SimHash signatures; q123 replays the identical bit
+    // votes + block index with md5-derived hashes, hash-exact
+    "q26_simhash" -> "q123_simhash_md5_dedup",
+    "q65_simhash_dedup" -> "q123_simhash_md5_dedup",
+    // xxhash64 winnowing min-k fingerprint sketch; q155 (and the
+    // full MOSS pipeline q125) replay it md5-hashed, hash-exact
+    "q29_fingerprint" -> "q155_fingerprint_md5",
+    // sign-LSH multi-probe ANN over xxhash64 hyperplanes; q128 is
+    // the oracle-gated ANN pipeline (IVF k-means, fit included) and
+    // the per-round Bench recall line gates q32 at 0.912
+    "q32_lsh_topk" -> "q128_ivf_kmeans"
   )
 }

@@ -35,6 +35,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the rows-only ledger rides with the artifact: each no-oracle
+    // query names its oracle-gated twin (see SparkEntry.rowsOnlyTwins)
+    val twins = SparkEntry.rowsOnlyTwins
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only_twins.json"), twins)
     spark.stop()
   }
 }

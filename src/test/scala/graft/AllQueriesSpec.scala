@@ -31,4 +31,19 @@ class AllQueriesSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
+
+  test("every rows-only query names an oracle-gated twin") {
+    // r8 structural guard: the no-oracle set must be EXACTLY the
+    // rowsOnlyTwins ledger (a new query without an oracle fails here
+    // until it either gets one or documents its twin), and every twin
+    // must itself be oracle-gated
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == SparkEntry.rowsOnlyTwins.keySet,
+      s"rows-only vs ledger mismatch: ${
+        (rowsOnly diff SparkEntry.rowsOnlyTwins.keySet) ++
+          (SparkEntry.rowsOnlyTwins.keySet diff rowsOnly)}")
+    val badTwins =
+      SparkEntry.rowsOnlyTwins.values.toSet -- SparkEntry.oracleSql.keySet
+    assert(badTwins.isEmpty, s"twins without oracles: $badTwins")
+  }
 }
