@@ -1315,6 +1315,13 @@ object SparkEntry {
     // "111" = champion.
     "q171_rfm_segments" -> ((s, dir) =>
       graft.ops.Analytics.rfm(Tables.orders(s, dir))),
+    // The WAREHOUSE-SCALE RFM (r8): histogram-quantile tier bounds
+    // instead of three global ntile sorts — and the whole sketch
+    // pipeline (min/max, 1024-bucket histogram, rank interpolation,
+    // value-cut tiers) replays hash-exact in the oracle, proving the
+    // no-global-sort path computes real quantile tiers.
+    "q174_rfm_sketch" -> ((s, dir) =>
+      graft.ops.Analytics.rfmSketch(Tables.orders(s, dir))),
     // Per-priority weekly revenue trend: closed-form least squares
     // over exact decimal/long sums — the only IEEE op is the final
     // slope division, so the regression replays hash-exact (unlike
@@ -1812,6 +1819,7 @@ object SparkEntry {
     "q171_rfm_segments"     -> Oracle.rfmSegments,
     "q172_trend_slope"      -> Oracle.trendSlope,
     "q173_basket_lift"      -> Oracle.basketLift,
+    "q174_rfm_sketch"       -> Oracle.rfmSketch,
     "q105_cross_source_dups" -> Oracle.crossSourceDups,
     "q106_token_mixture"    -> Oracle.tokenMixture,
     "q107_multi_decon"      -> Oracle.multiDecon,

@@ -913,6 +913,83 @@ SELECT custkey, CAST(r_days AS BIGINT) AS r_days,
          || CAST(m_tier AS VARCHAR) AS segment
 FROM t ORDER BY custkey"""
 
+  /** q174 oracle: the SKETCH RFM tiering replayed end-to-end — the
+    * q171 per-customer base, per-metric min/max, the fixed-width
+    * 1024-bucket histogram (identical clamp arithmetic to
+    * Sketch.histSketch), running-count quantile bounds with the same
+    * in-bucket interpolation and ceil(q·N − 1e-9) ranks, and the
+    * value-cut tier assignment (asc for recency, n−gt for
+    * frequency/monetary). Every bound is the same IEEE chain in the
+    * same order, so the tiers replay hash-exact — proving the
+    * "no global sort" scale path computes REAL quantile tiers, not
+    * approximately-blessed ones. Assumes non-constant metrics
+    * (testdata is; the degenerate branch is RfmSketchSpec's job). */
+  val rfmSketch: String = s"""
+WITH per AS (
+  SELECT o_custkey AS custkey, max(o_orderdate) AS last_date,
+         count(*) AS n_orders,
+         CAST(sum(CAST(${money("o_totalprice")} AS DECIMAL(18, 2)))
+           AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1),
+a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+base AS (
+  SELECT custkey,
+         CAST(date_diff('day', last_date, anchor) AS BIGINT) AS r_days,
+         CAST(n_orders AS BIGINT) AS n_orders, monetary
+  FROM per, a),
+m AS (
+  SELECT custkey, 'r' AS met, CAST(r_days AS DOUBLE) AS v FROM base
+  UNION ALL
+  SELECT custkey, 'f', CAST(n_orders AS DOUBLE) FROM base
+  UNION ALL
+  SELECT custkey, 'm', monetary FROM base),
+st AS (
+  SELECT met, min(v) AS lo, max(v) AS hi, count(*) AS n_cust
+  FROM m GROUP BY 1),
+h AS (
+  SELECT m.met,
+         CAST(least(greatest(floor((m.v - st.lo)
+           / ((st.hi - st.lo) / 1024)), 0), 1023) AS INTEGER) AS bucket,
+         count(*) AS cnt
+  FROM m JOIN st ON st.met = m.met
+  GROUP BY 1, 2),
+c AS (
+  SELECT met, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY met ORDER BY bucket) AS cum
+  FROM h),
+r AS (
+  SELECT st.met, i.i,
+         CAST(ceil(CAST(i.i AS DOUBLE) / 4 * st.n_cust
+           - 0.000000001) AS BIGINT) AS rnk
+  FROM st, (SELECT unnest([1, 2, 3]) AS i) i),
+b AS (
+  SELECT r.met, r.i,
+         st.lo + ((st.hi - st.lo) / 1024) *
+           (CAST(c.bucket AS DOUBLE) +
+            CAST(r.rnk - (c.cum - c.cnt) AS DOUBLE)
+              / CAST(c.cnt AS DOUBLE)) AS bound
+  FROM r JOIN c ON c.met = r.met
+    AND c.cum >= r.rnk AND (c.cum - c.cnt) < r.rnk
+  JOIN st ON st.met = r.met),
+gt AS (
+  SELECT m.custkey, m.met,
+         count(CASE WHEN m.v > b.bound THEN 1 END) AS n_gt
+  FROM m LEFT JOIN b ON b.met = m.met
+  GROUP BY 1, 2),
+t AS (
+  SELECT custkey,
+         max(CASE WHEN met = 'r' THEN 1 + n_gt END) AS r_tier,
+         max(CASE WHEN met = 'f' THEN 4 - n_gt END) AS f_tier,
+         max(CASE WHEN met = 'm' THEN 4 - n_gt END) AS m_tier
+  FROM gt GROUP BY 1)
+SELECT base.custkey, base.r_days, base.n_orders, base.monetary,
+       CAST(r_tier AS BIGINT) AS r_tier,
+       CAST(f_tier AS BIGINT) AS f_tier,
+       CAST(m_tier AS BIGINT) AS m_tier,
+       CAST(r_tier AS VARCHAR) || CAST(f_tier AS VARCHAR)
+         || CAST(m_tier AS VARCHAR) AS segment
+FROM base JOIN t USING (custkey) ORDER BY custkey"""
+
   /** q172 oracle: per-group weekly trend replayed — integer-cent
     * HUGEINT sums (≡ Spark's decimal(38,0); a scaled-decimal product
     * would silently overflow DuckDB's 38-digit multiply into DOUBLE)
