@@ -1457,6 +1457,13 @@ object SparkEntry {
     // ntile, md5 selection.
     "q102_ppl_buckets" -> ((s, dir) =>
       TextOps.perplexityBucketSample(Tables.documents(s, dir))),
+    // q102's WAREHOUSE-SCALE twin (r8): fluency buckets value-cut at
+    // histogram-quantile bounds of lm_score instead of the global
+    // ntile sort — the rfmSketch discipline applied to the quality
+    // family's one remaining global window; the whole sketch replays
+    // hash-exact in the oracle (q174 playbook).
+    "q175_ppl_buckets_sketch" -> ((s, dir) =>
+      TextOps.perplexityBucketSampleSketch(Tables.documents(s, dir))),
     // Shard-wise index build + merge compaction: even/odd doc shards
     // each build their own inverted index, the merge unions postings
     // and sums stats, and querying the merged index hash-matches the
@@ -1803,6 +1810,7 @@ object SparkEntry {
     "q98_random_project"    -> Oracle.randomProject,
     "q99_index_merge"       -> Oracle.bm25Search,
     "q102_ppl_buckets"      -> Oracle.pplBuckets,
+    "q175_ppl_buckets_sketch" -> Oracle.pplBucketsSketch,
     "q103_knn_label"        -> Oracle.knnLabel,
     "q104_mixture_apply"    -> Oracle.mixtureApply,
     "q160_epoch_mixture"    -> Oracle.epochMixture,

@@ -1847,12 +1847,10 @@ SELECT source_a, source_b, count(*) AS n_dup_pairs
 FROM e GROUP BY source_a, source_b
 ORDER BY source_a, source_b"""
 
-  /** q102 oracle: CCNet-style perplexity buckets replayed — the q76
-    * LM-score CTEs, the same ntile(3) over (score desc, id), and the
-    * same md5 min-k selection with floor(frac·n + 0.5) per-bucket
-    * keep counts. */
-  val pplBuckets: String = """
-WITH t AS (
+  /** The q76/q102/q175 LM-score CTEs (shared so the two bucket
+    * variants can never drift on the scoring arithmetic): per-doc
+    * mean bigram probability via the sequential in-document fold. */
+  private val lmScoreCtes: String = """t AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
   FROM documents),
 b AS (
@@ -1873,12 +1871,12 @@ sc AS (
   SELECT doc_id,
          list_reduce(list(p ORDER BY pos), (a, x) -> a + x) / count(*)
            AS lm_score
-  FROM p GROUP BY doc_id),
-bk AS (
-  SELECT doc_id, lm_score,
-         ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS bucket
-  FROM sc),
-r AS (
+  FROM p GROUP BY doc_id)"""
+
+  /** The q102/q175 per-bucket min-k-md5 keep tail (shared — it is
+    * byte-identical code on the Spark side too, TextOps.bucketKeep).
+    * Expects a CTE `bk(doc_id, lm_score, bucket)`. */
+  private val bucketKeepTail: String = """r AS (
   SELECT doc_id, lm_score, bucket,
          row_number() OVER (PARTITION BY bucket
            ORDER BY md5(concat('ppl', ':', CAST(doc_id AS VARCHAR))),
@@ -1889,6 +1887,55 @@ SELECT doc_id, lm_score, CAST(bucket AS BIGINT) AS bucket,
        rn <= CAST(floor((CASE bucket WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
                          ELSE 0.0 END) * n + 0.5) AS BIGINT) AS kept
 FROM r ORDER BY doc_id"""
+
+  /** q102 oracle: CCNet-style perplexity buckets replayed — the q76
+    * LM-score CTEs, the same ntile(3) over (score desc, id), and the
+    * same md5 min-k selection with floor(frac·n + 0.5) per-bucket
+    * keep counts. */
+  val pplBuckets: String = s"""
+WITH $lmScoreCtes,
+bk AS (
+  SELECT doc_id, lm_score,
+         ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS bucket
+  FROM sc),
+$bucketKeepTail"""
+
+  /** q175 oracle: the SKETCH perplexity buckets replayed — q102's
+    * LM-score CTEs, then the q174 histogram-quantile arithmetic
+    * (min/max, 1024-bucket clamp, running-count ranks with the same
+    * interpolation) and the descending value cut 3 − #(score >
+    * bound), then the shared keep tail. Assumes non-constant scores
+    * (testdata is; the degenerate branch is PplSketchSpec's job). */
+  val pplBucketsSketch: String = s"""
+WITH $lmScoreCtes,
+st AS (
+  SELECT count(*) AS n, min(lm_score) AS lo, max(lm_score) AS hi
+  FROM sc),
+h AS (
+  SELECT CAST(least(greatest(floor((sc.lm_score - st.lo)
+           / ((st.hi - st.lo) / 1024)), 0), 1023) AS INTEGER) AS bucket,
+         count(*) AS cnt
+  FROM sc, st GROUP BY 1),
+c AS (
+  SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+rk AS (
+  SELECT i.i, CAST(ceil(CAST(i.i AS DOUBLE) / 3 * st.n
+           - 0.000000001) AS BIGINT) AS rnk
+  FROM st, (SELECT unnest([1, 2]) AS i) i),
+bd AS (
+  SELECT rk.i,
+         st.lo + ((st.hi - st.lo) / 1024) *
+           (CAST(c.bucket AS DOUBLE) +
+            CAST(rk.rnk - (c.cum - c.cnt) AS DOUBLE)
+              / CAST(c.cnt AS DOUBLE)) AS bound
+  FROM rk JOIN c ON c.cum >= rk.rnk AND (c.cum - c.cnt) < rk.rnk
+  CROSS JOIN st),
+bk AS (
+  SELECT sc.doc_id, sc.lm_score,
+         CAST(3 - (SELECT count(*) FROM bd
+                   WHERE sc.lm_score > bd.bound) AS INTEGER) AS bucket
+  FROM sc),
+$bucketKeepTail"""
 
   /** q77 oracle: the per-source report card — integer aggregates,
     * exact percentile (quantile_cont ≡ Spark percentile), and single

@@ -1251,6 +1251,15 @@ object TextOps {
     val bucketed = scored.withColumn("bucket",
       ntile(keepFracs.size).over(
         Window.orderBy(col("lm_score").desc, col(idCol))))
+    bucketKeep(bucketed, keepFracs, idCol)
+  }
+
+  /** The per-bucket min-k-md5 keep verdict shared by
+    * [[perplexityBucketSample]] and its sketch twin — bucket b keeps
+    * its floor(frac_b·n_b + 0.5) smallest-md5 docs. */
+  private def bucketKeep(bucketed: DataFrame, keepFracs: Seq[Double],
+                         idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sel = Window.partitionBy("bucket")
       .orderBy(md5(concat_ws(":", lit("ppl"), col(idCol).cast("string"))),
         col(idCol))
@@ -1268,6 +1277,71 @@ object TextOps {
           floor(frac * col("__n").cast(DoubleType) + lit(0.5))
             .cast(LongType)).as("kept"))
       .orderBy(idCol)
+  }
+
+  /** [[perplexityBucketSample]]'s WAREHOUSE-SCALE twin (the
+    * [[Analytics.rfmSketch]] discipline applied to the quality
+    * family's one remaining global sort): fluency buckets are
+    * VALUE-cut at histogram-estimated quantile bounds of lm_score —
+    * one min/max pass and one ≤`buckets`-row map-side-combined
+    * histogram aggregate over the eagerly-materialized (id, score)
+    * frame replace the global ntile window, so nothing is globally
+    * sorted at any corpus size. Bucket 1 is still the most fluent;
+    * bounds carry the one-bucket-width error, so assignments agree
+    * with the ntile cut for every doc ≥ one width from an exact
+    * boundary (PplSketchSpec proves it), and TIED scores share a
+    * bucket — for sampling, strictly saner than ntile's forced
+    * equal-size split of identical-fluency docs. The per-bucket
+    * min-k-md5 keep stage is byte-identical code to the exact path
+    * ([[bucketKeep]]). Oracle-gated end-to-end as q175 (the
+    * histogram arithmetic replays in SQL like q174's). */
+  def perplexityBucketSampleSketch(docs: DataFrame,
+                                   keepFracs: Seq[Double] =
+                                     Seq(1.0, 0.5, 0.0),
+                                   buckets: Int = 1024,
+                                   textCol: String = "text",
+                                   idCol: String = "doc_id"): DataFrame = {
+    require(keepFracs.nonEmpty && keepFracs.forall(f => f >= 0 && f <= 1),
+      "keepFracs must be fractions in [0, 1]")
+    require(buckets >= keepFracs.size,
+      "need at least as many histogram buckets as fluency buckets")
+    import org.apache.spark.sql.expressions.Window
+    val k = keepFracs.size
+    val scored = bigramLmScore(docs, textCol, idCol)
+      .select(col(idCol), col("lm_score"))
+      .localCheckpoint(true)
+    val stats = scored.agg(count(lit(1)).as("n"),
+      min(col("lm_score")).as("lo"), max(col("lm_score")).as("hi")).head()
+    val (n, lo, hi) = (stats.getAs[Long]("n"),
+      stats.getAs[Double]("lo"), stats.getAs[Double]("hi"))
+    require(n > 0, "no scored docs")
+    val bounds: Seq[Double] =
+      if (hi <= lo) Seq.empty // constant fluency: one bucket
+      else {
+        val w = (hi - lo) / buckets
+        val hist = graft.ops.Sketch
+          .histSketch(scored, "lm_score", lo, hi, buckets)
+          .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cum_prev", col("cum") - col("cnt"))
+          .collect() // ≤ `buckets` rows by construction
+          .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("cum"),
+            r.getAs[Long]("cum_prev")))
+        (1 until k).map { i =>
+          val rank = math.ceil(i.toDouble / k * n - 1e-9).toLong
+          val (b, cum, cumPrev) =
+            hist.find { case (_, c, p) => c >= rank && p < rank }.get
+          lo + w * (b.toDouble + (rank - cumPrev).toDouble / (cum - cumPrev))
+        }
+      }
+    // descending value cut: the most fluent docs exceed every bound
+    // → bucket k − (k−1) = 1; constant fluency → everyone bucket 1
+    val gtCount = bounds
+      .map(b => (col("lm_score") > lit(b)).cast(LongType))
+      .foldLeft(lit(0L).cast(LongType))(_ + _)
+    val bucketCol =
+      if (bounds.isEmpty) lit(1) else (lit(k) - gtCount).cast("int")
+    bucketKeep(scored.withColumn("bucket", bucketCol), keepFracs, idCol)
   }
 
   /** Materialize an EXPLICIT data mixture (the DoReMi/Dolma shape:
