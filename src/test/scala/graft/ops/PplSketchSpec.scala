@@ -44,6 +44,16 @@ class PplSketchSpec extends SparkSpec {
     info(s"$flips/${exact.size} boundary flips (w=$w)")
   }
 
+  test("sketch path plans NO single-partition exchange (the point)") {
+    val skPlan = TextOps.perplexityBucketSampleSketch(docs)
+      .queryExecution.executedPlan.toString
+    assert(!skPlan.contains("SinglePartition"),
+      s"sketch path contains a global sort:\n$skPlan")
+    val exPlan = TextOps.perplexityBucketSample(docs)
+      .queryExecution.executedPlan.toString
+    assert(exPlan.contains("SinglePartition")) // the ntile contrast
+  }
+
   test("keep counts follow floor(frac·n_b + 0.5) per sketch bucket") {
     val got = TextOps.perplexityBucketSampleSketch(docs)
       .select("bucket", "kept").as[(Long, Boolean)].collect().toSeq

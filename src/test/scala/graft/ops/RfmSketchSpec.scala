@@ -81,6 +81,19 @@ class RfmSketchSpec extends SparkSpec {
     }
   }
 
+  test("rfmSketch plans NO single-partition exchange (the point)") {
+    // the exact path's three ntile windows each force Exchange
+    // SinglePartition; the sketch path must never — that is the
+    // whole 10⁹-customer argument, asserted structurally
+    val skPlan = Analytics.rfmSketch(orders)
+      .queryExecution.executedPlan.toString
+    assert(!skPlan.contains("SinglePartition"),
+      s"sketch path contains a global sort:\n$skPlan")
+    val exPlan = Analytics.rfm(orders)
+      .queryExecution.executedPlan.toString
+    assert(exPlan.contains("SinglePartition")) // the contrast is real
+  }
+
   test("rfmSketch output schema and segment match the exact path's") {
     val a = Analytics.rfm(orders).schema.map(f => f.name -> f.dataType)
     val b = Analytics.rfmSketch(orders).schema
