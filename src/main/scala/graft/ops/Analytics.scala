@@ -146,20 +146,45 @@ object Analytics {
     require(nCust > 0, "no customers")
     // estimated quantile bounds per metric: the first histogram
     // bucket whose cumulative count reaches rank ⌈i/n·N⌉, linearly
-    // interpolated within the bucket (histQuantiles arithmetic)
+    // interpolated within the bucket (histQuantiles arithmetic). ONE
+    // histogram job for all three metrics (a per-metric histSketch
+    // call would pass over the customer frame three times — the
+    // ProfileSketch10x overhead finding): the identical clamp
+    // arithmetic, grouped by (metric, bucket)
+    val loHi = metrics.map(m => m -> (statsRow.getAs[Double](s"lo_$m"),
+      statsRow.getAs[Double](s"hi_$m"))).toMap
+    val live = metrics.filter { m =>
+      val (lo, hi) = loHi(m); hi > lo // constant metric: 1 tier
+    }
+    val histAll: Map[String, Seq[(Int, Long, Long)]] =
+      if (live.isEmpty) Map.empty
+      else {
+        val bucketed = live.map { m =>
+          val (lo, hi) = loHi(m)
+          val w = (hi - lo) / buckets
+          struct(lit(m).as("met"),
+            least(greatest(floor((col(m).cast(DoubleType) - lit(lo))
+              / lit(w)), lit(0)), lit(buckets - 1)).cast("int")
+              .as("bucket"))
+        }
+        per.select(explode(array(bucketed: _*)).as("mb"))
+          .groupBy(col("mb.met").as("met"), col("mb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy("met").orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cum_prev", col("cum") - col("cnt"))
+          .collect() // ≤ 3·`buckets` rows by construction
+          .map(r => (r.getAs[String]("met"), (r.getAs[Int]("bucket"),
+            r.getAs[Long]("cum"), r.getAs[Long]("cum_prev"))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      }
     val bounds: Map[String, Seq[Double]] = metrics.map { m =>
-      val lo = statsRow.getAs[Double](s"lo_$m")
-      val hi = statsRow.getAs[Double](s"hi_$m")
-      m -> (if (hi <= lo) Seq.empty[Double] // constant metric: 1 tier
+      val (lo, hi) = loHi(m)
+      m -> (if (hi <= lo) Seq.empty[Double]
       else {
         val w = (hi - lo) / buckets
-        val hist = Sketch.histSketch(per, m, lo, hi, buckets)
-          .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("cum_prev", col("cum") - col("cnt"))
-          .collect() // ≤ `buckets` rows by construction
-          .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("cum"),
-            r.getAs[Long]("cum_prev")))
+        val hist = histAll(m)
         (1 until n).map { i =>
           val rank = math.ceil(i.toDouble / n * nCust - 1e-9).toLong
           val (b, cum, cumPrev) =
