@@ -153,7 +153,7 @@ object Bench {
         probe("q128_ivf_kmeans")(Similarity.ivfKmeansTopK(emb, queries,
           5, numCentroids = 32, iters = 2, nProbe = 16)),
         probe("q82_hamming_ann")(Similarity.hammingTopK(emb, queries,
-          5, rerank = 200)),
+          5, rerank = 400)),
         probe("q134_pq_topk")(Similarity.pqTopK(emb, queries, 5, m = 8,
           codesPerSub = 16, iters = 2, rerank = 400)))
       s""""recall_at_5":${jsonMap(metrics)}"""

@@ -963,14 +963,18 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 1000),
         budget = 80)),
     // Binary-quantized ANN: sign-packed BIGINT words (32× smaller
-    // than float32), Hamming top-200 prefilter, EXACT cosine re-rank —
+    // than float32), Hamming top-400 prefilter, EXACT cosine re-rank —
     // the one approximate index whose whole result is hash-exact
     // (integer Hamming + fixed tie order + exact re-rank), so unlike
     // LSH/IVF it is oracle-gated end-to-end, not recall-gated.
+    // rerank 200→400 in r8: a 64-dim corpus packs to ONE 64-bit word,
+    // so Hamming ties are coarse and the exact-rerank budget is the
+    // only recall lever — 0.816→0.932 recall@5 at flat cost
+    // (ProfileHammingRerank sweep; the rerank scores q×400 pairs).
     "q82_hamming_ann" -> ((s, dir) => {
       val v = Tables.embeddings(s, dir)
       Similarity.hammingTopK(v, v.filter(col("vec_id") < 50), k = 10,
-        rerank = 200)
+        rerank = 400)
     }),
     // Curation manifest: every input doc labeled with WHY it survived
     // or died (first failing quality rule / lost its near-dup cluster
@@ -990,7 +994,7 @@ object SparkEntry {
     "q85_ann_recall" -> ((s, dir) => {
       val v = Tables.embeddings(s, dir)
       Similarity.annRecallReport(v, v.filter(col("vec_id") < 50), k = 5,
-        rerank = 200)
+        rerank = 400)
     }),
     // Deterministic spherical k-means (3 Lloyd iterations): seeds =
     // lowest-id vectors, fixed-point centroid means, argmax-cosine

@@ -2967,7 +2967,7 @@ ORDER BY base.doc_id"""
   /** q82 oracle: sign-bit binary ANN replayed end-to-end. The word is
     * bits 0..62 via `1::BIGINT << i` OR-folded (a 1<<63 shift raises
     * in DuckDB) plus the min-long constant for the sign bit —
-    * bit-identical to Quantize.signPack. Hamming prefilter (top-200 by
+    * bit-identical to Quantize.signPack. Hamming prefilter (top-400 by
     * bit_count of the XOR, ties → corpus_id) then EXACT cosine
     * re-rank, all integer/IEEE-deterministic. Specialized to the
     * 64-dim corpus (one word); the Spark side is word-count generic. */
@@ -2997,7 +2997,7 @@ rr AS (
          list_dot_product(qe, ce)
            / (sqrt(list_dot_product(qe, qe))
               * sqrt(list_dot_product(ce, ce))) AS cosine_sim
-  FROM cand WHERE hrank <= 200),
+  FROM cand WHERE hrank <= 400),
 ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS "rank"
@@ -3185,7 +3185,7 @@ rr AS (
          list_dot_product(qe, ce)
            / (sqrt(list_dot_product(qe, qe))
               * sqrt(list_dot_product(ce, ce))) AS cosine_sim
-  FROM cand WHERE hrank <= 200),
+  FROM cand WHERE hrank <= 400),
 approx_top AS (
   SELECT query_id, corpus_id FROM (
     SELECT *, row_number() OVER (
