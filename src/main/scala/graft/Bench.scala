@@ -65,6 +65,13 @@ object Bench {
   private def measureInterleaved[A](items: Seq[(String, A)])(
       run: A => Unit): Seq[(String, Double)] = {
     val samples = (1 to Passes).map { _ =>
+      // between passes, outside any timing: give ContextCleaner a GC
+      // edge so the dead localCheckpoint blocks the eager operators
+      // (bm25 tf frames, sketch-tier customer frames) leave behind
+      // are unpersisted instead of accumulating storage-memory
+      // pressure across a 173-query pass — part of the in-suite vs
+      // standalone median gap documented in PLANS "r8 closing"
+      System.gc()
       items.map { case (name, a) =>
         try timed(run(a))
         catch { case NonFatal(e) =>
