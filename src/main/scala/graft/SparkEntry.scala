@@ -1557,6 +1557,19 @@ object SparkEntry {
       TextOps.bm25FromIndex(s, idxDir,
         Seq("vector", "merge", "slow"), k = 20)
     }),
+    // Persisted IVF index serving path (r8): build the cell-
+    // partitioned index once, answer from a partition-PRUNED read of
+    // the probed cells. Same oracle as q128 — the hash match proves
+    // stored-index ≡ in-memory-fit bit-for-bit (the q95 ≡ q90
+    // equivalence argument, extended to the learned quantizer).
+    "q176_ivf_indexed" -> ((s, dir) => {
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_q176_idx_" +
+        s.sparkContext.applicationId
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildIvfIndex(emb, idxDir, numCentroids = 32, iters = 2)
+      Similarity.ivfFromIndex(s, idxDir,
+        emb.filter(col("vec_id") < 50), 5, nProbe = 16)
+    }),
     // Hybrid retrieval: BM25 top-50 + exact-cosine top-50 (query =
     // vec 0's embedding) fused by reciprocal-rank fusion 1/(60+r) —
     // pure rational arithmetic, so the fused ranking is hash-exact.
@@ -1868,6 +1881,7 @@ object SparkEntry {
     "q93_standardize"       -> Oracle.standardize,
     "q94_hybrid_search"     -> Oracle.hybridSearch,
     "q95_bm25_indexed"      -> Oracle.bm25Search,
+    "q176_ivf_indexed"      -> Oracle.ivfKmeans,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -230,6 +230,86 @@ object Similarity {
     rankTopK(scoreCandidates(candIds, q, c), k)
   }
 
+  /** Persist an IVF index for [[ivfFromIndex]] — the
+    * [[TextOps.buildInvertedIndex]] discipline applied to vector
+    * serving: fit the learned coarse quantizer ONCE
+    * ([[Cluster.kmeansFit]], deterministic), then write every corpus
+    * vector (id, cv double-cast, cn precomputed norm) PARTITIONED BY
+    * its cell, plus the k·dim centroid table. A query then prices as
+    * a centroid ranking + a partition-PRUNED read of its nProbe
+    * cells — the interactive-serving shape where re-fitting and
+    * re-scanning the corpus per query ([[ivfKmeansTopK]]) is the
+    * wrong plan. Doubles round-trip parquet exactly, so the index
+    * path stays bit-identical to the in-memory path. */
+  def buildIvfIndex(corpus: DataFrame, indexDir: String,
+                    numCentroids: Int = 32, iters: Int = 2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val cents = Cluster.kmeansFit(corpus, numCentroids, iters,
+      idCol, vecCol)
+    val cCell = Cluster.assignWith(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col("cluster").as("cell"),
+        col("e").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    cCell.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** IVF top-k FROM the persisted index — BIT-IDENTICAL to
+    * [[ivfKmeansTopK]] at the same (numCentroids, iters, nProbe)
+    * (q176 hash-matches q128's oracle to prove it end-to-end, the
+    * q95 ≡ q90 equivalence argument): the centroid table (k·dim
+    * doubles) loads to the driver, cells rank per query by the same
+    * dot/‖c‖ struct sort, and ONLY the union of probed cells is
+    * read — the cell predicate reaches the scan as a
+    * `PartitionFilters:` entry, so an nProbe/numCentroids fraction
+    * of the index bytes is ever opened (IvfIndexSpec asserts the
+    * file census). Candidate and scoring arithmetic are the shared
+    * [[rankTopK]]/[[scoreCandidates]] tail over the stored
+    * (cv, cn) — doubles that round-tripped parquet exactly. */
+  def ivfFromIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String, queries: DataFrame, k: Int,
+                   nProbe: Int = 8,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(nProbe >= 1 && nProbe <= cents.size,
+      s"need 1 <= nProbe <= ${cents.size}, got $nProbe")
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
+    val centArr = typedLit(cents.map(_._2))
+    val clArr = typedLit(cents.map(_._1))
+    val normArr = typedLit(cents.map(cc =>
+      math.sqrt(cc._2.foldLeft(0.0)((a, x) => a + x * x))))
+    val probes = q.select(col("query_id"), explode(slice(array_sort(
+        transform(sequence(lit(0), lit(cents.size - 1)), i =>
+          struct(
+            (-(dotFold(col("qv"), element_at(centArr, i + lit(1)))
+              / element_at(normArr, i + lit(1)))).as("neg"),
+            element_at(clArr, i + lit(1)).as("cell")))),
+        1, nProbe)).as("p"))
+      .select(col("query_id"), col("p").getField("cell").as("cell"))
+    // the probed-cell union is ≤ numCentroids values (bounded
+    // collect) and becomes a PARTITION filter on the index read
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isin(probedCells: _*))
+    val candIds = cells.select(col("cell"), col("corpus_id"))
+      .join(probes, "cell")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id").distinct()
+    val c = cells.select(col("corpus_id"), col("cv"), col("cn"))
+    rankTopK(scoreCandidates(candIds, q, c), k)
+  }
+
   /** Product-quantization approximate top-k (Jégou et al. 2011, the
     * Faiss PQ shape, spherical variant): the vector space splits into
     * `m` subspaces; each subspace learns its own `codesPerSub`-word
