@@ -1570,6 +1570,19 @@ object SparkEntry {
       Similarity.ivfFromIndex(s, idxDir,
         emb.filter(col("vec_id") < 50), 5, nProbe = 16)
     }),
+    // Persisted PQ index serving path (r8): codebooks + the
+    // ~m·4+8-byte encoded scan side + id-keyed vectors for the exact
+    // tail. Same oracle as q134 — stored-index ≡ in-memory PQ,
+    // all eight subspace fits included.
+    "q177_pq_indexed" -> ((s, dir) => {
+      val idxDir = s"${sys.props("java.io.tmpdir")}/graft_q177_idx_" +
+        s.sparkContext.applicationId
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildPqIndex(emb, idxDir, m = 8, codesPerSub = 16,
+        iters = 2)
+      Similarity.pqFromIndex(s, idxDir,
+        emb.filter(col("vec_id") < 50), 5, rerank = 400)
+    }),
     // Hybrid retrieval: BM25 top-50 + exact-cosine top-50 (query =
     // vec 0's embedding) fused by reciprocal-rank fusion 1/(60+r) —
     // pure rational arithmetic, so the fused ranking is hash-exact.
@@ -1882,6 +1895,7 @@ object SparkEntry {
     "q94_hybrid_search"     -> Oracle.hybridSearch,
     "q95_bm25_indexed"      -> Oracle.bm25Search,
     "q176_ivf_indexed"      -> Oracle.ivfKmeans,
+    "q177_pq_indexed"       -> Oracle.pqTopK,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

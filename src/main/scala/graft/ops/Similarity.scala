@@ -349,33 +349,47 @@ object Similarity {
       asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
-    // m bounded driver fits on sliced vectors; codewords arrive
-    // sorted by seed id, matching the oracle's tie order. The fits
-    // are independent, so they SUBMIT CONCURRENTLY (driver-thread
-    // Spark jobs — the documented multi-job pattern): wall-clock is
-    // one fit, not m; assembly by subspace index keeps the result
-    // order-deterministic regardless of completion order.
-    val books: Seq[Seq[Seq[Double]]] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.traverse((0 until m).toList) { j =>
-          Future {
-            Cluster.kmeansFit(
-              corpus.select(col(idCol),
-                slice(asDouble(col(vecCol)), j * sub + 1, sub).as(vecCol)),
-              codesPerSub, iters, idCol, vecCol).map(_._2)
-          }
-        }, Duration.Inf)
-    }
-    // codeword norms², folded on the driver in component order (the
-    // same sequential sum list_dot_product replays)
+    val books = pqFitBooks(corpus, m, codesPerSub, iters, sub,
+      idCol, vecCol)
+    val enc = pqEncode(c, books, sub)
+    rankTopK(scoreCandidates(
+      pqCandidates(enc, q, books, codesPerSub, sub, rerank), q, c), k)
+  }
+
+  /** The m bounded driver fits on sliced vectors; codewords arrive
+    * sorted by seed id, matching the oracle's tie order. The fits
+    * are independent, so they SUBMIT CONCURRENTLY (driver-thread
+    * Spark jobs — the documented multi-job pattern): wall-clock is
+    * one fit, not m; assembly by subspace index keeps the result
+    * order-deterministic regardless of completion order. */
+  private def pqFitBooks(corpus: DataFrame, m: Int, codesPerSub: Int,
+                         iters: Int, sub: Int, idCol: String,
+                         vecCol: String): Seq[Seq[Seq[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.traverse((0 until m).toList) { j =>
+        Future {
+          Cluster.kmeansFit(
+            corpus.select(col(idCol),
+              slice(asDouble(col(vecCol)), j * sub + 1, sub).as(vecCol)),
+            codesPerSub, iters, idCol, vecCol).map(_._2)
+        }
+      }, Duration.Inf)
+  }
+
+  /** Encode (corpus_id, cv) to (corpus_id, __c0..__c{m-1}, __rn): m
+    * codegen'd argmax loops in ONE projection; code = index into the
+    * id-sorted codebook (argmax ties → lowest index = lowest seed
+    * id); __rn = sqrt of the reconstructed norm² (codeword norms²
+    * folded on the driver in component order — the same sequential
+    * sum list_dot_product replays). */
+  private def pqEncode(c: DataFrame, books: Seq[Seq[Seq[Double]]],
+                       sub: Int): DataFrame = {
+    val m = books.size
     val normSq: Seq[Seq[Double]] =
       books.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
-    // encode: m codegen'd argmax loops in ONE projection; code =
-    // index into the id-sorted codebook (argmax ties → lowest index
-    // = lowest seed id)
     val enc0 = (0 until m).foldLeft(c) { (df, j) =>
       df.withColumn(s"__c$j",
         graft.functions.VectorExpressions.argmax_cosine(
@@ -386,9 +400,18 @@ object Similarity {
     val rnorm = sqrt((0 until m).map(j =>
         element_at(typedLit(normSq(j)), col(s"__c$j") + 1))
       .reduceLeft(_ + _))
-    val enc = enc0.select(col("corpus_id") +:
+    enc0.select(col("corpus_id") +:
       (0 until m).map(j => col(s"__c$j")) :+ rnorm.as("__rn"): _*)
-    // per-query ADC tables: dot(query-slice, codeword) per codeword
+  }
+
+  /** ADC scan + rerank cut over an encoded corpus: per-query tables
+    * of dot(query-slice, codeword), the m-lookup approximate score,
+    * and the top-`rerank` candidate ids per query. */
+  private def pqCandidates(enc: DataFrame, q: DataFrame,
+                           books: Seq[Seq[Seq[Double]]],
+                           codesPerSub: Int, sub: Int,
+                           rerank: Int): DataFrame = {
+    val m = books.size
     val qTabs = (0 until m).foldLeft(q) { (df, j) =>
       df.withColumn(s"__t$j",
         transform(sequence(lit(0), lit(codesPerSub - 1)),
@@ -404,9 +427,66 @@ object Similarity {
           .reduceLeft(_ + _) / (col("qn") * col("__rn"))).as("approx"))
     val wA = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("corpus_id"))
-    val candIds = approx.withColumn("__r", row_number().over(wA))
+    approx.withColumn("__r", row_number().over(wA))
       .filter(col("__r") <= rerank).select("query_id", "corpus_id")
-    rankTopK(scoreCandidates(candIds, q, c), k)
+  }
+
+  /** Persist a PQ index for [[pqFromIndex]] — codebooks (j, code,
+    * centroid), the encoded corpus (corpus_id, m int codes, __rn —
+    * the ~m·4+8-byte scan side), and the full vectors
+    * (corpus_id, cv, cn — the id-keyed rerank side a serving layout
+    * would bucket by id). Fits and encoding are [[pqTopK]]'s exact
+    * code paths, so the stored index replays bit-for-bit. */
+  def buildPqIndex(corpus: DataFrame, indexDir: String,
+                   m: Int = 4, codesPerSub: Int = 8, iters: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val books = pqFitBooks(corpus, m, codesPerSub, iters, sub,
+      idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (b, j) =>
+      b.zipWithIndex.map { case (cw, i) => (j, i, cw) }
+    }.toDF("j", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/books")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
+    pqEncode(c, books, sub)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    c.write.mode("overwrite").parquet(s"$indexDir/vectors")
+  }
+
+  /** PQ top-k FROM the persisted index — BIT-IDENTICAL to [[pqTopK]]
+    * at the same stored (m, codesPerSub) and the same `rerank`
+    * (q177 hash-matches q134's oracle verbatim — the stored-index ≡
+    * in-memory equivalence argument of q176/q95): codebooks load to
+    * the driver (m·codes·sub doubles), the ADC scan reads the
+    * ~m·4+8-byte code rows instead of float vectors, and only
+    * queries×rerank ids join back to the stored vectors for the
+    * exact tail. */
+  def pqFromIndex(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String, queries: DataFrame, k: Int,
+                  rerank: Int = 50,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"need rerank >= k, got $rerank < $k")
+    val books: Seq[Seq[Seq[Double]]] =
+      spark.read.parquet(s"$indexDir/books")
+        .orderBy("j", "code").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(_._2).toSeq)
+    val codesPerSub = books.head.size
+    val sub = books.head.head.size
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
+    val enc = spark.read.parquet(s"$indexDir/codes")
+    val c = spark.read.parquet(s"$indexDir/vectors")
+    rankTopK(scoreCandidates(
+      pqCandidates(enc, q, books, codesPerSub, sub, rerank), q, c), k)
   }
 
   /** Maximal-marginal-relevance (MMR, Carbonell & Goldstein 1998)

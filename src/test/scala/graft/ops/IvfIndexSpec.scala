@@ -28,6 +28,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(mem.nonEmpty && idx == mem)
   }
 
+  test("pqFromIndex ≡ pqTopK bit-for-bit; code rows are narrow") {
+    val dir = Files.createTempDirectory("graft_pq_idx").toString
+    Similarity.buildPqIndex(emb, dir, m = 4, codesPerSub = 8, iters = 2)
+    val queries = emb.filter($"vec_id" < 20)
+    val mem = Similarity.pqTopK(emb, queries, 5,
+        m = 4, codesPerSub = 8, iters = 2, rerank = 60)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val idx = Similarity.pqFromIndex(spark, dir, queries, 5, rerank = 60)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(mem.nonEmpty && idx == mem)
+    // the ADC scan side must carry m int codes + one double, not the
+    // float vectors — the compression story, asserted on the schema
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.length == 4 + 2) // corpus_id, __c0..3, __rn
+    assert(codes.schema.fields.count(
+      _.dataType.typeName == "integer") == 4)
+  }
+
   test("a query opens ONLY its probed cells' partition files") {
     val dir = Files.createTempDirectory("graft_ivf_idx2").toString
     Similarity.buildIvfIndex(emb, dir, numCentroids = 8, iters = 2)
