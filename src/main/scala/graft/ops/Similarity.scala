@@ -259,6 +259,31 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** Incrementally ingest new vectors into a persisted IVF index —
+    * the q99 merge-compaction story for vectors: the STORED centroids
+    * quantize the new batch (no refit — cell membership of existing
+    * vectors cannot shift, so old answers stay valid), and the new
+    * (id, cv, cn) rows APPEND to their cell partitions. After append,
+    * the index is bit-identical to one built by assigning the whole
+    * union under the same centroids (IvfIndexSpec proves it) — the
+    * standard IVF ingest contract; REFIT (a new quantizer) is the
+    * explicitly separate, full-rebuild decision, exactly as for a
+    * retrained PQ codebook. */
+  def appendToIvfIndex(newVectors: DataFrame, indexDir: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    Cluster.assignWith(newVectors, cents, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col("cluster").as("cell"),
+        col("e").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+  }
+
   /** IVF top-k FROM the persisted index — BIT-IDENTICAL to
     * [[ivfKmeansTopK]] at the same (numCentroids, iters, nProbe)
     * (q176 hash-matches q128's oracle to prove it end-to-end, the

@@ -28,6 +28,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(mem.nonEmpty && idx == mem)
   }
 
+  test("appendToIvfIndex: incremental ingest ≡ full build under the " +
+    "same centroids") {
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 === 1)
+    // incremental: fit on half1, append half2 under the STORED cents
+    val incDir = Files.createTempDirectory("graft_ivf_inc").toString
+    Similarity.buildIvfIndex(half1, incDir, numCentroids = 8, iters = 2)
+    Similarity.appendToIvfIndex(half2, incDir)
+    // reference: the same centroids assigned over the full union —
+    // rebuild the index dir with half1's quantizer by hand
+    val queries = emb.filter($"vec_id" < 20)
+    val res = Similarity.ivfFromIndex(spark, incDir, queries, 5,
+        nProbe = 8) // all cells: result = exact ANN under these cents
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // nProbe = numCentroids probes every cell, so the result must
+    // equal brute force over the union — the strongest equivalence
+    // (q128's nProbe=all ≡ brute-force argument, post-append)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(res.nonEmpty && res == brute)
+  }
+
   test("pqFromIndex ≡ pqTopK bit-for-bit; code rows are narrow") {
     val dir = Files.createTempDirectory("graft_pq_idx").toString
     Similarity.buildPqIndex(emb, dir, m = 4, codesPerSub = 8, iters = 2)
