@@ -4095,8 +4095,15 @@ FROM est ORDER BY rank"""
     * the same IEEE doubles in both engines). */
   val hllDistinct: String = {
     val alphaM2 = graft.ops.Sketch.HllAlphaM2.toString
+    // '…'::DOUBLE per element (the retrievalEval/mmrTopK trap): a
+    // bare 257-element numeric list coerces to DECIMAL(20,16), whose
+    // 18-digit mantissas exceed 2^53 and round an ulp on the
+    // DECIMAL→DOUBLE conversion — caught by the sf0.001 robustness
+    // sweep (raw ≤ 640 only at tiny SF, so sf0.01 never took the
+    // linear-counting branch)
     val lcList = graft.ops.Sketch.LinearCountTable
-      .map(_.toString).mkString("[", ", ", "]")
+      .map(d => s"'${graft.ops.Eval.fmtDouble(d)}'::DOUBLE")
+      .mkString("[", ", ", "]")
     s"""
 WITH v AS (
   SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
