@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Eval, Importance, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Upsert}
+import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Eval, Importance, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Timeseries, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1333,6 +1333,13 @@ object SparkEntry {
     "q172_trend_slope" -> ((s, dir) =>
       graft.ops.Analytics.trendSlope(Tables.orders(s, dir),
         "o_orderpriority", "o_orderdate", "o_totalprice")),
+    // First-order event transition matrix (r8): per-user LAG pairs →
+    // exact prev→next counts, row-normalized over the ≤|types|²
+    // frame — the Markov flow view next to q18's fixed funnel, and
+    // the synthetic-stream QA gate. One user-keyed window shuffle;
+    // probability is the single output-boundary division.
+    "q179_event_transitions" -> ((s, dir) =>
+      graft.ops.Analytics.eventTransitions(Tables.events(s, dir))),
     // k-center greedy coreset: the 8 vectors that jointly span the
     // embedding space (max-min cosine distance, Sener & Savarese
     // 2018) — diversity-aware selection next to q92's balance and
@@ -1583,6 +1590,13 @@ object SparkEntry {
       Similarity.pqFromIndex(s, idxDir,
         emb.filter(col("vec_id") < 50), 5, rerank = 400)
     }),
+    // Daily LOCF gap-fill (r8): one row per (user, day) across each
+    // user's own activity span, quiet days carrying the previous
+    // observation with is_gap=true — the feature-store alignment
+    // step. Per-key spine, values untouched end-to-end (bit-exact).
+    "q178_gap_fill" -> ((s, dir) =>
+      Timeseries.gapFillLocf(
+        Tables.events(s, dir).filter(col("user_id") < 40))),
     // Hybrid retrieval: BM25 top-50 + exact-cosine top-50 (query =
     // vec 0's embedding) fused by reciprocal-rank fusion 1/(60+r) —
     // pure rational arithmetic, so the fused ranking is hash-exact.
@@ -1896,6 +1910,8 @@ object SparkEntry {
     "q95_bm25_indexed"      -> Oracle.bm25Search,
     "q176_ivf_indexed"      -> Oracle.ivfKmeans,
     "q177_pq_indexed"       -> Oracle.pqTopK,
+    "q178_gap_fill"         -> Oracle.gapFillLocf,
+    "q179_event_transitions" -> Oracle.eventTransitions,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

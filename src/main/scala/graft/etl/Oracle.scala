@@ -4965,4 +4965,50 @@ w$i AS (SELECT list_transform(s,
 SELECT vec_id, pc1_proj FROM fin ORDER BY vec_id"""
     sb.toString
   }
+
+  /** Twin of Timeseries.gapFillLocf: last event per (user, day) by
+    * (ts, event_id), per-user daily spine, LOCF via IGNORE NULLS
+    * last_value. Values ride through untouched — no re-aggregation
+    * arithmetic — so the fill is bit-exact across engines. */
+  val gapFillLocf: String = """
+WITH obs0 AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id < 40),
+obs AS (SELECT user_id, day, value FROM obs0 WHERE rn = 1),
+spine AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(CAST(min(day) AS TIMESTAMP),
+                                     CAST(max(day) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM obs GROUP BY user_id)
+SELECT s.user_id, s.day,
+       last_value(o.value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_filled,
+       (o.value IS NULL) AS is_gap
+FROM spine s LEFT JOIN obs o
+  ON s.user_id = o.user_id AND s.day = o.day
+ORDER BY s.user_id, s.day"""
+
+  /** Twin of Analytics.eventTransitions: per-user LAG pairs, exact
+    * counts, row-normalized per source type. The sum(n) window is
+    * HUGEINT in DuckDB / LongType in Spark — both exact, and the
+    * only IEEE op is the final division of the same two integers. */
+  val eventTransitions: String = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+c AS (SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) /
+         CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM c ORDER BY from_type, to_type"""
 }

@@ -339,4 +339,38 @@ object Analytics {
               .cast(DoubleType) / lit(100.0)).as("slope"))
       .orderBy(groupCol)
   }
+
+  /** First-order event transition matrix: for each user's
+    * (ts, id)-ordered event sequence, count prev→next type pairs and
+    * normalize per source type — the Markov-chain view of user flows
+    * that funnels (q18) fix to one hypothesized path. Used both for
+    * product flow analysis and for QA-ing synthetic event streams
+    * (a generator whose transition matrix drifts from production's
+    * is caught here before training).
+    *
+    * Scale shape: the LAG window shuffles (user, ts, type, id) rows
+    * keyed by user — per-partition volume is each user's own event
+    * count; the pair aggregate map-side combines to ≤|types|² rows,
+    * and the row-normalizing window runs over that tiny frame.
+    * Counts are exact longs; the probability is one IEEE division at
+    * the output boundary. Output: (from_type, to_type, n, p). */
+  def eventTransitions(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    pairs.select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast(DoubleType) /
+          sum(col("n")).over(byFrom).cast(DoubleType)).as("p"))
+      .orderBy("from_type", "to_type")
+  }
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series hygiene for feature pipelines: align irregular event
+  * streams onto a regular per-key grid. The reference's warehouse
+  * domain stops at windowed aggregates
+  * (`sql/presentation_queries.sql`); feature stores additionally
+  * need every (key, period) cell PRESENT — a model trained on "one
+  * row per user-day" silently drops inactivity signal if quiet days
+  * vanish. Gap-filling materializes those rows and carries the last
+  * observation forward (LOCF), the standard imputation for
+  * slowly-changing measurements.
+  *
+  * Scale shape: the date spine is generated PER KEY from that key's
+  * own [min, max] activity span (`sequence` + `explode`) — no global
+  * range, so a 10-year-old key and a 2-day-old key cost their own
+  * spans only, and spine size is Σ_key span_days, not
+  * n_keys × global_days. One shuffle keys the (key, day) join, one
+  * keys the LOCF window; both partition by key, never globally.
+  * Values ride through UNTOUCHED (no re-aggregation arithmetic), so
+  * the fill is bit-exact on any engine — q178 hash-matches the
+  * DuckDB replay end-to-end. */
+object Timeseries {
+
+  /** Daily LOCF gap-fill: one row per (key, day) across each key's
+    * activity span; days with no event get the previous day's value
+    * and `is_gap = true`. The per-day "observation" is the value of
+    * the LAST event that day, tie-broken deterministically by
+    * (ts, idCol) via a single struct-max aggregate (no
+    * row_number-over-everything pass).
+    *
+    * @param events  (keyCol, tsCol, valueCol, idCol) rows
+    * @param maxKey  bound on keyCol for the driver query (the
+    *                operator itself has no bound) */
+  def gapFillLocf(events: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "ts", valueCol: String = "value",
+                  idCol: String = "event_id"): DataFrame = {
+    val day = to_date(date_trunc("day", col(tsCol)))
+    // deterministic last-per-day: lexicographic struct max on
+    // (ts, id) with the value riding behind the tie-break fields
+    val obs = events
+      .groupBy(col(keyCol), day.as("day"))
+      .agg(max(struct(col(tsCol), col(idCol), col(valueCol)))
+        .getField(valueCol).as("obs_value"))
+    val spine = obs.groupBy(col(keyCol))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col(keyCol),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        last(col("obs_value"), ignoreNulls = true).over(w)
+          .as("value_filled"),
+        col("obs_value").isNull.as("is_gap"))
+      .orderBy(keyCol, "day")
+  }
+}

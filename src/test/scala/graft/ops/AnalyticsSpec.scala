@@ -139,4 +139,23 @@ class AnalyticsSpec extends SparkSpec {
     // slope = (4*(15+40+90+160) - 10*105) / 20 = (1220-1050)/20 = 8.5
     assert(g2.find(_._1 == "g").get._3 == Some(8.5))
   }
+
+  test("eventTransitions: per-user sequences, row-normalized counts") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a->b->a->c ; user 2: b->a. Cross-user pairs must NOT
+    // appear; ties on ts break by event_id (user 1's first two rows).
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 11:00:00"), 3L, "a"),
+      (1L, ts("2024-01-01 12:00:00"), 4L, "c"),
+      (2L, ts("2024-01-02 09:00:00"), 5L, "b"),
+      (2L, ts("2024-01-02 09:30:00"), 6L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.eventTransitions(events)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
+      ("b", "a", 2L, 1.0)))
+  }
 }
