@@ -1340,6 +1340,14 @@ object SparkEntry {
     // probability is the single output-boundary division.
     "q179_event_transitions" -> ((s, dir) =>
       graft.ops.Analytics.eventTransitions(Tables.events(s, dir))),
+    // Referential-integrity audit (r8): orphan keys/rows per FK edge
+    // of the star schema — the cross-table gate that catches a
+    // partial parent load before an inner join silently drops rows.
+    // One (fk, count) aggregate per child, key-cardinality joins
+    // only; the edge list is SHARED with the oracle builder.
+    "q180_fk_audit" -> ((s, dir) =>
+      graft.etl.Validate.referentialAudit(
+        name => Tables.parquet(s, dir, name))),
     // k-center greedy coreset: the 8 vectors that jointly span the
     // embedding space (max-min cosine distance, Sener & Savarese
     // 2018) — diversity-aware selection next to q92's balance and
@@ -1912,6 +1920,7 @@ object SparkEntry {
     "q177_pq_indexed"       -> Oracle.pqTopK,
     "q178_gap_fill"         -> Oracle.gapFillLocf,
     "q179_event_transitions" -> Oracle.eventTransitions,
+    "q180_fk_audit"         -> Oracle.referentialAudit,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

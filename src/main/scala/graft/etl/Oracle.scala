@@ -5011,4 +5011,26 @@ SELECT from_type, to_type, n,
        CAST(n AS DOUBLE) /
          CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
 FROM c ORDER BY from_type, to_type"""
+
+  /** Twin of Validate.referentialAudit, BUILT from the same
+    * [[Validate.starFkEdges]] list so the audited contract cannot
+    * drift between engines. NOT EXISTS ≡ the Spark side's
+    * null-key-never-matches left join. */
+  val referentialAudit: String = Validate.starFkEdges.map { e =>
+    s"""SELECT '${e.child}' AS child_table, '${e.fkCol}' AS fk_col,
+       '${e.parent}' AS parent_table,
+  (SELECT count(*) FROM ${e.child}) AS n_rows,
+  (SELECT count(*) FROM ${e.child}
+     WHERE ${e.fkCol} IS NULL) AS n_null_fk,
+  (SELECT count(*) FROM (SELECT DISTINCT ${e.fkCol} AS k
+                         FROM ${e.child}
+                         WHERE ${e.fkCol} IS NOT NULL) f
+     WHERE NOT EXISTS (SELECT 1 FROM ${e.parent} p
+                       WHERE p.${e.pkCol} = f.k)) AS n_orphan_keys,
+  (SELECT count(*) FROM ${e.child} c
+     WHERE c.${e.fkCol} IS NOT NULL
+       AND NOT EXISTS (SELECT 1 FROM ${e.parent} p
+                       WHERE p.${e.pkCol} = c.${e.fkCol}))
+    AS n_orphan_rows"""
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_col")
 }

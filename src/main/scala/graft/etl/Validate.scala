@@ -79,6 +79,64 @@ object Validate {
       }.toMap)
   }
 
+  /** One foreign-key edge of a star/snowflake schema. */
+  case class FkEdge(child: String, fkCol: String,
+                    parent: String, pkCol: String)
+
+  /** The testdata star schema's FK edges — shared with the q180
+    * oracle builder so the audited contract cannot drift between
+    * the Spark and DuckDB sides. */
+  val starFkEdges: Seq[FkEdge] = Seq(
+    FkEdge("orders", "o_custkey", "customer", "c_custkey"),
+    FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    FkEdge("lineitem", "l_partkey", "part", "p_partkey"),
+    FkEdge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    FkEdge("customer", "c_nationkey", "nation", "n_nationkey"),
+    FkEdge("supplier", "s_nationkey", "nation", "n_nationkey"),
+    FkEdge("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** Referential-integrity audit: for each FK edge, count child
+    * rows, null FKs, orphan KEYS (distinct FK values with no parent)
+    * and orphan ROWS (child rows carrying them) — the cross-table
+    * complement of the single-table [[Check]]s, and the gate that
+    * catches a partial parent load before a downstream inner join
+    * silently drops the orphans.
+    *
+    * Scale shape: ONE scan per child per edge — the child collapses
+    * to a (fk, count) aggregate (nulls form their own group, so
+    * n_rows and n_null_fk fall out of the same frame), the parent to
+    * a distinct key set; the left join that flags orphans carries
+    * key-cardinality rows only, never child rows, and every output
+    * is an exact long. Null FK keys never match the join (SQL null
+    * semantics), which is exactly the NOT-EXISTS orphan definition.
+    *
+    * @param tables  table name → DataFrame (only names referenced by
+    *                `edges` are looked up) */
+  def referentialAudit(tables: String => DataFrame,
+                       edges: Seq[FkEdge] = starFkEdges): DataFrame = {
+    require(edges.nonEmpty, "need at least one FK edge")
+    val perEdge = edges.map { e =>
+      val fkCounts = tables(e.child)
+        .groupBy(col(e.fkCol).as("k")).agg(count(lit(1)).as("__cnt"))
+      val parentKeys = tables(e.parent)
+        .select(col(e.pkCol).as("k")).distinct()
+        .withColumn("__hit", lit(1))
+      val orphanKey = col("k").isNotNull && col("__hit").isNull
+      fkCounts.join(parentKeys, Seq("k"), "left").agg(
+        coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("k").isNull, col("__cnt"))), lit(0L))
+          .as("n_null_fk"),
+        coalesce(sum(when(orphanKey, 1L).otherwise(0L)), lit(0L))
+          .as("n_orphan_keys"),
+        coalesce(sum(when(orphanKey, col("__cnt"))), lit(0L))
+          .as("n_orphan_rows"))
+        .select(lit(e.child).as("child_table"), lit(e.fkCol).as("fk_col"),
+          lit(e.parent).as("parent_table"), col("n_rows"),
+          col("n_null_fk"), col("n_orphan_keys"), col("n_orphan_rows"))
+    }
+    perEdge.reduce(_ unionByName _).orderBy("child_table", "fk_col")
+  }
+
   /** The raw-bookings contract used by the curate pipeline. */
   def bookingsChecks: Seq[Check] = Seq(
     NotNull("booking_id"), NotNull("booking_status"),

@@ -28,6 +28,38 @@ class ValidateSpec extends SparkSpec {
     assert(r.clean && r.total == 1)
   }
 
+  test("referentialAudit: orphan keys vs rows, null FKs, clean edge") {
+    val child = Seq(
+      (1L, Some(10L)), (2L, Some(10L)),  // valid fk, two rows
+      (3L, Some(99L)), (4L, Some(99L)),  // orphan key 99, two rows
+      (5L, Some(77L)),                   // orphan key 77, one row
+      (6L, None)                         // null fk — NOT an orphan
+    ).toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val edges = Seq(Validate.FkEdge("child", "fk", "parent", "pk"))
+    val got = Validate.referentialAudit(
+        Map("child" -> child, "parent" -> parent), edges)
+      .as[(String, String, String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(("child", "fk", "parent", 6L, 1L, 2L, 3L)))
+    // an empty child is all-zero counts, not nulls
+    val empty = Validate.referentialAudit(
+        Map("child" -> child.filter($"id" < 0), "parent" -> parent),
+        edges).collect().head
+    assert((3 to 6).forall(i => empty.getLong(i) == 0L))
+  }
+
+  test("referentialAudit on real testdata: star schema is closed") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Validate.referentialAudit(
+      name => graft.io.Tables.parquet(spark, dir, name)).collect()
+    assert(rows.length == Validate.starFkEdges.length)
+    // the synthetic star schema has no orphans and no null FKs
+    assert(rows.forall(r =>
+      r.getLong(4) == 0L && r.getLong(5) == 0L && r.getLong(6) == 0L))
+    assert(rows.forall(_.getLong(3) > 0L))
+  }
+
   test("dedupByKeyDeterministic keeps the minimal row per key") {
     val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 30))
       .toDF("k", "v", "x")
