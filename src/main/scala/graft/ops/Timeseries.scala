@@ -41,10 +41,15 @@ object Timeseries {
     val day = to_date(date_trunc("day", col(tsCol)))
     // deterministic last-per-day: lexicographic struct max on
     // (ts, id) with the value riding behind the tie-break fields
+    // both the spine bounds and the join need obs; Spark does not
+    // dedupe the shared subtree, so materialize the narrow
+    // (key, day, value) frame ONCE (the bm25Scored discipline) —
+    // one corpus scan instead of two
     val obs = events
       .groupBy(col(keyCol), day.as("day"))
       .agg(max(struct(col(tsCol), col(idCol), col(valueCol)))
         .getField(valueCol).as("obs_value"))
+      .localCheckpoint(true)
     val spine = obs.groupBy(col(keyCol))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col(keyCol),
