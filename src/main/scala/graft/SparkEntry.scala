@@ -1348,6 +1348,13 @@ object SparkEntry {
     "q180_fk_audit" -> ((s, dir) =>
       graft.etl.Validate.referentialAudit(
         name => Tables.parquet(s, dir, name))),
+    // Trailing-window features (r8): 7-day event count / max value /
+    // days-since-previous-active-day per (user, day) — every
+    // aggregate order-independent (no float accumulation), so the
+    // feature table replays hash-exact. One key-partitioned shuffle
+    // shared by both windows.
+    "q181_rolling_features" -> ((s, dir) =>
+      Timeseries.trailingFeatures(Tables.events(s, dir))),
     // k-center greedy coreset: the 8 vectors that jointly span the
     // embedding space (max-min cosine distance, Sener & Savarese
     // 2018) — diversity-aware selection next to q92's balance and
@@ -1921,6 +1928,7 @@ object SparkEntry {
     "q178_gap_fill"         -> Oracle.gapFillLocf,
     "q179_event_transitions" -> Oracle.eventTransitions,
     "q180_fk_audit"         -> Oracle.referentialAudit,
+    "q181_rolling_features" -> Oracle.trailingFeatures,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -5012,6 +5012,27 @@ SELECT from_type, to_type, n,
          CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
 FROM c ORDER BY from_type, to_type"""
 
+  /** Twin of Timeseries.trailingFeatures: per-(user, day) daily
+    * aggregate, then RANGE-framed trailing windows. Every aggregate
+    * is order-independent (BIGINT sums, max, date diffs) — the
+    * reason a trailing float MEAN is deliberately absent. */
+  val trailingFeatures: String = """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n_events, max(value) AS day_max
+  FROM events GROUP BY 1, 2)
+SELECT user_id, day,
+       CAST(sum(n_events) OVER w AS BIGINT) AS n_events_7d,
+       max(day_max) OVER w AS max_value_7d,
+       datediff('day', lag(day) OVER (PARTITION BY user_id
+                                      ORDER BY day), day)
+         AS days_since_prev
+FROM d
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                       AND CURRENT ROW)
+ORDER BY user_id, day"""
+
   /** Twin of Validate.referentialAudit, BUILT from the same
     * [[Validate.starFkEdges]] list so the audited contract cannot
     * drift between engines. NOT EXISTS ≡ the Spark side's

@@ -64,4 +64,38 @@ object Timeseries {
         col("obs_value").isNull.as("is_gap"))
       .orderBy(keyCol, "day")
   }
+
+  /** Trailing-window activity features per (key, day): 7-day event
+    * count, 7-day max value, and days since the previous active day
+    * — the bread-and-butter trailing features of a feature store,
+    * over OBSERVED days only (compose with [[gapFillLocf]] when the
+    * dense grid is wanted). Every aggregate is order-independent
+    * (long sums, max, date arithmetic) — no float accumulation — so
+    * the features replay bit-exact on any engine; a trailing MEAN of
+    * doubles would not (sliding-window float sums are
+    * association-order-sensitive and DuckDB's segment-tree frames
+    * sum in a different order than Spark's running frames).
+    *
+    * Scale shape: events collapse to per-(key, day) aggregates
+    * map-side first; both windows share the key partitioning (one
+    * shuffle), and RANGE frames are bounded by 7 rows per key-day,
+    * never a key's whole history. */
+  def trailingFeatures(events: DataFrame, keyCol: String = "user_id",
+                       tsCol: String = "ts",
+                       valueCol: String = "value"): DataFrame = {
+    val day = to_date(date_trunc("day", col(tsCol)))
+    val daily = events.groupBy(col(keyCol), day.as("day"))
+      .agg(count(lit(1)).as("n_events"), max(col(valueCol)).as("day_max"))
+    val dayNum = datediff(col("day"), to_date(lit("1970-01-01")))
+    val w7 = Window.partitionBy(col(keyCol)).orderBy(dayNum)
+      .rangeBetween(-6, Window.currentRow)
+    val wl = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    daily.select(col(keyCol), col("day"),
+        sum(col("n_events")).over(w7).as("n_events_7d"),
+        max(col("day_max")).over(w7).as("max_value_7d"),
+        datediff(col("day"), lag(col("day"), 1).over(wl))
+          .cast(org.apache.spark.sql.types.LongType)
+          .as("days_since_prev"))
+      .orderBy(keyCol, "day")
+  }
 }

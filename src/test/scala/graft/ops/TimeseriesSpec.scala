@@ -29,6 +29,25 @@ class TimeseriesSpec extends SparkSpec {
       (2L, java.sql.Date.valueOf("2024-02-10"), 7.0, false)))
   }
 
+  test("trailingFeatures: 7-day range frame, order-independent aggs") {
+    val events = Seq(
+      // user 1: days 1, 3, 9 — day 3 sits exactly at day 9's -6 edge
+      (1L, ts("2024-01-01 08:00:00"), 1L, 5.0),
+      (1L, ts("2024-01-01 09:00:00"), 2L, 3.0),
+      (1L, ts("2024-01-03 10:00:00"), 3L, 4.0),
+      (1L, ts("2024-01-09 11:00:00"), 4L, 1.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Timeseries.trailingFeatures(events)
+      .as[(Long, java.sql.Date, Long, Double, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 2L, 5.0, None),
+      // day 3 sees days 1+3: 3 events, max 5.0, 2 days since prev
+      (1L, java.sql.Date.valueOf("2024-01-03"), 3L, 5.0, Some(2L)),
+      // day 9's frame is [day 3, day 9]: day 3 is exactly -6
+      (1L, java.sql.Date.valueOf("2024-01-09"), 2L, 4.0, Some(6L))))
+  }
+
   test("gapFillLocf: ts tie on the last day breaks by event_id") {
     val events = Seq(
       (5L, ts("2024-03-01 12:00:00"), 20L, 1.0),
