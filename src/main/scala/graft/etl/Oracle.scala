@@ -2196,12 +2196,17 @@ ORDER BY c.doc_id"""
   /** q123 oracle: md5-SimHash dedup replayed from first principles —
     * per (doc, bit) the ±1 vote sum over every token's md5-derived
     * bit (bit i = hex digit ⌊i/4⌋ of md5(token), shifted i mod 4 —
-    * exactly [[graft.functions.SimHashMd5]]), then BRUTE-FORCE
-    * pairwise Hamming ≤ 3 and the drop-higher-id rule. Valid because
-    * the Spark side's 4×16-bit block index is provably exhaustive to
-    * Hamming 3 (pigeonhole; SimHashMd5Spec asserts indexed ≡ brute
-    * force on this corpus), so replaying brute force replays the
-    * indexed pipeline — the q66 argument. */
+    * exactly [[graft.functions.SimHashMd5]]), then the 4×16-bit
+    * block index INCLUDING the maxBucket=50 star cap (all pairs in
+    * buckets ≤ 50, min-id star pairs beyond — byte-for-byte the
+    * Dedup.simHashCandidatesFromSig rule), Hamming ≤ 3 verify, and
+    * the drop-higher-id rule. The earlier brute-force replay was
+    * only valid while NO bucket exceeded the cap (pigeonhole makes
+    * the index exhaustive, but the cap deliberately is not): the
+    * r8-cont sf0.1 sweep found 25 flooded buckets (max 300 members)
+    * where star capping keeps docs brute force would drop — a
+    * 21-row divergence. Replaying the cap replays the ACTUAL
+    * algorithm at every SF. */
   val simHashMd5Dedup: String = """
 WITH corp AS (
   SELECT doc_id, text FROM documents
@@ -2220,10 +2225,32 @@ bits AS (
            THEN 1 ELSE -1 END) > 0 AS bit
   FROM tok, range(0, 64) i(i)
   GROUP BY doc_id, i.i),
+blocks AS (
+  SELECT doc_id, CAST(i // 16 AS INTEGER) AS block_id,
+         sum(CASE WHEN bit THEN 1 << CAST(i % 16 AS INTEGER)
+             ELSE 0 END) AS block
+  FROM bits GROUP BY 1, 2),
+bsz AS (SELECT block_id, block, count(*) AS n, min(doc_id) AS mid
+        FROM blocks GROUP BY 1, 2),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocks a
+  JOIN blocks b ON b.block_id = a.block_id AND b.block = a.block
+               AND b.doc_id > a.doc_id
+  JOIN bsz s ON s.block_id = a.block_id AND s.block = a.block
+  WHERE s.n <= 50
+  UNION
+  SELECT s.mid AS id_a, b.doc_id AS id_b
+  FROM bsz s JOIN blocks b
+    ON b.block_id = s.block_id AND b.block = s.block
+   AND b.doc_id > s.mid
+  WHERE s.n > 50),
 ham AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  SELECT c.id_a, c.id_b,
          sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
-  FROM bits a JOIN bits b ON b.i = a.i AND a.doc_id < b.doc_id
+  FROM cand c
+  JOIN bits a ON a.doc_id = c.id_a
+  JOIN bits b ON b.doc_id = c.id_b AND b.i = a.i
   GROUP BY 1, 2),
 dup AS (SELECT DISTINCT id_b FROM ham WHERE hamming <= 3)
 SELECT doc_id FROM (SELECT DISTINCT doc_id FROM corp)
