@@ -1355,6 +1355,40 @@ object SparkEntry {
     // shared by both windows.
     "q181_rolling_features" -> ((s, dir) =>
       Timeseries.trailingFeatures(Tables.events(s, dir))),
+    // Window-bounded last-touch attribution (r8): last view in the
+    // 7-day lookback before each purchase + exact in-window view
+    // count — the horizon-bounded sibling of q16's unbounded as-of.
+    // Scale path: TWO probe rows per purchase through ONE union+
+    // window pass (O(L+R) through the exchange, match-count-free);
+    // the oracle replays it as the brute interval join + argmax.
+    "q182_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_event_id"))
+      graft.ops.Attribution.lastTouch(purchases, views, Seq("user_id"),
+          leftId = "event_id", leftTime = "ts", rightTime = "view_ts",
+          rightCols = Seq("view_event_id"), horizon = "7 days")
+        .orderBy("event_id")
+    }),
+    // Pair-level attribution (r8): every qualifying (purchase, view)
+    // pair in the half-open 7-day window — equi-join on user with
+    // the horizon as a residual predicate, and the batch contract
+    // the watermarked stream-stream interval join twin
+    // (streaming.AttributionStream) is proven row-equal to.
+    "q183_touch_pairs" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_event_id"))
+      graft.ops.Attribution.touchPairs(purchases, views, Seq("user_id"),
+          "ts", "view_ts", Seq("view_event_id"), "7 days")
+        .orderBy("event_id", "view_event_id")
+    }),
     // k-center greedy coreset: the 8 vectors that jointly span the
     // embedding space (max-min cosine distance, Sener & Savarese
     // 2018) — diversity-aware selection next to q92's balance and
@@ -1929,6 +1963,8 @@ object SparkEntry {
     "q179_event_transitions" -> Oracle.eventTransitions,
     "q180_fk_audit"         -> Oracle.referentialAudit,
     "q181_rolling_features" -> Oracle.trailingFeatures,
+    "q182_attribution"      -> Oracle.attributionLastTouch,
+    "q183_touch_pairs"      -> Oracle.attributionPairs,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -5081,4 +5081,52 @@ ORDER BY user_id, day"""
                        WHERE p.${e.pkCol} = c.${e.fkCol}))
     AS n_orphan_rows"""
   }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_col")
+
+  /** Twin of Attribution.lastTouch (7-day horizon): brute-force
+    * interval left join + argmax replay of the probe-union-window
+    * scale path. Tie order (view_ts DESC, view_event_id DESC) ≡ the
+    * Spark side's lexicographically-greatest-payload rule; the
+    * half-open window (ts − 7d, ts] is the operator's contract.
+    * Gap in MICROseconds — date_diff('microsecond') ≡ unix_micros
+    * subtraction, both exact integer arithmetic (a seconds-grain
+    * diff would round differently across engines). */
+  val attributionLastTouch: String = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_event_id
+  FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_event_id
+  FROM p LEFT JOIN v
+    ON p.user_id = v.user_id
+   AND v.view_ts > p.ts - INTERVAL 7 DAY
+   AND v.view_ts <= p.ts),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_id
+      ORDER BY view_ts DESC, view_event_id DESC) AS rn,
+    CAST(count(view_ts) OVER (PARTITION BY event_id) AS BIGINT)
+      AS n_touches
+  FROM j)
+SELECT event_id, user_id, ts, view_ts, view_event_id, n_touches,
+       date_diff('microsecond', view_ts, ts) AS touch_gap_us
+FROM r WHERE rn = 1 ORDER BY event_id"""
+
+  /** Twin of Attribution.touchPairs — the pair-level contract the
+    * streaming stream-stream interval join is also proven against
+    * (AttributionStreamSpec). Plain interval join; every qualifying
+    * (purchase, view) pair in the half-open 7-day window. */
+  val attributionPairs: String = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_event_id
+  FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.event_id, p.ts, v.view_ts, v.view_event_id
+FROM p JOIN v
+  ON p.user_id = v.user_id
+ AND v.view_ts > p.ts - INTERVAL 7 DAY
+ AND v.view_ts <= p.ts
+ORDER BY event_id, view_event_id"""
 }

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.ops.Attribution
+import EventStream.Event
+
+/** Stream-stream interval join twin ≡ batch Attribution.touchPairs.
+  * Self-join shape: views and purchases are filters of the SAME
+  * event stream (the production Kafka-topic shape); inner-join pairs
+  * emit as matches arrive, across micro-batch boundaries in either
+  * direction (a view buffered in state pairs with a purchase that
+  * arrives two batches later, and vice versa within the horizon). */
+class AttributionStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream pair set ≡ batch touchPairs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val rows = events.as[Event].collect().toSeq
+
+    // three batches split by ts terciles: pairs must form across
+    // batch boundaries (purchase after its views, and views arriving
+    // in the same batch as their purchase)
+    val sorted = rows.map(e => StreamTime.micros(e.ts)).sorted
+    val (c1, c2) = (sorted(rows.size / 3), sorted(2 * rows.size / 3))
+    val b1 = rows.filter(e => StreamTime.micros(e.ts) < c1)
+    val b2 = rows.filter(e => StreamTime.micros(e.ts) >= c1 &&
+      StreamTime.micros(e.ts) < c2)
+    val b3 = rows.filter(e => StreamTime.micros(e.ts) >= c2)
+
+    val collected = mutable.ListBuffer.empty[Row]
+    val input = MemoryStream[Event]
+    val src = input.toDS()
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_event_id"))
+    val joined = AttributionStream.touchPairs(purchases, views,
+      Seq("user_id"), leftTime = "ts", rightTime = "view_ts",
+      rightCols = Seq("view_event_id"), horizon = "7 days",
+      leftDelay = "30 days", rightDelay = "30 days")
+    val q = joined.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rs = batch.collect()
+        collected.synchronized { collected ++= rs }
+        ()
+      }
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val batchPairs = Attribution.touchPairs(
+      events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_event_id")),
+      Seq("user_id"), "ts", "view_ts", Seq("view_event_id"), "7 days")
+      .select("event_id", "view_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val streamPairs = collected.toList
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("view_event_id")))
+    assert(streamPairs.size == streamPairs.toSet.size,
+      "stream emitted duplicate pairs")
+    assert(streamPairs.toSet == batchPairs)
+    assert(batchPairs.nonEmpty)
+    // the split genuinely exercised cross-batch state: at least one
+    // pair spans two different input batches
+    val batchOf = b1.map(_.event_id -> 1).toMap ++
+      b2.map(_.event_id -> 2).toMap ++ b3.map(_.event_id -> 3).toMap
+    assert(streamPairs.exists { case (p, v) => batchOf(p) != batchOf(v) })
+  }
+}
