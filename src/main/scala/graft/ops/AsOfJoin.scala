@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * greatest payload wins, deterministically (engines with a native
   * ASOF, e.g. DuckDB, leave that case implementation-defined —
   * pre-dedup the right side when cross-engine parity matters).
+  *
+  * NULL keys: window partitioning groups NULLs TOGETHER — a null-key
+  * left row sees null-key right history, where a join formulation
+  * never matches on NULL. Pre-filter null keys when join parity on
+  * them matters.
   */
 object AsOfJoin {
 

@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions._
   * conversion instant does. Among equal-`rightTime` touches the
   * lexicographically greatest payload wins deterministically, same
   * contract as [[AsOfJoin]].
+  *
+  * NULL keys: [[lastTouch]] partitions a window by the keys, and
+  * window partitioning groups NULLs TOGETHER — a null-key conversion
+  * would see null-key touches, where the join formulations
+  * ([[touchPairs]], and any SQL replay) never match on NULL.
+  * Pre-filter null keys when join parity on them matters (the same
+  * caveat as [[AsOfJoin]]).
   */
 object Attribution {
 

@@ -32,9 +32,7 @@ object Timeseries {
     * (ts, idCol) via a single struct-max aggregate (no
     * row_number-over-everything pass).
     *
-    * @param events  (keyCol, tsCol, valueCol, idCol) rows
-    * @param maxKey  bound on keyCol for the driver query (the
-    *                operator itself has no bound) */
+    * @param events  (keyCol, tsCol, valueCol, idCol) rows */
   def gapFillLocf(events: DataFrame, keyCol: String = "user_id",
                   tsCol: String = "ts", valueCol: String = "value",
                   idCol: String = "event_id"): DataFrame = {
