@@ -784,6 +784,17 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopKAuto(emb, emb.filter(col("vec_id") < 50), 5)
     }),
+    // Oracle-gated md5 twin of the sign-LSH multi-probe path
+    // (r8-cont, the q123 playbook on the last rows-only family):
+    // identical pipeline — per-table sign buckets, lowest-margin
+    // 1-/2-plane flip probes, ids-only candidate join, exact cosine
+    // rerank — with md5-derived planes and fixed-point probe
+    // scores, so ALL of it replays in SQL. q32 keeps the SplitMix64
+    // production planes + the per-round Bench recall gate.
+    "q184_lsh_md5_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopKMd5(emb, emb.filter(col("vec_id") < 50), 5)
+    }),
     // IVF NOTE (r8, verdict item 7): the former q36_ivf_topk
     // (hash-codebook coarse quantizer, sign-LSH cells) is RETIRED as
     // a driver query — q128_ivf_kmeans is its strict superior
@@ -1965,6 +1976,7 @@ object SparkEntry {
     "q181_rolling_features" -> Oracle.trailingFeatures,
     "q182_attribution"      -> Oracle.attributionLastTouch,
     "q183_touch_pairs"      -> Oracle.attributionPairs,
+    "q184_lsh_md5_topk"     -> Oracle.lshMd5TopK,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition
@@ -1985,9 +1997,11 @@ object SparkEntry {
     // xxhash64 winnowing min-k fingerprint sketch; q155 (and the
     // full MOSS pipeline q125) replay it md5-hashed, hash-exact
     "q29_fingerprint" -> "q155_fingerprint_md5",
-    // sign-LSH multi-probe ANN over xxhash64 hyperplanes; q128 is
-    // the oracle-gated ANN pipeline (IVF k-means, fit included) and
-    // the per-round Bench recall line gates q32 at 0.912
-    "q32_lsh_topk" -> "q128_ivf_kmeans"
+    // sign-LSH multi-probe ANN over SplitMix64 hyperplanes; q184
+    // replays the IDENTICAL pipeline (sign buckets, lowest-margin
+    // flip probes, exact rerank) with md5 planes + fixed-point probe
+    // scores, oracle-gated end-to-end; the per-round Bench recall
+    // line additionally gates q32's production params at 0.912
+    "q32_lsh_topk" -> "q184_lsh_md5_topk"
   )
 }

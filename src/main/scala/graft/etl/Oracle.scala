@@ -5082,6 +5082,88 @@ ORDER BY user_id, day"""
     AS n_orphan_rows"""
   }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_col")
 
+  /** q184 oracle: the sign-LSH multi-probe ANN pipeline replayed
+    * from first principles — the q123 md5-twin playbook on the LAST
+    * rows-only family. Plane components from md5('t|p|i') (5 hex
+    * digits → n/2¹⁹ − 1, exact binary rationals), projections via
+    * list_dot_product (order-identical to Spark's sequential-fold
+    * dot, proven by every ANN oracle since q28), per-table sign
+    * buckets, multi-probe = the 7 lowest-score 1-/2-plane flips
+    * where score = Σ ⌊proj²·2²⁰⌋ as BIGINT (exact integer sums —
+    * order-free, where a float Σ margin² would hash-diverge), ties
+    * on mask; candidates = bucket joins, rerank = exact cosine. */
+  val lshMd5TopK: String = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 50),
+hx AS (
+  SELECT t.t, p.p, i.i,
+         md5(t.t || '|' || p.p || '|' || i.i) AS h
+  FROM range(0, 4) t(t), range(0, 6) p(p), range(0, 64) i(i)),
+pl AS (
+  SELECT t, p, list(
+      CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 65536
+         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+        AS DOUBLE) / 524288.0 - 1.0 ORDER BY i) AS plane
+  FROM hx GROUP BY t, p),
+pr AS (
+  SELECT v.vec_id, pl.t, pl.p,
+         list_dot_product(v.e, pl.plane) AS proj
+  FROM v, pl),
+bk AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN proj > 0
+             THEN CAST(1 << CAST(p AS INTEGER) AS BIGINT)
+             ELSE 0 END) AS bucket
+  FROM pr GROUP BY 1, 2),
+mg AS (
+  SELECT pr.vec_id, pr.t, pr.p,
+         CAST(floor(pr.proj * pr.proj * 1048576.0) AS BIGINT) AS ml
+  FROM pr JOIN q ON q.vec_id = pr.vec_id),
+mk AS (
+  SELECT CAST(1 << CAST(a.a AS INTEGER) AS BIGINT) AS mask
+  FROM range(0, 6) a(a)
+  UNION ALL
+  SELECT CAST((1 << CAST(a.a AS INTEGER))
+            | (1 << CAST(b.b AS INTEGER)) AS BIGINT)
+  FROM range(0, 6) a(a), range(0, 6) b(b) WHERE b.b > a.a),
+sc AS (
+  SELECT mg.vec_id, mg.t, mk.mask, sum(mg.ml) AS score
+  FROM mg JOIN mk ON ((mk.mask >> CAST(mg.p AS INTEGER)) & 1) = 1
+  GROUP BY 1, 2, 3),
+fl AS (
+  SELECT vec_id, t, mask,
+         row_number() OVER (PARTITION BY vec_id, t
+                            ORDER BY score, mask) AS rn
+  FROM sc),
+qb AS (
+  SELECT b.vec_id, b.t, b.bucket
+  FROM bk b JOIN q ON q.vec_id = b.vec_id
+  UNION
+  SELECT f.vec_id, f.t, xor(b.bucket, f.mask) AS bucket
+  FROM fl f JOIN bk b ON b.vec_id = f.vec_id AND b.t = f.t
+  WHERE f.rn <= 7),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id
+  FROM qb JOIN bk cb ON cb.t = qb.t AND cb.bucket = qb.bucket
+  WHERE cb.vec_id <> qb.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+         list_dot_product(qe.e, ce.e)
+           / (sqrt(list_dot_product(qe.e, qe.e))
+              * sqrt(list_dot_product(ce.e, ce.e))) AS cosine_sim
+  FROM cand JOIN v qe ON qe.vec_id = cand.query_id
+            JOIN v ce ON ce.vec_id = cand.corpus_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id) AS "rank"
+  FROM scored)
+SELECT query_id, CAST("rank" AS INT) AS "rank", corpus_id, cosine_sim
+FROM ranked WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
   /** Twin of Attribution.lastTouch (7-day horizon): brute-force
     * interval left join + argmax replay of the probe-union-window
     * scale path. Tie order (view_ts DESC, view_event_id DESC) ≡ the

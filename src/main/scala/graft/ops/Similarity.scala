@@ -162,6 +162,105 @@ object Similarity {
     lshTopK(corpus, queries, k, planes, tables, probes, idCol, vecCol)
   }
 
+  /** Oracle-gated md5 twin of [[lshTopK]] — the q123 playbook ported
+    * to the sign-LSH ANN path (the last rows-only family): the SAME
+    * pipeline shape (per-table sign buckets, query-directed
+    * multi-probe over lowest-margin plane flips, ids-only candidate
+    * join, exact cosine rerank) with every piece of randomness-free
+    * arithmetic a SQL engine can replay:
+    *
+    *  - plane components from `md5("t|p|i")` — first 5 hex digits as
+    *    a 20-bit int → n/2¹⁹ − 1 ∈ [−1, 1). Binary rationals, exactly
+    *    representable; both engines compute the identical doubles.
+    *    (Production [[lshTopK]] keeps SplitMix64 planes — one JIT'd
+    *    hash per component instead of an md5 string digest.)
+    *  - projections via the same sequential-fold [[dot]] the rerank
+    *    uses (≡ DuckDB `list_dot_product`, proven order-identical by
+    *    every ANN oracle since q28).
+    *  - probe ranking over FIXED-POINT margins: score(flipSet) =
+    *    Σ ⌊proj²·2²⁰⌋ as longs — exact integer sums, so the ranking
+    *    is order-independent and engine-exact, where production's
+    *    float Σ margin² would hash-diverge on summation order. Ties
+    *    break on the flip mask ascending.
+    *
+    * Params default small (4 tables × 6 planes × 8 probes) so the
+    * oracle's plane/margin CTEs stay tractable; the twin certifies
+    * the ALGORITHM — bucketing, multi-probe, rerank — not production
+    * recall (the Bench recall line gates that each round; fixed
+    * planes also make this a fixed-bucket-count variant — the
+    * N-adaptive plane count is [[lshTopKAuto]]'s job). */
+  def lshTopKMd5(corpus: DataFrame, queries: DataFrame, k: Int,
+                 numPlanes: Int = 6, tables: Int = 4, probes: Int = 8,
+                 dim: Int = 64, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 62 && probes >= 1)
+    def component(t: Int, p: Int, i: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$t|$p|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 5), 16)
+        .toDouble / 524288.0 - 1.0
+    }
+    // tiny literal codebook (tables × planes × dim doubles) folded
+    // into the expressions — the coreset/k-means broadcast-literal
+    // discipline; zero extra scans, zero stored state
+    val plane: Array[Array[Seq[Double]]] =
+      Array.tabulate(tables, numPlanes)((t, p) =>
+        (0 until dim).map(i => component(t, p, i)))
+    // all 1- and 2-plane flip sets, ranked per query by fixed-point
+    // Σ margin², ties on the mask — deterministic in any engine
+    val masks: Seq[Long] =
+      (0 until numPlanes).map(a => 1L << a) ++
+        (for { a <- 0 until numPlanes; b <- a + 1 until numPlanes }
+          yield (1L << a) | (1L << b))
+    require(probes - 1 <= masks.size,
+      s"probes − 1 may not exceed ${masks.size} flip sets")
+
+    val c0 = corpus.select(col(idCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
+
+    def projCols(v: Column): Seq[Column] =
+      for { t <- 0 until tables; p <- 0 until numPlanes }
+        yield dot(v, typedlit(plane(t)(p))).as(s"__pr_${t}_$p")
+    def bucketOf(t: Int): Column =
+      (0 until numPlanes).map(p =>
+        when(col(s"__pr_${t}_$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _)
+
+    val cB = c0.select(col("corpus_id") +: projCols(col("cv")): _*)
+      .select(col("corpus_id"), posexplode(
+        array((0 until tables).map(bucketOf): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+
+    val qProj = q0.select(col("query_id") +: projCols(col("qv")): _*)
+    def mlong(t: Int, p: Int): Column =
+      floor(col(s"__pr_${t}_$p") * col(s"__pr_${t}_$p") * lit(1048576.0))
+        .cast(org.apache.spark.sql.types.LongType)
+    def scoreOf(t: Int, m: Long): Column =
+      (0 until numPlanes).filter(p => (m & (1L << p)) != 0L)
+        .map(mlong(t, _)).reduce(_ + _)
+    def probeArr(t: Int): Column = {
+      val base = bucketOf(t)
+      val ranked = array_sort(array(masks.map(m =>
+        struct(scoreOf(t, m).as("s"), lit(m).as("m"))): _*))
+      concat(array(base),
+        transform(slice(ranked, 1, probes - 1),
+          st => base.bitwiseXOR(st.getField("m"))))
+    }
+    val qB = qProj
+      .select(col("query_id"), posexplode(
+        array((0 until tables).map(probeArr): _*)))
+      .select(col("query_id"), col("pos").as("tbl"),
+        explode(col("col")).as("bucket"))
+
+    val candIds = cB.join(qB, Seq("tbl", "bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id").distinct()
+    rankTopK(scoreCandidates(candIds, q0, c0), k)
+  }
+
   /** IVF-style approximate top-k: a deterministic coarse quantizer
     * (hash-derived centroid codebook — no training, identical
     * everywhere) assigns each corpus vector to ONE home cell; queries

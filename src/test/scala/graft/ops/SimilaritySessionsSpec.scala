@@ -106,6 +106,37 @@ class SimilaritySessionsSpec extends SparkSpec {
     assert(pqAll == truth, "rerank = corpus size must equal brute force")
   }
 
+  test("lshTopKMd5 twin: bucketed multi-probe, not brute force in disguise") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 20)
+    def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val truth = neighbors(Similarity.bruteForceTopK(emb, queries, 5))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val twin = Similarity.lshTopKMd5(emb, queries, 5)
+    val r = recall(neighbors(twin))
+    assert(r >= 0.5, s"md5-twin recall@5 too low at q184 params: $r")
+    // the multi-probe knob works on the md5 planes too
+    val r1 = recall(neighbors(Similarity.lshTopKMd5(emb, queries, 5,
+      probes = 1)))
+    val r10 = recall(neighbors(Similarity.lshTopKMd5(emb, queries, 5,
+      probes = 10)))
+    assert(r10 >= r1, s"more probes must not lose recall: $r10 < $r1")
+    // structurally bucketed: the candidate join is an equi join on
+    // (tbl, bucket) — never the brute-force cross product
+    val plan = twin.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // deterministic end to end (md5 planes, fixed-point probe ranks)
+    assert(twin.collect().toSeq ==
+      Similarity.lshTopKMd5(emb, queries, 5).collect().toSeq)
+  }
+
   test("mmrTopK demotes the near-duplicate; λ=1 is pure relevance") {
     // corpus: 2 is a near-copy of 1 (both highly relevant to the
     // query axis), 3 is moderately relevant but diverse, 4 opposite
