@@ -62,4 +62,53 @@ object AttributionStream {
       .select(leftStream.columns.map(c => col(s"l.$c")) ++
         ((rightTime +: rightCols).map(c => col(s"r.$c"))): _*)
   }
+
+  /** Streaming LAST-TOUCH rollup — [[touchPairs]] chained into a
+    * windowed event-time aggregation (Spark's multiple-stateful-
+    * operators support: interval join → agg in one append-mode
+    * query). Per conversion: the lexicographically greatest
+    * (rightTime, rightCols) pair — the SAME argmax rule as the batch
+    * [[graft.ops.Attribution.lastTouch]] — plus the exact in-window
+    * touch count. A conversion's row finalizes (emits once) when the
+    * watermark passes its day window, i.e. when no view inside its
+    * horizon can still arrive.
+    *
+    * Contract differences vs the batch operator, by construction:
+    * inner semantics — a conversion with NO in-horizon touch never
+    * emits (the batch left-outer row with nulls has no streaming
+    * finalization point without the join's own state; serve those
+    * from the batch table). Emitted rows match the batch operator
+    * exactly on the attributed subset (AttributionStreamSpec).
+    *
+    * Emission latency: Spark propagates the interval join's output
+    * watermark conservatively as min(input watermarks) − horizon, so
+    * a window finalizes roughly `horizon + delay` after its end in
+    * event time — the price of exact counts over the full lookback
+    * (observed directly in the spec: a sentinel that fails to
+    * advance BOTH sides' watermarks leaves every window younger than
+    * wm − horizon unflushed).
+    *
+    * @param leftIdCols every left column to carry (grouping keys of
+    *                   the rollup — must make a conversion unique) */
+  def lastTouch(leftStream: DataFrame, rightStream: DataFrame,
+                keys: Seq[String], leftIdCols: Seq[String],
+                leftTime: String, rightTime: String,
+                rightCols: Seq[String], horizon: String,
+                leftDelay: String = "1 day",
+                rightDelay: String = "1 day"): DataFrame = {
+    val pairs = touchPairs(leftStream, rightStream, keys, leftTime,
+      rightTime, rightCols, horizon, leftDelay, rightDelay)
+    val best = struct((rightTime +: rightCols).map(col): _*)
+    pairs
+      // the watermarked event-time column may appear ONCE: inside
+      // window(). leftTime itself is carried through max() — exact,
+      // since (keys, leftIdCols) already determine the conversion
+      .groupBy(window(col(leftTime), "1 day") +:
+        (keys ++ leftIdCols).map(col): _*)
+      .agg(max(col(leftTime)).as(leftTime),
+        max(best).as("__best"), count(lit(1)).as("n_touches"))
+      .select((keys ++ leftIdCols :+ leftTime).map(col) ++
+        (rightTime +: rightCols).map(c => col(s"__best.$c").as(c)) :+
+        col("n_touches"): _*)
+  }
 }
