@@ -784,6 +784,24 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopKAuto(emb, emb.filter(col("vec_id") < 50), 5)
     }),
+    // Robust volume-anomaly gate (r8-cont): per (event_type, day)
+    // counts vs median ± k·MAD — the ingest-monitoring flag, in
+    // EXACT integer arithmetic end to end (2·median and 2·MAD
+    // carried as two-middle-rank sums; the flag is an integer
+    // comparison, the robust score the only IEEE op). The salt
+    // plants a 5× click burst on one day so the flag is observably
+    // binding at every SF.
+    "q185_volume_anomalies" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "event_type")
+      val burst = ev.filter(col("event_type") === "click" &&
+        to_date(date_trunc("day", col("ts"))) === to_date(lit("2024-01-15")))
+      val salted = ev.unionByName(
+        (1 to 4).map(i => burst.select(
+          (col("event_id") + lit(i * 10000000L)).as("event_id"),
+          col("ts"), col("event_type"))).reduce(_ unionByName _))
+      Timeseries.volumeAnomalies(salted)
+    }),
     // Oracle-gated md5 twin of the sign-LSH multi-probe path
     // (r8-cont, the q123 playbook on the last rows-only family):
     // identical pipeline — per-table sign buckets, lowest-margin
@@ -1977,6 +1995,7 @@ object SparkEntry {
     "q182_attribution"      -> Oracle.attributionLastTouch,
     "q183_touch_pairs"      -> Oracle.attributionPairs,
     "q184_lsh_md5_topk"     -> Oracle.lshMd5TopK,
+    "q185_volume_anomalies" -> Oracle.volumeAnomalies,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

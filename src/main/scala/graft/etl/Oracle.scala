@@ -5082,6 +5082,62 @@ ORDER BY user_id, day"""
     AS n_orphan_rows"""
   }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_col")
 
+  /** q185 oracle: robust volume anomalies replayed — the identical
+    * two-middle-rank median arithmetic (2·median as an integer sum,
+    * dev2 = |2n − med2|, mad4 = 2·median(dev2)), the integer flag
+    * rule 2·dev2 > 5·mad4, identical (value, day) tie order, and
+    * the single IEEE division at the output boundary. The salt (5×
+    * click burst on 2024-01-15) replays verbatim. */
+  val volumeAnomalies: String = """
+WITH ev AS (
+  SELECT event_id, ts, event_type FROM events
+  UNION ALL
+  SELECT event_id + i.i * 10000000, ts, event_type
+  FROM events, range(1, 5) i(i)
+  WHERE event_type = 'click'
+    AND CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15'),
+d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n_events
+  FROM ev GROUP BY 1, 2),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY n_events, day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM d),
+m1 AS (
+  SELECT event_type,
+         sum(CASE WHEN rn = CAST(ceil(cnt / 2.0) AS INTEGER)
+             THEN n_events ELSE 0 END)
+       + sum(CASE WHEN rn = CAST(floor(cnt / 2.0) AS INTEGER) + 1
+             THEN n_events ELSE 0 END) AS med2
+  FROM r1 GROUP BY 1),
+dv AS (
+  SELECT d.event_type, d.day, d.n_events, m1.med2,
+         abs(2 * d.n_events - m1.med2) AS dev2
+  FROM d JOIN m1 USING (event_type)),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY dev2, day) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dv),
+m2 AS (
+  SELECT event_type,
+         sum(CASE WHEN rn = CAST(ceil(cnt / 2.0) AS INTEGER)
+             THEN dev2 ELSE 0 END)
+       + sum(CASE WHEN rn = CAST(floor(cnt / 2.0) AS INTEGER) + 1
+             THEN dev2 ELSE 0 END) AS mad4
+  FROM r2 GROUP BY 1)
+SELECT dv.event_type, dv.day, CAST(dv.n_events AS BIGINT) AS n_events,
+       CAST(dv.med2 AS DOUBLE) / 2.0 AS median_n,
+       CAST(m2.mad4 AS DOUBLE) / 4.0 AS mad_n,
+       CASE WHEN m2.mad4 <> 0 THEN
+         (2.0 * CAST(dv.dev2 AS DOUBLE)) / CAST(m2.mad4 AS DOUBLE) END
+         AS robust_score,
+       (2 * dv.dev2 > 5 * m2.mad4) AS is_anomaly
+FROM dv JOIN m2 USING (event_type)
+ORDER BY event_type, day"""
+
   /** q184 oracle: the sign-LSH multi-probe ANN pipeline replayed
     * from first principles — the q123 md5-twin playbook on the LAST
     * rows-only family. Plane components from md5('t|p|i') (5 hex

@@ -63,6 +63,66 @@ object Timeseries {
       .orderBy(keyCol, "day")
   }
 
+  /** Robust volume-anomaly detection per (key, day) — the pipeline
+    * monitoring gate: flag days whose event count deviates from the
+    * key's median by more than `k` median-absolute-deviations. Median
+    * + MAD instead of mean + stddev because anomalies are exactly
+    * what corrupt a mean-based threshold (one 100× ingest burst
+    * inflates σ enough to mask the next one); the breakdown point of
+    * the median is 50%.
+    *
+    * EXACT arithmetic throughout — the decision rule never touches a
+    * float: with integer daily counts, the median is a half-integer
+    * carried as `2·median` (the two-middle-rank sum), deviations as
+    * `dev2 = |2n − med2|` (integer), the MAD as `mad4 = 2·median(dev2)`
+    * (the same two-rank sum), and the flag is the integer comparison
+    * `2·dev2 > k·mad4` ⇔ |n − med| > k·MAD. A constant series has
+    * mad4 = 0 and any deviation flags — the strictest reading, stated
+    * here. The only IEEE op is the output-boundary robust score
+    * (2·dev2)/mad4 (null when mad4 = 0). Median ranks tie-break on
+    * (value, day) so both engines pick identical middle rows.
+    *
+    * Scale shape: events collapse to (key, day, n) map-side first;
+    * the two median passes are windows over the per-key DAY COUNT
+    * (≤ days rows per key, not events), partitioned by key — nothing
+    * global anywhere. */
+  def volumeAnomalies(events: DataFrame, keyCol: String = "event_type",
+                      tsCol: String = "ts", k: Int = 5): DataFrame = {
+    val day = to_date(date_trunc("day", col(tsCol)))
+    val daily = events.groupBy(col(keyCol), day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    // two-middle-rank sum = 2·median of `valueCol` over the key
+    // partition, deterministically (ties → day order)
+    def med2Of(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col(valueCol), col("day"))
+      val wAll = Window.partitionBy(col(keyCol))
+      val ranked = df
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(wAll))
+      val lo = ceil(col("__cnt") / 2).cast("int")
+      val hi = (floor(col("__cnt") / 2) + 1).cast("int")
+      ranked.withColumn(out,
+        sum(when(col("__rn") === lo, col(valueCol))
+          .otherwise(lit(0L))).over(wAll) +
+          sum(when(col("__rn") === hi, col(valueCol))
+            .otherwise(lit(0L))).over(wAll))
+        .drop("__rn", "__cnt")
+    }
+    val withMed = med2Of(daily, "n_events", "med2")
+      .withColumn("dev2", abs(lit(2L) * col("n_events") - col("med2")))
+    val withMad = med2Of(withMed, "dev2", "mad4")
+    withMad.select(col(keyCol), col("day"), col("n_events"),
+        (col("med2").cast("double") / 2.0).as("median_n"),
+        (col("mad4").cast("double") / 4.0).as("mad_n"),
+        when(col("mad4") =!= 0,
+          (lit(2.0) * col("dev2").cast("double"))
+            / col("mad4").cast("double")).as("robust_score"),
+        (lit(2L) * col("dev2") > lit(k.toLong) * col("mad4"))
+          .as("is_anomaly"))
+      .orderBy(keyCol, "day")
+  }
+
   /** Trailing-window activity features per (key, day): 7-day event
     * count, 7-day max value, and days since the previous active day
     * — the bread-and-butter trailing features of a feature store,

@@ -56,4 +56,41 @@ class TimeseriesSpec extends SparkSpec {
     val out = Timeseries.gapFillLocf(events).collect()
     assert(out.length == 1 && out.head.getDouble(2) == 2.0)
   }
+
+  test("volumeAnomalies: exact median/MAD, burst flagged, 0-MAD branch") {
+    // key "a": 5 days with counts 1,2,3,4,100 (odd n → integer
+    // median 3; devs 2,1,0,1,97 → MAD 1) — the burst day is 97 MADs
+    // out; day 4 (dev 1 = 1·MAD) must NOT flag at k=5
+    // key "b": 4 days with counts 1,2,3,4 (even n → median 2.5,
+    // devs 1.5,0.5,0.5,1.5 → MAD 1.0; max score 1.5) — nothing flags
+    // key "c": constant 2,2,2 → MAD 0, no deviation → no flag, null
+    // score (strictest reading: ANY deviation would flag)
+    def burst(key: String, day: Int, n: Int, base: Long) =
+      (0 until n).map(i =>
+        (base + day * 1000 + i, ts(f"2024-03-$day%02d 12:00:00"), key))
+    val events = (
+      burst("a", 1, 1, 0L) ++ burst("a", 2, 2, 0L) ++
+        burst("a", 3, 3, 0L) ++ burst("a", 4, 4, 0L) ++
+        burst("a", 5, 100, 0L) ++
+        burst("b", 1, 1, 100000L) ++ burst("b", 2, 2, 100000L) ++
+        burst("b", 3, 3, 100000L) ++ burst("b", 4, 4, 100000L) ++
+        burst("c", 1, 2, 200000L) ++ burst("c", 2, 2, 200000L) ++
+        burst("c", 3, 2, 200000L))
+      .toDF("event_id", "ts", "event_type")
+    val out = Timeseries.volumeAnomalies(events)
+      .as[(String, java.sql.Date, Long, Double, Double,
+        Option[Double], Boolean)].collect().toSeq
+    val byKey = out.groupBy(_._1)
+    val a = byKey("a").sortBy(_._2.toString)
+    assert(a.map(_._3) == Seq(1L, 2L, 3L, 4L, 100L))
+    assert(a.forall(r => r._4 == 3.0 && r._5 == 1.0))
+    assert(a.map(_._7) == Seq(false, false, false, false, true))
+    assert(a.last._6.contains(97.0))
+    val b = byKey("b").sortBy(_._2.toString)
+    assert(b.forall(r => r._4 == 2.5 && r._5 == 1.0 && !r._7))
+    assert(b.map(_._6.get) == Seq(1.5, 0.5, 0.5, 1.5))
+    val c = byKey("c").sortBy(_._2.toString)
+    assert(c.forall(r => r._4 == 2.0 && r._5 == 0.0 &&
+      r._6.isEmpty && !r._7))
+  }
 }
