@@ -52,6 +52,15 @@ object ProfileTimeseries10x {
       timed(s"trailingFeatures 10x (round $round)") {
         Timeseries.trailingFeatures(e10).count()
       }
+      // r8-cont: the anomaly gate keyed per USER (the many-keys
+      // axis — per-source monitoring generalized); both median
+      // passes run over per-key day counts only
+      timed(s"volumeAnomalies 1x (round $round)") {
+        Timeseries.volumeAnomalies(e1, keyCol = "user_id").count()
+      }
+      timed(s"volumeAnomalies 10x (round $round)") {
+        Timeseries.volumeAnomalies(e10, keyCol = "user_id").count()
+      }
     }
     spark.stop()
   }

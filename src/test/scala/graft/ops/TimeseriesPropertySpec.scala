@@ -87,4 +87,38 @@ class TimeseriesPropertySpec extends SparkSpec {
       assert(got == expect, s"seed=$seed")
     }
   }
+
+  test("volumeAnomalies ≡ brute-force model: exact median/MAD/flag") {
+    (1L to 3L).foreach { seed =>
+      val rows = eventsOf(seed)
+      // reuse the generator's user column as the anomaly key
+      val df = rows.map(r => (r._1, r._2, s"t${r._3}"))
+        .toDF("event_id", "ts", "event_type")
+      val got = Timeseries.volumeAnomalies(df)
+        .as[(String, java.sql.Date, Long, Double, Double,
+          Option[Double], Boolean)].collect().toSeq
+
+      // model: exact rational median as 2·median over sorted longs
+      def med2(xs: Seq[Long]): Long = {
+        val s = xs.sorted
+        val n = s.size
+        if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+      }
+      val expect = rows.groupBy(r => s"t${r._3}").toSeq.flatMap {
+        case (key, es) =>
+          val perDay = es.groupBy(_._2.toLocalDateTime.toLocalDate)
+            .map { case (d, l) => d -> l.size.toLong }
+          val m2 = med2(perDay.values.toSeq)
+          val dev2 = perDay.map { case (d, n) => d -> (2 * n - m2).abs }
+          val mad4 = med2(dev2.values.toSeq)
+          perDay.toSeq.sortBy(_._1.toString).map { case (d, n) =>
+            (key, java.sql.Date.valueOf(d), n,
+              m2.toDouble / 2.0, mad4.toDouble / 4.0,
+              if (mad4 != 0) Some(2.0 * dev2(d) / mad4) else None,
+              2 * dev2(d) > 5 * mad4)
+          }
+      }.sortBy(r => (r._1, r._2.toString))
+      assert(got == expect, s"seed=$seed")
+    }
+  }
 }
