@@ -165,6 +165,8 @@ object Attribution {
   def touchPairs(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftTime: String, rightTime: String,
                  rightCols: Seq[String], horizon: String): DataFrame = {
+    require(leftTime != rightTime,
+      "leftTime and rightTime must be distinct column names")
     val iv = expr(s"INTERVAL $horizon")
     val r = right.select((keys :+ rightTime).map(col) ++
       rightCols.map(col): _*)
