@@ -784,6 +784,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopKAuto(emb, emb.filter(col("vec_id") < 50), 5)
     }),
+    // Ordered funnel paths (r8-cont): per view, the first click
+    // strictly after it within 3 days, then the first purchase after
+    // that click — each hop ONE forward-as-of union+window pass (no
+    // join node, no O(matches) blow-up), nulls propagate through
+    // dead stages, completed_stages counts how far the user got.
+    "q186_funnel_paths" -> ((s, dir) =>
+      graft.ops.Analytics.funnelPaths(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), maxGap = "3 days")),
     // Robust volume-anomaly gate (r8-cont): per (event_type, day)
     // counts vs median ± k·MAD — the ingest-monitoring flag, in
     // EXACT integer arithmetic end to end (2·median and 2·MAD
@@ -1996,6 +2004,7 @@ object SparkEntry {
     "q183_touch_pairs"      -> Oracle.attributionPairs,
     "q184_lsh_md5_topk"     -> Oracle.lshMd5TopK,
     "q185_volume_anomalies" -> Oracle.volumeAnomalies,
+    "q186_funnel_paths"     -> Oracle.funnelPaths,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

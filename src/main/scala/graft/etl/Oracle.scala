@@ -5082,6 +5082,41 @@ ORDER BY user_id, day"""
     AS n_orphan_rows"""
   }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_col")
 
+  /** q186 oracle: funnel paths replayed as brute-force interval
+    * joins + (ts, id) argmin per hop — valid because "first within
+    * the cap" ≡ "first overall, nulled beyond the cap", and the
+    * argmin tie order (ts, event_id) ASC is exactly the Spark side's
+    * smallest-payload forward-as-of rule. A null stage-1 anchor
+    * yields null join conditions → no match → stage 2 nulls — the
+    * same dead-stage propagation. */
+  val funnelPaths: String = """
+WITH s0 AS (
+  SELECT user_id, event_id AS s0_id, ts AS s0_ts
+  FROM events WHERE event_type = 'view'),
+j1 AS (
+  SELECT s0.user_id, s0.s0_id, s0.s0_ts,
+         b.event_id AS s1_id, b.ts AS s1_ts,
+         row_number() OVER (PARTITION BY s0.s0_id
+           ORDER BY b.ts, b.event_id) AS rn
+  FROM s0 LEFT JOIN events b
+    ON b.user_id = s0.user_id AND b.event_type = 'click'
+   AND b.ts > s0.s0_ts AND b.ts <= s0.s0_ts + INTERVAL 3 DAY),
+s1 AS (SELECT user_id, s0_id, s0_ts, s1_id, s1_ts FROM j1 WHERE rn = 1),
+j2 AS (
+  SELECT s1.*, c.event_id AS s2_id, c.ts AS s2_ts,
+         row_number() OVER (PARTITION BY s1.s0_id
+           ORDER BY c.ts, c.event_id) AS rn
+  FROM s1 LEFT JOIN events c
+    ON c.user_id = s1.user_id AND c.event_type = 'purchase'
+   AND c.ts > s1.s1_ts AND c.ts <= s1.s1_ts + INTERVAL 3 DAY),
+s2 AS (SELECT user_id, s0_id, s0_ts, s1_id, s1_ts, s2_id, s2_ts
+       FROM j2 WHERE rn = 1)
+SELECT user_id, s0_id, s0_ts, s1_id, s1_ts, s2_id, s2_ts,
+       CAST(1 + (CASE WHEN s1_id IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN s2_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS completed_stages
+FROM s2 ORDER BY s0_id"""
+
   /** q185 oracle: robust volume anomalies replayed — the identical
     * two-middle-rank median arithmetic (2·median as an integer sum,
     * dev2 = |2n − med2|, mad4 = 2·median(dev2)), the integer flag

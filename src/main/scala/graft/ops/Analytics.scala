@@ -373,4 +373,58 @@ object Analytics {
           sum(col("n")).over(byFrom).cast(DoubleType)).as("p"))
       .orderBy("from_type", "to_type")
   }
+
+  /** Ordered funnel paths with per-stage time caps — the sequential
+    * complement of [[eventTransitions]] (adjacent pairs) and q18's
+    * fixed weekly funnel: for every stage-0 event, the FIRST stage-1
+    * event strictly after it within `maxGap`, then the first stage-2
+    * event after THAT, and so on — the classic "view → click →
+    * purchase within N days, per user" product question, one row per
+    * stage-0 event with however far the user got
+    * (`completed_stages`).
+    *
+    * Each hop is one [[AsOfJoin.asofForward]] pass — the union+window
+    * formulation, O(shuffle(|stage events|)) per hop with NO join
+    * operator and no O(matches) blow-up on dense histories (the same
+    * argument as Attribution.lastTouch). "First within the cap" ≡
+    * "first overall, nulled when beyond the cap": if the earliest
+    * next event is already too late, no qualifying one exists.
+    * Determinism: next = smallest (ts, id) strictly after the anchor
+    * (equal timestamps are NOT after — microsecond data makes the
+    * strictness observable only under crafted ties, which the spec
+    * pins). A dead stage nulls every later stage by construction. */
+  def funnelPaths(events: DataFrame, stages: Seq[String],
+                  maxGap: String, keyCol: String = "user_id",
+                  tsCol: String = "ts", typeCol: String = "event_type",
+                  idCol: String = "event_id"): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val iv = expr(s"INTERVAL $maxGap")
+    def stageEvents(st: String, i: Int): DataFrame =
+      events.filter(col(typeCol) === st)
+        .select(col(keyCol), col(tsCol).as(s"s${i}_ts"),
+          col(idCol).as(s"s${i}_id"))
+    val s0 = events.filter(col(typeCol) === stages.head)
+      .select(col(keyCol), col(idCol).as("s0_id"), col(tsCol).as("s0_ts"))
+    val walked = stages.zipWithIndex.tail.foldLeft(s0) {
+      case (acc, (st, i)) =>
+        val hopped = AsOfJoin.asofForward(acc, stageEvents(st, i),
+          Seq(keyCol), leftTime = s"s${i - 1}_ts",
+          rightTime = s"s${i}_ts", rightCols = Seq(s"s${i}_id"))
+        // the cap, and the dead-anchor propagation: a null previous
+        // stage nulls this one regardless of what the scan carried
+        val ok = col(s"s${i - 1}_ts").isNotNull &&
+          col(s"s${i}_ts") <= col(s"s${i - 1}_ts") + iv
+        hopped
+          .withColumn(s"s${i}_id", when(ok, col(s"s${i}_id")))
+          .withColumn(s"s${i}_ts", when(ok, col(s"s${i}_ts")))
+    }
+    val completed = stages.indices
+      .map(i => when(col(s"s${i}_id").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    walked.select(col(keyCol) +:
+        stages.indices.flatMap(i =>
+          Seq(col(s"s${i}_id"), col(s"s${i}_ts"))) :+
+        completed.as("completed_stages"): _*)
+      .orderBy("s0_id")
+  }
 }

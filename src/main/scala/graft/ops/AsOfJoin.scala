@@ -86,4 +86,69 @@ object AsOfJoin {
         rightCols.map(c => col(s"__asof.$c").as(c)) :+
         col(s"__asof.$rightTime").as(rightTime): _*)
   }
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * `rightTime > leftTime` (strictly after — the "next event" lookup:
+    * next click after an impression, next reading after a sensor
+    * probe). Same union+window formulation mirrored: ONE shuffle by
+    * key, the sort DESCENDS on time with right rows ordered after
+    * left rows at equal timestamps (so an equal-time right row is NOT
+    * "after"), and `last(payload, ignoreNulls)` running down the
+    * descending order carries the nearest later right row backward
+    * onto each left row. O(shuffle(|L|+|R|)) like [[asof]], and the
+    * same NULL-key caveat applies.
+    *
+    * Among duplicate right (key, time) rows the lexicographically
+    * SMALLEST payload wins (the payload sorts descending, so the last
+    * seen above a left row is the minimum) — deterministic, and the
+    * natural mirror of [[asof]]'s greatest-payload rule: both pick
+    * the extremum nearest the left row in scan order. */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val reserved = Seq("__t", "__side", "__payload", "__asof")
+    require(leftCols.intersect(reserved).isEmpty,
+      s"left columns may not use reserved names ${reserved.mkString(", ")}")
+    require((keys ++ rightCols :+ rightTime).intersect(reserved).isEmpty,
+      s"right/key columns may not use reserved names ${reserved.mkString(", ")}")
+    val keyAsPayload = keys.toSet.intersect((rightCols :+ rightTime).toSet)
+    require(keyAsPayload.isEmpty,
+      s"key columns may not be requested as right payload: ${keyAsPayload.mkString(", ")}")
+    val clash = (rightCols :+ rightTime).toSet
+      .intersect(leftCols.filterNot(keys.contains).toSet)
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns: ${clash.mkString(", ")}")
+    val payload = struct((rightTime +: rightCols).map(col): _*)
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("timestamp").as("__t"),
+        lit(0).as("__side"),
+        payload.as("__payload")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).cast("timestamp").as("__t"),
+        lit(1).as("__side"),
+        lit(null).cast(taggedRight.schema("__payload").dataType)
+          .as("__payload")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    // descending time; at equal timestamps left rows (side 1 desc →
+    // sorts first) come BEFORE right rows, so an equal-time right row
+    // is not carried — the strict `rightTime > leftTime` contract.
+    // Payload descends too: the last right row seen above a left row
+    // is the smallest payload at the nearest later time.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").desc, col("__payload").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(c)) :+
+        col(s"__asof.$rightTime").as(rightTime): _*)
+  }
 }

@@ -158,4 +158,41 @@ class AnalyticsSpec extends SparkSpec {
       ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
       ("b", "a", 2L, 1.0)))
   }
+
+  test("funnelPaths: first-after hops, caps, dead stages, strict ties") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: full path — view, click +2d, purchase +1d
+      (1L, ts("2024-01-01 10:00:00"), 10L, "view"),
+      (1L, ts("2024-01-03 10:00:00"), 11L, "click"),
+      (1L, ts("2024-01-04 10:00:00"), 12L, "purchase"),
+      // user 2: first click is beyond the 3-day cap → stage 1 dead,
+      // and the purchase (within 3d of the VIEW) must NOT attach
+      (2L, ts("2024-01-01 00:00:00"), 20L, "view"),
+      (2L, ts("2024-01-05 00:00:00"), 21L, "click"),
+      (2L, ts("2024-01-02 00:00:00"), 22L, "purchase"),
+      // user 3: click at the EXACT view instant — strictly-after
+      // excludes it; the later click attaches instead, with two
+      // same-ts purchases tie-broken to the smaller event_id
+      (3L, ts("2024-01-10 08:00:00"), 30L, "view"),
+      (3L, ts("2024-01-10 08:00:00"), 31L, "click"),
+      (3L, ts("2024-01-10 09:00:00"), 32L, "click"),
+      (3L, ts("2024-01-10 10:00:00"), 34L, "purchase"),
+      (3L, ts("2024-01-10 10:00:00"), 33L, "purchase"),
+      // user 4: purchase BEFORE the click chain starts — stage 2
+      // must be the first purchase AFTER the click, which is absent
+      (4L, ts("2024-01-20 00:00:00"), 40L, "view"),
+      (4L, ts("2024-01-19 00:00:00"), 41L, "purchase"),
+      (4L, ts("2024-01-20 01:00:00"), 42L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.funnelPaths(events,
+        Seq("view", "click", "purchase"), maxGap = "3 days")
+      .select("s0_id", "s1_id", "s2_id", "completed_stages")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, Some(11L), Some(12L), 3L),
+      (20L, None, None, 1L),
+      (30L, Some(32L), Some(33L), 3L),
+      (40L, Some(42L), None, 2L)))
+  }
 }

@@ -64,4 +64,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getAs[Double]("v") == 9.0)
     assert(row.getAs[String]("tag") == "ninth")
   }
+
+  test("asofForward attaches the earliest right row strictly after") {
+    val probes = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05")),
+      (2L, "A", ts("2024-01-01 10:00:30")),
+      (3L, "B", ts("2024-01-01 10:00:10")),   // only an earlier quote
+      (4L, "C", ts("2024-01-01 10:00:10")))   // no quotes at all
+      .toDF("probe_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:05"), 101.0), // equal ts: NOT after
+      ("A", ts("2024-01-01 10:00:20"), 102.0),
+      ("A", ts("2024-01-01 10:00:20"), 101.5), // duplicate time:
+      ("A", ts("2024-01-01 10:00:40"), 103.0), //   smallest px wins
+      ("B", ts("2024-01-01 10:00:00"), 200.0))
+      .toDF("sym", "qt", "px")
+
+    val out = AsOfJoin.asofForward(probes, quotes, Seq("sym"),
+        leftTime = "t", rightTime = "qt", rightCols = Seq("px"))
+      .orderBy("probe_id").collect()
+
+    assert(out.length == 4)
+    // probe 1: equal-ts quote skipped (strict), next is 10:00:20 and
+    // among the duplicate-time pair the SMALLEST payload wins
+    assert(out(0).getAs[Double]("px") == 101.5)
+    assert(out(0).getAs[Timestamp]("qt") == ts("2024-01-01 10:00:20"))
+    assert(out(1).getAs[Double]("px") == 103.0)
+    // B's only quote is earlier; C has none — both null
+    assert(out(2).isNullAt(out(2).fieldIndex("px")))
+    assert(out(3).isNullAt(out(3).fieldIndex("px")))
+  }
 }
