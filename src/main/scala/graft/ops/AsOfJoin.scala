@@ -56,7 +56,11 @@ object AsOfJoin {
       s"right payload columns collide with left columns: ${clash.mkString(", ")}")
     val payload = struct((rightTime +: rightCols).map(col): _*)
 
-    val taggedRight = right.select(
+    // a null rightTime row would sort to the scan front and its
+    // payload would be carried onto left rows until a real right row
+    // overwrites it — "as of null" matches nothing in any engine
+    // (join semantics), so drop such rows up front
+    val taggedRight = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).cast("timestamp").as("__t"),
         lit(0).as("__side"),
@@ -121,7 +125,11 @@ object AsOfJoin {
       s"right payload columns collide with left columns: ${clash.mkString(", ")}")
     val payload = struct((rightTime +: rightCols).map(col): _*)
 
-    val taggedRight = right.select(
+    // a null rightTime row would sort to the scan front and its
+    // payload would be carried onto left rows until a real right row
+    // overwrites it — "as of null" matches nothing in any engine
+    // (join semantics), so drop such rows up front
+    val taggedRight = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).cast("timestamp").as("__t"),
         lit(0).as("__side"),
@@ -140,8 +148,13 @@ object AsOfJoin {
     // is not carried — the strict `rightTime > leftTime` contract.
     // Payload descends too: the last right row seen above a left row
     // is the smallest payload at the nearest later time.
+    // NULLS FIRST under desc: a null-leftTime row sits at the scan
+    // top, sees no right rows above, and correctly gets null ("after
+    // null" is no match) — the default NULLS LAST would hand it the
+    // globally earliest right row instead
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").desc, col("__side").desc, col("__payload").desc)
+      .orderBy(col("__t").desc_nulls_first, col("__side").desc,
+        col("__payload").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedRight.unionByName(taggedLeft)

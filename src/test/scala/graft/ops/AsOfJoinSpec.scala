@@ -94,4 +94,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("px")))
     assert(out(3).isNullAt(out(3).fieldIndex("px")))
   }
+
+  test("null timestamps never match, in either direction") {
+    val lefts = Seq(
+      (1L, "A", Some(ts("2024-01-01 10:00:00"))),
+      (2L, "A", None))                       // null left time
+      .toDF("id", "sym", "t")
+    val rights = Seq(
+      ("A", Some(ts("2024-01-01 09:00:00")), 1.0),
+      ("A", Some(ts("2024-01-01 11:00:00")), 2.0),
+      ("A", None, 99.0))                     // null right time
+      .toDF("sym", "qt", "px")
+    val back = AsOfJoin.asof(lefts, rights, Seq("sym"), "t", "qt",
+      Seq("px")).orderBy("id").collect()
+    // null right row must not be carried anywhere; null left gets null
+    assert(back(0).getAs[Double]("px") == 1.0)
+    assert(back(1).isNullAt(back(1).fieldIndex("px")))
+    val fwd = AsOfJoin.asofForward(lefts, rights, Seq("sym"), "t", "qt",
+      Seq("px")).orderBy("id").collect()
+    assert(fwd(0).getAs[Double]("px") == 2.0)
+    assert(fwd(1).isNullAt(fwd(1).fieldIndex("px")))
+  }
 }
