@@ -48,6 +48,8 @@ object FunnelStream {
                    maxGap: String,
                    watermarkDelay: String = "1 day"): Dataset[FunnelOut] = {
     require(stages.size == 3, "streaming twin covers 3-stage funnels")
+    require(stages.distinct.size == stages.size,
+      "stages must be distinct event types (indexOf drives matching)")
     val gapUs: Long = {
       // parse "N days"/"N hours" the same way the batch INTERVAL does
       val parts = maxGap.trim.split("\\s+")
