@@ -78,6 +78,13 @@ object ProfileAttribution10x {
           Attribution.touchPairs(p, v, Seq("user_id"),
             "ts", "view_ts", Seq("view_event_id"), "7 days").count()
         }
+        // the funnel walks two asofForward passes over the same
+        // union+window shape — the bot user's 50k views cost 50k
+        // exchange rows, never 50k × purchases pairs
+        timed(s"funnelPaths $name (round $round)") {
+          graft.ops.Analytics.funnelPaths(ev,
+            Seq("view", "click", "purchase"), maxGap = "3 days").count()
+        }
       }
     }
     spark.stop()
