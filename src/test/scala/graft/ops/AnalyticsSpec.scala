@@ -194,5 +194,11 @@ class AnalyticsSpec extends SparkSpec {
       (20L, None, None, 1L),
       (30L, Some(32L), Some(33L), 3L),
       (40L, Some(42L), None, 2L)))
+    // both hops are union+window passes: no join operator anywhere,
+    // so there is no O(matches) term on dense histories
+    val plan = Analytics.funnelPaths(events,
+        Seq("view", "click", "purchase"), maxGap = "3 days")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
   }
 }
