@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Eval, Importance, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Timeseries, Upsert}
+import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Eval, Importance, Incremental, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Timeseries, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -792,6 +793,50 @@ object SparkEntry {
     "q186_funnel_paths" -> ((s, dir) =>
       graft.ops.Analytics.funnelPaths(Tables.events(s, dir),
         Seq("view", "click", "purchase"), maxGap = "3 days")),
+    // Incremental Gold maintenance (r8-cont): the monthly revenue
+    // Gold computed the way a 100 TB warehouse actually refreshes it
+    // — a STORED partial aggregate over history (< 2000) merged with
+    // the new slice's partial aggregate (≥ 2000), never rescanning
+    // history. The oracle is the ONE-SHOT aggregate over everything:
+    // the hash match IS the delta-maintenance correctness proof.
+    // Exact by construction: decimal sums, counts, min/max merge
+    // order-independently; avg derives at the output boundary.
+    "q188_incremental_gold" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        date_trunc("month", col("o_orderdate")).cast("date")
+          .as("order_month"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val cut = lit("2000-01-01").cast("date")
+      def part(df: DataFrame) = Incremental.partialAggregate(
+        df, Seq("order_month"), sumCols = Seq("price"),
+        minCols = Seq("price"), maxCols = Seq("price"),
+        countCol = "n_orders")
+      val stored = part(o.filter(col("order_month") < cut))
+      val delta = part(o.filter(col("order_month") >= cut))
+      Incremental.merge(Seq(stored, delta), Seq("order_month"),
+        sumCols = Seq("price"), minCols = Seq("price"),
+        maxCols = Seq("price"), countCol = "n_orders")
+        .select(col("order_month"), col("n_orders"),
+          col("sum_price").cast(DoubleType).as("revenue"),
+          col("min_price").cast(DoubleType).as("min_price"),
+          col("max_price").cast(DoubleType).as("max_price"),
+          (col("sum_price").cast(DoubleType) / col("n_orders"))
+            .as("avg_price"))
+        .orderBy("order_month")
+    }),
+    // SCD Type-2 dimension history (r8-cont): the changelog of each
+    // user's event_type collapsed to versioned validity intervals —
+    // consecutive duplicates merge, recurrences reopen, effective_to
+    // chains half-open to the next run. ONE keyed exchange: the lag
+    // (run-opener) pass and the lead/row_number pass share the same
+    // (partition, order) spec, so the second Window reuses the
+    // first's exchange+sort (plan-asserted in RangeUpsertSpec).
+    "q187_scd2_history" -> ((s, dir) =>
+      Upsert.scd2History(
+        Tables.events(s, dir)
+          .select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"))
+        .orderBy("user_id", "version_seq")),
     // Robust volume-anomaly gate (r8-cont): per (event_type, day)
     // counts vs median ± k·MAD — the ingest-monitoring flag, in
     // EXACT integer arithmetic end to end (2·median and 2·MAD
@@ -2005,6 +2050,8 @@ object SparkEntry {
     "q184_lsh_md5_topk"     -> Oracle.lshMd5TopK,
     "q185_volume_anomalies" -> Oracle.volumeAnomalies,
     "q186_funnel_paths"     -> Oracle.funnelPaths,
+    "q187_scd2_history"     -> Oracle.scd2History,
+    "q188_incremental_gold" -> Oracle.incrementalGold,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

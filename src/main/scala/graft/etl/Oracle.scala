@@ -5302,4 +5302,50 @@ FROM p JOIN v
  AND v.view_ts > p.ts - INTERVAL 7 DAY
  AND v.view_ts <= p.ts
 ORDER BY event_id, view_event_id"""
+
+  /** q188 oracle: the ONE-SHOT monthly aggregate — deliberately NOT
+    * the split-and-merge path the Spark side takes. Hash equality
+    * proves incremental Gold maintenance (stored partial ⊕ delta
+    * partial) reproduces the full-history aggregate exactly: decimal
+    * sums, counts and min/max merge order-independently, and the avg
+    * divides the identical double operands at the output boundary. */
+  val incrementalGold: String = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS min_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         / count(*) AS avg_price
+FROM orders
+GROUP BY 1 ORDER BY 1"""
+
+  /** q187 oracle: SCD-2 history replayed as the identical two-window
+    * closed form — lag marks run openers (rn=1 folds in via IS
+    * DISTINCT FROM against a NULL prev when event_type is non-null,
+    * but stays explicit for robustness), lead over the openers chains
+    * effective_to; (ts, event_id) is the total order both engines
+    * share. */
+  val scd2History: String = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS prev,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS rn
+  FROM events),
+runs AS (
+  SELECT user_id, ts, event_id, event_type FROM o
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type,
+       ts AS effective_from,
+       lead(ts) OVER w AS effective_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       row_number() OVER w AS version_seq
+FROM runs
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version_seq"""
 }

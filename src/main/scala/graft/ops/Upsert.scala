@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** SCD-1 merge / upsert operators. The reference's sinks are
   * append-only (`mode("append")`, `helper_func.py:36-45`); a real
@@ -57,5 +59,54 @@ object Upsert {
         s"${base.schema.simpleString} vs ${updates.schema.simpleString}")
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
+  }
+
+  /** SCD Type-2 history build: collapse a changelog into versioned
+    * validity intervals — one row per RUN of consecutive identical
+    * payload values per key, with `effective_from` / `effective_to`
+    * half-open bounds, an `is_current` flag and a 1-based
+    * `version_seq`. The dimension-history sibling of [[latestByKey]]
+    * (SCD-1 keeps only each run's final state; SCD-2 keeps them all,
+    * which is what a point-in-time join — [[AsOfJoin.asof]] against
+    * this output — needs to reproduce "the value as of then").
+    *
+    * Mechanics: rows order per key by (`timeCol`, `tieCols`…); a row
+    * OPENS a run iff it is the key's first row or its payload struct
+    * differs null-safely from the previous row's. Only run-openers
+    * survive the filter; `effective_to` is the NEXT opener's
+    * `timeCol` (null on the live run). Consecutive-duplicate collapse
+    * means re-asserting an unchanged value never cuts a new version —
+    * the standard compress step a naive `GROUP BY key, value` gets
+    * wrong when a value RECURS after an interruption (each recurrence
+    * is its own run here).
+    *
+    * Scale: ONE hash exchange on `keys` total. The lag pass, the
+    * filter and the lead/row_number pass share the identical
+    * (partition, order) spec, so EnsureRequirements satisfies the
+    * second Window from the first's output — no second exchange, no
+    * re-sort (asserted in `RangeUpsertSpec`). The exchange carries
+    * the changelog once; output is |runs| rows. Contract: `timeCol`
+    * and `tieCols` must be non-null (null order differs between
+    * engines — the [[AsOfJoin]] family's rule) and (`timeCol`,
+    * `tieCols`) unique per key so the order is total. */
+  def scd2History(changelog: DataFrame, keys: Seq[String],
+                  timeCol: String, tieCols: Seq[String],
+                  payloadCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && payloadCols.nonEmpty,
+      "keys and payloadCols must be non-empty")
+    val ord = (col(timeCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val payload = struct(payloadCols.map(c => col(c).as(c)): _*)
+    // struct(...) is never NULL itself, so lag==NULL ⟺ first row of
+    // the key; <=> then folds "first row" and "payload changed" into
+    // one null-safe predicate.
+    changelog
+      .withColumn("__opens", !(lag(payload, 1).over(w) <=> payload))
+      .filter(col("__opens"))
+      .select(keys.map(col) ++ payloadCols.map(col) :+
+        col(timeCol).as("effective_from") :+
+        lead(col(timeCol), 1).over(w).as("effective_to") :+
+        lead(col(timeCol), 1).over(w).isNull.as("is_current") :+
+        row_number().over(w).cast(LongType).as("version_seq"): _*)
   }
 }

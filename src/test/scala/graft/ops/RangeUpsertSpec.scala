@@ -110,4 +110,69 @@ class RangeUpsertSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, "old1"), (2L, "new2"), (3L, "old3"), (4L, "new4")))
   }
+
+  test("scd2History collapses runs, reopens on recurrence, chains bounds") {
+    val changelog = Seq(
+      // u1: a, a (re-assert: NO new version), b, a (recurs: NEW run)
+      ("u1", 1L, 1L, "a"),
+      ("u1", 2L, 2L, "a"),
+      ("u1", 3L, 3L, "b"),
+      ("u1", 5L, 4L, "a"),
+      // u2: single row → one current version
+      ("u2", 4L, 5L, "x"),
+      // u3: same-time tie — id orders the runs deterministically
+      ("u3", 7L, 6L, "p"),
+      ("u3", 7L, 7L, "q")
+    ).toDF("k", "t", "id", "v")
+    val got = Upsert.scd2History(changelog, Seq("k"), "t", Seq("id"), Seq("v"))
+      .as[(String, String, Long, Option[Long], Boolean, Long)]
+      .collect().sortBy(r => (r._1, r._6)).toSeq
+    assert(got == Seq(
+      ("u1", "a", 1L, Some(3L), false, 1L),
+      ("u1", "b", 3L, Some(5L), false, 2L),
+      ("u1", "a", 5L, None, true, 3L),
+      ("u2", "x", 4L, None, true, 1L),
+      ("u3", "p", 7L, Some(7L), false, 1L),
+      ("u3", "q", 7L, None, true, 2L)))
+  }
+
+  test("scd2History: point-in-time lookup reproduces latestByKey, one exchange") {
+    // history ⋈ asof at t = max observed time must equal SCD-1
+    val n = 1500
+    val changelog = (1 to n).map { i =>
+      (s"k${i % 23}", (i * 131) % 97 + 1L, i.toLong, s"v${i % 5}")
+    }.toDF("k", "t", "id", "v")
+    val hist = Upsert.scd2History(changelog, Seq("k"), "t", Seq("id"), Seq("v"))
+    // runs partition t: each key's intervals chain gaplessly from its
+    // first t to null, exactly one current run per key
+    val byKey = hist.orderBy("k", "version_seq")
+      .as[(String, String, Long, Option[Long], Boolean, Long)]
+      .collect().groupBy(_._1)
+    byKey.values.foreach { runs =>
+      assert(runs.count(_._5) == 1 && runs.last._5)
+      runs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3)) // effective_to = next from
+          assert(b._6 == a._6 + 1)
+        case _ =>
+      }
+      // adjacent runs always differ in payload (collapse happened)
+      runs.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 != b._2)
+        case _ =>
+      }
+    }
+    val current = hist.filter(col("is_current"))
+      .select(col("k"), col("v")).as[(String, String)]
+      .collect().sorted.toSeq
+    val scd1 = Upsert.latestByKey(changelog, Seq("k"), Seq("t", "id"), Seq("v"))
+      .select(col("k"), col("v")).as[(String, String)]
+      .collect().sorted.toSeq
+    assert(current == scd1)
+    // scale contract: the lag pass and the lead/row_number pass share
+    // one (partition, order) spec — exactly ONE shuffle, no join
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
 }
