@@ -793,6 +793,19 @@ object SparkEntry {
     "q186_funnel_paths" -> ((s, dir) =>
       graft.ops.Analytics.funnelPaths(Tables.events(s, dir),
         Seq("view", "click", "purchase"), maxGap = "3 days")),
+    // Exact grouped ROC-AUC (r8-cont): per-source discrimination of
+    // the q89 quality score against a language-ID target — the
+    // threshold-free ranking metric the calibration report (q147)
+    // deliberately isn't. Mann-Whitney rank-sum with tie-averaged
+    // ranks carried as exact integers (2R in decimal(38,0)); the
+    // final division is the only IEEE op; degenerate groups → NULL.
+    "q189_roc_auc" -> ((s, dir) =>
+      Eval.rocAuc(
+        Tables.documents(s, dir).select(
+          col("source"),
+          TextOps.qualityMargin("text").as("clf_score"),
+          (col("lang") === "en").as("y")),
+        Seq("source"), "clf_score", "y")),
     // Incremental Gold maintenance (r8-cont): the monthly revenue
     // Gold computed the way a 100 TB warehouse actually refreshes it
     // — a STORED partial aggregate over history (< 2000) merged with
@@ -2052,6 +2065,7 @@ object SparkEntry {
     "q186_funnel_paths"     -> Oracle.funnelPaths,
     "q187_scd2_history"     -> Oracle.scd2History,
     "q188_incremental_gold" -> Oracle.incrementalGold,
+    "q189_roc_auc"          -> Oracle.rocAuc,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

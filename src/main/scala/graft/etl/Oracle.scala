@@ -5303,6 +5303,56 @@ FROM p JOIN v
  AND v.view_ts <= p.ts
 ORDER BY event_id, view_event_id"""
 
+  /** q189 oracle: grouped ROC-AUC replayed — the q89 classifier
+    * score expression VERBATIM (same IEEE tree), then the identical
+    * rank-sum arithmetic: per-(source, score) tie blocks, doubled
+    * average rank 2·cum_before + n + 1 as integers, 2R⁺ summed in
+    * HUGEINT (≡ Spark's decimal(38,0)), one boundary division,
+    * NULL on degenerate groups. */
+  val rocAuc: String = """
+WITH t AS (
+  SELECT source, lang = 'en' AS y,
+         string_split_regex(trim(text), ' +') AS toks, text
+  FROM documents),
+f AS (
+  SELECT source, y,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) AS word_chars
+  FROM t),
+s AS (
+  SELECT source, y,
+         -3.5 + 8.0 * (n_stop / n_tok) - 0.25 * (word_chars / n_tok)
+           + 2.0 * (n_dist / n_tok) + 0.5 * (n_tok / 100.0) AS score
+  FROM f),
+b AS (
+  SELECT source, score, count(*) AS n,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+  FROM s GROUP BY 1, 2),
+c AS (
+  SELECT *, coalesce(sum(n) OVER (PARTITION BY source ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM b),
+a AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(n_pos) AS BIGINT) AS np,
+         sum(CAST(n_pos AS HUGEINT)
+             * CAST(2 * cum_before + n + 1 AS HUGEINT)) AS sum2r
+  FROM c GROUP BY 1)
+SELECT source, n_total AS n, np AS n_pos,
+       n_total - np AS n_neg,
+       CASE WHEN np > 0 AND n_total - np > 0 THEN
+         CAST(sum2r - CAST(np AS HUGEINT) * CAST(np + 1 AS HUGEINT)
+           AS DOUBLE)
+         / CAST(CAST(2 AS HUGEINT) * CAST(np AS HUGEINT)
+             * CAST(n_total - np AS HUGEINT) AS DOUBLE)
+       END AS auc
+FROM a ORDER BY source"""
+
   /** q188 oracle: the ONE-SHOT monthly aggregate — deliberately NOT
     * the split-and-merge path the Spark side takes. Hash equality
     * proves incremental Gold maintenance (stored partial ⊕ delta

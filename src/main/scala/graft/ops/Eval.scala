@@ -186,4 +186,62 @@ object Eval {
       .select("bin", "n", "n_pos", "frac_pos", "mean_pred", "gap", "ece_term")
       .orderBy("bin")
   }
+
+  /** Exact grouped ROC-AUC (r8-cont) — the threshold-free
+    * discrimination metric [[calibrationReport]] deliberately isn't
+    * (a classifier can be perfectly calibrated and useless, or
+    * miscalibrated and a perfect ranker; a release gate wants both
+    * numbers). Computed via the Mann-Whitney rank-sum identity
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with AVERAGE ranks on ties —
+    * the exact probability a random positive outscores a random
+    * negative (ties count ½).
+    *
+    * Exactness (the q185 two-middle-rank discipline): ranks never
+    * materialize per row — scores collapse to per-(group, score) tie
+    * blocks, the block's doubled average rank is the integer
+    * 2·cum_before + n + 1, and 2·R⁺ accumulates in decimal(38,0)
+    * (≡ HUGEINT; a long would wrap near 10⁹ rows — the trendSlope
+    * lesson). The single IEEE op is the final division; degenerate
+    * groups (no positives or no negatives) yield NULL, not a 0/0
+    * NaN.
+    *
+    * 100 TB shape: one map-side-combined aggregate collapses the
+    * corpus to ≤|distinct scores| rows per group BEFORE the window —
+    * the window and final rollup run on tie blocks, not rows, and
+    * reuse the same hash partitioning. Nothing row-sized crosses a
+    * second exchange. */
+  def rocAuc(scored: DataFrame, groupCols: Seq[String],
+             scoreCol: String, labelCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val g = groupCols.map(col)
+    val blocks = scored
+      .groupBy(g :+ col(scoreCol).as("score"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_pos"))
+    val w = Window.partitionBy(g: _*).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val perGroup = blocks
+      .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .groupBy(g: _*)
+      .agg(sum(col("n")).as("n_total"),
+        sum(col("n_pos")).as("np"),
+        sum(dec(col("n_pos")) *
+          dec(lit(2L) * col("cum_before") + col("n") + lit(1L)))
+          .as("sum2r"))
+    perGroup
+      .withColumn("n_neg", col("n_total") - col("np"))
+      .withColumn("auc",
+        when(col("np") > 0 && col("n_neg") > 0,
+          (col("sum2r") - dec(col("np")) * dec(col("np") + lit(1L)))
+            .cast(DoubleType) /
+            (dec(lit(2L)) * dec(col("np")) * dec(col("n_neg")))
+              .cast(DoubleType)))
+      .select(g :+ col("n_total").as("n") :+ col("np").as("n_pos") :+
+        col("n_neg") :+ col("auc"): _*)
+      .orderBy(g: _*)
+  }
 }

@@ -101,6 +101,12 @@ object TextOps {
   def qualityProb(textCol: String = "text"): Column =
     clfScoreProb(textCol)._2
 
+  /** The q89 classifier raw margin as a pure COLUMN — same contract
+    * as [[qualityProb]]; what ranking consumers (the q189 AUC gate)
+    * project in-scan. */
+  def qualityMargin(textCol: String = "text"): Column =
+    clfScoreProb(textCol)._1
+
   def qualityClassifier(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val (score, prob) = clfScoreProb(textCol)

@@ -137,4 +137,54 @@ class EvalSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(bins === Set(0, 9))
   }
+
+  test("rocAuc: hand-computed tie case, extremes, degenerate groups") {
+    import spark.implicits._
+    val scored = Seq(
+      // g1: scores 1,2,2,3 labels F,T,F,T — avg ranks 1, 2.5, 2.5, 4
+      // R+ = 6.5 → AUC = (6.5 − 3)/(2·2) = 0.875
+      ("g1", 1.0, false), ("g1", 2.0, true),
+      ("g1", 2.0, false), ("g1", 3.0, true),
+      // g2: perfect separation → 1.0
+      ("g2", 0.1, false), ("g2", 0.2, false), ("g2", 0.9, true),
+      // g3: perfectly wrong → 0.0
+      ("g3", 0.9, false), ("g3", 0.1, true),
+      // g4: every score tied → 0.5
+      ("g4", 5.0, true), ("g4", 5.0, false), ("g4", 5.0, false),
+      // g5: no negatives → NULL
+      ("g5", 1.0, true), ("g5", 2.0, true)
+    ).toDF("g", "score", "y")
+    val out = Eval.rocAuc(scored, Seq("g"), "score", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out("g1") === Some(0.875))
+    assert(out("g2") === Some(1.0))
+    assert(out("g3") === Some(0.0))
+    assert(out("g4") === Some(0.5))
+    assert(out("g5") === None)
+    val g1 = Eval.rocAuc(scored, Seq("g"), "score", "y")
+      .filter(col("g") === "g1").head()
+    assert((g1.getLong(1), g1.getLong(2), g1.getLong(3)) == ((4L, 2L, 2L)))
+  }
+
+  test("rocAuc equals brute-force pair counting on pseudo-random data") {
+    import spark.implicits._
+    val rows = (1 to 400).map { i =>
+      val g = s"g${i % 3}"
+      // deterministic pseudo-scores with many ties (11 levels)
+      val score = ((i * 7919) % 11).toDouble
+      val y = ((i * 104729) % 5) < 2
+      (g, score, y)
+    }
+    val got = Eval.rocAuc(rows.toDF("g", "score", "y"),
+      Seq("g"), "score", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val pos = rs.filter(_._3).map(_._2)
+      val neg = rs.filterNot(_._3).map(_._2)
+      val wins = (for (p <- pos; q <- neg)
+        yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+      assert(math.abs(got(g) - wins / (pos.size * neg.size)) < 1e-12, g)
+    }
+  }
 }
