@@ -930,6 +930,23 @@ object SparkEntry {
       graft.ops.Components.connectedComponents(intra.unionByName(links))
         .orderBy("id")
     }),
+    // Incremental component maintenance (r8-cont): q58's graph split
+    // into a STORED labeling (the intra-block edges) plus a DELTA
+    // (the cross-block links), folded together without replaying the
+    // stored edges — the daily near-dup-graph refresh. The oracle is
+    // q58's one-shot recursive-CTE SQL verbatim (the q95 ≡ q90
+    // playbook): the hash match proves stored ⊕ delta ≡ full
+    // recompute, because a labeling is a lossless contraction.
+    "q190_incremental_components" -> ((s, dir) => {
+      val k = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val intra = k.select(col("k").as("src"),
+        (col("k") - col("k") % 8 + (col("k") * 5 + 3) % 8).as("dst"))
+      val links = k.filter(col("k") % 100 === 0)
+        .select(col("k").as("src"), (col("k") + 8).as("dst"))
+      val stored = graft.ops.Components.connectedComponents(intra)
+      graft.ops.Components.incrementalComponents(stored, links)
+        .orderBy("id")
+    }),
     // Sequence packing: contiguous token-budget bins per (lang,
     // shard) — the pretraining batch-assembly op; sharded cumsum is
     // the scale path (no per-stratum serialization).
@@ -2066,6 +2083,7 @@ object SparkEntry {
     "q187_scd2_history"     -> Oracle.scd2History,
     "q188_incremental_gold" -> Oracle.incrementalGold,
     "q189_roc_auc"          -> Oracle.rocAuc,
+    "q190_incremental_components" -> Oracle.components,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

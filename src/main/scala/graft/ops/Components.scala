@@ -168,6 +168,47 @@ object Components {
     out.toSeq.toDF("id", "component")
   }
 
+  /** Incremental component maintenance (r8-cont): fold NEW edges
+    * into a STORED (id, component) labeling without replaying old
+    * edges — the daily shape of a near-dup graph, where each ingest
+    * batch adds edges but the accumulated edge list is 100 TB-scale
+    * history nobody wants to rescan. The stored labeling IS a
+    * lossless contraction of everything seen so far (a depth-1
+    * star forest with the same node partition), so running
+    * [[connectedComponents]] over label-edges ∪ new-edges yields
+    * EXACTLY the full-recompute labels: the union graph has the same
+    * connected node sets as old ∪ new, and min-id over the same node
+    * set is the same label. New edges can merge stored components
+    * (min of the mins wins), attach fresh nodes, or form new
+    * components; stored singletons untouched by any new edge pass
+    * through unchanged (they have no label-edge, so they are
+    * re-attached by anti-join).
+    *
+    * Cost: the contraction input is |nodes seen| + |new edges| rows
+    * — already depth-1, so the star rounds converge in O(log) of the
+    * NEW merge chains only, and the adaptive driver tail usually
+    * finishes it in one round. The q188 Gold-refresh argument, for
+    * graphs. */
+  def incrementalComponents(stored: DataFrame, newEdges: DataFrame,
+                            srcCol: String = "src",
+                            dstCol: String = "dst"): DataFrame = {
+    val labelEdges = stored
+      .filter(col("id") =!= col("component"))
+      .select(col("id").cast("long").as("src"),
+        col("component").cast("long").as("dst"))
+    val merged = connectedComponents(
+      labelEdges.unionByName(newEdges.select(
+        col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))))
+    // stored singletons (and isolated roots) touched by no new edge
+    // never reach the edge list — carry their labels through
+    val untouched = stored
+      .select(col("id").cast("long").as("id"),
+        col("component").cast("long").as("component"))
+      .join(merged.select("id"), Seq("id"), "left_anti")
+    merged.unionByName(untouched)
+  }
+
   /** Dedup audit: the cluster-size histogram of the near-dup graph —
     * per cluster size, how many clusters, how many docs they hold and
     * how many a one-per-cluster dedup drops. Singleton (unpaired)

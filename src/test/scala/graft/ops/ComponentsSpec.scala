@@ -169,4 +169,33 @@ class ComponentsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(survivors == dedup)
   }
+
+  test("incrementalComponents ≡ full recompute: merges, new nodes, singletons") {
+    def lbl(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().sorted.toSeq
+    // day 1: {1,2,3}, {10,11}, singleton 50 (carried as a label row)
+    val day1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val stored = Components.connectedComponents(day1)
+      .unionByName(Seq((50L, 50L)).toDF("id", "component"))
+    // day 2: bridge the two components, attach a new node to 3,
+    // a brand-new component {70,71}; 50 stays untouched
+    val day2 = Seq((3L, 10L), (3L, 4L), (70L, 71L)).toDF("src", "dst")
+    val inc = lbl(Components.incrementalComponents(stored, day2))
+    val full = lbl(Components.connectedComponents(day1.unionByName(day2))
+      .unionByName(Seq((50L, 50L)).toDF("id", "component")))
+    assert(inc == full)
+    assert(inc.contains((11L, 1L)))   // merged across the bridge
+    assert(inc.contains((4L, 1L)))    // new node joins the merge
+    assert(inc.contains((70L, 70L)) && inc.contains((50L, 50L)))
+    // a second day of edges folds into the INCREMENTAL labels the
+    // same way (re-increment ≡ recompute — the associativity that
+    // makes daily maintenance safe)
+    val day3 = Seq((50L, 71L)).toDF("src", "dst")
+    val inc2 = lbl(Components.incrementalComponents(
+      Components.incrementalComponents(stored, day2), day3))
+    val full2 = lbl(Components.connectedComponents(
+      day1.unionByName(day2).unionByName(day3)))
+    assert(inc2 == full2)
+    assert(inc2.contains((71L, 50L)))
+  }
 }
