@@ -793,6 +793,25 @@ object SparkEntry {
     "q186_funnel_paths" -> ((s, dir) =>
       graft.ops.Analytics.funnelPaths(Tables.events(s, dir),
         Seq("view", "click", "purchase"), maxGap = "3 days")),
+    // Interval-overlap join (r8-cont): user sessions × daily
+    // maintenance windows [00:00, 06:00) — two interval sets joined
+    // on overlap with the exact shared microseconds. Binned
+    // equi-join (the q42 discipline, both sides exploded), a pair
+    // sharing several bins emits once via the first-shared-bin
+    // integer rule — no distinct pass. Half-open semantics:
+    // touching intervals and empty (single-event) sessions never
+    // pair.
+    "q191_overlap_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sess = Sessions.sessionize(ev)
+      val wins = ev
+        .select(date_trunc("day", col("ts")).as("win_start")).distinct()
+        .select(col("win_start"),
+          (col("win_start") + expr("INTERVAL 6 HOURS")).as("win_end"))
+      RangeJoin.overlapBinned(sess, wins,
+          "session_start", "session_end", "win_start", "win_end")
+        .orderBy("user_id", "session_id", "win_start")
+    }),
     // Exact grouped ROC-AUC (r8-cont): per-source discrimination of
     // the q89 quality score against a language-ID target — the
     // threshold-free ranking metric the calibration report (q147)
@@ -2084,6 +2103,7 @@ object SparkEntry {
     "q188_incremental_gold" -> Oracle.incrementalGold,
     "q189_roc_auc"          -> Oracle.rocAuc,
     "q190_incremental_components" -> Oracle.components,
+    "q191_overlap_join"     -> Oracle.overlapJoin,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

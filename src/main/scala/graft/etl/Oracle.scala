@@ -5303,6 +5303,52 @@ FROM p JOIN v
  AND v.view_ts <= p.ts
 ORDER BY event_id, view_event_id"""
 
+  /** q191 oracle: the overlap join replayed as sessionize (q31's CTE
+    * verbatim) × distinct daily windows under the brute overlap
+    * predicate — valid against the binned path because the
+    * first-shared-bin rule emits each overlapping pair exactly once
+    * and the residual predicate IS this predicate. Empty
+    * (single-event) sessions are excluded on both sides: a
+    * zero-length half-open interval is the empty set and overlaps
+    * nothing. */
+  val overlapJoin: String = """
+WITH l AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM l),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f),
+sess AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         count(*) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY 1, 2),
+wins AS (
+  -- CAST: DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 6 HOUR
+           AS win_end
+  FROM events)
+SELECT user_id, session_id, n_events, session_start, session_end,
+       win_start, win_end,
+       epoch_us(least(session_end, win_end))
+         - epoch_us(greatest(session_start, win_start)) AS overlap_micros
+FROM sess JOIN wins
+  ON session_end > session_start
+ AND session_start < win_end AND win_start < session_end
+ORDER BY user_id, session_id, win_start"""
+
   /** q189 oracle: grouped ROC-AUC replayed — the q89 classifier
     * score expression VERBATIM (same IEEE tree), then the identical
     * rank-sum arithmetic: per-(source, score) tie blocks, doubled

@@ -159,4 +159,64 @@ object RangeJoin {
       }
     }(enc)
   }
+
+  /** Interval-×-interval OVERLAP join (r8-cont) — the temporal-join
+    * sibling of [[binned]]: pairs of half-open intervals [ls, le) ×
+    * [rs, re) with ls < re ∧ rs < le, plus the exact overlap length
+    * in microseconds. The sessions-×-windows / downtime-×-bookings
+    * shape Spark would otherwise plan as a nested loop (two range
+    * predicates, no equi key).
+    *
+    * Same bin discipline as [[binned]]: both sides explode to the
+    * fixed-width bins they cover (the only row multiplication,
+    * bounded by len/binSeconds per row), the join is a bin equi-join
+    * with the exact overlap predicate residual. A pair sharing
+    * SEVERAL bins must emit once: it is kept only in the FIRST
+    * shared bin — `__bin == max(bin(ls), bin(rs))`, an integer
+    * comparison, so no distinct pass and no pair-sized dedup shuffle.
+    * Empty/inverted intervals match nothing (dropped pre-explode,
+    * same rationale as [[binned]]). Column names must be disjoint. */
+  def overlapBinned(left: DataFrame, right: DataFrame,
+                    lStart: String, lEnd: String,
+                    rStart: String, rEnd: String,
+                    binSeconds: Long = 86400L): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val clash = left.columns.toSet intersect right.columns.toSet
+    require(clash.isEmpty, s"column names must be disjoint: $clash")
+    require(!(left.columns ++ right.columns).contains("__bin") &&
+      !(left.columns ++ right.columns).contains("overlap_micros"),
+      "__bin / overlap_micros are reserved")
+    val binMicros = binSeconds * 1000000L
+    def us(t: Column): Column = unix_micros(t.cast("timestamp"))
+    def binOfMicros(u: Column): Column = u - pmod(u, lit(binMicros))
+    def explodeBins(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) > col(s))
+        .withColumn("__bin", explode(sequence(
+          binOfMicros(us(col(s))),
+          binOfMicros(us(col(e)) - lit(1L)),
+          lit(binMicros))))
+    explodeBins(left, lStart, lEnd)
+      .join(explodeBins(right, rStart, rEnd), Seq("__bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bin") ===
+        greatest(binOfMicros(us(col(lStart))), binOfMicros(us(col(rStart)))))
+      .withColumn("overlap_micros",
+        least(us(col(lEnd)), us(col(rEnd))) -
+          greatest(us(col(lStart)), us(col(rStart))))
+      .drop("__bin")
+  }
+
+  /** Exact-predicate overlap baseline (broadcast nested loop) —
+    * the [[naive]] contract for [[overlapBinned]]. */
+  def overlapNaive(left: DataFrame, right: DataFrame,
+                   lStart: String, lEnd: String,
+                   rStart: String, rEnd: String): DataFrame = {
+    def us(t: Column): Column = unix_micros(t.cast("timestamp"))
+    left.filter(col(lEnd) > col(lStart))
+      .join(broadcast(right.filter(col(rEnd) > col(rStart))),
+        col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .withColumn("overlap_micros",
+        least(us(col(lEnd)), us(col(rEnd))) -
+          greatest(us(col(lStart)), us(col(rStart))))
+  }
 }

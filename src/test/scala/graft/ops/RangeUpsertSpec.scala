@@ -111,6 +111,39 @@ class RangeUpsertSpec extends SparkSpec {
     assert(got == Seq((1L, "old1"), (2L, "new2"), (3L, "old3"), (4L, "new4")))
   }
 
+  test("overlapBinned: half-open semantics, single emission, ≡ naive") {
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+      (2L, ts("2024-01-01 06:00:00"), ts("2024-01-01 06:00:00")), // empty
+      (3L, ts("2024-01-01 10:00:00"), ts("2024-01-05 10:00:00")), // spans days
+      (4L, ts("2024-01-02 00:00:00"), ts("2024-01-02 01:00:00"))
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00")), // ∩ 1
+      (11L, ts("2024-01-01 02:00:00"), ts("2024-01-01 04:00:00")), // touches 1 → no
+      (12L, ts("2023-12-31 00:00:00"), ts("2024-01-06 00:00:00")), // contains all
+      (13L, ts("2024-01-01 05:00:00"), ts("2024-01-01 07:00:00"))  // around empty 2
+    ).toDF("rid", "rs", "re")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid", "overlap_micros")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+    val naive = pairs(RangeJoin.overlapNaive(left, right, "ls", "le", "rs", "re"))
+    val binned = pairs(RangeJoin.overlapBinned(left, right, "ls", "le", "rs", "re"))
+    assert(binned == naive)
+    // half-open: touching intervals don't pair; empty intervals never
+    // pair even when strictly inside another; multi-day × container
+    // emits ONCE with the exact overlap
+    assert(naive == Seq(
+      (1L, 10L, 3600000000L),
+      (1L, 12L, 7200000000L),
+      (3L, 12L, 4L * 86400L * 1000000L),
+      (4L, 12L, 3600000000L)))
+    // bin width much smaller / larger than the intervals: unchanged
+    for (bin <- Seq(3600L, 604800L))
+      assert(pairs(RangeJoin.overlapBinned(left, right,
+        "ls", "le", "rs", "re", binSeconds = bin)) == naive)
+  }
+
   test("scd2History collapses runs, reopens on recurrence, chains bounds") {
     val changelog = Seq(
       // u1: a, a (re-assert: NO new version), b, a (recurs: NEW run)
