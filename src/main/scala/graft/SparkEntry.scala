@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.etl.{Analog, Curate, Oracle, Present}
 import graft.io.Tables
-import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Eval, Importance, Incremental, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Timeseries, Upsert}
+import graft.ops.{AsOfJoin, Bloom, Cluster, Dedup, Diff, Entity, Eval, Importance, Incremental, Multimodal, Pca, Quantize, RangeJoin, Sessions, Similarity, Split, TextOps, Timeseries, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -793,6 +793,25 @@ object SparkEntry {
     "q186_funnel_paths" -> ((s, dir) =>
       graft.ops.Analytics.funnelPaths(Tables.events(s, dir),
         Seq("view", "click", "purchase"), maxGap = "3 days")),
+    // Golden-record survivorship (r8-cont): per customer, each field
+    // independently from the LATEST order where it is non-null —
+    // "latest non-null per field", the MDM rule row-wise SCD-1
+    // deliberately isn't. Deterministic masking plants nulls so the
+    // per-field independence is observably binding. One struct-max
+    // aggregate, map-side combined.
+    "q192_golden_record" -> ((s, dir) => {
+      val r = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("rid"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        when(col("o_orderkey") % 4 === 0, lit(null))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("amount"))
+      Entity.goldenRecord(r, "o_custkey", "ts", "rid",
+        Seq("priority", "status", "amount"))
+    }),
     // Interval-overlap join (r8-cont): user sessions × daily
     // maintenance windows [00:00, 06:00) — two interval sets joined
     // on overlap with the exact shared microseconds. Binned
@@ -2104,6 +2123,7 @@ object SparkEntry {
     "q189_roc_auc"          -> Oracle.rocAuc,
     "q190_incremental_components" -> Oracle.components,
     "q191_overlap_join"     -> Oracle.overlapJoin,
+    "q192_golden_record"    -> Oracle.goldenRecord,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -5303,6 +5303,31 @@ FROM p JOIN v
  AND v.view_ts <= p.ts
 ORDER BY event_id, view_event_id"""
 
+  /** q192 oracle: golden record replayed — the identical per-field
+    * struct-max (named-struct max ≡ Spark's max(struct(ts, tie, v)):
+    * lexicographic, the unique tie means v never decides) under a
+    * non-null FILTER, same deterministic null masking. */
+  val goldenRecord: String = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate AS ts, o_orderkey AS rid,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE o_orderpriority END AS priority,
+         CASE WHEN o_orderkey % 4 = 0 THEN NULL
+              ELSE o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE o_totalprice END AS amount
+  FROM orders)
+SELECT o_custkey,
+       (max({'ts': ts, 'tie': rid, 'v': priority})
+          FILTER (priority IS NOT NULL)).v AS priority,
+       (max({'ts': ts, 'tie': rid, 'v': status})
+          FILTER (status IS NOT NULL)).v AS status,
+       (max({'ts': ts, 'tie': rid, 'v': amount})
+          FILTER (amount IS NOT NULL)).v AS amount,
+       count(*) AS n_records,
+       max(ts) AS last_updated
+FROM r GROUP BY 1 ORDER BY 1"""
+
   /** q191 oracle: the overlap join replayed as sessionize (q31's CTE
     * verbatim) × distinct daily windows under the brute overlap
     * predicate — valid against the binned path because the

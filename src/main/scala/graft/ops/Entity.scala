@@ -195,4 +195,33 @@ object Entity {
       .select(col("rid"), col("name"), col("src"), col("entity_id"),
         col("canonical_name"), col("n_members"))
   }
+
+  /** Field-level survivorship — the GOLDEN RECORD step after linkage
+    * (r8-cont): per entity, each field independently takes its value
+    * from the LATEST record where that field is non-null, so a
+    * fresher record with a missing phone number doesn't erase the
+    * phone a staler record carried — the MDM rule "latest non-null
+    * per field", which row-wise [[Upsert.latestByKey]] deliberately
+    * is not (it keeps whole rows, nulls included).
+    *
+    * Shape: ONE aggregate, one field-max per survivor column —
+    * `max(struct(ts, tie, value))` over non-null rows, the
+    * latestByKey map-side-combine discipline, so each input
+    * partition reduces to ≤|entities| rows before the exchange. The
+    * tie column must be unique per record so the struct order is
+    * total (the value never decides). `n_records` and
+    * `last_updated` ride in the same pass for the audit trail. */
+  def goldenRecord(records: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+          col(f).as("v"))))
+        .getField("v").as(f)
+    } ++ Seq(count(lit(1)).as("n_records"),
+      max(col(tsCol)).as("last_updated"))
+    records.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .orderBy(keyCol)
+  }
 }

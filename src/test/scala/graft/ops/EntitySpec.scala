@@ -176,4 +176,38 @@ class EntitySpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r(1L) === 1L && r(2L) === 1L && r(3L) === 3L)
   }
+
+  test("goldenRecord: latest non-null PER FIELD, not latest row") {
+    val recs = Seq(
+      // entity 1: newest record (t=3) misses the phone; phone must
+      // survive from t=2, email from t=3 — fields move independently
+      (1L, 1L, 10L, "a@x", "111"),
+      (1L, 2L, 11L, null, "222"),
+      (1L, 3L, 12L, "c@x", null),
+      // entity 2: field null everywhere → null survivor
+      (2L, 5L, 20L, null, "333"),
+      // entity 3: equal ts — unique tie (rid) decides
+      (3L, 7L, 30L, "old@x", null),
+      (3L, 7L, 31L, "new@x", null)
+    ).toDF("eid", "t", "rid", "email", "phone")
+    val got = Entity.goldenRecord(recs, "eid", "t", "rid",
+        Seq("email", "phone"))
+      .as[(Long, Option[String], Option[String], Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, Some("c@x"), Some("222"), 3L, 3L),
+      (2L, None, Some("333"), 1L, 5L),
+      (3L, Some("new@x"), None, 2L, 7L)))
+    // contrast with row-wise SCD-1: the latest ROW of entity 1 would
+    // erase the phone — exactly what survivorship must not do
+    val scd1 = Upsert.latestByKey(recs, Seq("eid"), Seq("t", "rid"),
+        Seq("email", "phone"))
+      .filter(col("eid") === 1L).select("phone").head()
+    assert(scd1.isNullAt(0))
+    // map-side combine: the aggregate carries partial maxes
+    val plan = Entity.goldenRecord(recs, "eid", "t", "rid",
+      Seq("email", "phone")).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      plan)
+  }
 }
