@@ -793,6 +793,13 @@ object SparkEntry {
     "q186_funnel_paths" -> ((s, dir) =>
       graft.ops.Analytics.funnelPaths(Tables.events(s, dir),
         Seq("view", "click", "purchase"), maxGap = "3 days")),
+    // Exact Pearson correlation matrix between event-type daily
+    // series (r8-cont) — co-movement diagnostic; decimal(38,0) sums,
+    // zero-filled day grid, IEEE only at the boundary (two
+    // correctly-rounded sqrts + one division). NOT Spark's corr
+    // (partition-order-dependent double accumulator).
+    "q193_type_correlation" -> ((s, dir) =>
+      graft.ops.Analytics.typeCorrelationMatrix(Tables.events(s, dir))),
     // Golden-record survivorship (r8-cont): per customer, each field
     // independently from the LATEST order where it is non-null —
     // "latest non-null per field", the MDM rule row-wise SCD-1
@@ -2124,6 +2131,7 @@ object SparkEntry {
     "q190_incremental_components" -> Oracle.components,
     "q191_overlap_join"     -> Oracle.overlapJoin,
     "q192_golden_record"    -> Oracle.goldenRecord,
+    "q193_type_correlation" -> Oracle.typeCorrelation,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -5303,6 +5303,42 @@ FROM p JOIN v
  AND v.view_ts <= p.ts
 ORDER BY event_id, view_event_id"""
 
+  /** q193 oracle: the Pearson matrix replayed — identical zero-filled
+    * day×type grid, HUGEINT sums (≡ decimal(38,0)), the identical
+    * closed-form expression tree (casts of exact integers, two
+    * correctly-rounded sqrts, one multiply, one divide), NULL on
+    * zero variance. */
+  val typeCorrelation: String = """
+WITH d AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+c AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT d.day, t.event_type, coalesce(c.n, 0) AS n
+  FROM d CROSS JOIN t
+  LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_days,
+         sum(CAST(a.n AS HUGEINT)) AS sx,
+         sum(CAST(b.n AS HUGEINT)) AS sy,
+         sum(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS sxy,
+         sum(CAST(a.n AS HUGEINT) * CAST(a.n AS HUGEINT)) AS sxx,
+         sum(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS syy
+  FROM g a JOIN g b ON a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_days,
+       CASE WHEN (CAST(n_days AS HUGEINT) * sxx - sx * sx) > 0
+             AND (CAST(n_days AS HUGEINT) * syy - sy * sy) > 0 THEN
+         CAST(CAST(n_days AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n_days AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(CAST(n_days AS HUGEINT) * syy - sy * sy AS DOUBLE)))
+       END AS r
+FROM p ORDER BY type_a, type_b"""
+
   /** q192 oracle: golden record replayed — the identical per-field
     * struct-max (named-struct max ≡ Spark's max(struct(ts, tie, v)):
     * lexicographic, the unique tie means v never decides) under a

@@ -427,4 +427,59 @@ object Analytics {
         completed.as("completed_stages"): _*)
       .orderBy("s0_id")
   }
+
+  /** Exact Pearson correlation matrix between event-type DAILY count
+    * series (r8-cont) — "do purchases move with views, do errors
+    * anti-correlate with everything": the co-movement diagnostic
+    * next to [[trendSlope]]'s per-series direction. NOT Spark's
+    * `corr` (a double accumulator whose result depends on partition
+    * order): counts are integers, every sum (Σx, Σy, Σxy, Σx², Σy²)
+    * accumulates in decimal(38,0) ≡ HUGEINT, and the closed form
+    *   r = (nΣxy − ΣxΣy) / (√(nΣx² − (Σx)²) · √(nΣy² − (Σy)²))
+    * touches IEEE only at the boundary — casts of exact integers,
+    * two correctly-rounded sqrts, one multiply, one divide, all
+    * bit-identical across engines. Zero-variance series → NULL.
+    *
+    * Missing (day, type) cells count as ZERO, not absent: the day
+    * grid is distinct-days × distinct-types, so a type that goes
+    * quiet pulls its correlations down instead of silently shrinking
+    * its observation set. Scale shape: the only corpus-sized pass is
+    * the (day, type) count aggregate (map-side combined); the grid,
+    * self-join and pair rollup are calendar × type-arity sized —
+    * thousands of rows at any corpus size. */
+  def typeCorrelationMatrix(events: DataFrame,
+                            typeCol: String = "event_type",
+                            tsCol: String = "ts"): DataFrame = {
+    val day = to_date(date_trunc("day", col(tsCol)))
+    val days = events.select(day.as("day")).distinct()
+    val types = events.select(col(typeCol).as("event_type")).distinct()
+    val counts = events
+      .groupBy(day.as("day"), col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = days.crossJoin(broadcast(types))
+      .join(counts, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+    val a = grid.select(col("day"), col("event_type").as("type_a"),
+      col("n").as("na"))
+    val b = grid.select(col("day").as("day_b"),
+      col("event_type").as("type_b"), col("n").as("nb"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val p = a.join(b, col("day") === col("day_b") &&
+        col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("na"))).as("sx"), sum(dec(col("nb"))).as("sy"),
+        sum(dec(col("na")) * dec(col("nb"))).as("sxy"),
+        sum(dec(col("na")) * dec(col("na"))).as("sxx"),
+        sum(dec(col("nb")) * dec(col("nb"))).as("syy"))
+    val n = dec(col("n_days"))
+    val dx = n * col("sxx") - col("sx") * col("sx")
+    val dy = n * col("syy") - col("sy") * col("sy")
+    p.withColumn("r",
+        when(dx > 0 && dy > 0,
+          (n * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (sqrt(dx.cast(DoubleType)) * sqrt(dy.cast(DoubleType)))))
+      .select("type_a", "type_b", "n_days", "r")
+      .orderBy("type_a", "type_b")
+  }
 }

@@ -201,4 +201,41 @@ class AnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan)
   }
+
+  test("typeCorrelationMatrix: ±1 extremes, zero-fill, zero variance, brute check") {
+    import java.sql.Timestamp
+    def ev(day: Int, typ: String, k: Int): Seq[(Long, Timestamp, String)] =
+      (1 to k).map(i => ((day * 1000 + i).toLong,
+        Timestamp.valueOf(f"2024-03-$day%02d 12:00:00"), typ))
+    // over days 1..4: a = [1,2,3,4]; b = 2a (r=1); c = [4,3,2,1]
+    // (r=-1 vs a); d fires ONLY on day 1 (zero-fill gives [5,0,0,0]);
+    // e constant → zero variance → NULL r
+    val rows = (1 to 4).flatMap { d =>
+      ev(d, "a", d) ++ ev(d, "b", 2 * d) ++ ev(d, "c", 5 - d) ++
+        (if (d == 1) ev(d, "d", 5) else Nil) ++ ev(d, "e", 3)
+    }
+    val got = Analytics.typeCorrelationMatrix(
+        rows.toDF("event_id", "ts", "event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    // ±1 up to the two sqrt roundings (√20·√80 is not exactly 40)
+    assert(got(("a", "b"))._1 == 4L)
+    assert(math.abs(got(("a", "b"))._2.get - 1.0) < 1e-12)
+    assert(math.abs(got(("a", "c"))._2.get + 1.0) < 1e-12)
+    assert(got(("a", "e"))._2 == None)     // constant series
+    // zero-fill: d = [5,0,0,0] vs a = [1,2,3,4] — brute-force Pearson
+    def pearson(x: Seq[Long], y: Seq[Long]): Double = {
+      val n = x.size.toDouble
+      val (sx, sy) = (x.sum.toDouble, y.sum.toDouble)
+      val sxy = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      val sxx = x.map(p => p.toDouble * p).sum
+      val syy = y.map(p => p.toDouble * p).sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val expected = pearson(Seq(1L, 2L, 3L, 4L), Seq(5L, 0L, 0L, 0L))
+    assert(math.abs(got(("a", "d"))._2.get - expected) < 1e-12)
+    assert(got.keys.forall { case (x, y) => x < y })  // upper triangle
+  }
 }
