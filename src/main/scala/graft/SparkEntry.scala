@@ -793,6 +793,31 @@ object SparkEntry {
     "q186_funnel_paths" -> ((s, dir) =>
       graft.ops.Analytics.funnelPaths(Tables.events(s, dir),
         Seq("view", "click", "purchase"), maxGap = "3 days")),
+    // Grouped average precision (r8-cont): the imbalance-sensitive
+    // companion to q189's AUC, under the explicit (score desc,
+    // doc_id asc) total order; each precision@k term carried as the
+    // integer ⌊cum_pos·2²⁰/rank⌋ (the q184 fixed-point playbook) so
+    // AP replays hash-exact — a documented ≤2⁻²⁰ quantization.
+    "q194_avg_precision" -> ((s, dir) =>
+      Eval.averagePrecision(
+        Tables.documents(s, dir).select(
+          col("source"), col("doc_id"),
+          TextOps.qualityMargin("text").as("clf_score"),
+          (col("lang") === "en").as("y")),
+        Seq("source"), "clf_score", "y", "doc_id")),
+    // Confusion counts + precision/recall/F1 at the shipped
+    // threshold (r8-cont): the q89 keep/drop decision judged against
+    // the q79 rule battery, per source — the binary-decision leg of
+    // the release gate (q189 ranks, q147 calibrates, this decides).
+    "q195_classifier_pr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), col("text"),
+        (TextOps.qualityMargin("text") >= 0.0).as("pred"))
+      Eval.classifierPr(
+        TextOps.gopherRulesUnsorted(docs,
+          carryCols = Seq("source", "pred")),
+        Seq("source"), "pred", "passes")
+    }),
     // Exact Pearson correlation matrix between event-type daily
     // series (r8-cont) — co-movement diagnostic; decimal(38,0) sums,
     // zero-filled day grid, IEEE only at the boundary (two
@@ -2132,6 +2157,8 @@ object SparkEntry {
     "q191_overlap_join"     -> Oracle.overlapJoin,
     "q192_golden_record"    -> Oracle.goldenRecord,
     "q193_type_correlation" -> Oracle.typeCorrelation,
+    "q194_avg_precision"    -> Oracle.avgPrecision,
+    "q195_classifier_pr"    -> Oracle.classifierPr,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

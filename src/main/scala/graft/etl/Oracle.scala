@@ -5303,6 +5303,112 @@ FROM p JOIN v
  AND v.view_ts <= p.ts
 ORDER BY event_id, view_event_id"""
 
+  /** q194 oracle: grouped average precision replayed — the q89 score
+    * tree verbatim, the explicit (score DESC, doc_id ASC) total
+    * order, each precision@k term as the integer
+    * (cum_pos·2²⁰) // rank, one boundary division, NULL when a group
+    * has no positives. */
+  val avgPrecision: String = """
+WITH t AS (
+  SELECT doc_id, source, lang = 'en' AS y,
+         string_split_regex(trim(text), ' +') AS toks, text
+  FROM documents),
+f AS (
+  SELECT doc_id, source, y,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) AS word_chars
+  FROM t),
+s AS (
+  SELECT doc_id, source, y,
+         -3.5 + 8.0 * (n_stop / n_tok) - 0.25 * (word_chars / n_tok)
+           + 2.0 * (n_dist / n_tok) + 0.5 * (n_tok / 100.0) AS score
+  FROM f),
+r AS (
+  SELECT source, y,
+         row_number() OVER w AS rank,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) OVER (
+           PARTITION BY source ORDER BY score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+  FROM s WINDOW w AS (PARTITION BY source ORDER BY score DESC, doc_id)),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         sum(CASE WHEN y THEN (cum_pos * 1048576) // rank
+             ELSE 0 END) AS ap_fixed
+  FROM r GROUP BY 1)
+SELECT source, n, n_pos,
+       CASE WHEN n_pos > 0 THEN
+         CAST(ap_fixed AS DOUBLE)
+           / CAST(n_pos * 1048576 AS DOUBLE)
+       END AS avg_precision
+FROM a ORDER BY source"""
+
+  /** q195 oracle: the threshold decision judged against the q79 rule
+    * battery — q147's score and rule CTEs verbatim, integer
+    * confusion counts, three boundary divisions with NULL on empty
+    * denominators. */
+  val classifierPr: String = """
+WITH t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(text), ' +') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         CAST(length(text) - (len(toks) - 1) AS DOUBLE) AS word_chars
+  FROM t),
+s AS (
+  SELECT doc_id, source,
+         (-3.5 + 8.0 * (n_stop / n_tok) - 0.25 * (word_chars / n_tok)
+           + 2.0 * (n_dist / n_tok) + 0.5 * (n_tok / 100.0)) >= 0.0
+           AS pred
+  FROM f),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks)
+           AS mean_word_len,
+         CAST(len(list_filter(toks,
+           x -> x IN ('the', 'a', 'of', 'and', 'is', 'to'))) AS BIGINT)
+           AS n_stopwords,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           AS distinct_ratio
+  FROM t),
+y AS (
+  SELECT doc_id,
+         ((n_tokens >= 20 AND n_tokens <= 90)
+          AND (mean_word_len >= 4.0 AND mean_word_len <= 10.0)
+          AND (n_stopwords >= 2) AND (distinct_ratio >= 0.35)) AS y
+  FROM m),
+a AS (
+  SELECT s.source,
+         CAST(sum(CASE WHEN s.pred AND y.y THEN 1 ELSE 0 END)
+           AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s.pred AND NOT y.y THEN 1 ELSE 0 END)
+           AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT s.pred AND y.y THEN 1 ELSE 0 END)
+           AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN NOT s.pred AND NOT y.y THEN 1 ELSE 0 END)
+           AS BIGINT) AS tn
+  FROM s JOIN y ON y.doc_id = s.doc_id GROUP BY 1)
+SELECT source, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN
+         CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0 THEN
+         CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0 THEN
+         CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+       END AS f1
+FROM a ORDER BY source"""
+
   /** q193 oracle: the Pearson matrix replayed — identical zero-filled
     * day×type grid, HUGEINT sums (≡ decimal(38,0)), the identical
     * closed-form expression tree (casts of exact integers, two

@@ -210,6 +210,87 @@ object Eval {
     * the window and final rollup run on tie blocks, not rows, and
     * reuse the same hash partitioning. Nothing row-sized crosses a
     * second exchange. */
+  /** Grouped average precision (r8-cont) — the imbalance-sensitive
+    * companion to [[rocAuc]] (AUC is prevalence-invariant; AP is what
+    * moves when the positive class is rare, which for a quality
+    * classifier over a mostly-junk corpus is the number that
+    * matters). AP = mean over positives of precision@rank(positive),
+    * under an EXPLICIT total order (score desc, then `tieCol` asc) —
+    * ties are resolved by the unique tie column, the engine's
+    * unique-window-tie-break rule, so the metric is deterministic
+    * and replayable rather than averaging over tie permutations.
+    *
+    * Exactness (the q184 fixed-point playbook): precision@k =
+    * cum_pos/rank is NOT a finite decimal, so each term is carried
+    * as the INTEGER ⌊cum_pos·2²⁰ / rank⌋ (integer division) and AP
+    * as their exact long sum divided once by n⁺·2²⁰ at the output
+    * boundary — a documented ≤2⁻²⁰ quantization of true AP, in
+    * exchange for hash-exact replay. Degenerate groups (no
+    * positives) → NULL. One window per group (ranks must
+    * materialize — AP is defined on the full ranking), one rollup. */
+  def averagePrecision(scored: DataFrame, groupCols: Seq[String],
+                       scoreCol: String, labelCol: String,
+                       tieCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val y = col(labelCol).cast("boolean")
+    val ranked = scored
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__cum_pos",
+        sum(when(y, 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(y, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(y,
+          // integer DIV — Column./ would be a double divide
+          expr("(__cum_pos * 1048576L) DIV __rank"))
+          .otherwise(0L)).as("ap_fixed"))
+      .withColumn("avg_precision",
+        when(col("n_pos") > 0,
+          col("ap_fixed").cast(DoubleType) /
+            (col("n_pos") * lit(1048576L)).cast(DoubleType)))
+      .select(g :+ col("n") :+ col("n_pos") :+ col("avg_precision"): _*)
+      .orderBy(g: _*)
+  }
+
+  /** Grouped confusion counts + precision/recall/F1 at the shipped
+    * threshold (r8-cont) — the third leg of the release gate next to
+    * [[rocAuc]] (ranking) and [[calibrationReport]] (probability
+    * honesty): what the binary decision actually does, per group.
+    * Pure integer counts in one map-side-combined aggregate; the
+    * three ratios are boundary divisions of exact longs, NULL (not
+    * 0/0) when a denominator is empty. */
+  def classifierPr(pred: DataFrame, groupCols: Seq[String],
+                   predCol: String, truthCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.types.DoubleType
+    val g = groupCols.map(col)
+    val p = col(predCol).cast("boolean")
+    val y = col(truthCol).cast("boolean")
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val d = (c: Column) => c.cast(DoubleType)
+    pred.groupBy(g: _*)
+      .agg(cnt(p && y).as("tp"), cnt(p && !y).as("fp"),
+        cnt(!p && y).as("fn"), cnt(!p && !y).as("tn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          d(col("tp")) / d(col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          d(col("tp")) / d(col("tp") + col("fn"))))
+      .withColumn("f1",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          d(lit(2L) * col("tp")) /
+            d(lit(2L) * col("tp") + col("fp") + col("fn"))))
+      .orderBy(g: _*)
+  }
+
   def rocAuc(scored: DataFrame, groupCols: Seq[String],
              scoreCol: String, labelCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")

@@ -167,6 +167,62 @@ class EvalSpec extends SparkSpec {
     assert((g1.getLong(1), g1.getLong(2), g1.getLong(3)) == ((4L, 2L, 2L)))
   }
 
+  test("averagePrecision: hand case, tie order, fixed-point bound, degenerate") {
+    import spark.implicits._
+    val scored = Seq(
+      // g1 ranking by (score desc, id asc): T(3.0,#1) F(2.0,#2)
+      // T(1.0,#3) → AP = (1/1 + 2/3)/2 = 5/6
+      ("g1", 3.0, 1L, true), ("g1", 2.0, 2L, false), ("g1", 1.0, 3L, true),
+      // g2: equal scores — id asc puts the positive FIRST → AP = 1
+      ("g2", 5.0, 10L, true), ("g2", 5.0, 11L, false),
+      // g3: no positives → NULL
+      ("g3", 1.0, 20L, false)
+    ).toDF("g", "score", "id", "y")
+    val got = Eval.averagePrecision(scored, Seq("g"), "score", "y", "id")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(math.abs(got("g1").get - 5.0 / 6.0) <= math.pow(2, -20))
+    assert(got("g2") === Some(1.0)) // 2^20/2^20 — exact
+    assert(got("g3") === None)
+    // fixed-point quantization bound vs exact-rational AP on a
+    // pseudo-random ranking
+    val rows = (1 to 200).map(i =>
+      ("g", ((i * 7919) % 97).toDouble, i.toLong, (i * 104729) % 3 == 0))
+    val ap = Eval.averagePrecision(rows.toDF("g", "score", "id", "y"),
+      Seq("g"), "score", "y", "id").head().getDouble(3)
+    val ranked = rows.sortBy(r => (-r._2, r._3))
+    var cumPos = 0; var rank = 0; var total = 0.0; var nPos = 0
+    ranked.foreach { r =>
+      rank += 1
+      if (r._4) { cumPos += 1; nPos += 1; total += cumPos.toDouble / rank }
+    }
+    val brute = total / nPos
+    assert(math.abs(ap - brute) <= math.pow(2, -20) + 1e-12,
+      s"ap=$ap brute=$brute")
+  }
+
+  test("classifierPr: confusion counts and NULL-guarded ratios") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: tp=2 fp=1 fn=1 tn=1 → P=2/3 R=2/3 F1=2/3
+      ("g1", true, true), ("g1", true, true), ("g1", true, false),
+      ("g1", false, true), ("g1", false, false),
+      // g2: never predicts → precision NULL, recall 0
+      ("g2", false, true), ("g2", false, false),
+      // g3: perfect → all 1.0
+      ("g3", true, true), ("g3", false, false)
+    ).toDF("g", "pred", "y")
+    val got = Eval.classifierPr(df, Seq("g"), "pred", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = got("g1")
+    assert((g1.getLong(1), g1.getLong(2), g1.getLong(3), g1.getLong(4))
+      == ((2L, 1L, 1L, 1L)))
+    assert(g1.getAs[Double]("precision") == 2.0 / 3.0 &&
+      g1.getAs[Double]("f1") == 2.0 / 3.0)
+    assert(got("g2").isNullAt(5) && got("g2").getAs[Double]("recall") == 0.0)
+    assert(got("g3").getAs[Double]("f1") == 1.0)
+  }
+
   test("rocAuc equals brute-force pair counting on pseudo-random data") {
     import spark.implicits._
     val rows = (1 to 400).map { i =>
