@@ -825,6 +825,27 @@ object SparkEntry {
     // (partition-order-dependent double accumulator).
     "q193_type_correlation" -> ((s, dir) =>
       graft.ops.Analytics.typeCorrelationMatrix(Tables.events(s, dir))),
+    // Recursive CTE hierarchy walk (r8-cont): Spark 4's WITH
+    // RECURSIVE over a deterministic 8-ary tree on the contiguous
+    // orderkeys (parent = k DIV 8) — the org-chart/BOM traversal the
+    // chained-CTE family (§2.6) stops short of. BFS by level, ~6
+    // rounds at sf0.1, each a broadcast-able equi-join of one level
+    // against the full table; DuckDB replays with its own recursive
+    // CTE (`//` for DIV — dialects differ, semantics identical).
+    "q196_recursive_tree" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_tree")
+      s.sql("""
+        WITH RECURSIVE anc(k, parent, depth) AS (
+          SELECT o_orderkey AS k, CAST(NULL AS BIGINT) AS parent,
+                 CAST(0 AS BIGINT) AS depth
+          FROM orders_tree WHERE o_orderkey < 8
+          UNION ALL
+          SELECT o.o_orderkey AS k, a.k AS parent, a.depth + 1 AS depth
+          FROM orders_tree o JOIN anc a ON o.o_orderkey DIV 8 = a.k
+          WHERE o.o_orderkey >= 8
+        )
+        SELECT k, parent, depth FROM anc ORDER BY k""")
+    }),
     // Golden-record survivorship (r8-cont): per customer, each field
     // independently from the LATEST order where it is non-null —
     // "latest non-null per field", the MDM rule row-wise SCD-1
@@ -2159,6 +2180,7 @@ object SparkEntry {
     "q193_type_correlation" -> Oracle.typeCorrelation,
     "q194_avg_precision"    -> Oracle.avgPrecision,
     "q195_classifier_pr"    -> Oracle.classifierPr,
+    "q196_recursive_tree"   -> Oracle.recursiveTree,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

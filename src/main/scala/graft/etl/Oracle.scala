@@ -5303,6 +5303,20 @@ FROM p JOIN v
  AND v.view_ts <= p.ts
 ORDER BY event_id, view_event_id"""
 
+  /** q196 oracle: the hierarchy walk in DuckDB's own recursive CTE —
+    * identical seed (k < 8, depth 0) and step (parent = child // 8);
+    * `//` is DuckDB's integer division where Spark writes DIV. */
+  val recursiveTree: String = """
+WITH RECURSIVE anc(k, parent, depth) AS (
+  SELECT o_orderkey AS k, CAST(NULL AS BIGINT) AS parent,
+         CAST(0 AS BIGINT) AS depth
+  FROM orders WHERE o_orderkey < 8
+  UNION ALL
+  SELECT o.o_orderkey AS k, a.k AS parent, a.depth + 1 AS depth
+  FROM orders o JOIN anc a ON o.o_orderkey // 8 = a.k
+  WHERE o.o_orderkey >= 8)
+SELECT k, parent, depth FROM anc ORDER BY k"""
+
   /** q194 oracle: grouped average precision replayed — the q89 score
     * tree verbatim, the explicit (score DESC, doc_id ASC) total
     * order, each precision@k term as the integer
