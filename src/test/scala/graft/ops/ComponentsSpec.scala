@@ -170,6 +170,26 @@ class ComponentsSpec extends SparkSpec {
     assert(survivors == dedup)
   }
 
+  test("incrementalComponents ≡ full recompute on random splits of random graphs") {
+    def lbl2(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().sorted.toSeq
+    for (seed <- 1 to 3) {
+      // pseudo-random sparse graph over 60 nodes (chains + cross links)
+      val edges = (1 to 80).map { i =>
+        val a = ((i * 7919 + seed * 131) % 60).toLong
+        val b = ((i * 104729 + seed * 37) % 60).toLong
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      val cut = 20 + (seed * 17) % 40
+      val (day1, day2) = edges.splitAt(cut)
+      val stored = Components.connectedComponents(day1.toDF("src", "dst"))
+      val inc = lbl2(Components.incrementalComponents(
+        stored, day2.toDF("src", "dst")))
+      val full = lbl2(Components.connectedComponents(edges.toDF("src", "dst")))
+      assert(inc == full, s"seed=$seed cut=$cut")
+    }
+  }
+
   test("incrementalComponents ≡ full recompute: merges, new nodes, singletons") {
     def lbl(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long)].collect().sorted.toSeq
