@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.GraftSession
 import graft.io.Tables
-import graft.ops.{Incremental, Upsert}
+import graft.ops.{Incremental, RangeJoin, Sessions, Upsert}
 
 /** 10×-scale measurement of the warehouse-maintenance family
   * (q187/q188): keys ×10 with per-key history unchanged — the growth
@@ -85,6 +85,20 @@ object ProfileMaintenance10x {
           minCols = Seq("price"), maxCols = Seq("price"),
           countCol = "n_orders").count()
       }
+      // overlap join at 10× keys: sessions × daily windows — row
+      // multiplication is bounded by interval_len/bin, pairs by the
+      // true overlap count, never |sessions|×|windows|
+      def overlapOf(ev: DataFrame): Long = {
+        val sess = Sessions.sessionize(ev)
+        val wins = ev
+          .select(date_trunc("day", col("ts")).as("win_start")).distinct()
+          .select(col("win_start"),
+            (col("win_start") + expr("INTERVAL 6 HOURS")).as("win_end"))
+        RangeJoin.overlapBinned(sess, wins,
+          "session_start", "session_end", "win_start", "win_end").count()
+      }
+      timed(s"overlapBinned 1x (round $round)") { overlapOf(e1) }
+      timed(s"overlapBinned 10x (round $round)") { overlapOf(e10) }
     }
     // prove the delta path's scan is partition-pruned, not filtered —
     // partition pruning is STATIC planning, so the pre-execution plan
