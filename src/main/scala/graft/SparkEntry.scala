@@ -60,6 +60,24 @@ object SparkEntry {
           // count(CASE ...) — normalize
           .na.fill(0L, Seq("confirmed", "pending", "canceled"))
           .orderBy("month_start")),
+      // Unpivot (melt) — the inverse reshape (r8-cont): q41's wide
+      // month × status table back to long (month, status, n) rows,
+      // zero cells included (that is what distinguishes the
+      // roundtrip from a plain GROUP BY: absent combinations
+      // surface as explicit zeros). Dataset.unpivot is a pure
+      // projection+explode — no shuffle beyond the pivot's own.
+      "q197_unpivot_status" -> ((_, c) => {
+        val wide = c
+          .groupBy(Present.monthOf(col("booking_date")).as("month_start"))
+          .pivot("booking_status", Seq("confirmed", "pending", "canceled"))
+          .count()
+          .na.fill(0L, Seq("confirmed", "pending", "canceled"))
+        wide.unpivot(
+            Array(col("month_start")),
+            Array(col("confirmed"), col("pending"), col("canceled")),
+            "booking_status", "n_bookings")
+          .orderBy("month_start", "booking_status")
+      }),
       "q43_cube_revenue" -> ((_, c) =>
         c.cube(col("cityname"), col("booking_status"))
           .agg(grouping_id().as("gid"),
@@ -211,6 +229,8 @@ object SparkEntry {
     }),
     // Pivot: bookings count by month × status (wide reshape).
     "q41_pivot_status" -> curatedQ("q41_pivot_status"),
+    // Unpivot (melt): q41's wide table back to long, zeros included.
+    "q197_unpivot_status" -> curatedQ("q197_unpivot_status"),
     // Hierarchical rollup (grouping sets family — beyond the
     // reference's flat GROUP BYs): revenue by year ⊃ month ⊃ total.
     "q17_rollup_revenue" -> ((s, dir) =>
@@ -2181,6 +2201,7 @@ object SparkEntry {
     "q194_avg_precision"    -> Oracle.avgPrecision,
     "q195_classifier_pr"    -> Oracle.classifierPr,
     "q196_recursive_tree"   -> Oracle.recursiveTree,
+    "q197_unpivot_status"   -> Oracle.unpivotStatus,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

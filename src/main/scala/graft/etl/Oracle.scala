@@ -709,6 +709,28 @@ SELECT CAST(date_trunc('month', booking_date) AS DATE) AS month_start,
        count(CASE WHEN booking_status = 'canceled' THEN 1 END) AS canceled
 FROM curated GROUP BY 1 ORDER BY month_start"""
 
+  /** q197 oracle: the melt replayed as the month × fixed-status grid
+    * with zero-filled counts — the explicit-zeros contract that
+    * distinguishes unpivot(pivot(x)) from a plain GROUP BY. */
+  val unpivotStatus: String = s"""$curatedCte,
+months AS (
+  SELECT DISTINCT CAST(date_trunc('month', booking_date) AS DATE)
+    AS month_start FROM curated),
+statuses AS (
+  SELECT * FROM (VALUES ('confirmed'), ('pending'), ('canceled'))
+    s(booking_status)),
+counts AS (
+  SELECT CAST(date_trunc('month', booking_date) AS DATE) AS month_start,
+         booking_status, count(*) AS n
+  FROM curated GROUP BY 1, 2)
+SELECT m.month_start, s.booking_status,
+       coalesce(c.n, 0) AS n_bookings
+FROM months m CROSS JOIN statuses s
+LEFT JOIN counts c
+  ON c.month_start = m.month_start
+ AND c.booking_status = s.booking_status
+ORDER BY m.month_start, s.booking_status"""
+
   val viewingFunnel: String = """
 WITH uv AS (
   SELECT DISTINCT user_id, event_id % 2100 AS apartment_id,
