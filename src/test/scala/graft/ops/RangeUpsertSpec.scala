@@ -142,6 +142,20 @@ class RangeUpsertSpec extends SparkSpec {
     for (bin <- Seq(3600L, 604800L))
       assert(pairs(RangeJoin.overlapBinned(left, right,
         "ls", "le", "rs", "re", binSeconds = bin)) == naive)
+    // plan contract: ONE equi-join on the bin id, no nested loop,
+    // no distinct/dedup exchange after the join (the first-shared-bin
+    // rule replaces it)
+    val df = RangeJoin.overlapBinned(left, right, "ls", "le", "rs", "re")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val joinOps = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joinOps == 1, plan)
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("HashAggregate(keys=[lid"), plan) // no dedup pass
   }
 
   test("scd2History collapses runs, reopens on recurrence, chains bounds") {
