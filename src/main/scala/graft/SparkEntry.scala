@@ -948,6 +948,38 @@ object SparkEntry {
             .as("avg_price"))
         .orderBy("order_month")
     }),
+    // Incremental variance Gold (r8-cont): second moments are
+    // mergeable too — the stored partial carries Σx and Σx² (cents
+    // as longs, squares in decimal(38,0): a long Σx² wraps at ~4k
+    // rows of 5e7-cent orders), the delta merges in, and population
+    // variance/mean derive at the READ boundary. Oracle = one-shot
+    // HUGEINT sums + the identical closed form: the hash match
+    // proves moment-merging exactly like q188 proves sum-merging.
+    "q198_incremental_variance" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast(DecimalType(38, 0))
+      val o = Tables.orders(s, dir).select(
+        date_trunc("month", col("o_orderdate")).cast("date")
+          .as("order_month"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+          .cast("long").as("cents"))
+        .withColumn("cents_sq", dec(col("cents")) * dec(col("cents")))
+      val cut = lit("2000-01-01").cast("date")
+      def part(df: DataFrame) = Incremental.partialAggregate(
+        df, Seq("order_month"), sumCols = Seq("cents", "cents_sq"))
+      val merged = Incremental.merge(
+        Seq(part(o.filter(col("order_month") < cut)),
+          part(o.filter(col("order_month") >= cut))),
+        Seq("order_month"), sumCols = Seq("cents", "cents_sq"))
+      merged.select(col("order_month"), col("n_rows"),
+          (col("sum_cents").cast(DoubleType) /
+            col("n_rows").cast(DoubleType) / lit(100.0)).as("mean_price"),
+          ((dec(col("n_rows")) * col("sum_cents_sq") -
+            dec(col("sum_cents")) * dec(col("sum_cents")))
+            .cast(DoubleType) /
+            (dec(col("n_rows")) * dec(col("n_rows"))).cast(DoubleType) /
+            lit(10000.0)).as("var_price"))
+        .orderBy("order_month")
+    }),
     // SCD Type-2 dimension history (r8-cont): the changelog of each
     // user's event_type collapsed to versioned validity intervals —
     // consecutive duplicates merge, recurrences reopen, effective_to
@@ -2202,6 +2234,7 @@ object SparkEntry {
     "q195_classifier_pr"    -> Oracle.classifierPr,
     "q196_recursive_tree"   -> Oracle.recursiveTree,
     "q197_unpivot_status"   -> Oracle.unpivotStatus,
+    "q198_incremental_variance" -> Oracle.incrementalVariance,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

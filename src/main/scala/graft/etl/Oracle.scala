@@ -5325,6 +5325,28 @@ FROM p JOIN v
  AND v.view_ts <= p.ts
 ORDER BY event_id, view_event_id"""
 
+  /** q198 oracle: the ONE-SHOT moment aggregate (the q188 pattern for
+    * second moments) — cents as BIGINT, Σx/Σx² in HUGEINT
+    * (≡ decimal(38,0): a BIGINT Σx² wraps), the identical
+    * variance/mean closed form at the double boundary. */
+  val incrementalVariance: String = """
+WITH c AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+a AS (
+  SELECT order_month, CAST(count(*) AS BIGINT) AS n_rows,
+         sum(CAST(cents AS HUGEINT)) AS sx,
+         sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx
+  FROM c GROUP BY 1)
+SELECT order_month, n_rows,
+       CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0 AS mean_price,
+       CAST(CAST(n_rows AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+         / CAST(CAST(n_rows AS HUGEINT) * CAST(n_rows AS HUGEINT)
+             AS DOUBLE)
+         / 10000.0 AS var_price
+FROM a ORDER BY order_month"""
+
   /** q196 oracle: the hierarchy walk in DuckDB's own recursive CTE —
     * identical seed (k < 8, depth 0) and step (parent = child // 8);
     * `//` is DuckDB's integer division where Spark writes DIV. */
