@@ -158,6 +158,35 @@ class RangeUpsertSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate(keys=[lid"), plan) // no dedup pass
   }
 
+  test("overlapBinned ≡ naive on random intervals with sub-second bounds") {
+    // pseudo-random interval sets whose endpoints carry millisecond
+    // fractions straddling bin boundaries — the arithmetic class that
+    // once bit the point-in-interval binning (end−1µs regression)
+    def mk(seed: Int, n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = ((i * 7919 + seed * 104729) % 14400) * 500L +  // ~2h span
+        ((i * 131) % 1000)                                    // ms fraction
+      val len = ((i * 37 + seed) % 200) * 1000L + // 0–200 s, plus a
+        ((i * 577) % 1000) + 1L                   // ms fraction of its own
+      (idBase + i,
+        new Timestamp(1704067200000L + s),
+        new Timestamp(1704067200000L + s + len))
+    }
+    for (seed <- 1 to 3) {
+      val left = mk(seed, 120, 0L).toDF("lid", "ls", "le")
+      val right = mk(seed + 7, 80, 1000L).toDF("rid", "rs", "re")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "rid", "overlap_micros")
+          .as[(Long, Long, Long)].collect().sorted.toSeq
+      val naive = pairs(RangeJoin.overlapNaive(
+        left, right, "ls", "le", "rs", "re"))
+      assert(naive.nonEmpty, s"seed=$seed generated no overlaps")
+      for (bin <- Seq(1L, 7L, 3600L))
+        assert(pairs(RangeJoin.overlapBinned(left, right,
+          "ls", "le", "rs", "re", binSeconds = bin)) == naive,
+          s"seed=$seed bin=$bin")
+    }
+  }
+
   test("scd2History collapses runs, reopens on recurrence, chains bounds") {
     val changelog = Seq(
       // u1: a, a (re-assert: NO new version), b, a (recurs: NEW run)
