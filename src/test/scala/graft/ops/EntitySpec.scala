@@ -210,4 +210,32 @@ class EntitySpec extends SparkSpec {
     assert(plan.contains("partial_max") || plan.contains("partial"),
       plan)
   }
+
+  test("goldenRecord ≡ brute survivorship on random null-ridden records") {
+    for (seed <- 1 to 3) {
+      val rows = (1 to 300).map { i =>
+        val eid = ((i * 7919 + seed) % 17).toLong
+        val t = ((i * 131 + seed * 7) % 23).toLong // heavy ts ties
+        val a = if ((i * 37 + seed) % 3 == 0) null
+          else s"a${(i * 13) % 5}"
+        val b = if ((i * 577 + seed) % 4 == 0) null
+          else s"b${(i * 11) % 4}"
+        (eid, t, i.toLong, a, b)
+      }
+      val got = Entity.goldenRecord(
+          rows.toDF("eid", "t", "rid", "fa", "fb"),
+          "eid", "t", "rid", Seq("fa", "fb"))
+        .as[(Long, Option[String], Option[String], Long, Long)]
+        .collect().map(r => r._1 -> r).toMap
+      rows.groupBy(_._1).foreach { case (eid, rs) =>
+        def survivor(f: ((Long, Long, Long, String, String)) => String) =
+          rs.filter(r => f(r) != null)
+            .sortBy(r => (r._2, r._3)).lastOption.map(f)
+        val g = got(eid)
+        assert(g._2 == survivor(_._4) && g._3 == survivor(_._5),
+          s"seed=$seed eid=$eid")
+        assert(g._4 == rs.size && g._5 == rs.map(_._2).max)
+      }
+    }
+  }
 }
