@@ -957,12 +957,15 @@ object SparkEntry {
     // proves moment-merging exactly like q188 proves sum-merging.
     "q198_incremental_variance" -> ((s, dir) => {
       val dec = (c: Column) => c.cast(DecimalType(38, 0))
+      // BOTH moment columns ride in decimal(38,0) ≡ HUGEINT: Σx of
+      // long cents wraps too once row counts reach warehouse scale
+      // (the Incremental contract's overflow rule), not just Σx²
       val o = Tables.orders(s, dir).select(
         date_trunc("month", col("o_orderdate")).cast("date")
           .as("order_month"),
-        floor(col("o_totalprice") * lit(100.0) + lit(0.5))
-          .cast("long").as("cents"))
-        .withColumn("cents_sq", dec(col("cents")) * dec(col("cents")))
+        dec(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+          .cast("long")).as("cents"))
+        .withColumn("cents_sq", col("cents") * col("cents"))
       val cut = lit("2000-01-01").cast("date")
       def part(df: DataFrame) = Incremental.partialAggregate(
         df, Seq("order_month"), sumCols = Seq("cents", "cents_sq"))

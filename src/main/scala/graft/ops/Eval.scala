@@ -187,29 +187,6 @@ object Eval {
       .orderBy("bin")
   }
 
-  /** Exact grouped ROC-AUC (r8-cont) — the threshold-free
-    * discrimination metric [[calibrationReport]] deliberately isn't
-    * (a classifier can be perfectly calibrated and useless, or
-    * miscalibrated and a perfect ranker; a release gate wants both
-    * numbers). Computed via the Mann-Whitney rank-sum identity
-    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with AVERAGE ranks on ties —
-    * the exact probability a random positive outscores a random
-    * negative (ties count ½).
-    *
-    * Exactness (the q185 two-middle-rank discipline): ranks never
-    * materialize per row — scores collapse to per-(group, score) tie
-    * blocks, the block's doubled average rank is the integer
-    * 2·cum_before + n + 1, and 2·R⁺ accumulates in decimal(38,0)
-    * (≡ HUGEINT; a long would wrap near 10⁹ rows — the trendSlope
-    * lesson). The single IEEE op is the final division; degenerate
-    * groups (no positives or no negatives) yield NULL, not a 0/0
-    * NaN.
-    *
-    * 100 TB shape: one map-side-combined aggregate collapses the
-    * corpus to ≤|distinct scores| rows per group BEFORE the window —
-    * the window and final rollup run on tie blocks, not rows, and
-    * reuse the same hash partitioning. Nothing row-sized crosses a
-    * second exchange. */
   /** Grouped average precision (r8-cont) — the imbalance-sensitive
     * companion to [[rocAuc]] (AUC is prevalence-invariant; AP is what
     * moves when the positive class is rare, which for a quality
@@ -291,6 +268,29 @@ object Eval {
       .orderBy(g: _*)
   }
 
+  /** Exact grouped ROC-AUC (r8-cont) — the threshold-free
+    * discrimination metric [[calibrationReport]] deliberately isn't
+    * (a classifier can be perfectly calibrated and useless, or
+    * miscalibrated and a perfect ranker; a release gate wants both
+    * numbers). Computed via the Mann-Whitney rank-sum identity
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with AVERAGE ranks on ties —
+    * the exact probability a random positive outscores a random
+    * negative (ties count ½).
+    *
+    * Exactness (the q185 two-middle-rank discipline): ranks never
+    * materialize per row — scores collapse to per-(group, score) tie
+    * blocks, the block's doubled average rank is the integer
+    * 2·cum_before + n + 1, and 2·R⁺ accumulates in decimal(38,0)
+    * (≡ HUGEINT; a long would wrap near 10⁹ rows — the trendSlope
+    * lesson). The single IEEE op is the final division; degenerate
+    * groups (no positives or no negatives) yield NULL, not a 0/0
+    * NaN.
+    *
+    * 100 TB shape: one map-side-combined aggregate collapses the
+    * corpus to ≤|distinct scores| rows per group BEFORE the window —
+    * the window and final rollup run on tie blocks, not rows, and
+    * reuse the same hash partitioning. Nothing row-sized crosses a
+    * second exchange. */
   def rocAuc(scored: DataFrame, groupCols: Seq[String],
              scoreCol: String, labelCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")

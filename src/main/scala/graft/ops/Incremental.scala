@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   *
   * Contract: only combine-order-independent aggregates are mergeable
   * this way — counts, integer/decimal sums, min, max (and anything
-  * derived from them at READ time: avg = sum/count, range = max−min).
-  * Double sums are NOT (IEEE addition is order-sensitive; cast money
-  * to decimal first — [[graft.etl.Present.decSum]] discipline).
-  * Count-distinct is not mergeable exactly — use the mergeable HLL
-  * sketch ([[Sketch.hllSketch]]) for that, same as the streaming
-  * state twins do.
+  * derived from them at READ time: avg = sum/count, range = max−min,
+  * variance from Σx/Σx² — q198). Double sums are NOT (IEEE addition
+  * is order-sensitive; cast money to decimal first — the
+  * [[graft.etl.Present.decSum]] discipline). Overflow rule: a LONG
+  * sum column wraps silently past 2^63 — at warehouse row counts
+  * that is reachable for money-in-cents (≈1.7e11 rows of 5e7-cent
+  * orders), so cast any Σ that can grow with data volume to
+  * decimal(38,0) BEFORE the partial (q198 does this for both
+  * moments); plain row counts are safe. Count-distinct is not
+  * mergeable exactly — use the mergeable HLL sketch
+  * ([[Sketch.hllSketch]]) for that, same as the streaming state
+  * twins do.
   */
 object Incremental {
 

@@ -28,6 +28,40 @@ import org.apache.spark.sql.types.StructType
   */
 object RangeJoin {
 
+  /** Bin id = the bin's start in micros (us − us mod width), in pure
+    * long arithmetic — a double floor(us / width) is only exact while
+    * |us| < 2^53 and can mis-bin a point sitting just below a bin
+    * boundary outside that range. pmod keeps floor semantics for
+    * negative (pre-1970) timestamps; any order-preserving injection
+    * of the quotient is a valid join key, so the division itself is
+    * never needed. ONE definition shared by [[binned]] and
+    * [[overlapBinned]] so the invariant can't drift between them. */
+  private def binOfMicros(us: Column, binMicros: Long): Column =
+    us - pmod(us, lit(binMicros))
+
+  /** cast("timestamp") first: parquet written without the UTC flag
+    * reads as TIMESTAMP_NTZ, which unix_micros rejects; under the
+    * session's UTC zone the cast is value-exact and a no-op for
+    * already-zoned timestamps. */
+  private def usOf(t: Column): Column = unix_micros(t.cast("timestamp"))
+
+  private def binOf(t: Column, binMicros: Long): Column =
+    binOfMicros(usOf(t), binMicros)
+
+  /** Explode an interval frame to the bins each [start, end) covers.
+    * End is exclusive: the last covered bin is bin(end − 1µs), exact
+    * in microseconds. Empty/inverted intervals match nothing — drop
+    * them BEFORE the explode: sequence(hi, lo) counts DOWNWARD in
+    * Spark, so an inverted interval would otherwise fan out to
+    * spurious bins (filtered later, but paid for in the join). */
+  private def explodeToBins(df: DataFrame, startCol: String,
+                            endCol: String, binMicros: Long): DataFrame =
+    df.filter(col(endCol) > col(startCol))
+      .withColumn("__bin", explode(sequence(
+        binOf(col(startCol), binMicros),
+        binOfMicros(usOf(col(endCol)) - lit(1L), binMicros),
+        lit(binMicros))))
+
   /** Exact-predicate baseline (broadcast nested loop). Correct at any
     * interval density; only use when `intervals` is broadcast-small. */
   def naive(points: DataFrame, intervals: DataFrame,
@@ -54,35 +88,8 @@ object RangeJoin {
     require(!(points.columns ++ intervals.columns).contains("__bin"),
       "__bin is reserved")
     val binMicros = binSeconds * 1000000L
-    // bin id = the bin's start in micros (us − us mod width), computed
-    // in pure long arithmetic — a double floor(us / width) is only
-    // exact while |us| < 2^53 and can mis-bin a point sitting just
-    // below a bin boundary outside that range. pmod keeps floor
-    // semantics for negative (pre-1970) timestamps; any
-    // order-preserving injection of the quotient is a valid join key,
-    // so the division itself is never needed.
-    def binOfMicros(us: Column): Column = us - pmod(us, lit(binMicros))
-    // cast("timestamp") first: parquet written without the UTC flag
-    // reads as TIMESTAMP_NTZ, which unix_micros rejects; under the
-    // session's UTC zone the cast is value-exact and a no-op for
-    // already-zoned timestamps
-    def binOf(t: Column): Column =
-      binOfMicros(unix_micros(t.cast("timestamp")))
-
-    val p = points.withColumn("__bin", binOf(col(pointTs)))
-    // end is exclusive: the last covered bin is bin(end − 1µs),
-    // computed exactly in microseconds (timestamp precision).
-    // Empty/inverted intervals ([start,end) with end <= start) match
-    // nothing — drop them BEFORE the explode: sequence(hi, lo) counts
-    // DOWNWARD in Spark, so an inverted interval would otherwise fan
-    // out to spurious bins (filtered later, but paid for in the join)
-    val i = intervals
-      .filter(col(endCol) > col(startCol))
-      .withColumn("__bin",
-        explode(sequence(binOf(col(startCol)),
-          binOfMicros(unix_micros(col(endCol).cast("timestamp")) - lit(1L)),
-          lit(binMicros))))
-
+    val p = points.withColumn("__bin", binOf(col(pointTs), binMicros))
+    val i = explodeToBins(intervals, startCol, endCol, binMicros)
     p.join(i, Seq("__bin"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bin")
@@ -187,22 +194,14 @@ object RangeJoin {
       !(left.columns ++ right.columns).contains("overlap_micros"),
       "__bin / overlap_micros are reserved")
     val binMicros = binSeconds * 1000000L
-    def us(t: Column): Column = unix_micros(t.cast("timestamp"))
-    def binOfMicros(u: Column): Column = u - pmod(u, lit(binMicros))
-    def explodeBins(df: DataFrame, s: String, e: String): DataFrame =
-      df.filter(col(e) > col(s))
-        .withColumn("__bin", explode(sequence(
-          binOfMicros(us(col(s))),
-          binOfMicros(us(col(e)) - lit(1L)),
-          lit(binMicros))))
-    explodeBins(left, lStart, lEnd)
-      .join(explodeBins(right, rStart, rEnd), Seq("__bin"))
+    explodeToBins(left, lStart, lEnd, binMicros)
+      .join(explodeToBins(right, rStart, rEnd, binMicros), Seq("__bin"))
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
-      .filter(col("__bin") ===
-        greatest(binOfMicros(us(col(lStart))), binOfMicros(us(col(rStart)))))
+      .filter(col("__bin") === greatest(
+        binOf(col(lStart), binMicros), binOf(col(rStart), binMicros)))
       .withColumn("overlap_micros",
-        least(us(col(lEnd)), us(col(rEnd))) -
-          greatest(us(col(lStart)), us(col(rStart))))
+        least(usOf(col(lEnd)), usOf(col(rEnd))) -
+          greatest(usOf(col(lStart)), usOf(col(rStart))))
       .drop("__bin")
   }
 
@@ -211,12 +210,11 @@ object RangeJoin {
   def overlapNaive(left: DataFrame, right: DataFrame,
                    lStart: String, lEnd: String,
                    rStart: String, rEnd: String): DataFrame = {
-    def us(t: Column): Column = unix_micros(t.cast("timestamp"))
     left.filter(col(lEnd) > col(lStart))
       .join(broadcast(right.filter(col(rEnd) > col(rStart))),
         col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .withColumn("overlap_micros",
-        least(us(col(lEnd)), us(col(rEnd))) -
-          greatest(us(col(lStart)), us(col(rStart))))
+        least(usOf(col(lEnd)), usOf(col(rEnd))) -
+          greatest(usOf(col(lStart)), usOf(col(rStart))))
   }
 }

@@ -26,13 +26,22 @@ class IncrementalSpec extends SparkSpec {
     df.orderBy("k").collect().map(_.toSeq.map(String.valueOf)).toSeq
 
   test("merging split partials equals the one-shot aggregate at any cut") {
-    val full = raw(500, 3)
-    val oneShot = rows(gold(full))
+    // cut the deterministic local Seq, not the DataFrame: an
+    // unordered limit/exceptAll pair can select different rows across
+    // the two jobs that would evaluate it
+    val rowsSeq = (1 to 500).map { i =>
+      (s"k${(i * 3) % 7}",
+        BigDecimal((i * 31 + 3) % 1000) / 100,
+        ((i * 17 + 3) % 50).toLong)
+    }
+    def df(xs: Seq[(String, BigDecimal, Long)]) =
+      xs.toDF("k", "amount", "qty")
+        .withColumn("amount", col("amount").cast(DecimalType(18, 2)))
+    val oneShot = rows(gold(df(rowsSeq)))
     for (cut <- Seq(0, 1, 137, 499, 500)) {
-      val a = full.limit(cut)
-      val b = full.exceptAll(a)
-      val merged = Incremental.merge(Seq(gold(a), gold(b)), Seq("k"),
-        sumCols = Seq("amount", "qty"),
+      val (a, b) = rowsSeq.splitAt(cut)
+      val merged = Incremental.merge(Seq(gold(df(a)), gold(df(b))),
+        Seq("k"), sumCols = Seq("amount", "qty"),
         minCols = Seq("amount"), maxCols = Seq("amount"))
       assert(rows(merged) == oneShot, s"cut=$cut")
     }
