@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 
-import graft.etl.{Analog, Present}
+import graft.etl.{Analog, Curate, GoldState, Present}
 import graft.io.Tables
 
 /** X1 orchestration (SURVEY §2.9): the reference's two-state Step
@@ -111,6 +111,178 @@ object Pipeline {
       "avg_booking_duration" -> Present.monthlyAvgDuration(own),
       "occupancy_rate" -> Present.monthlyOccupancy(window2)
         .filter(col("month_start") === to_date(lit(s"$month-01"))))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental flagship pipeline (r8 verdict ask #1): refresh ALL 7
+  // Gold tables by folding a partition-pruned month delta into stored
+  // mergeable partials (GoldState + Incremental.merge) instead of
+  // full-rebuilding. Day-N cost is O(delta) + O(state keys touched),
+  // never O(history) — at 100 TB the difference between a nightly job
+  // reading one day and reading six years.
+  // ------------------------------------------------------------------
+
+  case class IncrementalOutputs(
+      deltaSilver: DataFrame,            // the pruned Silver delta read
+      gold: Map[String, DataFrame],      // the 7 refreshed Gold tables
+      statePaths: Map[String, String])   // state written this fold
+
+  /** Gold-table names ↔ the state table + derivation that serves each
+    * (read-time derivations replay Present's exact IEEE shapes). */
+  private val goldFromState: Seq[(String, GoldState.Spec, DataFrame => DataFrame)] = Seq(
+    ("average_listing_price", GoldState.listingPrice, GoldState.listingPriceGold),
+    ("occupancy_rate", GoldState.occupancy, GoldState.occupancyGold),
+    ("most_popular_location", GoldState.popularCities, GoldState.popularCitiesGold),
+    ("top_performing_listing", GoldState.topListings, GoldState.topListingsGold),
+    ("bookings_per_user", GoldState.bookingsPerUser, GoldState.bookingsPerUserGold),
+    ("avg_booking_duration", GoldState.duration, GoldState.durationGold),
+    ("repeat_customer_rate", GoldState.repeatFlags, GoldState.repeatGold))
+
+  private def readStateOpt(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch { case _: AnalysisException => None } // absent or 0-file state
+
+  /** Months already folded into the state under `outDir` (the asof
+    * labels — every state table is written with the same label, so
+    * one table is the ledger). */
+  def processedMonths(outDir: String): Seq[String] = {
+    val dir = new java.io.File(s"$outDir/state/${GoldState.bookingsPerUser.name}")
+    Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("asof="))
+      .map(_.getName.stripPrefix("asof=")).sorted
+  }
+
+  /** Fold ONE month (see [[runIncrementalWindow]] for the general
+    * contract — a single month is just a 1-month window). */
+  def runIncremental(spark: SparkSession, sfDir: String, outDir: String,
+                     month: String, failOnViolations: Boolean = true,
+                     writeGold: Boolean = true): IncrementalOutputs =
+    runIncrementalWindow(spark, sfDir, outDir, Seq(month),
+      failOnViolations, writeGold)
+
+  /** Fold a WINDOW of booking/listing months into the warehouse:
+    * curate just the window's raw rows, land them as Silver month
+    * partitions (dynamic partition overwrite — a retried fold
+    * replaces its own partitions), then merge the window's partial
+    * aggregates into each stored Gold state and republish the 7
+    * presentation tables from merged state. PipelineIncrementalSpec
+    * proves the result row-bit-identical to `run` over the same data.
+    *
+    * Contracts:
+    *  - MONOTONIC APPEND: every window month must be strictly greater
+    *    than every month already folded (enforced loudly). The repeat
+    *    -rate carry-in (`user_last` state) is only the true LAG
+    *    predecessor under in-order folds; all other states are
+    *    order-free merges.
+    *  - rows whose booking_date fails to parse belong to NO window
+    *    (`try_to_date` month assignment); the delta validation gate
+    *    gains a NotNull(booking_date) check so they fail loudly here
+    *    rather than silently never arriving.
+    *  - full-row dedup within the window ≡ the full run's global
+    *    dedup: duplicate rows agree on booking_date, hence on month.
+    *
+    * Scale shape: ONE pass over the window's raw slice, partials
+    * collapse map-side to state-grain rows before any exchange, the
+    * stored-state reads are |keys|-sized, and the Silver delta read
+    * is partition-pruned (`PartitionFilters` asserted in the spec;
+    * the all-history metrics stay exact because their STATE — not
+    * the history — carries what read-time derivation needs). */
+  def runIncrementalWindow(spark: SparkSession, sfDir: String,
+                           outDir: String, months: Seq[String],
+                           failOnViolations: Boolean = true,
+                           writeGold: Boolean = true): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.{col, date_format, expr, lit}
+    require(months.nonEmpty, "months must be non-empty")
+    val silverDir = s"$outDir/curated.apartment_bookings"
+    val stateRoot = s"$outDir/state"
+
+    val done = processedMonths(outDir)
+    require(done.forall(d => months.forall(_ > d)),
+      s"monotonic-append violated: window ${months.mkString(",")} vs " +
+        s"already-folded ${done.mkString(",")} — reprocessing a folded " +
+        "month would double-count its partials; rebuild state from " +
+        "scratch (or restore the prior asof) instead")
+    val prevAsof = done.lastOption
+
+    // ---- Bronze delta: raw bookings whose booking month ∈ window ----
+    val bookingMonth = date_format(
+      expr(s"try_to_date(booking_date, '${Curate.RawDateFormat}')"),
+      "yyyy-MM")
+    val rawDelta = Analog.bookingsRaw(spark, sfDir)
+      .filter(bookingMonth.isin(months: _*))
+    stage(s"validate.delta[${months.min}..${months.max}]") {
+      val report = etl.Validate.run(rawDelta,
+        etl.Validate.bookingsChecks :+ etl.Validate.NotNull("booking_date"))
+      if (!report.clean) {
+        println(s"[pipeline] delta quality violations: ${report.failed}")
+        if (failOnViolations) throw new IllegalStateException(
+          s"delta failed quality gate: ${report.failed}")
+      }
+      report
+    }
+
+    // ---- Curate the delta; land its Silver month partitions ----
+    val curatedDelta = Curate.curate(rawDelta,
+        Analog.apartmentsRaw(spark, sfDir),
+        Analog.attributesRaw(spark, sfDir),
+        Tables.exchangeRates(spark))
+      .withColumn("booking_month",
+        date_format(col("booking_date"), "yyyy-MM"))
+    stage("curate.delta.write") {
+      curatedDelta.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("booking_month").parquet(silverDir)
+    }
+
+    // ---- Partition-pruned Silver delta (the only bookings scan the
+    // state fold reads — the spec asserts PartitionFilters) ----
+    val deltaSilver = spark.read.parquet(silverDir)
+      .filter(col("booking_month").isin(months: _*))
+
+    // apartments-side delta: listings created in the window (the
+    // listing-price metric's input is the apartments dim, not Silver)
+    val aptDelta = Analog.apartmentsConverted(spark, sfDir)
+      .filter(date_format(col("listing_created_on"), "yyyy-MM")
+        .isin(months: _*))
+
+    // ---- Fold each state: stored partial ⊕ window partial ----
+    val prevState: Map[String, Option[DataFrame]] = GoldState.all.map { s =>
+      s.name -> prevAsof.flatMap(a =>
+        readStateOpt(spark, s"$stateRoot/${s.name}/asof=$a"))
+    }.toMap
+    val carry = prevState(GoldState.userLast.name).map(GoldState.carryFromState)
+    val windowPartial: Map[String, DataFrame] = Map(
+      GoldState.listingPrice.name -> GoldState.listingPricePartial(aptDelta),
+      GoldState.occupancy.name -> GoldState.occupancyPartial(deltaSilver),
+      GoldState.popularCities.name -> GoldState.popularCitiesPartial(deltaSilver),
+      GoldState.topListings.name -> GoldState.topListingsPartial(deltaSilver),
+      GoldState.bookingsPerUser.name -> GoldState.bookingsPerUserPartial(deltaSilver),
+      GoldState.duration.name -> GoldState.durationPartial(deltaSilver),
+      GoldState.repeatFlags.name -> GoldState.repeatFlagsPartial(deltaSilver, carry),
+      GoldState.userLast.name -> GoldState.userLastPartial(deltaSilver))
+    val asof = months.max
+    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
+      val m = s.merge(prevState(s.name).toSeq :+ windowPartial(s.name))
+      stage(s"state.${s.name}") {
+        Tables.writeParquet(m, s"$stateRoot/${s.name}/asof=$asof")
+      }
+      // serve from the just-written state when it has files (a
+      // genuinely empty state stays an in-memory empty frame)
+      s.name -> readStateOpt(spark, s"$stateRoot/${s.name}/asof=$asof")
+        .getOrElse(m)
+    }.toMap
+
+    // ---- Republish the 7 Gold tables from merged state ----
+    val gold = goldFromState.map { case (name, spec, derive) =>
+      val g = derive(merged(spec.name))
+      if (writeGold) stage(s"present.$name") {
+        Tables.writeParquet(g, s"$outDir/presentation.$name")
+      }
+      name -> g
+    }.toMap
+
+    IncrementalOutputs(deltaSilver, gold,
+      GoldState.all.map(s => s.name -> s"$stateRoot/${s.name}/asof=$asof").toMap)
   }
 
   def main(args: Array[String]): Unit = {

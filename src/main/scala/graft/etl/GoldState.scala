@@ -1,0 +1,225 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.ops.Incremental
+import Curate.money
+import Present.{monthOf, weekOf}
+
+/** Mergeable Gold STATE for the 7 presentation metrics — what lets
+  * [[graft.Pipeline.runIncremental]] refresh the warehouse by folding
+  * a month delta into stored partials ([[Incremental.merge]]) instead
+  * of full-rebuilding (`Pipeline.run`'s shape, the r8 verdict's top
+  * gap). Each metric stores a partial aggregate at the FINEST grain
+  * its read-time derivation needs:
+  *
+  *  - `listing_price`   (week_start): Σprice as decimal, Σhas_price
+  *  - `occupancy`       (checkin month, apartment_id): n, Σnights —
+  *    the apartment grain is what makes `COUNT(DISTINCT apartment_id)`
+  *    derivable from state (a distinct-count is not mergeable, a
+  *    distinct-keyed row count is)
+  *  - `popular_cities`  (week_start, cityname): n
+  *  - `top_listings`    (week_start, apartment_id): Σrevenue decimal
+  *  - `bookings_per_user` (user_id): n
+  *  - `duration`        (booking month): n, Σnights
+  *  - `repeat_flags`    (booking month, user_id): max(is_repeat) —
+  *    same distinct-keyed trick for the two COUNT(DISTINCT user_id)s
+  *  - `user_last`       (user_id): max(struct(booking_date,
+  *    booking_id)) — the LAG carry-in: a new booking's repeat flag
+  *    depends only on the user's immediately-previous confirmed
+  *    booking, so folding month M needs exactly this one row per
+  *    user, never history
+  *
+  * Every aggregate is combine-order-independent per [[Incremental]]'s
+  * contract (counts, long sums, decimal sums, struct max); the
+  * read-time derivations below then replay Present's EXACT IEEE
+  * expression shapes (same casts, same multiply/divide order, same
+  * [[Curate.money]]), so the derived Gold rows are bit-identical to
+  * the full rebuild — proven per table in PipelineIncrementalSpec.
+  *
+  * Week-straddling months are why merge (not overwrite) is the only
+  * correct fold: a Monday-started week spanning a month boundary
+  * receives contributions from TWO month deltas, and the (week, key)
+  * partial rows simply add.
+  */
+object GoldState {
+
+  /** Merge spec of one state table (names line up with
+    * [[Incremental.partialAggregate]]'s column contract). */
+  case class Spec(name: String, keys: Seq[String],
+                  sumCols: Seq[String] = Nil, maxCols: Seq[String] = Nil) {
+    def merge(parts: Seq[DataFrame]): DataFrame =
+      Incremental.merge(parts, keys, sumCols, maxCols = maxCols)
+  }
+
+  val listingPrice  = Spec("listing_price", Seq("week_start"),
+    sumCols = Seq("price_dec", "has_price"))
+  val occupancy     = Spec("occupancy", Seq("month_start", "apartment_id"),
+    sumCols = Seq("nights"))
+  val popularCities = Spec("popular_cities", Seq("week_start", "cityname"))
+  val topListings   = Spec("top_listings", Seq("week_start", "apartment_id"),
+    sumCols = Seq("rev_dec"))
+  val bookingsPerUser = Spec("bookings_per_user", Seq("user_id"))
+  val duration      = Spec("duration", Seq("month_start"),
+    sumCols = Seq("nights"))
+  val repeatFlags   = Spec("repeat_flags", Seq("month_start", "user_id"),
+    maxCols = Seq("is_repeat"))
+  val userLast      = Spec("user_last", Seq("user_id"),
+    maxCols = Seq("last"))
+
+  val all: Seq[Spec] = Seq(listingPrice, occupancy, popularCities,
+    topListings, bookingsPerUser, duration, repeatFlags, userLast)
+
+  private def confirmed(df: DataFrame): DataFrame =
+    df.filter(col("booking_status") === "confirmed")
+
+  private def nights = datediff(col("checkout_date"), col("checkin_date"))
+    .cast(LongType).as("nights")
+
+  // ---------- partial builders: delta slice → mergeable partial ----------
+
+  /** Over the apartments-side delta (listings created in the window),
+    * not the bookings Silver — Present.weeklyAvgListingPrice's input.
+    * `has_price` mirrors its `count(price_usd)` null semantics. */
+  def listingPricePartial(apartmentsConvertedDelta: DataFrame): DataFrame =
+    Incremental.partialAggregate(
+      apartmentsConvertedDelta.select(
+        weekOf(col("listing_created_on")).as("week_start"),
+        col("price_usd").cast(DecimalType(18, 2)).as("price_dec"),
+        when(col("price_usd").isNotNull, 1L).otherwise(0L).as("has_price")),
+      keys = Seq("week_start"), sumCols = Seq("price_dec", "has_price"))
+
+  def occupancyPartial(silverDelta: DataFrame): DataFrame =
+    Incremental.partialAggregate(
+      confirmed(silverDelta).select(
+        monthOf(col("checkin_date")).as("month_start"),
+        col("apartment_id"), nights),
+      keys = Seq("month_start", "apartment_id"), sumCols = Seq("nights"))
+
+  def popularCitiesPartial(silverDelta: DataFrame): DataFrame =
+    Incremental.partialAggregate(
+      confirmed(silverDelta).filter(col("cityname").isNotNull).select(
+        weekOf(col("booking_date")).as("week_start"), col("cityname")),
+      keys = Seq("week_start", "cityname"), sumCols = Nil)
+
+  def topListingsPartial(silverDelta: DataFrame): DataFrame =
+    Incremental.partialAggregate(
+      confirmed(silverDelta).filter(col("total_price_usd").isNotNull)
+        .select(weekOf(col("booking_date")).as("week_start"),
+          col("apartment_id"),
+          col("total_price_usd").cast(DecimalType(18, 2)).as("rev_dec")),
+      keys = Seq("week_start", "apartment_id"), sumCols = Seq("rev_dec"))
+
+  def bookingsPerUserPartial(silverDelta: DataFrame): DataFrame =
+    Incremental.partialAggregate(
+      confirmed(silverDelta).select(col("user_id")),
+      keys = Seq("user_id"), sumCols = Nil)
+
+  def durationPartial(silverDelta: DataFrame): DataFrame =
+    Incremental.partialAggregate(
+      confirmed(silverDelta).select(
+        monthOf(col("booking_date")).as("month_start"), nights),
+      keys = Seq("month_start"), sumCols = Seq("nights"))
+
+  /** Repeat flags for the delta window given the carry-in (each
+    * user's last confirmed booking BEFORE the window, from the
+    * `user_last` state). The carry row sorts strictly before every
+    * window row of its user (prior months), so the LAG over
+    * carry ∪ delta assigns every window booking exactly the
+    * predecessor Present's full-history window would — the only
+    * cross-history fact the 30-day consecutive-gap rule consumes.
+    * Requires windows to be processed in month order (enforced by
+    * runIncremental's monotonic-append gate). */
+  def repeatFlagsPartial(silverDelta: DataFrame,
+                         carry: Option[DataFrame]): DataFrame = {
+    val d = confirmed(silverDelta).select(
+      col("user_id"), col("booking_id"), col("booking_date"),
+      lit(0).as("__carry"))
+    val uni = carry.fold(d)(c => d.unionByName(
+      c.select(col("user_id"), col("booking_id"), col("booking_date"),
+        lit(1).as("__carry"))))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("booking_date"), col("booking_id"))
+    val flagged = uni
+      .withColumn("prev_date", lag(col("booking_date"), 1).over(w))
+      .filter(col("__carry") === 0)
+      .withColumn("is_repeat",
+        when(col("prev_date").isNotNull &&
+          datediff(col("booking_date"), col("prev_date")) <= 30, 1)
+          .otherwise(0))
+    Incremental.partialAggregate(
+      flagged.select(monthOf(col("booking_date")).as("month_start"),
+        col("user_id"), col("is_repeat")),
+      keys = Seq("month_start", "user_id"), sumCols = Nil,
+      maxCols = Seq("is_repeat"))
+  }
+
+  /** Carry-in rows in delta shape from stored `user_last` state. */
+  def carryFromState(userLastState: DataFrame): DataFrame =
+    userLastState.select(col("user_id"),
+      col("max_last").getField("booking_id").as("booking_id"),
+      col("max_last").getField("booking_date").as("booking_date"))
+
+  def userLastPartial(silverDelta: DataFrame): DataFrame =
+    Incremental.partialAggregate(
+      confirmed(silverDelta).select(col("user_id"),
+        struct(col("booking_date"), col("booking_id")).as("last")),
+      keys = Seq("user_id"), sumCols = Nil, maxCols = Seq("last"))
+
+  // ---------- read-time Gold derivations (Present's exact IEEE shapes) ----
+
+  def listingPriceGold(state: DataFrame): DataFrame =
+    state.select(col("week_start"),
+      money(col("sum_price_dec").cast(DoubleType) / col("sum_has_price"))
+        .as("avg_price_usd"))
+      .orderBy("week_start")
+
+  def occupancyGold(state: DataFrame): DataFrame = {
+    val booked = sum(col("sum_nights"))
+    state.groupBy(col("month_start"))
+      .agg(
+        sum(col("n_rows")).as("total_bookings"),
+        booked.as("booked_nights"),
+        money(booked * lit(100.0) /
+          (count(col("apartment_id")) *
+            dayofmonth(last_day(col("month_start")))))
+          .as("occupancy_rate"))
+      .orderBy("month_start")
+  }
+
+  def popularCitiesGold(state: DataFrame): DataFrame =
+    state.select(col("week_start"), col("cityname"),
+      col("n_rows").as("total_bookings"))
+      .orderBy(col("week_start"), col("total_bookings").desc, col("cityname"))
+
+  def topListingsGold(state: DataFrame): DataFrame =
+    state.select(col("week_start"), col("apartment_id"),
+      col("sum_rev_dec").cast(DoubleType).as("weekly_revenue"))
+      .orderBy(col("week_start"), col("weekly_revenue").desc,
+        col("apartment_id"))
+
+  def bookingsPerUserGold(state: DataFrame): DataFrame =
+    state.select(col("user_id"), col("n_rows").as("total_bookings"))
+      .orderBy("user_id")
+
+  def durationGold(state: DataFrame): DataFrame =
+    state.select(col("month_start"),
+      money(col("sum_nights").cast(DoubleType) / col("n_rows"))
+        .as("avg_duration_days"))
+      .orderBy("month_start")
+
+  def repeatGold(state: DataFrame): DataFrame = {
+    val rep = sum(when(col("user_id").isNotNull, col("max_is_repeat"))
+      .otherwise(0))
+    state.groupBy(col("month_start"))
+      .agg(
+        rep.as("repeat_customers"),
+        count(col("user_id")).as("total_customers"),
+        money(rep * lit(100.0) / count(col("user_id")))
+          .as("repeat_rate_pct"))
+      .orderBy("month_start")
+  }
+}

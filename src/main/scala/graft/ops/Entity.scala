@@ -224,4 +224,53 @@ object Entity {
     records.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
       .orderBy(keyCol)
   }
+
+  /** Mergeable survivorship PARTIAL — the state that makes
+    * [[goldenRecord]] maintainable incrementally (and streamable,
+    * [[graft.streaming.GoldenRecordStream]]): per entity, each field
+    * keeps its full argmax struct `(ts, tie, v)` over the slice's
+    * non-null values instead of the surviving value alone. The value
+    * alone is NOT re-mergeable (a fresher batch with a null field
+    * must lose to a staler batch that carried one, and the bare value
+    * no longer knows its timestamp); the struct is — per-field max of
+    * structs is associative and commutative, so partials combine in
+    * any batching ([[Incremental]]'s contract, survivorship-shaped).
+    * `n_records` (count) and `last_updated` (max ts) ride along. */
+  def goldenPartial(records: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+          col(f).as("v")))).as(s"__st_$f")
+    } ++ Seq(count(lit(1)).as("n_records"),
+      max(col(tsCol)).as("last_updated"))
+    records.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge any number of [[goldenPartial]] outputs (stored state plus
+    * deltas, in any order): per-field struct max, count sum, ts max.
+    * Output is again partial-shaped — re-mergeable state, not the
+    * serving table ([[finishGolden]] projects that). */
+  def mergeGoldenPartials(parts: Seq[DataFrame], keyCol: String,
+                          fields: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "need at least one partial")
+    val aggs = fields.map(f => max(col(s"__st_$f")).as(s"__st_$f")) ++
+      Seq(sum(col("n_records")).as("n_records"),
+        max(col("last_updated")).as("last_updated"))
+    parts.reduce(_ unionByName _)
+      .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Serving projection of merged partials: bit-identical schema and
+    * rows to [[goldenRecord]] over the union of the slices (proven in
+    * GoldenRecordStreamSpec) — pure selection, no arithmetic, so even
+    * double fields compare exactly. */
+  def finishGolden(partials: DataFrame, keyCol: String,
+                   fields: Seq[String]): DataFrame = {
+    val cols = col(keyCol) +:
+      (fields.map(f => col(s"__st_$f").getField("v").as(f)) ++
+        Seq(col("n_records"), col("last_updated")))
+    partials.select(cols: _*).orderBy(keyCol)
+  }
 }

@@ -108,10 +108,31 @@ object RangeJoin {
     * Same contract as [[naive]]/[[binned]]: output = point columns ++
     * interval columns, half-open `[start, end)`. Use when intervals
     * fit comfortably on the driver (≤ ~10⁶ rows); otherwise
-    * [[binned]]. */
+    * [[binned]].
+    *
+    * The driver-size contract is ENFORCED, not advisory: the interval
+    * side is counted first (a `limit(max+1).count()` probe — early
+    * stopping, never a full scan of an oversized table) and anything
+    * past `maxDriverIntervals` fails loudly BEFORE the collect, the
+    * same counted-gate discipline as
+    * [[Components]]' `driverFinishEdges` and [[Dedup]]'s `maxBucket`
+    * — an OOM'd driver reports nothing, a `require` names the fix. */
+  val MaxDriverIntervals: Long = 1000000L
+
   def broadcastIndexed(points: DataFrame, intervals: DataFrame,
                        pointTs: String, startCol: String,
-                       endCol: String): DataFrame = {
+                       endCol: String,
+                       maxDriverIntervals: Long = MaxDriverIntervals): DataFrame = {
+    require(maxDriverIntervals > 0, "maxDriverIntervals must be positive")
+    val probed = intervals.limit(
+      // limit takes an Int; the gate itself may be configured larger
+      if (maxDriverIntervals >= Int.MaxValue) Int.MaxValue
+      else (maxDriverIntervals + 1).toInt).count()
+    require(probed <= maxDriverIntervals,
+      s"broadcastIndexed: interval side exceeds maxDriverIntervals=" +
+        s"$maxDriverIntervals rows — a driver-side collect of this " +
+        "table would OOM; use RangeJoin.binned (the distributed " +
+        "formulation) or raise the gate explicitly")
     val spark = points.sparkSession
     val ivCols = intervals.columns.toSeq
     // collect as (startMicros, endMicros, full row), sorted by start

@@ -67,6 +67,29 @@ class RangeUpsertSpec extends SparkSpec {
       points, intervals, "t", "start_t", "end_t")) == Seq((1L, 10L)))
   }
 
+  test("broadcastIndexed refuses an interval side over the driver gate") {
+    // 10 intervals against a gate of 4: the counted gate must fail
+    // loudly BEFORE any driver-side collect, naming the fallback
+    val points = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("pid", "t")
+    val intervals = spark.range(10)
+      .select(col("id").as("iid"),
+        lit(ts("2024-01-01 00:00:00")).as("start_t"),
+        lit(ts("2024-01-02 00:00:00")).as("end_t"))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.broadcastIndexed(points, intervals,
+        "t", "start_t", "end_t", maxDriverIntervals = 4L)
+    }
+    assert(e.getMessage.contains("maxDriverIntervals") &&
+      e.getMessage.contains("binned"), e.getMessage)
+    // exactly at the gate still runs (the probe counts max+1, so a
+    // side of exactly max rows passes) and agrees with naive
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(key(RangeJoin.broadcastIndexed(points, intervals,
+        "t", "start_t", "end_t", maxDriverIntervals = 10L)) ==
+      key(RangeJoin.naive(points, intervals, "t", "start_t", "end_t")))
+  }
+
   test("latestByKey picks the (max version, max tiebreak) row with its payload") {
     val changelog = Seq(
       ("u1", 1L, 10L, "a"),
