@@ -54,4 +54,49 @@ class PipelineSpec extends SparkSpec {
       s"month window read $readFiles, expected exactly the " +
         s"${window.mkString("/")} partition files")
   }
+
+  test("dim-filtered fact join prunes Silver partitions at RUNTIME " +
+      "(DynamicPruningExpression)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+    val out = Files.createTempDirectory("graft_dpp").toString
+    Pipeline.run(spark, "/root/testdata/sf0.001", out)
+    val silverDir = s"$out/curated.apartment_bookings"
+    Pipeline.writeMonthDim(spark, silverDir, s"$out/dim_month")
+
+    val df = Pipeline.quarterCityRevenue(spark, silverDir,
+      s"$out/dim_month", "1995-Q2")
+    df.collect() // metrics and the final adaptive plan need execution
+
+    // the quarter predicate sits on the DIM side only — the fact scan
+    // can only prune through the runtime subquery
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+      s"expected a DynamicPruningExpression on the fact scan:\n$plan")
+
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    // the fact scan is the one carrying the static-vs-dynamic file
+    // metrics (they exist only when runtime pruning applied)
+    val fact = scans(plan).filter(_.metrics.contains("staticFilesNum"))
+    assert(fact.nonEmpty, s"no dynamically pruned scan in:\n$plan")
+    val numFiles = fact.head.metrics("numFiles").value
+    val staticFiles = fact.head.metrics("staticFilesNum").value
+    assert(numFiles < staticFiles,
+      s"runtime census did not shrink: numFiles=$numFiles static=$staticFiles")
+    // and the files actually read are EXACTLY the quarter's three
+    // month partitions' files
+    val expected = Seq("1995-04", "1995-05", "1995-06").map { m =>
+      new java.io.File(s"$silverDir/booking_month=$m").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }.sum
+    assert(numFiles == expected,
+      s"read $numFiles files, expected the quarter's $expected")
+  }
 }
