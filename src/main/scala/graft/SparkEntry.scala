@@ -1093,6 +1093,41 @@ object SparkEntry {
       graft.ops.Components.incrementalComponents(stored, links)
         .orderBy("id")
     }),
+    // Incremental repeat-rate (r9): the flagship pipeline's
+    // trickiest Gold metric through the GoldState fold — history's
+    // flag partial plus a delta partial whose LAG carry-in is the
+    // stored user_last state (one max(struct) row per user), merged
+    // and derived at read time. Oracle = q12's FULL-HISTORY SQL
+    // verbatim: stored ⊕ delta ≡ one-shot proven by hash (the q190
+    // argument for Pipeline.runIncremental's window machinery).
+    "q199_incremental_repeat" -> ((s, dir) => {
+      val c = Analog.curated(s, dir)
+      val pivot = lit("1996-01-01").cast("date")
+      val hist = c.filter(col("booking_date") < pivot)
+      val delta = c.filter(col("booking_date") >= pivot)
+      val carry = graft.etl.GoldState.carryFromState(
+        graft.etl.GoldState.userLastPartial(hist))
+      graft.etl.GoldState.repeatGold(
+        graft.etl.GoldState.repeatFlags.merge(Seq(
+          graft.etl.GoldState.repeatFlagsPartial(hist, None),
+          graft.etl.GoldState.repeatFlagsPartial(delta, Some(carry)))))
+    }),
+    // Incremental occupancy (r9): COUNT(DISTINCT apartment_id) made
+    // mergeable by keeping state at the (checkin month, apartment)
+    // grain — a distinct-count is not mergeable, a distinct-keyed
+    // row count is. Two independent partials merge, the read-time
+    // derivation replays Present's exact IEEE shape. Oracle = q07's
+    // SQL verbatim.
+    "q200_incremental_occupancy" -> ((s, dir) => {
+      val c = Analog.curated(s, dir)
+      val pivot = lit("1996-01-01").cast("date")
+      graft.etl.GoldState.occupancyGold(
+        graft.etl.GoldState.occupancy.merge(Seq(
+          graft.etl.GoldState.occupancyPartial(
+            c.filter(col("booking_date") < pivot)),
+          graft.etl.GoldState.occupancyPartial(
+            c.filter(col("booking_date") >= pivot)))))
+    }),
     // Sequence packing: contiguous token-budget bins per (lang,
     // shard) — the pretraining batch-assembly op; sharded cumsum is
     // the scale path (no per-stratum serialization).
@@ -2238,6 +2273,10 @@ object SparkEntry {
     "q196_recursive_tree"   -> Oracle.recursiveTree,
     "q197_unpivot_status"   -> Oracle.unpivotStatus,
     "q198_incremental_variance" -> Oracle.incrementalVariance,
+    // stored ⊕ delta ≡ one-shot at pipeline grain: the incremental
+    // folds answer the FULL-HISTORY oracles verbatim
+    "q199_incremental_repeat" -> Oracle.monthlyRepeatRate,
+    "q200_incremental_occupancy" -> Oracle.monthlyOccupancy,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition
