@@ -1,24 +1,34 @@
 package graft.dev
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, date_format, lit}
+
 import graft.Pipeline
 import graft.etl.Analog
-import org.apache.spark.sql.functions.{col, date_format}
+import graft.io.Tables
 
 /** r8 verdict ask #1 evidence: delta-vs-full wall time for the
-  * flagship Gold refresh at sf0.1. Bootstraps incremental state over
-  * every month but the last (untimed), then times
-  * `Pipeline.runIncremental` of the final month against a full
-  * `Pipeline.run` rebuild — and prints the Silver delta scan's
-  * PartitionFilters line (the pruned read the fold rides on). */
+  * flagship Gold refresh. Bootstraps incremental state over every
+  * month but the last (untimed — the warehouse's accumulated
+  * history), then times `Pipeline.runIncremental` of the final month
+  * against a full `Pipeline.run` rebuild, and prints the Silver
+  * delta scan's PartitionFilters line.
+  *
+  * Run TWICE: at sf0.1 and at 10× (orders replicated with offset
+  * keys into a scratch table dir). The point is the TREND: the full
+  * rebuild's cost grows with history while the fold's grows only
+  * with the delta month (plus a column-pruned Bronze filter scan
+  * that a date-partitioned raw lake would prune too) — locally the
+  * ratio is noise at 150k rows because both sides are fixed job
+  * overhead, and becomes visible at 1.5M. */
 object ProfilePipelineIncr {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = graft.GraftSession.local()
-    val root = s"${sys.props("java.io.tmpdir")}/graft_pipe_incr10x"
+
+  private def profile(spark: SparkSession, label: String,
+                      sfDir: String, root: String): Unit = {
+    import spark.implicits._
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     val outFull = s"$root/full"; val outIncr = s"$root/incr"
 
-    import spark.implicits._
     val bookingMonths = Analog.curated(spark, sfDir)
       .select(date_format(col("booking_date"), "yyyy-MM").as("m"))
       .distinct().as[String].collect()
@@ -26,21 +36,18 @@ object ProfilePipelineIncr {
       .select(date_format(col("listing_created_on"), "yyyy-MM").as("m"))
       .distinct().as[String].collect()
     val months = (bookingMonths ++ listingMonths).toSet.toSeq.sorted
-    println(s"[pipeincr] months=${months.size} last=${months.last}")
+    println(s"[pipeincr:$label] months=${months.size} last=${months.last}")
 
-    def timed(label: String)(body: => Unit): Double = {
+    def timed(l: String)(body: => Unit): Double = {
       val t0 = System.nanoTime(); body
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"[pipeincr] $label: $s%.2f s"); s
+      println(f"[pipeincr:$label] $l: $s%.2f s"); s
     }
 
-    // bootstrap state over all but the last month (untimed — this is
-    // the warehouse's accumulated history)
     months.init.grouped(12).foreach { w =>
       Pipeline.runIncrementalWindow(spark, sfDir, outIncr, w,
         writeGold = false)
     }
-
     val fullT = timed("full_rebuild (Pipeline.run)") {
       Pipeline.run(spark, sfDir, outFull): Unit
     }
@@ -48,12 +55,33 @@ object ProfilePipelineIncr {
     val deltaT = timed(s"delta_fold (runIncremental ${months.last})") {
       out = Pipeline.runIncremental(spark, sfDir, outIncr, months.last)
     }
-    println(f"[pipeincr] delta/full = ${deltaT / fullT}%.2f")
-
+    println(f"[pipeincr:$label] delta/full = ${deltaT / fullT}%.2f")
     out.deltaSilver.collect()
     val line = out.deltaSilver.queryExecution.executedPlan.toString
       .linesIterator.find(_.contains("PartitionFilters"))
-    println(s"[pipeincr] delta scan: ${line.getOrElse("<none>")}")
+      .map(_.replaceAll("ReadSchema:.*", ""))
+    println(s"[pipeincr:$label] delta scan: ${line.getOrElse("<none>")}")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local()
+    val base = s"${sys.props("java.io.tmpdir")}/graft_pipe_incr10x"
+    profile(spark, "sf0.1", sfDir, s"$base/run1x")
+
+    // 10× history: orders replicated with offset keys (same month
+    // spread, distinct rows); part/nation pass through
+    val repDir = s"$base/sfx10_data"
+    val o = Tables.orders(spark, sfDir)
+    (0 until 10).map(k =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$repDir/orders.parquet")
+    Tables.part(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$repDir/part.parquet")
+    Tables.nation(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$repDir/nation.parquet")
+    profile(spark, "x10", repDir, s"$base/run10x")
     spark.stop()
   }
 }

@@ -31,6 +31,10 @@ object ProfileRecursion10x {
     }.reduce(_ unionByName _).localCheckpoint(true)
     println(s"[rec10x] keys=${keys.count()}")
     keys.createOrReplaceTempView("keys_tree")
+    // the OTHER guardrail: spark.sql.cteRecursionRowLimit (default
+    // 1e6 total rows across all levels) trips before the level limit
+    // on a 1.5M-node tree — raised here; documented in PLANS
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "40000000")
 
     def walk(div: Long): org.apache.spark.sql.DataFrame = spark.sql(s"""
       WITH RECURSIVE anc(k, depth) AS (
