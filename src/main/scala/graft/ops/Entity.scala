@@ -117,14 +117,38 @@ object Entity {
     * name node. */
   def entityResolve(registry: DataFrame, maxEdit: Int = 1,
                     blockDfCap: Int = Int.MaxValue): DataFrame = {
-    require(maxEdit >= 0, "maxEdit must be non-negative")
-    require(blockDfCap > 0, "blockDfCap must be positive")
-
     // distinct names, each carrying its min rid (the node id — the
     // component minimum over node ids is then the entity's global
     // min rid) and its record count
-    val names = registry.groupBy("name")
+    val names = namePartial(registry)
+    attachByName(registry, nameEntityMap(names, maxEdit, blockDfCap))
+  }
+
+  /** The duplication-collapse: per distinct name, (min rid, record
+    * count). MERGEABLE state (min and sum are associative and
+    * commutative), which is what lets [[graft.streaming
+    * .EntityResolveStream]] maintain resolution continuously —
+    * partials from any batching merge via [[mergeNamePartials]] into
+    * exactly this frame over the union. */
+  def namePartial(registry: DataFrame): DataFrame =
+    registry.groupBy("name")
       .agg(min(col("rid")).as("nid"), count(lit(1)).as("cnt"))
+
+  /** Merge [[namePartial]] outputs (stored state plus deltas, any
+    * order): min of mins, sum of counts. */
+  def mergeNamePartials(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "need at least one partial")
+    parts.reduce(_ unionByName _).groupBy("name")
+      .agg(min(col("nid")).as("nid"), sum(col("cnt")).as("cnt"))
+  }
+
+  /** The name-graph resolution: distinct names → (name, entity_id,
+    * canonical_name, n_members). Everything pairwise runs here, over
+    * u = |distinct names| nodes — never records. */
+  def nameEntityMap(names: DataFrame, maxEdit: Int = 1,
+                    blockDfCap: Int = Int.MaxValue): DataFrame = {
+    require(maxEdit >= 0, "maxEdit must be non-negative")
+    require(blockDfCap > 0, "blockDfCap must be positive")
 
     // (key, nid, name): blocking-key rows per DISTINCT name
     val blocked =
@@ -183,18 +207,23 @@ object Entity {
       .select(col("entity_id"), col("name").as("canonical_name"))
     val sizes = ncomp.groupBy("entity_id")
       .agg(sum(col("cnt")).as("n_members"))
-    val nameMap = ncomp.select(col("name"), col("entity_id"))
+    ncomp.select(col("name"), col("entity_id"))
       .join(canon, "entity_id").join(sizes, "entity_id")
+  }
 
-    // NULL-safe on name: groupBy above keeps a NULL-name group (it
-    // resolves to itself, matching nothing), so the attach join must
-    // use <=> — a plain equi-join's NULL ≠ NULL would silently drop
-    // those registry rows, breaking the every-row-out contract
+  /** Attach records to a [[nameEntityMap]] — the only record-sized
+    * operation, one hash join against a names-sized map.
+    *
+    * NULL-safe on name: namePartial's groupBy keeps a NULL-name
+    * group (it resolves to itself, matching nothing), so the attach
+    * join must use <=> — a plain equi-join's NULL ≠ NULL would
+    * silently drop those registry rows, breaking the every-row-out
+    * contract. */
+  def attachByName(registry: DataFrame, nameMap: DataFrame): DataFrame =
     registry.join(nameMap.withColumnRenamed("name", "__nm_name"),
         col("name") <=> col("__nm_name"))
       .select(col("rid"), col("name"), col("src"), col("entity_id"),
         col("canonical_name"), col("n_members"))
-  }
 
   /** Field-level survivorship — the GOLDEN RECORD step after linkage
     * (r8-cont): per entity, each field independently takes its value
