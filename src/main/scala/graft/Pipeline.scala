@@ -235,9 +235,14 @@ object Pipeline {
     }
 
     // ---- Partition-pruned Silver delta (the only bookings scan the
-    // state fold reads — the spec asserts PartitionFilters) ----
-    val deltaSilver = spark.read.parquet(silverDir)
-      .filter(col("booking_month").isin(months: _*))
+    // state fold reads — the spec asserts PartitionFilters). A window
+    // with ZERO bookings (possible on listing-only months before the
+    // first booking ever lands) writes no partition and may leave the
+    // Silver table nonexistent — fall back to the (empty) curated
+    // frame so the fold still runs with the right schema ----
+    val deltaSilver = readStateOpt(spark, silverDir)
+      .map(_.filter(col("booking_month").isin(months: _*)))
+      .getOrElse(curatedDelta)
 
     // apartments-side delta: listings created in the window (the
     // listing-price metric's input is the apartments dim, not Silver)
@@ -335,11 +340,21 @@ object Pipeline {
       .orderBy(col("cityname"))
   }
 
+  /** `Pipeline <sfDir> <outDir>` = full rebuild;
+    * `Pipeline <sfDir> <outDir> <yyyy-MM>` = incremental month fold
+    * (the nightly shape — state under `<outDir>/state`). */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse(
       sys.env.getOrElse("GRAFT_OUT_DIR", "/tmp/graft_pipeline"))
     val spark = GraftSession.local()
+    args.lift(2).foreach { month =>
+      val inc = runIncremental(spark, sfDir, outDir, month)
+      inc.gold.toSeq.sortBy(_._1).foreach { case (n, df) =>
+        println(s"$n rows: ${df.count()}")
+      }
+      spark.stop(); return
+    }
     val out = run(spark, sfDir, outDir)
     println(s"curated rows: ${out.curated.count()}")
     out.metrics.toSeq.sortBy(_._1).foreach { case (n, df) =>
