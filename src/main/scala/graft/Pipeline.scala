@@ -142,14 +142,24 @@ object Pipeline {
     try Some(spark.read.parquet(path))
     catch { case _: AnalysisException => None } // absent or 0-file state
 
-  /** Months already folded into the state under `outDir` (the asof
-    * labels — every state table is written with the same label, so
-    * one table is the ledger). */
-  def processedMonths(outDir: String): Seq[String] = {
-    val dir = new java.io.File(s"$outDir/state/${GoldState.bookingsPerUser.name}")
-    Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.isDirectory && f.getName.startsWith("asof="))
-      .map(_.getName.stripPrefix("asof=")).sorted
+  /** Months already folded into the state under `outDir`. The ledger
+    * is an explicit `state/_ledger/asof=<m>` marker written LAST in a
+    * fold — after every state table and Gold publish — so a
+    * mid-fold crash leaves the month UNLEDGERED and the refold (which
+    * overwrites every per-month artifact) is the recovery path. Had
+    * the ledger been one of the state dirs, a crash between it and a
+    * later state write would make the next fold read that state's
+    * missing asof as "empty" and silently drop history. */
+  def processedMonths(outDir: String): Seq[String] =
+    processedMonths(org.apache.spark.sql.SparkSession.active, outDir)
+
+  def processedMonths(spark: SparkSession, outDir: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$outDir/state/_ledger")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("asof="))
+      .map(_.getPath.getName.stripPrefix("asof=")).sorted
   }
 
   /** Fold ONE month (see [[runIncrementalWindow]] for the general
@@ -174,10 +184,12 @@ object Pipeline {
     *    -rate carry-in (`user_last` state) is only the true LAG
     *    predecessor under in-order folds; all other states are
     *    order-free merges.
-    *  - rows whose booking_date fails to parse belong to NO window
-    *    (`try_to_date` month assignment); the delta validation gate
-    *    gains a NotNull(booking_date) check so they fail loudly here
-    *    rather than silently never arriving.
+    *  - rows whose booking_date is null or unparseable belong to NO
+    *    window (`try_to_date` month assignment), so the delta filter
+    *    deliberately INCLUDES null-month rows: they hit every fold's
+    *    validation gate (ParsesAsRawDate + an added NotNull on
+    *    booking_date) and fail loudly there until fixed upstream,
+    *    instead of silently never arriving.
     *  - full-row dedup within the window ≡ the full run's global
     *    dedup: duplicate rows agree on booking_date, hence on month.
     *
@@ -196,7 +208,7 @@ object Pipeline {
     val silverDir = s"$outDir/curated.apartment_bookings"
     val stateRoot = s"$outDir/state"
 
-    val done = processedMonths(outDir)
+    val done = processedMonths(spark, outDir)
     require(done.forall(d => months.forall(_ > d)),
       s"monotonic-append violated: window ${months.mkString(",")} vs " +
         s"already-folded ${done.mkString(",")} — reprocessing a folded " +
@@ -204,12 +216,16 @@ object Pipeline {
         "scratch (or restore the prior asof) instead")
     val prevAsof = done.lastOption
 
-    // ---- Bronze delta: raw bookings whose booking month ∈ window ----
+    // ---- Bronze delta: raw bookings whose booking month ∈ window,
+    // PLUS every row whose booking_date is null or unparseable
+    // (null month) — those belong to no window, so they are routed
+    // into every fold's validation gate to fail loudly there instead
+    // of silently never arriving ----
     val bookingMonth = date_format(
       expr(s"try_to_date(booking_date, '${Curate.RawDateFormat}')"),
       "yyyy-MM")
     val rawDelta = Analog.bookingsRaw(spark, sfDir)
-      .filter(bookingMonth.isin(months: _*))
+      .filter(bookingMonth.isin(months: _*) || bookingMonth.isNull)
     stage(s"validate.delta[${months.min}..${months.max}]") {
       val report = etl.Validate.run(rawDelta,
         etl.Validate.bookingsChecks :+ etl.Validate.NotNull("booking_date"))
@@ -285,6 +301,14 @@ object Pipeline {
       }
       name -> g
     }.toMap
+
+    // ledger marker LAST (see processedMonths — crash anywhere above
+    // leaves the month unledgered, and the refold overwrites every
+    // per-month artifact: idempotent recovery)
+    val ledger = new org.apache.hadoop.fs.Path(
+      s"$stateRoot/_ledger/asof=$asof")
+    ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(ledger)
 
     IncrementalOutputs(deltaSilver, gold,
       GoldState.all.map(s => s.name -> s"$stateRoot/${s.name}/asof=$asof").toMap)

@@ -37,6 +37,19 @@ class PipelineIncrementalSpec extends SparkSpec {
     windows.foreach { w =>
       Pipeline.runIncrementalWindow(spark, sf, outIncr, w, writeGold = false)
     }
+
+    // ---- simulated MID-FOLD CRASH on the last month: state partly
+    // written, ledger marker never reached. The month stays
+    // unledgered, so the refold is permitted and overwrites every
+    // per-month artifact — the idempotent recovery path ----
+    Pipeline.runIncremental(spark, sf, outIncr, months.last,
+      writeGold = false)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(
+      s"$outIncr/state/_ledger/asof=${months.last}"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(
+      s"$outIncr/state/listing_price/asof=${months.last}"))
+    assert(!Pipeline.processedMonths(outIncr).contains(months.last))
+
     val out = Pipeline.runIncremental(spark, sf, outIncr, months.last)
     assert(Pipeline.processedMonths(outIncr).size == windows.size + 1)
 
