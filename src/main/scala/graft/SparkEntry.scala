@@ -1101,7 +1101,13 @@ object SparkEntry {
     // verbatim: stored ⊕ delta ≡ one-shot proven by hash (the q190
     // argument for Pipeline.runIncremental's window machinery).
     "q199_incremental_repeat" -> ((s, dir) => {
+      // three consumers (hist flags, delta flags, carry state) share
+      // one curate rebuild: project the 4 needed columns once and
+      // localCheckpoint (the single-tokenize discipline) — Spark
+      // does not dedupe common lazy subtrees
       val c = Analog.curated(s, dir)
+        .select("user_id", "booking_id", "booking_date", "booking_status")
+        .localCheckpoint(true)
       val pivot = lit("1996-01-01").cast("date")
       val hist = c.filter(col("booking_date") < pivot)
       val delta = c.filter(col("booking_date") >= pivot)
@@ -1119,7 +1125,11 @@ object SparkEntry {
     // derivation replays Present's exact IEEE shape. Oracle = q07's
     // SQL verbatim.
     "q200_incremental_occupancy" -> ((s, dir) => {
+      // both halves share one curate rebuild (see q199)
       val c = Analog.curated(s, dir)
+        .select("apartment_id", "booking_date", "checkin_date",
+          "checkout_date", "booking_status")
+        .localCheckpoint(true)
       val pivot = lit("1996-01-01").cast("date")
       graft.etl.GoldState.occupancyGold(
         graft.etl.GoldState.occupancy.merge(Seq(
