@@ -202,7 +202,8 @@ object Pipeline {
   def runIncrementalWindow(spark: SparkSession, sfDir: String,
                            outDir: String, months: Seq[String],
                            failOnViolations: Boolean = true,
-                           writeGold: Boolean = true): IncrementalOutputs = {
+                           writeGold: Boolean = true,
+                           rawBookings: Option[DataFrame] = None): IncrementalOutputs = {
     import org.apache.spark.sql.functions.{col, date_format, expr, lit}
     require(months.nonEmpty, "months must be non-empty")
     val silverDir = s"$outDir/curated.apartment_bookings"
@@ -224,7 +225,10 @@ object Pipeline {
     val bookingMonth = date_format(
       expr(s"try_to_date(booking_date, '${Curate.RawDateFormat}')"),
       "yyyy-MM")
-    val rawDelta = Analog.bookingsRaw(spark, sfDir)
+    // rawBookings: the arriving-feed injection point — a deployment
+    // passes the day's feed; the default derives the window's slice
+    // from Bronze (the harness analog)
+    val rawDelta = rawBookings.getOrElse(Analog.bookingsRaw(spark, sfDir))
       .filter(bookingMonth.isin(months: _*) || bookingMonth.isNull)
     stage(s"validate.delta[${months.min}..${months.max}]") {
       val report = etl.Validate.run(rawDelta,
@@ -312,6 +316,162 @@ object Pipeline {
 
     IncrementalOutputs(deltaSilver, gold,
       GoldState.all.map(s => s.name -> s"$stateRoot/${s.name}/asof=$asof").toMap)
+  }
+
+  /** LATE-ARRIVING data — the case [[runIncrementalWindow]]'s
+    * monotonic-append gate refuses: bookings for ALREADY-FOLDED
+    * months arriving after the fact (`lateRawBookings` is the
+    * arriving feed, raw-layer schema). Correct late handling splits
+    * by metric algebra:
+    *
+    *  - the five order-free states (occupancy, cities, listings,
+    *    per-user, duration) just MERGE the late rows' partials —
+    *    associativity/commutativity is exactly the property that
+    *    makes lateness free;
+    *  - the repeat-rate family depends on per-user event ORDER (the
+    *    LAG carry), so a late booking can flip flags of that user's
+    *    LATER bookings. Repair is targeted, never global: the
+    *    affected USERS' state rows are anti-joined out and recomputed
+    *    from their full confirmed history — a row-pruned scan moving
+    *    only |affected users| · their rows, not the table.
+    *
+    * Silver: the affected month partitions are rewritten as
+    * dedup(existing ∪ late) through a staging roundtrip (Spark
+    * refuses an in-place overwrite of a path being read), so a
+    * retried late fold is idempotent. Partial contributions are
+    * computed from `lateNew` = the rows genuinely new to Silver
+    * (`exceptAll` against the pre-rewrite partitions) — a late row
+    * that duplicates an existing row full-row must contribute
+    * nothing, or counts would double where the Silver dedup dropped
+    * it.
+    *
+    * State versions get label `<maxMonth>.lateNN` — sorts after the
+    * base month, before any later month, so the ledger ordering and
+    * future folds' prev-state resolution are untouched.
+    * PipelineLateSpec proves the 7 Gold tables land row-bit-identical
+    * to a full rebuild over ALL the data. */
+  def runIncrementalLate(spark: SparkSession, sfDir: String,
+                         outDir: String, lateRawBookings: DataFrame,
+                         failOnViolations: Boolean = true,
+                         writeGold: Boolean = true): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.{col, date_format, expr}
+    val silverDir = s"$outDir/curated.apartment_bookings"
+    val stateRoot = s"$outDir/state"
+    val done = processedMonths(spark, outDir)
+    require(done.nonEmpty, "no folded months yet — run " +
+      "runIncrementalWindow first; a late fold repairs existing state")
+    val maxBase = done.map(_.take(7)).max
+    val label = f"$maxBase.late${done.count(_.startsWith(maxBase))}%02d"
+
+    stage("validate.late") {
+      val report = etl.Validate.run(lateRawBookings,
+        etl.Validate.bookingsChecks :+ etl.Validate.NotNull("booking_date"))
+      if (!report.clean) {
+        println(s"[pipeline] late-delta quality violations: ${report.failed}")
+        if (failOnViolations) throw new IllegalStateException(
+          s"late delta failed quality gate: ${report.failed}")
+      }
+      report
+    }
+
+    val lateCurated = Curate.curate(lateRawBookings,
+        Analog.apartmentsRaw(spark, sfDir),
+        Analog.attributesRaw(spark, sfDir),
+        Tables.exchangeRates(spark))
+      .withColumn("booking_month",
+        date_format(col("booking_date"), "yyyy-MM"))
+    val affected = lateCurated.select("booking_month").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(affected.forall(_ <= maxBase),
+      s"late months ${affected.filter(_ > maxBase).mkString(",")} are " +
+        s"NEWER than the folded history (max $maxBase) — fold new " +
+        "months through runIncrementalWindow; runIncrementalLate " +
+        "repairs already-folded ones")
+
+    // ---- rewrite the affected Silver partitions via staging ----
+    val existing = spark.read.parquet(silverDir)
+      .filter(col("booking_month").isin(affected: _*))
+    val staging = s"$outDir/_staging/late_$label"
+    stage("late.silver.rewrite") {
+      Curate.dedup(existing.unionByName(lateCurated))
+        .write.mode("overwrite")
+        .partitionBy("booking_month").parquet(staging)
+      // the genuinely-new rows (late minus full-row duplicates of
+      // existing) — materialized BEFORE the overwrite invalidates
+      // the `existing` lineage
+      spark.read.parquet(staging).exceptAll(existing)
+        .localCheckpoint(true)
+        .createOrReplaceTempView("__late_new")
+      spark.read.parquet(staging).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("booking_month").parquet(silverDir)
+      val p = new org.apache.hadoop.fs.Path(staging)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+    val lateNew = spark.table("__late_new")
+
+    // ---- fold: order-free states merge the late partials; the
+    // repeat family gets the targeted per-user repair ----
+    val prevAsof = done.last
+    def prev(s: GoldState.Spec): Option[DataFrame] =
+      readStateOpt(spark, s"$stateRoot/${s.name}/asof=$prevAsof")
+    val latePartial: Map[String, DataFrame] = Map(
+      GoldState.occupancy.name -> GoldState.occupancyPartial(lateNew),
+      GoldState.popularCities.name -> GoldState.popularCitiesPartial(lateNew),
+      GoldState.topListings.name -> GoldState.topListingsPartial(lateNew),
+      GoldState.bookingsPerUser.name -> GoldState.bookingsPerUserPartial(lateNew),
+      GoldState.duration.name -> GoldState.durationPartial(lateNew))
+
+    val affectedUsers = lateNew
+      .filter(col("booking_status") === "confirmed")
+      .select("user_id").distinct()
+    val userHistory = spark.read.parquet(silverDir)
+      .filter(col("booking_status") === "confirmed")
+      .join(affectedUsers, Seq("user_id"), "left_semi")
+    def repair(old: Option[DataFrame], recomputed: DataFrame): DataFrame =
+      old.fold(recomputed)(o =>
+        o.join(affectedUsers, Seq("user_id"), "left_anti")
+          .unionByName(recomputed))
+
+    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
+      val m = s.name match {
+        case n if latePartial.contains(n) =>
+          s.merge(prev(s).toSeq :+ latePartial(n))
+        case GoldState.listingPrice.name =>
+          // no apartments in a bookings late feed — state unchanged
+          s.merge(prev(s).toSeq match {
+            case Seq() => Seq(GoldState.listingPricePartial(
+              Analog.apartmentsConverted(spark, sfDir).limit(0)))
+            case ps => ps
+          })
+        case GoldState.repeatFlags.name =>
+          repair(prev(s), GoldState.repeatFlagsPartial(userHistory, None))
+        case GoldState.userLast.name =>
+          repair(prev(s), GoldState.userLastPartial(userHistory))
+      }
+      stage(s"late.state.${s.name}") {
+        Tables.writeParquet(m, s"$stateRoot/${s.name}/asof=$label")
+      }
+      s.name -> readStateOpt(spark, s"$stateRoot/${s.name}/asof=$label")
+        .getOrElse(m)
+    }.toMap
+
+    val gold = goldFromState.map { case (name, spec, derive) =>
+      val g = derive(merged(spec.name))
+      if (writeGold) stage(s"late.present.$name") {
+        Tables.writeParquet(g, s"$outDir/presentation.$name")
+      }
+      name -> g
+    }.toMap
+
+    val ledger = new org.apache.hadoop.fs.Path(
+      s"$stateRoot/_ledger/asof=$label")
+    ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(ledger)
+
+    IncrementalOutputs(lateNew, gold,
+      GoldState.all.map(s => s.name -> s"$stateRoot/${s.name}/asof=$label").toMap)
   }
 
   // ------------------------------------------------------------------
