@@ -1118,6 +1118,30 @@ object SparkEntry {
           graft.etl.GoldState.repeatFlagsPartial(hist, None),
           graft.etl.GoldState.repeatFlagsPartial(delta, Some(carry)))))
     }),
+    // Late-arrival repair (r9): the runIncrementalLate algebra for
+    // the ORDER-DEPENDENT metric, oracle-gated — state folded from
+    // on-time rows only (wrong LAG flags for late users' later
+    // bookings), then repaired surgically: affected users anti-joined
+    // out and recomputed from their full history (row-pruned
+    // semi-join, never the table). Oracle = q12's full-history SQL
+    // verbatim: repair(state \ U ∪ recompute(U)) ≡ one-shot by hash.
+    "q201_late_repair_repeat" -> ((s, dir) => {
+      val c = Analog.curated(s, dir)
+        .select("user_id", "booking_id", "booking_date", "booking_status")
+        .localCheckpoint(true)
+      val isLate = date_format(col("booking_date"), "yyyy-MM")
+        .isin("1995-03", "1995-04") && col("booking_id") % 3 === 0
+      val onTime = c.filter(!isLate)
+      val late = c.filter(isLate)
+      val stale = graft.etl.GoldState.repeatFlagsPartial(onTime, None)
+      val affected = late.filter(col("booking_status") === "confirmed")
+        .select("user_id").distinct()
+      val recomputed = graft.etl.GoldState.repeatFlagsPartial(
+        c.join(affected, Seq("user_id"), "left_semi"), None)
+      graft.etl.GoldState.repeatGold(
+        stale.join(affected, Seq("user_id"), "left_anti")
+          .unionByName(recomputed))
+    }),
     // Incremental occupancy (r9): COUNT(DISTINCT apartment_id) made
     // mergeable by keeping state at the (checkin month, apartment)
     // grain — a distinct-count is not mergeable, a distinct-keyed
@@ -2287,6 +2311,7 @@ object SparkEntry {
     // folds answer the FULL-HISTORY oracles verbatim
     "q199_incremental_repeat" -> Oracle.monthlyRepeatRate,
     "q200_incremental_occupancy" -> Oracle.monthlyOccupancy,
+    "q201_late_repair_repeat" -> Oracle.monthlyRepeatRate,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition
