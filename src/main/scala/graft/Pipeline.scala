@@ -209,6 +209,11 @@ object Pipeline {
     val silverDir = s"$outDir/curated.apartment_bookings"
     val stateRoot = s"$outDir/state"
 
+    val pending = pendingLate(spark, outDir)
+    require(pending.isEmpty,
+      s"a late fold crashed mid-way (pending delta " +
+        s"${pending.mkString(",")}): its rows are in Silver but not " +
+        "in state — run Pipeline.resumeLate first")
     val done = processedMonths(spark, outDir)
     require(done.forall(d => months.forall(_ > d)),
       s"monotonic-append violated: window ${months.mkString(",")} vs " +
@@ -357,6 +362,11 @@ object Pipeline {
     import org.apache.spark.sql.functions.{col, date_format, expr}
     val silverDir = s"$outDir/curated.apartment_bookings"
     val stateRoot = s"$outDir/state"
+    val pending = pendingLate(spark, outDir)
+    require(pending.isEmpty,
+      s"a late fold crashed mid-way (pending delta " +
+        s"${pending.mkString(",")}): its rows are in Silver but not " +
+        "in state — run Pipeline.resumeLate first")
     val done = processedMonths(spark, outDir)
     require(done.nonEmpty, "no folded months yet — run " +
       "runIncrementalWindow first; a late fold repairs existing state")
@@ -388,20 +398,24 @@ object Pipeline {
         "months through runIncrementalWindow; runIncrementalLate " +
         "repairs already-folded ones")
 
-    // ---- rewrite the affected Silver partitions via staging ----
+    // ---- rewrite the affected Silver partitions via staging, with
+    // the genuinely-new rows PERSISTED first: after the overwrite,
+    // exceptAll can no longer reconstruct them, so a fold crashing
+    // between the rewrite and the state merge would otherwise lose
+    // the late contributions silently on retry (the retry's diff is
+    // empty). The persisted delta + the pending-late gate below turn
+    // that crash into a LOUD, resumable state ----
     val existing = spark.read.parquet(silverDir)
       .filter(col("booking_month").isin(affected: _*))
     val staging = s"$outDir/_staging/late_$label"
+    val deltaPath = s"$stateRoot/_late_delta/asof=$label"
     stage("late.silver.rewrite") {
       Curate.dedup(existing.unionByName(lateCurated))
         .write.mode("overwrite")
         .partitionBy("booking_month").parquet(staging)
-      // the genuinely-new rows (late minus full-row duplicates of
-      // existing) — materialized BEFORE the overwrite invalidates
-      // the `existing` lineage
+      // materialized BEFORE the overwrite invalidates `existing`
       spark.read.parquet(staging).exceptAll(existing)
-        .localCheckpoint(true)
-        .createOrReplaceTempView("__late_new")
+        .write.mode("overwrite").parquet(deltaPath)
       spark.read.parquet(staging).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("booking_month").parquet(silverDir)
@@ -409,11 +423,43 @@ object Pipeline {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true): Unit
     }
-    val lateNew = spark.table("__late_new")
+    foldLateDelta(spark, sfDir, outDir, label, writeGold)
+  }
+
+  /** Labels of persisted late deltas whose fold never reached the
+    * ledger — a crashed [[runIncrementalLate]]. Both fold entry
+    * points refuse to proceed past one (its rows are in Silver but
+    * not in state); [[resumeLate]] finishes it. */
+  def pendingLate(spark: SparkSession, outDir: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$outDir/state/_late_delta")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val labels =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("asof=")).map(_.stripPrefix("asof="))
+    (labels.toSet -- processedMonths(spark, outDir).toSet).toSeq.sorted
+  }
+
+  /** Finish a late fold that crashed after its Silver rewrite: the
+    * state merge re-runs from the PERSISTED delta (deterministic —
+    * re-running an already-completed fold writes identical state). */
+  def resumeLate(spark: SparkSession, sfDir: String, outDir: String,
+                 writeGold: Boolean = true): Seq[IncrementalOutputs] =
+    pendingLate(spark, outDir).map(label =>
+      foldLateDelta(spark, sfDir, outDir, label, writeGold))
+
+  private def foldLateDelta(spark: SparkSession, sfDir: String,
+                            outDir: String, label: String,
+                            writeGold: Boolean): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.col
+    val silverDir = s"$outDir/curated.apartment_bookings"
+    val stateRoot = s"$outDir/state"
+    val lateNew = spark.read.parquet(s"$stateRoot/_late_delta/asof=$label")
 
     // ---- fold: order-free states merge the late partials; the
     // repeat family gets the targeted per-user repair ----
-    val prevAsof = done.last
+    val prevAsof = processedMonths(spark, outDir).lastOption
+      .getOrElse(throw new IllegalStateException("no folded months"))
     def prev(s: GoldState.Spec): Option[DataFrame] =
       readStateOpt(spark, s"$stateRoot/${s.name}/asof=$prevAsof")
     val latePartial: Map[String, DataFrame] = Map(

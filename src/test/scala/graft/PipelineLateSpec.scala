@@ -63,6 +63,34 @@ class PipelineLateSpec extends SparkSpec {
       .parquet(s"$outIncr/curated.apartment_bookings")).sorted
     assert(silverF == silverI)
 
+    // ---- simulated crash AFTER the Silver rewrite, BEFORE the state
+    // fold completed: ledger marker and part of the label's state
+    // gone, but the PERSISTED late delta remains. Both fold entry
+    // points must refuse loudly (the late rows are in Silver but not
+    // in state — a silent retry would lose them: its exceptAll diff
+    // is empty), and resumeLate must finish the fold from the
+    // persisted delta to the same bit-exact Gold ----
+    val lateLabel = Pipeline.processedMonths(outIncr).last
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(
+      s"$outIncr/state/_ledger/asof=$lateLabel"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(
+      s"$outIncr/state/repeat_flags/asof=$lateLabel"))
+    assert(Pipeline.pendingLate(spark, outIncr) == Seq(lateLabel))
+    val exW = intercept[IllegalArgumentException] {
+      Pipeline.runIncremental(spark, sf, outIncr, "2099-01")
+    }
+    assert(exW.getMessage.contains("pending"), exW.getMessage)
+    val exL = intercept[IllegalArgumentException] {
+      Pipeline.runIncrementalLate(spark, sf, outIncr, lateRows)
+    }
+    assert(exL.getMessage.contains("pending"), exL.getMessage)
+    val resumed = Pipeline.resumeLate(spark, sf, outIncr)
+    assert(resumed.size == 1 && Pipeline.pendingLate(spark, outIncr).isEmpty)
+    for ((name, fullDf) <- full.metrics) {
+      assert(rows(resumed.head.gold(name)) == rows(fullDf),
+        s"$name diverged after crash resume")
+    }
+
     // redelivering the SAME late rows is a no-op: every row full-row
     // -duplicates Silver, so lateNew is empty and all state survives
     val again = Pipeline.runIncrementalLate(spark, sf, outIncr, lateRows)
