@@ -91,26 +91,26 @@ object Pipeline {
     * tracks the month, not table history.
     *
     * Only metrics whose rows are exactly reproducible from a bounded
-    * partition window are offered: avg_booking_duration groups by
-    * booking month (≡ the partition key — one partition suffices);
-    * occupancy_rate groups by CHECKIN month, and checkins in month M
-    * come from bookings in M-1 or M (stay offsets ≤ 9 days in the
-    * analog), so it reads both partitions and keeps the M row. Both
-    * outputs are row-identical to the full `run` for the same keys.
-    * All-history metrics (bookings_per_user, repeat_customer_rate)
-    * are NOT incrementally recomputable from a month window and are
-    * deliberately absent. */
+    * partition window are offered: avg_booking_duration and
+    * occupancy_rate both group by CHECKIN month, and checkins in
+    * month M come from bookings in M-1 or M (stay offsets ≤ 9 days
+    * in the analog), so each reads both partitions and keeps the M
+    * row. Both outputs are row-identical to the full `run` for the
+    * same keys. All-history metrics (bookings_per_user,
+    * repeat_customer_rate) are NOT incrementally recomputable from a
+    * month window and are deliberately absent. */
   def monthMetrics(spark: SparkSession, outDir: String,
                    month: String): Map[String, DataFrame] = {
-    import org.apache.spark.sql.functions.{col, lit, date_format, add_months, to_date, concat}
+    import org.apache.spark.sql.functions.{col, lit, to_date}
     val silver = spark.read.parquet(s"$outDir/curated.apartment_bookings")
-    val own = silver.filter(col("booking_month") === month)
     val prevMonth = java.time.YearMonth.parse(month).minusMonths(1).toString
     val window2 = silver.filter(col("booking_month").isin(prevMonth, month))
+    val ownMonth = col("month_start") === to_date(lit(s"$month-01"))
     Map(
-      "avg_booking_duration" -> Present.monthlyAvgDuration(own),
-      "occupancy_rate" -> Present.monthlyOccupancy(window2)
-        .filter(col("month_start") === to_date(lit(s"$month-01"))))
+      "avg_booking_duration" ->
+        Present.monthlyAvgDuration(window2).filter(ownMonth),
+      "occupancy_rate" ->
+        Present.monthlyOccupancy(window2).filter(ownMonth))
   }
 
   // ------------------------------------------------------------------
@@ -270,10 +270,27 @@ object Pipeline {
       .getOrElse(curatedDelta)
 
     // apartments-side delta: listings created in the window (the
-    // listing-price metric's input is the apartments dim, not Silver)
+    // listing-price metric's input is the apartments dim, not Silver).
+    // Mirrors the bookings null contract: a null listing_created_on
+    // belongs to NO window — the full rebuild tolerates it as a
+    // null-week Gold group, but a fold can't assign it to any window
+    // without double-counting it in every fold, so such rows are
+    // routed INTO the delta and fail its validation gate loudly
+    // until fixed upstream (never silently skipped).
+    val aptMonth = date_format(col("listing_created_on"), "yyyy-MM")
     val aptDelta = Analog.apartmentsConverted(spark, sfDir)
-      .filter(date_format(col("listing_created_on"), "yyyy-MM")
-        .isin(months: _*))
+      .filter(aptMonth.isin(months: _*) || aptMonth.isNull)
+    stage("validate.listings.delta") {
+      val report = etl.Validate.run(aptDelta,
+        Seq(etl.Validate.NotNull("listing_created_on")))
+      if (!report.clean) {
+        println(s"[pipeline] listings delta violations: ${report.failed}")
+        if (failOnViolations) throw new IllegalStateException(
+          "listings delta has null listing_created_on rows — they " +
+            "belong to no fold window: " + report.failed)
+      }
+      report
+    }
 
     // ---- Fold each state: stored partial ⊕ window partial ----
     val prevState: Map[String, Option[DataFrame]] = GoldState.all.map { s =>
@@ -340,15 +357,20 @@ object Pipeline {
     *    from their full confirmed history — a row-pruned scan moving
     *    only |affected users| · their rows, not the table.
     *
-    * Silver: the affected month partitions are rewritten as
-    * dedup(existing ∪ late) through a staging roundtrip (Spark
-    * refuses an in-place overwrite of a path being read), so a
-    * retried late fold is idempotent. Partial contributions are
-    * computed from `lateNew` = the rows genuinely new to Silver
-    * (`exceptAll` against the pre-rewrite partitions) — a late row
-    * that duplicates an existing row full-row must contribute
-    * nothing, or counts would double where the Silver dedup dropped
-    * it.
+    * Silver: `lateNew` = the rows genuinely new to Silver
+    * (`exceptAll` against the current partitions) is PERSISTED first
+    * — a late row that duplicates an existing row full-row must
+    * contribute nothing, or counts would double where the Silver
+    * dedup dropped it. The affected month partitions are then
+    * rewritten as dedup(existing ∪ lateNew) through a staging
+    * roundtrip (Spark refuses an in-place overwrite of a path being
+    * read) INSIDE [[foldLateDelta]], so the rewrite replays from the
+    * persisted delta on ANY resume: a crash before the rewrite, mid-
+    * overwrite (dynamic partition overwrite is not atomic across
+    * partitions), or between rewrite and state merge all leave the
+    * label pending, and `resumeLate`'s re-apply is a content no-op
+    * where the original rewrite landed and the missing step where it
+    * didn't.
     *
     * State versions get label `<maxMonth>.lateNN` — sorts after the
     * base month, before any later month, so the ledger ordering and
@@ -398,30 +420,21 @@ object Pipeline {
         "months through runIncrementalWindow; runIncrementalLate " +
         "repairs already-folded ones")
 
-    // ---- rewrite the affected Silver partitions via staging, with
-    // the genuinely-new rows PERSISTED first: after the overwrite,
-    // exceptAll can no longer reconstruct them, so a fold crashing
-    // between the rewrite and the state merge would otherwise lose
-    // the late contributions silently on retry (the retry's diff is
-    // empty). The persisted delta + the pending-late gate below turn
-    // that crash into a LOUD, resumable state ----
+    // ---- persist the genuinely-new rows FIRST, before any Silver
+    // mutation: once the overwrite lands, exceptAll can no longer
+    // reconstruct them (the diff is empty), so every later step —
+    // the Silver rewrite included — must be replayable from this
+    // delta alone. The rewrite itself lives in foldLateDelta, which
+    // resumeLate re-runs: a crash anywhere past this write is LOUD
+    // (pending-late gate) and resumable ----
     val existing = spark.read.parquet(silverDir)
       .filter(col("booking_month").isin(affected: _*))
-    val staging = s"$outDir/_staging/late_$label"
     val deltaPath = s"$stateRoot/_late_delta/asof=$label"
-    stage("late.silver.rewrite") {
-      Curate.dedup(existing.unionByName(lateCurated))
-        .write.mode("overwrite")
-        .partitionBy("booking_month").parquet(staging)
-      // materialized BEFORE the overwrite invalidates `existing`
-      spark.read.parquet(staging).exceptAll(existing)
+    stage("late.delta.persist") {
+      Curate.dedup(lateCurated)
+        .select(existing.columns.map(col).toSeq: _*)
+        .exceptAll(existing)
         .write.mode("overwrite").parquet(deltaPath)
-      spark.read.parquet(staging).write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("booking_month").parquet(silverDir)
-      val p = new org.apache.hadoop.fs.Path(staging)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true): Unit
     }
     foldLateDelta(spark, sfDir, outDir, label, writeGold)
   }
@@ -440,9 +453,12 @@ object Pipeline {
     (labels.toSet -- processedMonths(spark, outDir).toSet).toSeq.sorted
   }
 
-  /** Finish a late fold that crashed after its Silver rewrite: the
-    * state merge re-runs from the PERSISTED delta (deterministic —
-    * re-running an already-completed fold writes identical state). */
+  /** Finish a late fold that crashed anywhere after its delta
+    * persist: the Silver rewrite is idempotently RE-APPLIED from the
+    * persisted delta (a content no-op when the original landed, the
+    * missing recovery step when it didn't), then the state merge
+    * re-runs (deterministic — re-running an already-completed fold
+    * writes identical state). */
   def resumeLate(spark: SparkSession, sfDir: String, outDir: String,
                  writeGold: Boolean = true): Seq[IncrementalOutputs] =
     pendingLate(spark, outDir).map(label =>
@@ -455,6 +471,31 @@ object Pipeline {
     val silverDir = s"$outDir/curated.apartment_bookings"
     val stateRoot = s"$outDir/state"
     val lateNew = spark.read.parquet(s"$stateRoot/_late_delta/asof=$label")
+
+    // ---- idempotent Silver rewrite from the persisted delta:
+    // dedup(existing ∪ lateNew) over the delta's month partitions via
+    // a staging roundtrip. Runs on BOTH the first fold and any resume
+    // — lateNew ⊆ existing once the overwrite has landed, so a replay
+    // rewrites identical content; until then it applies the missing
+    // rows (the r9 crash window: delta persisted, Silver never
+    // rewritten, state folded anyway → silent divergence). Months are
+    // delta-derived, so an all-duplicate redelivery rewrites nothing.
+    val affectedMonths = lateNew.select("booking_month").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // bounded: calendar
+    if (affectedMonths.nonEmpty) stage("late.silver.apply") {
+      val existing = spark.read.parquet(silverDir)
+        .filter(col("booking_month").isin(affectedMonths: _*))
+      val staging = s"$outDir/_staging/late_$label"
+      Curate.dedup(existing.unionByName(lateNew))
+        .write.mode("overwrite")
+        .partitionBy("booking_month").parquet(staging)
+      spark.read.parquet(staging).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("booking_month").parquet(silverDir)
+      val p = new org.apache.hadoop.fs.Path(staging)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
 
     // ---- fold: order-free states merge the late partials; the
     // repeat family gets the targeted per-user repair ----

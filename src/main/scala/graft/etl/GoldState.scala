@@ -24,7 +24,7 @@ import Present.{monthOf, weekOf}
   *  - `popular_cities`  (week_start, cityname): n
   *  - `top_listings`    (week_start, apartment_id): Σrevenue decimal
   *  - `bookings_per_user` (user_id): n
-  *  - `duration`        (booking month): n, Σnights
+  *  - `duration`        (checkin month): n, Σnights
   *  - `repeat_flags`    (booking month, user_id): max(is_repeat) —
   *    same distinct-keyed trick for the two COUNT(DISTINCT user_id)s
   *  - `user_last`       (user_id): max(struct(booking_date,
@@ -99,15 +99,21 @@ object GoldState {
         col("apartment_id"), nights),
       keys = Seq("month_start", "apartment_id"), sumCols = Seq("nights"))
 
+  /** Null cityname is a GROUP (no filter, as in the reference —
+    * SURVEY §2.10.12); groupBy nulls group together, so the null city
+    * is one mergeable state row like any other. */
   def popularCitiesPartial(silverDelta: DataFrame): DataFrame =
     Incremental.partialAggregate(
-      confirmed(silverDelta).filter(col("cityname").isNotNull).select(
+      confirmed(silverDelta).select(
         weekOf(col("booking_date")).as("week_start"), col("cityname")),
       keys = Seq("week_start", "cityname"), sumCols = Nil)
 
+  /** No null-price filter (§2.10.13): an all-null group's partial
+    * carries sum NULL, and SUM-merge ignores null partials — exactly
+    * the union's SUM semantics. */
   def topListingsPartial(silverDelta: DataFrame): DataFrame =
     Incremental.partialAggregate(
-      confirmed(silverDelta).filter(col("total_price_usd").isNotNull)
+      confirmed(silverDelta)
         .select(weekOf(col("booking_date")).as("week_start"),
           col("apartment_id"),
           col("total_price_usd").cast(DecimalType(18, 2)).as("rev_dec")),
@@ -118,10 +124,15 @@ object GoldState {
       confirmed(silverDelta).select(col("user_id")),
       keys = Seq("user_id"), sumCols = Nil)
 
+  /** Keyed by CHECKIN month — the reference's grain
+    * (`present_summary.py:134`, fixed r10). Like occupancy, a checkin
+    * month straddles booking-month folds (checkin trails booking by
+    * ≤ ~9 days), which the additive merge absorbs: the month row just
+    * accumulates across folds. */
   def durationPartial(silverDelta: DataFrame): DataFrame =
     Incremental.partialAggregate(
       confirmed(silverDelta).select(
-        monthOf(col("booking_date")).as("month_start"), nights),
+        monthOf(col("checkin_date")).as("month_start"), nights),
       keys = Seq("month_start"), sumCols = Seq("nights"))
 
   /** Repeat flags for the delta window given the carry-in (each
@@ -193,12 +204,13 @@ object GoldState {
   def popularCitiesGold(state: DataFrame): DataFrame =
     state.select(col("week_start"), col("cityname"),
       col("n_rows").as("total_bookings"))
-      .orderBy(col("week_start"), col("total_bookings").desc, col("cityname"))
+      .orderBy(col("week_start"), col("total_bookings").desc,
+        col("cityname").asc_nulls_first)
 
   def topListingsGold(state: DataFrame): DataFrame =
     state.select(col("week_start"), col("apartment_id"),
       col("sum_rev_dec").cast(DoubleType).as("weekly_revenue"))
-      .orderBy(col("week_start"), col("weekly_revenue").desc,
+      .orderBy(col("week_start"), col("weekly_revenue").desc_nulls_last,
         col("apartment_id"))
 
   def bookingsPerUserGold(state: DataFrame): DataFrame =

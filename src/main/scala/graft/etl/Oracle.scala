@@ -136,16 +136,18 @@ SELECT CAST(date_trunc('week', booking_date) AS DATE) AS week_start,
        cityname,
        count(*) AS total_bookings
 FROM curated
-WHERE booking_status = 'confirmed' AND cityname IS NOT NULL
-GROUP BY 1, 2 ORDER BY week_start, total_bookings DESC, cityname"""
+WHERE booking_status = 'confirmed'
+GROUP BY 1, 2
+ORDER BY week_start, total_bookings DESC, cityname ASC NULLS FIRST"""
 
   val weeklyTopListings: String = s"""$curatedCte
 SELECT CAST(date_trunc('week', booking_date) AS DATE) AS week_start,
        apartment_id,
        ${decSum("total_price_usd")} AS weekly_revenue
 FROM curated
-WHERE booking_status = 'confirmed' AND total_price_usd IS NOT NULL
-GROUP BY 1, 2 ORDER BY week_start, weekly_revenue DESC, apartment_id"""
+WHERE booking_status = 'confirmed'
+GROUP BY 1, 2
+ORDER BY week_start, weekly_revenue DESC NULLS LAST, apartment_id"""
 
   val bookingsPerUser: String = s"""$curatedCte
 SELECT user_id, count(*) AS total_bookings
@@ -153,7 +155,7 @@ FROM curated WHERE booking_status = 'confirmed'
 GROUP BY 1 ORDER BY user_id"""
 
   val monthlyAvgDuration: String = s"""$curatedCte
-SELECT CAST(date_trunc('month', booking_date) AS DATE) AS month_start,
+SELECT CAST(date_trunc('month', checkin_date) AS DATE) AS month_start,
        ${money("""CAST(sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT)) AS DOUBLE)
          / count(*)""")} AS avg_duration_days
 FROM curated WHERE booking_status = 'confirmed'

@@ -71,21 +71,26 @@ object Present {
   }
 
   /** A3 — weekly most popular cities (ref `present_summary.py:99-108`).
-    * Unattributed bookings (null cityname) are excluded. */
+    * Unattributed bookings (null cityname) form their own group, as in
+    * the reference, which has no null filter (SURVEY §2.10.12); the
+    * cityname tie-break pins them first. */
   def weeklyPopularCities(curated: DataFrame): DataFrame =
     confirmed(curated)
-      .filter(col("cityname").isNotNull)
       .groupBy(weekOf(col("booking_date")).as("week_start"), col("cityname"))
       .agg(count(lit(1)).as("total_bookings"))
-      .orderBy(col("week_start"), col("total_bookings").desc, col("cityname"))
+      .orderBy(col("week_start"), col("total_bookings").desc,
+        col("cityname").asc_nulls_first)
 
-  /** A4 — weekly top-revenue listings (ref `present_summary.py:110-119`). */
+  /** A4 — weekly top-revenue listings (ref `present_summary.py:110-119`).
+    * No null-price filter, as in the reference: a (week, apartment)
+    * group whose prices are ALL null (unconvertible currency) keeps
+    * its row with null revenue (SURVEY §2.10.13). */
   def weeklyTopListings(curated: DataFrame): DataFrame =
     confirmed(curated)
-      .filter(col("total_price_usd").isNotNull)
       .groupBy(weekOf(col("booking_date")).as("week_start"), col("apartment_id"))
       .agg(decSum(col("total_price_usd")).as("weekly_revenue"))
-      .orderBy(col("week_start"), col("weekly_revenue").desc, col("apartment_id"))
+      .orderBy(col("week_start"), col("weekly_revenue").desc_nulls_last,
+        col("apartment_id"))
 
   /** A5 — total bookings per user (ref `present_summary.py:121-130`). */
   def bookingsPerUser(curated: DataFrame): DataFrame =
@@ -94,10 +99,14 @@ object Present {
       .agg(count(lit(1)).as("total_bookings"))
       .orderBy("user_id")
 
-  /** A6 — monthly average booking duration (ref `present_summary.py:132-140`). */
+  /** A6 — monthly average booking duration (ref `present_summary.py:132-140`).
+    * Groups by CHECKIN month, exactly as the reference's
+    * `DATE_TRUNC('month', checkin_date)` does — NOT booking month
+    * (the two genuinely diverge: checkin trails booking by up to ~9
+    * days in the analog, so end-of-month bookings change rows). */
   def monthlyAvgDuration(curated: DataFrame): DataFrame =
     confirmed(curated)
-      .groupBy(monthOf(col("booking_date")).as("month_start"))
+      .groupBy(monthOf(col("checkin_date")).as("month_start"))
       .agg(money(
         sum(datediff(col("checkout_date"), col("checkin_date")).cast(LongType))
           .cast(DoubleType) / count(lit(1)))

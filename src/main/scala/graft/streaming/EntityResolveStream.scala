@@ -52,7 +52,10 @@ object EntityResolveStream {
   /** Merge the stored name partials (if any) with every shard into
     * `outDir/names` (re-mergeable state — the next compaction's
     * base), then re-run the name-graph resolution and publish
-    * `outDir/name_map` (the serving name→entity map). */
+    * `outDir/name_map` (the serving name→entity map).
+    * `baseNames == s"$outDir/names"` is explicitly supported: the
+    * merge lands in a staging dir first and is then copied over
+    * (Spark refuses a direct overwrite of a path it is reading). */
   def compact(spark: SparkSession, baseNames: Option[String],
               shardsRoot: String, outDir: String, maxEdit: Int = 1,
               blockDfCap: Int = Int.MaxValue): Unit = {
@@ -63,8 +66,12 @@ object EntityResolveStream {
       .map(_.getPath.toString).sorted
     require(shards.nonEmpty, s"no shards under $shardsRoot")
     val parts = (baseNames.toSeq ++ shards).map(spark.read.parquet(_))
+    val staging = s"$outDir/names.__staging"
     Entity.mergeNamePartials(parts)
-      .write.mode("overwrite").parquet(s"$outDir/names")
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite")
+      .parquet(s"$outDir/names")
+    fs.delete(new Path(staging), true): Unit
     Entity.nameEntityMap(spark.read.parquet(s"$outDir/names"),
         maxEdit, blockDfCap)
       .write.mode("overwrite").parquet(s"$outDir/name_map")

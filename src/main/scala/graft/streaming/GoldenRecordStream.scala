@@ -63,7 +63,10 @@ object GoldenRecordStream {
     * shard into `outDir` — fresh RE-MERGEABLE state (feed it back as
     * the next compaction's base; serve reads via [[golden]]). Same
     * FileSystem shard discovery and loud empty-shards contract as
-    * the siblings. */
+    * the siblings. `basePartials == outDir` is explicitly supported:
+    * the merge lands in a staging dir first and is then copied over
+    * `outDir` (Spark refuses a direct overwrite of a path it is
+    * reading — the Pipeline late-rewrite roundtrip). */
   def compact(spark: SparkSession, basePartials: Option[String],
               shardsRoot: String, outDir: String,
               keyCol: String, fields: Seq[String]): Unit = {
@@ -74,8 +77,11 @@ object GoldenRecordStream {
       .map(_.getPath.toString).sorted
     require(shards.nonEmpty, s"no shards under $shardsRoot")
     val parts = (basePartials.toSeq ++ shards).map(spark.read.parquet(_))
+    val staging = s"$outDir.__staging"
     Entity.mergeGoldenPartials(parts, keyCol, fields)
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(outDir)
+    fs.delete(new Path(staging), true): Unit
   }
 
   /** The serving golden table from compacted state — bit-identical to

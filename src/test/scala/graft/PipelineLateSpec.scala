@@ -47,7 +47,40 @@ class PipelineLateSpec extends SparkSpec {
       Pipeline.runIncrementalWindow(spark, sf, outIncr, w,
         writeGold = false, rawBookings = Some(raw.filter(!isLate)))
     }
-    val out = Pipeline.runIncrementalLate(spark, sf, outIncr, lateRows)
+
+    // ---- deliver HALF the late rows normally; simulate the OTHER
+    // half's runIncrementalLate crashing right after its delta
+    // persist — BEFORE the Silver rewrite (the r9 crash window:
+    // resumeLate used to fold the delta into state while Silver never
+    // received the rows → silent permanent divergence) ----
+    val lateA = lateRows.filter(col("booking_id") % 2 === 0)
+    val lateB = lateRows.filter(col("booking_id") % 2 =!= 0)
+    assert(lateA.count() > 0 && lateB.count() > 0)
+    Pipeline.runIncrementalLate(spark, sf, outIncr, lateA,
+      writeGold = false)
+
+    val silverDir = s"$outIncr/curated.apartment_bookings"
+    val doneB = Pipeline.processedMonths(outIncr)
+    val maxBaseB = doneB.map(_.take(7)).max
+    val labelB = f"$maxBaseB.late${doneB.count(_.startsWith(maxBaseB))}%02d"
+    val lateCuratedB = Curate.curate(lateB,
+        graft.etl.Analog.apartmentsRaw(spark, sf),
+        graft.etl.Analog.attributesRaw(spark, sf),
+        graft.io.Tables.exchangeRates(spark))
+      .withColumn("booking_month", date_format(col("booking_date"), "yyyy-MM"))
+    val existingB = spark.read.parquet(silverDir)
+    // replicate runIncrementalLate exactly up to its first persist
+    Curate.dedup(lateCuratedB)
+      .select(existingB.columns.map(col).toSeq: _*)
+      .exceptAll(existingB)
+      .write.mode("overwrite")
+      .parquet(s"$outIncr/state/_late_delta/asof=$labelB")
+    assert(Pipeline.pendingLate(spark, outIncr) == Seq(labelB))
+    // resume must RE-APPLY the Silver rewrite from the persisted
+    // delta (it never ran) and then fold — Gold AND Silver land
+    // identical to the full rebuild below
+    val out = Pipeline.resumeLate(spark, sf, outIncr).head
+    assert(Pipeline.pendingLate(spark, outIncr).isEmpty)
 
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq

@@ -78,6 +78,48 @@ class PresentSpec extends SparkSpec {
     assert(jan.getDouble(1) == 1.0)   // (2+1+0)/3
   }
 
+  test("monthlyAvgDuration groups by CHECKIN month, not booking month (A6)") {
+    // booking Jan 31, checkin Feb 1 — the reference's
+    // DATE_TRUNC('month', checkin_date) puts it in FEBRUARY
+    val straddle = Seq(
+      (9L, 9L, 100L, "2024-01-31", "2024-02-01", "2024-02-05", "confirmed",
+        100.0, "Berlin"))
+      .toDF("booking_id", "user_id", "apartment_id", "bd", "ci", "co",
+        "booking_status", "total_price_usd", "cityname")
+      .withColumn("booking_date", $"bd".cast("date"))
+      .withColumn("checkin_date", $"ci".cast("date"))
+      .withColumn("checkout_date", $"co".cast("date"))
+      .drop("bd", "ci", "co")
+    val rows = Present.monthlyAvgDuration(straddle).collect()
+    assert(rows.map(_.getDate(0)).toSeq == Seq(Date.valueOf("2024-02-01")))
+    assert(rows.head.getDouble(1) == 4.0)
+  }
+
+  test("weeklyPopularCities keeps the null-city group (§2.10.12)") {
+    val withNull = curated.withColumn("cityname",
+      when($"booking_id" === 4L, lit(null: String)).otherwise($"cityname"))
+    val rows = Present.weeklyPopularCities(withNull).collect()
+    // booking 4 (week of Jan 8) now groups under NULL — the reference
+    // has no cityname filter, so the group must survive and sort first
+    val wk0108 = rows.filter(_.getDate(0) == Date.valueOf("2024-01-08"))
+    assert(wk0108.length == 2)
+    assert(wk0108.map(r => Option(r.getAs[String]("cityname"))).toSeq ==
+      Seq(None, Some("Berlin")))  // counts tie at 1; nulls first
+  }
+
+  test("weeklyTopListings keeps all-null-price groups as null revenue (§2.10.13)") {
+    val withNull = curated.withColumn("total_price_usd",
+      when($"booking_id" === 4L, lit(null: java.lang.Double))
+        .otherwise($"total_price_usd"))
+    val rows = Present.weeklyTopListings(withNull).collect()
+    val wk0108 = rows.filter(_.getDate(0) == Date.valueOf("2024-01-08"))
+    // apt 101's only priced row nulled: group survives, revenue null,
+    // sorts after the priced group (desc nulls last)
+    assert(wk0108.map(r => (r.getLong(1),
+      Option(r.getAs[java.lang.Double]("weekly_revenue")))).toSeq ==
+      Seq((100L, Some(100.0)), (101L, None)))
+  }
+
   test("weeklyAvgListingPrice over converted apartments (A1)") {
     val apts = Seq(
       (1L, "2024-01-01", 100.0), (2L, "2024-01-03", 200.0),

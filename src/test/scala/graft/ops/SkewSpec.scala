@@ -50,6 +50,7 @@ class SkewSpec extends SparkSpec {
     val conf = spark.conf
     val keys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> conf.getOption(k)).toMap
@@ -81,7 +82,6 @@ class SkewSpec extends SparkSpec {
       assert(on.orderBy("o_orderstatus").collect().toSeq ==
         off.orderBy("o_orderstatus").collect().toSeq)
     } finally {
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       keys.foreach(k => saved(k) match {
         case Some(v) => conf.set(k, v)
         case None => conf.unset(k)

@@ -42,7 +42,7 @@ class GoldStateStreamSpec extends SparkSpec {
     // foreachBatch sink, GoldStream's shard discipline)
     val proj = input.toDF()
       .filter(col("booking_status") === "confirmed")
-      .select(Present.monthOf(col("booking_date")).as("month_start"),
+      .select(Present.monthOf(col("checkin_date")).as("month_start"),
         datediff(col("checkout_date"), col("checkin_date"))
           .cast(LongType).as("nights"))
     val q = GoldStream.start(proj, s"$base/shards",
