@@ -125,7 +125,7 @@ object Pipeline {
   case class IncrementalOutputs(
       deltaSilver: DataFrame,            // the pruned Silver delta read
       gold: Map[String, DataFrame],      // the 7 refreshed Gold tables
-      statePaths: Map[String, String])   // state written this fold
+      statePaths: Map[String, String])   // each state's live dir
 
   /** Gold-table names ↔ the state table + derivation that serves each
     * (read-time derivations replay Present's exact IEEE shapes). */
@@ -142,14 +142,144 @@ object Pipeline {
     try Some(spark.read.parquet(path))
     catch { case _: AnalysisException => None } // absent or 0-file state
 
+  // ------------------------------------------------------------------
+  // State storage (r9 verdict ask #3): each state table lives ONCE at
+  // `state/<name>/live/state_bucket=<v>/…`, partitioned by the spec's
+  // bucket (time key for period-grain states, key hash for user-grain
+  // ones). A fold overwrites ONLY the buckets its delta touches via
+  // dynamic partition overwrite — O(touched) write, not the r9
+  // full-copy-per-asof O(months × keys). Crash safety moves from
+  // "refold overwrites the whole per-month copy" to a per-fold UNDO
+  // snapshot: the pre-fold content of the touched buckets is
+  // persisted at `state/<name>/undo/asof=<label>` BEFORE any live
+  // overwrite, and every rewrite derives from that snapshot — so a
+  // refold after a crash (label unledgered) recomputes the same
+  // content from the same clean inputs no matter which buckets the
+  // crashed attempt already replaced. Undo snapshots double as the
+  // recent-fold audit trail and are GC'd to the last [[UndoKeep]]
+  // labels after each successful fold.
+  // ------------------------------------------------------------------
+
+  /** Undo snapshots retained per state (most recent labels). */
+  val UndoKeep = 3
+
+  private def liveDir(stateRoot: String, name: String): String =
+    s"$stateRoot/$name/live"
+  private def undoDir(stateRoot: String, name: String, label: String): String =
+    s"$stateRoot/$name/undo/asof=$label"
+
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def hFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Distinct `state_bucket` values a frame's rows land in — the
+    * touched set. Bounded collect: window periods for TimeBucket
+    * states, ≤ n for HashBucket ones. */
+  private def touchedBuckets(spec: GoldState.Spec,
+                             frame: DataFrame): Seq[String] =
+    spec.withBucket(frame).select("state_bucket").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Rewrite exactly `touched` buckets of a state's live copy,
+    * crash-resumably. The pre-fold content of those buckets is
+    * snapshotted to the label's undo dir first (an existing complete
+    * snapshot — `_SUCCESS` present — is REUSED: after a crashed
+    * attempt the live buckets may be dirty and the undo is the clean
+    * source); `makeNew` computes the buckets' new content from the
+    * snapshot; a dynamic partition overwrite replaces them. Per-
+    * bucket determinism makes retries safe: a bucket the crashed
+    * attempt already replaced gets byte-identical content again.
+    * Returns the full live state after the write. */
+  private def rewriteTouchedBuckets(spark: SparkSession, stateRoot: String,
+      spec: GoldState.Spec, touched: Seq[String],
+      makeNew: Option[DataFrame] => DataFrame,
+      label: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val live = liveDir(stateRoot, spec.name)
+    if (touched.isEmpty)
+      return readStateOpt(spark, live).getOrElse(makeNew(None))
+    val undo = undoDir(stateRoot, spec.name, label)
+    val fs = hFs(spark, hPath(undo))
+    if (!fs.exists(hPath(s"$undo/_SUCCESS"))) {
+      fs.delete(hPath(undo), true) // partial snapshot from a crash
+      readStateOpt(spark, live) match {
+        case Some(lv) =>
+          lv.filter(col("state_bucket").isin(touched: _*))
+            .write.mode("overwrite").parquet(undo)
+        case None => // no live yet: empty snapshot, marker only
+          fs.mkdirs(hPath(undo))
+          fs.create(hPath(s"$undo/_SUCCESS")).close()
+      }
+    }
+    val prevTouched = readStateOpt(spark, undo)
+    val fresh = spec.withBucket(makeNew(prevTouched))
+    fresh.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("state_bucket").parquet(live)
+    readStateOpt(spark, live).getOrElse(fresh)
+  }
+
+  /** Fold a mergeable window partial into a state's live copy:
+    * touched = the partial's own buckets; new content = stored
+    * partial ⊕ window partial for exactly those buckets. The partial
+    * is localCheckpoint'd — it feeds both the touched-set collect and
+    * the merge (single-tokenize), and materializing it pins the
+    * carry-state read BEFORE any live overwrite of this fold. */
+  private def foldStateMerge(spark: SparkSession, stateRoot: String,
+      spec: GoldState.Spec, partial0: DataFrame,
+      label: String): DataFrame = {
+    val partial = partial0.localCheckpoint(true)
+    rewriteTouchedBuckets(spark, stateRoot, spec,
+      touchedBuckets(spec, partial),
+      prev => spec.merge(prev.map(_.drop("state_bucket")).toSeq :+ partial),
+      label)
+  }
+
+  /** Targeted repair fold (the late path's order-dependent states):
+    * the affected keys' rows are REPLACED — touched buckets = the
+    * recomputed rows' buckets ∪ the affected keys' existing rows'
+    * buckets; new content = snapshot \ affected ∪ recomputed. */
+  private def foldStateRepair(spark: SparkSession, stateRoot: String,
+      spec: GoldState.Spec, affectedKeys: DataFrame, keyCol: String,
+      recomputed0: DataFrame, label: String): DataFrame = {
+    val recomputed = recomputed0.localCheckpoint(true)
+    val touched = (touchedBuckets(spec, recomputed) ++
+      readStateOpt(spark, liveDir(stateRoot, spec.name)).map(lv =>
+        touchedBuckets(spec,
+          lv.join(affectedKeys, Seq(keyCol), "left_semi"))).getOrElse(Nil)
+      ).distinct.sorted
+    rewriteTouchedBuckets(spark, stateRoot, spec, touched,
+      prev => prev.map(_.drop("state_bucket")
+          .join(affectedKeys, Seq(keyCol), "left_anti"))
+        .getOrElse(recomputed.limit(0))
+        .unionByName(recomputed),
+      label)
+  }
+
+  /** Keep each state's last [[UndoKeep]] undo snapshots, delete the
+    * rest — run AFTER the fold's ledger marker lands, so the newest
+    * (possibly still pending elsewhere) label is never pruned. */
+  private def pruneUndo(spark: SparkSession, stateRoot: String): Unit =
+    GoldState.all.foreach { s =>
+      val dir = hPath(s"$stateRoot/${s.name}/undo")
+      val fs = hFs(spark, dir)
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).toSeq
+          .filter(_.getPath.getName.startsWith("asof="))
+          .sortBy(_.getPath.getName)
+          .dropRight(UndoKeep)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+    }
+
   /** Months already folded into the state under `outDir`. The ledger
     * is an explicit `state/_ledger/asof=<m>` marker written LAST in a
     * fold — after every state table and Gold publish — so a
     * mid-fold crash leaves the month UNLEDGERED and the refold (which
-    * overwrites every per-month artifact) is the recovery path. Had
-    * the ledger been one of the state dirs, a crash between it and a
-    * later state write would make the next fold read that state's
-    * missing asof as "empty" and silently drop history. */
+    * re-derives every touched bucket from its undo snapshot) is the
+    * recovery path. Had the ledger been one of the state dirs, a
+    * crash between it and a later state write would make the next
+    * fold read stale state and silently drop history. */
   def processedMonths(outDir: String): Seq[String] =
     processedMonths(org.apache.spark.sql.SparkSession.active, outDir)
 
@@ -195,10 +325,11 @@ object Pipeline {
     *
     * Scale shape: ONE pass over the window's raw slice, partials
     * collapse map-side to state-grain rows before any exchange, the
-    * stored-state reads are |keys|-sized, and the Silver delta read
-    * is partition-pruned (`PartitionFilters` asserted in the spec;
-    * the all-history metrics stay exact because their STATE — not
-    * the history — carries what read-time derivation needs). */
+    * state READ+WRITE touches only the delta's buckets (see the
+    * state-storage block above), and the Silver delta read is
+    * partition-pruned (`PartitionFilters` asserted in the spec; the
+    * all-history metrics stay exact because their STATE — not the
+    * history — carries what read-time derivation needs). */
   def runIncrementalWindow(spark: SparkSession, sfDir: String,
                            outDir: String, months: Seq[String],
                            failOnViolations: Boolean = true,
@@ -219,8 +350,8 @@ object Pipeline {
       s"monotonic-append violated: window ${months.mkString(",")} vs " +
         s"already-folded ${done.mkString(",")} — reprocessing a folded " +
         "month would double-count its partials; rebuild state from " +
-        "scratch (or restore the prior asof) instead")
-    val prevAsof = done.lastOption
+        "scratch (or restore the touched buckets from the fold's undo " +
+        "snapshot) instead")
 
     // ---- Bronze delta: raw bookings whose booking month ∈ window,
     // PLUS every row whose booking_date is null or unparseable
@@ -292,12 +423,14 @@ object Pipeline {
       report
     }
 
-    // ---- Fold each state: stored partial ⊕ window partial ----
-    val prevState: Map[String, Option[DataFrame]] = GoldState.all.map { s =>
-      s.name -> prevAsof.flatMap(a =>
-        readStateOpt(spark, s"$stateRoot/${s.name}/asof=$a"))
-    }.toMap
-    val carry = prevState(GoldState.userLast.name).map(GoldState.carryFromState)
+    // ---- Fold each state: touched buckets only (see the state-
+    // storage block above). The repeat carry reads user_last's LIVE
+    // copy — safe because repeat_flags' partial is materialized
+    // (localCheckpoint in foldStateMerge) before user_last's own
+    // fold, the last in GoldState.all, overwrites it ----
+    val carry = readStateOpt(spark,
+        liveDir(stateRoot, GoldState.userLast.name))
+      .map(GoldState.carryFromState)
     val windowPartial: Map[String, DataFrame] = Map(
       GoldState.listingPrice.name -> GoldState.listingPricePartial(aptDelta),
       GoldState.occupancy.name -> GoldState.occupancyPartial(deltaSilver),
@@ -309,14 +442,9 @@ object Pipeline {
       GoldState.userLast.name -> GoldState.userLastPartial(deltaSilver))
     val asof = months.max
     val merged: Map[String, DataFrame] = GoldState.all.map { s =>
-      val m = s.merge(prevState(s.name).toSeq :+ windowPartial(s.name))
-      stage(s"state.${s.name}") {
-        Tables.writeParquet(m, s"$stateRoot/${s.name}/asof=$asof")
+      s.name -> stage(s"state.${s.name}") {
+        foldStateMerge(spark, stateRoot, s, windowPartial(s.name), asof)
       }
-      // serve from the just-written state when it has files (a
-      // genuinely empty state stays an in-memory empty frame)
-      s.name -> readStateOpt(spark, s"$stateRoot/${s.name}/asof=$asof")
-        .getOrElse(m)
     }.toMap
 
     // ---- Republish the 7 Gold tables from merged state ----
@@ -329,15 +457,15 @@ object Pipeline {
     }.toMap
 
     // ledger marker LAST (see processedMonths — crash anywhere above
-    // leaves the month unledgered, and the refold overwrites every
-    // per-month artifact: idempotent recovery)
-    val ledger = new org.apache.hadoop.fs.Path(
-      s"$stateRoot/_ledger/asof=$asof")
-    ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .mkdirs(ledger)
+    // leaves the month unledgered, and the refold re-derives every
+    // touched bucket from its undo snapshot: idempotent recovery),
+    // then undo retention
+    val ledger = hPath(s"$stateRoot/_ledger/asof=$asof")
+    hFs(spark, ledger).mkdirs(ledger)
+    pruneUndo(spark, stateRoot)
 
     IncrementalOutputs(deltaSilver, gold,
-      GoldState.all.map(s => s.name -> s"$stateRoot/${s.name}/asof=$asof").toMap)
+      GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
   }
 
   /** LATE-ARRIVING data — the case [[runIncrementalWindow]]'s
@@ -372,9 +500,9 @@ object Pipeline {
     * where the original rewrite landed and the missing step where it
     * didn't.
     *
-    * State versions get label `<maxMonth>.lateNN` — sorts after the
-    * base month, before any later month, so the ledger ordering and
-    * future folds' prev-state resolution are untouched.
+    * The fold's ledger/undo label is `<maxMonth>.lateNN` — sorts
+    * after the base month, before any later month, so the ledger
+    * ordering and the monotonic-append gate are untouched.
     * PipelineLateSpec proves the 7 Gold tables land row-bit-identical
     * to a full rebuild over ALL the data. */
   def runIncrementalLate(spark: SparkSession, sfDir: String,
@@ -497,12 +625,9 @@ object Pipeline {
         .delete(p, true): Unit
     }
 
-    // ---- fold: order-free states merge the late partials; the
-    // repeat family gets the targeted per-user repair ----
-    val prevAsof = processedMonths(spark, outDir).lastOption
-      .getOrElse(throw new IllegalStateException("no folded months"))
-    def prev(s: GoldState.Spec): Option[DataFrame] =
-      readStateOpt(spark, s"$stateRoot/${s.name}/asof=$prevAsof")
+    // ---- fold: order-free states merge the late partials into their
+    // touched buckets; the repeat family gets the targeted per-user
+    // bucket repair ----
     val latePartial: Map[String, DataFrame] = Map(
       GoldState.occupancy.name -> GoldState.occupancyPartial(lateNew),
       GoldState.popularCities.name -> GoldState.popularCitiesPartial(lateNew),
@@ -512,36 +637,28 @@ object Pipeline {
 
     val affectedUsers = lateNew
       .filter(col("booking_status") === "confirmed")
-      .select("user_id").distinct()
+      .select("user_id").distinct().localCheckpoint(true)
     val userHistory = spark.read.parquet(silverDir)
       .filter(col("booking_status") === "confirmed")
       .join(affectedUsers, Seq("user_id"), "left_semi")
-    def repair(old: Option[DataFrame], recomputed: DataFrame): DataFrame =
-      old.fold(recomputed)(o =>
-        o.join(affectedUsers, Seq("user_id"), "left_anti")
-          .unionByName(recomputed))
 
     val merged: Map[String, DataFrame] = GoldState.all.map { s =>
-      val m = s.name match {
+      val m = stage(s"late.state.${s.name}") { s.name match {
         case n if latePartial.contains(n) =>
-          s.merge(prev(s).toSeq :+ latePartial(n))
+          foldStateMerge(spark, stateRoot, s, latePartial(n), label)
         case GoldState.listingPrice.name =>
-          // no apartments in a bookings late feed — state unchanged
-          s.merge(prev(s).toSeq match {
-            case Seq() => Seq(GoldState.listingPricePartial(
+          // no apartments in a bookings late feed — live unchanged
+          readStateOpt(spark, liveDir(stateRoot, s.name))
+            .getOrElse(GoldState.listingPricePartial(
               Analog.apartmentsConverted(spark, sfDir).limit(0)))
-            case ps => ps
-          })
         case GoldState.repeatFlags.name =>
-          repair(prev(s), GoldState.repeatFlagsPartial(userHistory, None))
+          foldStateRepair(spark, stateRoot, s, affectedUsers, "user_id",
+            GoldState.repeatFlagsPartial(userHistory, None), label)
         case GoldState.userLast.name =>
-          repair(prev(s), GoldState.userLastPartial(userHistory))
-      }
-      stage(s"late.state.${s.name}") {
-        Tables.writeParquet(m, s"$stateRoot/${s.name}/asof=$label")
-      }
-      s.name -> readStateOpt(spark, s"$stateRoot/${s.name}/asof=$label")
-        .getOrElse(m)
+          foldStateRepair(spark, stateRoot, s, affectedUsers, "user_id",
+            GoldState.userLastPartial(userHistory), label)
+      }}
+      s.name -> m
     }.toMap
 
     val gold = goldFromState.map { case (name, spec, derive) =>
@@ -552,13 +669,12 @@ object Pipeline {
       name -> g
     }.toMap
 
-    val ledger = new org.apache.hadoop.fs.Path(
-      s"$stateRoot/_ledger/asof=$label")
-    ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .mkdirs(ledger)
+    val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
+    hFs(spark, ledger).mkdirs(ledger)
+    pruneUndo(spark, stateRoot)
 
     IncrementalOutputs(lateNew, gold,
-      GoldState.all.map(s => s.name -> s"$stateRoot/${s.name}/asof=$label").toMap)
+      GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
   }
 
   // ------------------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -47,28 +47,69 @@ import Present.{monthOf, weekOf}
   */
 object GoldState {
 
+  /** How a state table is physically partitioned on disk — the
+    * `state_bucket` column of its live copy, what lets a fold
+    * overwrite ONLY the buckets its delta touches (the IVF-cells-as-
+    * parquet-partitions trick applied to state):
+    *
+    *  - [[TimeBucket]] for time-keyed states: partition by the time
+    *    key itself. A window fold touches only the window's periods
+    *    (plus the ≤1-period checkin/week straddle), so the write is
+    *    O(delta periods), never O(history) — this covers the states
+    *    whose size grows O(periods × keys), the dominant ones.
+    *  - [[HashBucket]] for pure key-grain states (user_id): pmod of
+    *    a hash. Binds when the delta's key set is SPARSE relative to
+    *    the bucket count (late repairs, small deltas); a broad
+    *    monthly fold whose active keys hit every bucket degrades to
+    *    a full rewrite — recorded honestly in PLANS, the escape
+    *    hatch at 1e9-key scale being more buckets or LSM-style
+    *    shard-and-compact (the GoldStream discipline).
+    *
+    * xxhash64 here is internal physical layout, never query output —
+    * within the repo's determinism contract. Null keys bucket under
+    * a literal sentinel so dynamic overwrite stays total. */
+  sealed trait Bucket { def expr: Column }
+  case class TimeBucket(key: String) extends Bucket {
+    def expr: Column =
+      coalesce(date_format(col(key), "yyyy-MM-dd"), lit("__null__"))
+  }
+  case class HashBucket(key: String, n: Int) extends Bucket {
+    def expr: Column = coalesce(
+      pmod(xxhash64(col(key)), lit(n.toLong)).cast("string"),
+      lit("__null__"))
+  }
+
   /** Merge spec of one state table (names line up with
     * [[Incremental.partialAggregate]]'s column contract). */
   case class Spec(name: String, keys: Seq[String],
-                  sumCols: Seq[String] = Nil, maxCols: Seq[String] = Nil) {
+                  sumCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+                  bucket: Bucket) {
     def merge(parts: Seq[DataFrame]): DataFrame =
       Incremental.merge(parts, keys, sumCols, maxCols = maxCols)
+
+    /** The frame with its physical partition column attached
+      * (idempotent — recomputes over an existing column). */
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("state_bucket", bucket.expr)
   }
 
   val listingPrice  = Spec("listing_price", Seq("week_start"),
-    sumCols = Seq("price_dec", "has_price"))
+    sumCols = Seq("price_dec", "has_price"),
+    bucket = TimeBucket("week_start"))
   val occupancy     = Spec("occupancy", Seq("month_start", "apartment_id"),
-    sumCols = Seq("nights"))
-  val popularCities = Spec("popular_cities", Seq("week_start", "cityname"))
+    sumCols = Seq("nights"), bucket = TimeBucket("month_start"))
+  val popularCities = Spec("popular_cities", Seq("week_start", "cityname"),
+    bucket = TimeBucket("week_start"))
   val topListings   = Spec("top_listings", Seq("week_start", "apartment_id"),
-    sumCols = Seq("rev_dec"))
-  val bookingsPerUser = Spec("bookings_per_user", Seq("user_id"))
+    sumCols = Seq("rev_dec"), bucket = TimeBucket("week_start"))
+  val bookingsPerUser = Spec("bookings_per_user", Seq("user_id"),
+    bucket = HashBucket("user_id", 64))
   val duration      = Spec("duration", Seq("month_start"),
-    sumCols = Seq("nights"))
+    sumCols = Seq("nights"), bucket = TimeBucket("month_start"))
   val repeatFlags   = Spec("repeat_flags", Seq("month_start", "user_id"),
-    maxCols = Seq("is_repeat"))
+    maxCols = Seq("is_repeat"), bucket = TimeBucket("month_start"))
   val userLast      = Spec("user_last", Seq("user_id"),
-    maxCols = Seq("last"))
+    maxCols = Seq("last"), bucket = HashBucket("user_id", 64))
 
   val all: Seq[Spec] = Seq(listingPrice, occupancy, popularCities,
     topListings, bookingsPerUser, duration, repeatFlags, userLast)

@@ -38,20 +38,68 @@ class PipelineIncrementalSpec extends SparkSpec {
       Pipeline.runIncrementalWindow(spark, sf, outIncr, w, writeGold = false)
     }
 
-    // ---- simulated MID-FOLD CRASH on the last month: state partly
-    // written, ledger marker never reached. The month stays
-    // unledgered, so the refold is permitted and overwrites every
-    // per-month artifact — the idempotent recovery path ----
+    // ---- simulated MID-FOLD CRASH on the last month: live buckets
+    // partly overwritten, ledger marker never reached. The month
+    // stays unledgered, so the refold is permitted and re-derives
+    // every touched bucket from its undo snapshot — the idempotent
+    // recovery path ----
     Pipeline.runIncremental(spark, sf, outIncr, months.last,
       writeGold = false)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(
       s"$outIncr/state/_ledger/asof=${months.last}"))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(
-      s"$outIncr/state/listing_price/asof=${months.last}"))
+    // a touched live bucket lost mid-write (duration is keyed by
+    // checkin month, so the fold certainly touched this bucket)
+    val lostBucket = new java.io.File(
+      s"$outIncr/state/duration/live/state_bucket=${months.last}-01")
+    assert(lostBucket.isDirectory, s"expected touched bucket $lostBucket")
+    org.apache.commons.io.FileUtils.deleteDirectory(lostBucket)
     assert(!Pipeline.processedMonths(outIncr).contains(months.last))
+
+    // ---- file census: buckets the refold does NOT touch must stay
+    // physically untouched (same files, same mtimes) — the O(touched)
+    // write guarantee, not a full-state rewrite ----
+    def bucketFiles(name: String, excl: Set[String]): Map[String, Long] = {
+      val live = new java.io.File(s"$outIncr/state/$name/live")
+      live.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("state_bucket=") &&
+          !excl(f.getName.stripPrefix("state_bucket=")))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val nextMonth = java.time.YearMonth.parse(months.last)
+      .plusMonths(1).toString
+    val durTouched = Set(s"${months.last}-01", s"$nextMonth-01")
+    val durBefore = bucketFiles("duration", durTouched)
+    assert(durBefore.nonEmpty, "need untouched duration buckets")
+    val bpuBefore = bucketFiles("bookings_per_user", Set.empty)
 
     val out = Pipeline.runIncremental(spark, sf, outIncr, months.last)
     assert(Pipeline.processedMonths(outIncr).size == windows.size + 1)
+
+    assert(bucketFiles("duration", durTouched) == durBefore,
+      "refold rewrote duration buckets outside the touched set")
+    // user-grain states: ONLY buckets containing delta users rewritten
+    import graft.etl.GoldState
+    val deltaBuckets = GoldState.bookingsPerUser
+      .withBucket(out.deltaSilver.select("user_id"))
+      .select("state_bucket").distinct().as[String].collect().toSet
+    val bpuUntouchedAfter = bucketFiles("bookings_per_user", deltaBuckets)
+    assert(bpuUntouchedAfter ==
+      bpuBefore.filter { case (p, _) =>
+        !deltaBuckets.exists(b => p.contains(s"state_bucket=$b/")) },
+      "refold rewrote bookings_per_user buckets outside the delta's")
+
+    // ---- undo retention: at most UndoKeep snapshots per state, the
+    // newest label's always present for a state the fold touched ----
+    GoldState.all.foreach { s =>
+      val undo = new java.io.File(s"$outIncr/state/${s.name}/undo")
+      val asofs = Option(undo.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("asof=")).map(_.getName).sorted
+      assert(asofs.length <= Pipeline.UndoKeep,
+        s"${s.name} undo not pruned: ${asofs.mkString(",")}")
+    }
+    assert(new java.io.File(
+      s"$outIncr/state/duration/undo/asof=${months.last}/_SUCCESS").exists)
 
     // ---- the Silver delta read is partition-pruned (metadata, not
     // a filtered full scan) ----
