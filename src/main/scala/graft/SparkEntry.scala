@@ -1162,6 +1162,25 @@ object SparkEntry {
           graft.etl.GoldState.occupancyPartial(
             c.filter(col("booking_date") >= pivot)))))
     }),
+    // Dynamic-partition-pruning flagship query (r10, oracle-gated):
+    // the quarter predicate lives on a parquet month DIM only, so the
+    // fact scan can prune its booking_month partitions solely through
+    // the runtime DynamicPruningExpression (plan + 12/320-file census
+    // asserted in PipelineSpec). Self-contained: lands Silver + dim
+    // in a scratch dir, then runs Pipeline.quarterCityRevenue; the
+    // oracle replays the plain quarter-filtered aggregate.
+    "q202_quarter_city_revenue" -> ((s, dir) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_q202_" +
+        s.sparkContext.applicationId
+      val silverDir = s"$base/silver"
+      Analog.curated(s, dir)
+        .withColumn("booking_month",
+          date_format(col("booking_date"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("booking_month")
+        .parquet(silverDir)
+      Pipeline.writeMonthDim(s, silverDir, s"$base/dim")
+      Pipeline.quarterCityRevenue(s, silverDir, s"$base/dim", "1995-Q2")
+    }),
     // Sequence packing: contiguous token-budget bins per (lang,
     // shard) — the pretraining batch-assembly op; sharded cumsum is
     // the scale path (no per-stratum serialization).
@@ -2312,6 +2331,7 @@ object SparkEntry {
     "q199_incremental_repeat" -> Oracle.monthlyRepeatRate,
     "q200_incremental_occupancy" -> Oracle.monthlyOccupancy,
     "q201_late_repair_repeat" -> Oracle.monthlyRepeatRate,
+    "q202_quarter_city_revenue" -> Oracle.quarterCityRevenue,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

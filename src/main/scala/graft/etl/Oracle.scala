@@ -154,6 +154,17 @@ SELECT user_id, count(*) AS total_bookings
 FROM curated WHERE booking_status = 'confirmed'
 GROUP BY 1 ORDER BY user_id"""
 
+  /** DuckDB twin of `Pipeline.quarterCityRevenue` (q202): the
+    * engine's quarter predicate arrives via a month-dim join pruned
+    * at runtime (DPP); semantically it is this plain quarter filter. */
+  val quarterCityRevenue: String = s"""$curatedCte
+SELECT cityname, ${decSum("total_price_usd")} AS revenue
+FROM curated
+WHERE booking_status = 'confirmed'
+  AND year(booking_date) = 1995 AND quarter(booking_date) = 2
+GROUP BY cityname
+ORDER BY cityname ASC NULLS FIRST"""
+
   val monthlyAvgDuration: String = s"""$curatedCte
 SELECT CAST(date_trunc('month', checkin_date) AS DATE) AS month_start,
        ${money("""CAST(sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT)) AS DOUBLE)
