@@ -345,6 +345,10 @@ object Pipeline {
       s"a late fold crashed mid-way (pending delta " +
         s"${pending.mkString(",")}): its rows are in Silver but not " +
         "in state — run Pipeline.resumeLate first")
+    val pendingD = pendingDim(spark, outDir)
+    require(pendingD.isEmpty,
+      s"a dim fold crashed mid-way (pending delta " +
+        s"${pendingD.mkString(",")}) — run Pipeline.resumeDim first")
     val done = processedMonths(spark, outDir)
     require(done.forall(d => months.forall(_ > d)),
       s"monotonic-append violated: window ${months.mkString(",")} vs " +
@@ -377,9 +381,11 @@ object Pipeline {
       report
     }
 
-    // ---- Curate the delta; land its Silver month partitions ----
+    // ---- Curate the delta; land its Silver month partitions (dims
+    // come from the warehouse's CURRENT copies, so corrections made
+    // via runIncrementalDimUpdate stick for every later fold) ----
     val curatedDelta = Curate.curate(rawDelta,
-        Analog.apartmentsRaw(spark, sfDir),
+        currentApartmentsRaw(spark, sfDir, outDir),
         Analog.attributesRaw(spark, sfDir),
         Tables.exchangeRates(spark))
       .withColumn("booking_month",
@@ -409,7 +415,7 @@ object Pipeline {
     // routed INTO the delta and fail its validation gate loudly
     // until fixed upstream (never silently skipped).
     val aptMonth = date_format(col("listing_created_on"), "yyyy-MM")
-    val aptDelta = Analog.apartmentsConverted(spark, sfDir)
+    val aptDelta = currentApartmentsConverted(spark, sfDir, outDir)
       .filter(aptMonth.isin(months: _*) || aptMonth.isNull)
     stage("validate.listings.delta") {
       val report = etl.Validate.run(aptDelta,
@@ -517,6 +523,10 @@ object Pipeline {
       s"a late fold crashed mid-way (pending delta " +
         s"${pending.mkString(",")}): its rows are in Silver but not " +
         "in state — run Pipeline.resumeLate first")
+    val pendingD = pendingDim(spark, outDir)
+    require(pendingD.isEmpty,
+      s"a dim fold crashed mid-way (pending delta " +
+        s"${pendingD.mkString(",")}) — run Pipeline.resumeDim first")
     val done = processedMonths(spark, outDir)
     require(done.nonEmpty, "no folded months yet — run " +
       "runIncrementalWindow first; a late fold repairs existing state")
@@ -535,7 +545,7 @@ object Pipeline {
     }
 
     val lateCurated = Curate.curate(lateRawBookings,
-        Analog.apartmentsRaw(spark, sfDir),
+        currentApartmentsRaw(spark, sfDir, outDir),
         Analog.attributesRaw(spark, sfDir),
         Tables.exchangeRates(spark))
       .withColumn("booking_month",
@@ -650,7 +660,7 @@ object Pipeline {
           // no apartments in a bookings late feed — live unchanged
           readStateOpt(spark, liveDir(stateRoot, s.name))
             .getOrElse(GoldState.listingPricePartial(
-              Analog.apartmentsConverted(spark, sfDir).limit(0)))
+              currentApartmentsConverted(spark, sfDir, outDir).limit(0)))
         case GoldState.repeatFlags.name =>
           foldStateRepair(spark, stateRoot, s, affectedUsers, "user_id",
             GoldState.repeatFlagsPartial(userHistory, None), label)
@@ -674,6 +684,256 @@ object Pipeline {
     pruneUndo(spark, stateRoot)
 
     IncrementalOutputs(lateNew, gold,
+      GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
+  }
+
+  // ------------------------------------------------------------------
+  // DIMENSION updates (r9 verdict ask #4): a late or corrected
+  // apartments feed — the reference's dims live in mutable Postgres
+  // tables (scripts/init_db.sql:11-34), so "the dim changed" is a
+  // first-class warehouse event, not an anomaly. The warehouse owns a
+  // CURRENT apartments dim at dim/apartments_current (seeded from the
+  // arriving-feed analog on first use); an update feed
+  //  1. persists its genuinely-CHANGED rows (full-row diff vs
+  //     current) as a dim delta — the resumable unit,
+  //  2. snapshots the superseded versions of the affected ids to
+  //     dim/apartments_history/asof=<label> (the SCD-2 record: every
+  //     version of every row remains reconstructible),
+  //  3. upserts current (Upsert.applyUpdates — idempotent: re-
+  //     applying the same delta rewrites identical content),
+  //  4. re-derives ONLY the apartment-side columns of the affected
+  //     Silver rows (Curate.recurateApartmentSide) and rewrites only
+  //     the affected booking_month partitions,
+  //  5. repairs the listing_price state for the touched WEEKS via the
+  //     same undo-bucket discipline as every other fold.
+  // Occupancy/cities/listings/per-user/duration/repeat state is
+  // bookings- or attributes-sourced and provably untouched by an
+  // apartments update. Crash anywhere after step 1 leaves the label
+  // pending (pendingDim) and resumeDim replays 2-5 idempotently.
+  // ------------------------------------------------------------------
+
+  private def dimCurrentDir(outDir: String) = s"$outDir/dim/apartments_current"
+  private def dimHistoryDir(outDir: String, label: String) =
+    s"$outDir/dim/apartments_history/asof=$label"
+
+  /** The warehouse's current apartments dim (raw feed shape) —
+    * stored if any dim update ever landed, else the arriving-feed
+    * analog. All incremental folds curate against THIS, so a dim
+    * correction sticks for every later fold. */
+  def currentApartmentsRaw(spark: SparkSession, sfDir: String,
+                           outDir: String): DataFrame =
+    readStateOpt(spark, dimCurrentDir(outDir))
+      .getOrElse(Analog.apartmentsRaw(spark, sfDir))
+
+  private def currentApartmentsConverted(spark: SparkSession,
+      sfDir: String, outDir: String): DataFrame =
+    Curate.convertApartmentPrices(
+      Curate.parseRawDates(
+        Curate.dedup(currentApartmentsRaw(spark, sfDir, outDir)),
+        Seq("listing_created_on")),
+      Tables.exchangeRates(spark))
+
+  /** Labels of persisted dim deltas whose fold never reached the
+    * ledger — a crashed [[runIncrementalDimUpdate]]. */
+  def pendingDim(spark: SparkSession, outDir: String): Seq[String] = {
+    val dir = hPath(s"$outDir/state/_dim_delta")
+    val fs = hFs(spark, dir)
+    val labels =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("asof=")).map(_.stripPrefix("asof="))
+    (labels.toSet -- processedMonths(spark, outDir).toSet).toSeq.sorted
+  }
+
+  /** Finish dim folds that crashed after their delta persist. */
+  def resumeDim(spark: SparkSession, sfDir: String, outDir: String,
+                writeGold: Boolean = true): Seq[IncrementalOutputs] =
+    pendingDim(spark, outDir).map(label =>
+      foldDimDelta(spark, sfDir, outDir, label, writeGold))
+
+  /** Apply an apartments-dim update feed (raw apartments schema, one
+    * row per id = the corrected/new version) to the folded warehouse.
+    * No-op rows (identical to current) contribute nothing; an
+    * all-duplicate feed touches no state. See the section comment for
+    * the step contract; PipelineDimSpec proves Gold AND Silver land
+    * row-bit-identical to a full rebuild over the corrected dim. */
+  def runIncrementalDimUpdate(spark: SparkSession, sfDir: String,
+      outDir: String, apartmentUpdatesRaw: DataFrame,
+      failOnViolations: Boolean = true,
+      writeGold: Boolean = true): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.col
+    val pendingL = pendingLate(spark, outDir)
+    require(pendingL.isEmpty, s"late fold pending (${pendingL.mkString(",")})" +
+      " — run Pipeline.resumeLate first")
+    val pendingD = pendingDim(spark, outDir)
+    require(pendingD.isEmpty, s"dim fold pending (${pendingD.mkString(",")})" +
+      " — run Pipeline.resumeDim first")
+    val done = processedMonths(spark, outDir)
+    require(done.nonEmpty, "no folded months yet — run " +
+      "runIncrementalWindow first; a dim update repairs existing state")
+    val maxBase = done.map(_.take(7)).max
+    val label = f"$maxBase.dim${done.count(_.startsWith(maxBase))}%02d"
+
+    stage("validate.dim") {
+      val report = etl.Validate.run(apartmentUpdatesRaw, Seq(
+        etl.Validate.NotNull("id"),
+        etl.Validate.NotNull("listing_created_on"),
+        etl.Validate.ParsesAsRawDate("listing_created_on")))
+      if (!report.clean) {
+        println(s"[pipeline] dim-update violations: ${report.failed}")
+        if (failOnViolations) throw new IllegalStateException(
+          s"dim update failed quality gate: ${report.failed}")
+      }
+      report
+    }
+    val updates = Curate.dedup(apartmentUpdatesRaw)
+    val dupIds = updates.groupBy(col("id"))
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupIds == 0, "dim update feed has conflicting rows for " +
+      "the same id — resolve versions upstream (Upsert.latestByKey)")
+
+    // genuinely-changed rows only, persisted FIRST (the resumable
+    // unit — everything after derives from it idempotently)
+    val current = currentApartmentsRaw(spark, sfDir, outDir)
+    stage("dim.delta.persist") {
+      updates.select(current.columns.map(col).toSeq: _*)
+        .exceptAll(current)
+        .write.mode("overwrite")
+        .parquet(s"$outDir/state/_dim_delta/asof=$label")
+    }
+    foldDimDelta(spark, sfDir, outDir, label, writeGold)
+  }
+
+  private def foldDimDelta(spark: SparkSession, sfDir: String,
+      outDir: String, label: String,
+      writeGold: Boolean): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.{broadcast, col, to_date}
+    val silverDir = s"$outDir/curated.apartment_bookings"
+    val stateRoot = s"$outDir/state"
+    // an all-duplicate feed persists an EMPTY delta — 0-file dirs
+    // need the readStateOpt fallback (schema from the current dim)
+    val delta = readStateOpt(spark, s"$stateRoot/_dim_delta/asof=$label")
+      .getOrElse(currentApartmentsRaw(spark, sfDir, outDir).limit(0))
+      .localCheckpoint(true)
+    val affectedIds = delta.select("id").distinct().localCheckpoint(true)
+    val rates = Tables.exchangeRates(spark)
+
+    // ---- SCD-2 history: superseded versions of the affected ids,
+    // snapshotted BEFORE current mutates (skipped on resume — the
+    // snapshot is the pre-update record, current may be updated) ----
+    val history = dimHistoryDir(outDir, label)
+    val hfs = hFs(spark, hPath(history))
+    if (!hfs.exists(hPath(s"$history/_SUCCESS"))) stage("dim.history") {
+      hfs.delete(hPath(history), true)
+      currentApartmentsRaw(spark, sfDir, outDir)
+        .join(affectedIds, Seq("id"), "left_semi")
+        .write.mode("overwrite").parquet(history)
+    }
+
+    // ---- upsert current through a staging roundtrip (idempotent:
+    // re-applying an applied delta rewrites identical content) ----
+    stage("dim.current.apply") {
+      val cur = currentApartmentsRaw(spark, sfDir, outDir)
+      val staging = s"$outDir/_staging/dim_$label"
+      graft.ops.Upsert.applyUpdates(cur,
+          delta.select(cur.columns.map(col).toSeq: _*), Seq("id"))
+        .write.mode("overwrite").parquet(staging)
+      spark.read.parquet(staging).write.mode("overwrite")
+        .parquet(dimCurrentDir(outDir))
+      val p = hPath(staging)
+      hFs(spark, p).delete(p, true): Unit
+    }
+
+    // ---- re-derive the affected Silver rows' apartment-side columns
+    // against the updated dim; rewrite only the affected partitions.
+    // Idempotent: booking-side columns come from the rows themselves
+    // and the re-derivation is a pure function of (Silver row, new
+    // dim), so a resume recomputes identical partitions ----
+    val silver = spark.read.parquet(silverDir)
+    val affectedRows = silver.join(broadcast(affectedIds),
+      silver("apartment_id") === affectedIds("id"), "left_semi")
+    val affectedMonths = affectedRows.select("booking_month").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // bounded: calendar
+    if (affectedMonths.nonEmpty) stage("dim.silver.recurate") {
+      val parts = silver.filter(col("booking_month").isin(affectedMonths: _*))
+      val untouched = parts.join(broadcast(affectedIds),
+        parts("apartment_id") === affectedIds("id"), "left_anti")
+      val redone = Curate.recurateApartmentSide(
+        parts.join(broadcast(affectedIds),
+          parts("apartment_id") === affectedIds("id"), "left_semi"),
+        currentApartmentsRaw(spark, sfDir, outDir), rates)
+      val staging = s"$outDir/_staging/dim_silver_$label"
+      untouched.unionByName(redone)
+        .write.mode("overwrite")
+        .partitionBy("booking_month").parquet(staging)
+      spark.read.parquet(staging).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("booking_month").parquet(silverDir)
+      val p = hPath(staging)
+      hFs(spark, p).delete(p, true): Unit
+    }
+
+    // ---- listing_price state: replace the touched WEEKS (old rows'
+    // weeks ∪ corrected rows' weeks — a moved listing_created_on
+    // touches both) with partials over the UPDATED dim. The partial
+    // runs over the whole dim then prunes to touched weeks (week is
+    // its group key, so filter-after ≡ filter-before) — O(dim), and
+    // dims are small relative to facts by construction ----
+    val newConv = currentApartmentsConverted(spark, sfDir, outDir)
+    val weekCol = Present.weekOf(
+      to_date(col("listing_created_on"), Curate.RawDateFormat))
+      .as("week_start")
+    val touchedWeeks = readStateOpt(spark, dimHistoryDir(outDir, label))
+      .getOrElse(delta.limit(0))
+      .select(weekCol)
+      .unionByName(delta.select(weekCol))
+      .distinct().localCheckpoint(true)
+    val recomputedLp = GoldState.listingPricePartial(newConv)
+      .join(broadcast(touchedWeeks), Seq("week_start"), "left_semi")
+    val emptySilver = spark.read.parquet(silverDir).limit(0)
+    def emptyState(s: GoldState.Spec): DataFrame = s.name match {
+      case GoldState.listingPrice.name =>
+        GoldState.listingPricePartial(newConv.limit(0))
+      case GoldState.occupancy.name => GoldState.occupancyPartial(emptySilver)
+      case GoldState.popularCities.name =>
+        GoldState.popularCitiesPartial(emptySilver)
+      case GoldState.topListings.name =>
+        GoldState.topListingsPartial(emptySilver)
+      case GoldState.bookingsPerUser.name =>
+        GoldState.bookingsPerUserPartial(emptySilver)
+      case GoldState.duration.name => GoldState.durationPartial(emptySilver)
+      case GoldState.repeatFlags.name =>
+        GoldState.repeatFlagsPartial(emptySilver, None)
+      case GoldState.userLast.name => GoldState.userLastPartial(emptySilver)
+    }
+    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
+      val m = stage(s"dim.state.${s.name}") { s.name match {
+        case GoldState.listingPrice.name =>
+          foldStateRepair(spark, stateRoot, s, touchedWeeks, "week_start",
+            recomputedLp, label)
+        case _ =>
+          // bookings/attributes-sourced — provably untouched by an
+          // apartments update; serve the live copy unchanged (empty
+          // shape if that state never got a touched bucket)
+          readStateOpt(spark, liveDir(stateRoot, s.name))
+            .getOrElse(emptyState(s))
+      }}
+      s.name -> m
+    }.toMap
+
+    val gold = goldFromState.map { case (name, spec, derive) =>
+      val g = derive(merged(spec.name))
+      if (writeGold) stage(s"dim.present.$name") {
+        Tables.writeParquet(g, s"$outDir/presentation.$name")
+      }
+      name -> g
+    }.toMap
+
+    val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
+    hFs(spark, ledger).mkdirs(ledger)
+    pruneUndo(spark, stateRoot)
+
+    IncrementalOutputs(delta, gold,
       GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
   }
 

@@ -1181,6 +1181,32 @@ object SparkEntry {
       Pipeline.writeMonthDim(s, silverDir, s"$base/dim")
       Pipeline.quarterCityRevenue(s, silverDir, s"$base/dim", "1995-Q2")
     }),
+    // Dimension-update repair algebra (r10, the q201 pattern listing-
+    // price flavored): stale listing_price state built from the
+    // ORIGINAL dim, a deterministic price correction (id % 7 == 3 →
+    // price × 1.1), then the runIncrementalDimUpdate repair — the
+    // touched WEEKS' state rows replaced by partials over the
+    // corrected dim, untouched weeks kept as-is. Oracle = the
+    // one-shot weekly average over the corrected dim: repair(stale \
+    // W ∪ recompute(W)) ≡ one-shot proven by hash.
+    "q203_dim_repair_price" -> ((s, dir) => {
+      val orig = Analog.apartmentsRaw(s, dir)
+      val fixed = orig.withColumn("price",
+        when(col("id") % 7 === 3, col("price") * 1.1)
+          .otherwise(col("price")))
+      def conv(d: DataFrame) = Curate.convertApartmentPrices(
+        Curate.parseRawDates(Curate.dedup(d), Seq("listing_created_on")),
+        Tables.exchangeRates(s))
+      val stale = graft.etl.GoldState.listingPricePartial(conv(orig))
+      val touched = conv(fixed).filter(col("id") % 7 === 3)
+        .select(Present.weekOf(col("listing_created_on")).as("week_start"))
+        .distinct()
+      val repaired = stale.join(touched, Seq("week_start"), "left_anti")
+        .unionByName(
+          graft.etl.GoldState.listingPricePartial(conv(fixed))
+            .join(touched, Seq("week_start"), "left_semi"))
+      graft.etl.GoldState.listingPriceGold(repaired)
+    }),
     // Sequence packing: contiguous token-budget bins per (lang,
     // shard) — the pretraining batch-assembly op; sharded cumsum is
     // the scale path (no per-stratum serialization).
@@ -2332,6 +2358,7 @@ object SparkEntry {
     "q200_incremental_occupancy" -> Oracle.monthlyOccupancy,
     "q201_late_repair_repeat" -> Oracle.monthlyRepeatRate,
     "q202_quarter_city_revenue" -> Oracle.quarterCityRevenue,
+    "q203_dim_repair_price" -> Oracle.dimRepairPrice,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

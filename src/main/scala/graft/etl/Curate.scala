@@ -136,14 +136,44 @@ object Curate {
       .withColumn("total_price_usd", money(col("total_price") * col("usd_rate")))
 
     // P2: final typed projection — explicit column list, no ambiguity.
-    withUsd.select(
-      col("booking_id"), col("user_id"), col("apartment_id"),
-      col("booking_date"), col("checkin_date"), col("checkout_date"),
-      col("booking_status"), col("total_price"), col("total_price_usd"),
-      col("currency"),
-      col("price"), col("price_usd"), col("title"), col("source"),
-      col("is_active"), col("listing_created_on"),
-      col("category"), col("bedrooms"), col("bathrooms"),
-      col("square_feet"), col("cityname"))
+    withUsd.select(SilverColumns.map(col): _*)
+  }
+
+  /** The Silver projection (P2), single-sourced so partial
+    * re-derivations ([[recurateApartmentSide]]) can never drift from
+    * [[curate]]'s output shape. */
+  val SilverColumns: Seq[String] = Seq(
+    "booking_id", "user_id", "apartment_id",
+    "booking_date", "checkin_date", "checkout_date",
+    "booking_status", "total_price", "total_price_usd", "currency",
+    "price", "price_usd", "title", "source",
+    "is_active", "listing_created_on",
+    "category", "bedrooms", "bathrooms", "square_feet", "cityname")
+
+  /** The apartment-sourced Silver columns (J1 join output). */
+  val ApartmentSilverColumns: Seq[String] = Seq(
+    "price", "price_usd", "title", "source", "is_active",
+    "listing_created_on")
+
+  /** Re-derive ONLY the apartment-side columns of existing Silver
+    * rows against a corrected apartments dim (raw shape) — the
+    * dimension-update repair: booking-side and attribute-side columns
+    * are carried from the rows themselves (they cannot change under
+    * an apartments update), the J1 join and projection replay
+    * [[curate]]'s exact shapes. Rows whose apartment_id now matches a
+    * NEWLY-added dim row pick up its columns; rows whose apartment
+    * disappeared fall back to nulls — both exactly as a full
+    * re-curate over the corrected dim would produce. */
+  def recurateApartmentSide(silverRows: DataFrame, apartments: DataFrame,
+                            rates: DataFrame): DataFrame = {
+    val aptConv = convertApartmentPrices(
+      parseRawDates(dedup(apartments), Seq("listing_created_on")), rates)
+      .select((Seq("id") ++ ApartmentSilverColumns).map(col): _*)
+    val kept = silverRows.drop(ApartmentSilverColumns: _*)
+    kept
+      .join(aptConv, kept("apartment_id") === aptConv("id"), "left")
+      .drop("id")
+      .select((SilverColumns ++
+        silverRows.columns.filterNot(SilverColumns.contains)).map(col): _*)
   }
 }

@@ -165,6 +165,31 @@ WHERE booking_status = 'confirmed'
 GROUP BY cityname
 ORDER BY cityname ASC NULLS FIRST"""
 
+  /** One-shot weekly listing-price average over the CORRECTED dim
+    * (id % 7 = 3 → price × 1.1) — q203's engine side computes the
+    * same table via the dim-repair algebra (stale state from the
+    * original dim, touched weeks replaced); hash equality proves
+    * repair ≡ one-shot. */
+  val dimRepairPrice: String = s"""
+WITH rates(currency, usd_rate) AS (
+  VALUES ('USD', 1.0), ('EUR', 1.1), ('INR', 0.012)),
+apt AS (
+  SELECT DISTINCT
+    p_partkey AS id,
+    CASE WHEN p_partkey % 7 = 3 THEN p_retailprice * 1.1
+         ELSE p_retailprice END AS price,
+    CASE WHEN p_partkey % 3 = 0 THEN 'USD'
+         WHEN p_partkey % 3 = 1 THEN 'EUR'
+         ELSE 'INR' END AS apt_currency,
+    DATE '1995-01-01' + CAST(p_partkey % 1000 AS INT) AS listing_created_on
+  FROM part),
+aptc AS (
+  SELECT a.*, ${money("a.price * r.usd_rate")} AS price_usd
+  FROM apt a LEFT JOIN rates r ON a.apt_currency = r.currency)
+SELECT CAST(date_trunc('week', listing_created_on) AS DATE) AS week_start,
+       ${money(s"${decSum("price_usd")} / count(price_usd)")} AS avg_price_usd
+FROM aptc GROUP BY 1 ORDER BY week_start"""
+
   val monthlyAvgDuration: String = s"""$curatedCte
 SELECT CAST(date_trunc('month', checkin_date) AS DATE) AS month_start,
        ${money("""CAST(sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT)) AS DOUBLE)

@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Analog, Curate, Present}
+import graft.io.Tables
+
+/** Dimension updates (r9 verdict ask #4): a corrected apartments feed
+  * applied via `runIncrementalDimUpdate` must land Silver AND all 7
+  * Gold tables row-bit-identical to a full rebuild over the corrected
+  * dim — covering a price fix, a moved listing_created_on (week
+  * change), a brand-NEW id that existing bookings already reference,
+  * and no-op rows that must contribute nothing. Also proves the
+  * O(touched) write story (file census on Silver partitions and
+  * listing_price buckets), crash resume from the persisted delta,
+  * and idempotent redelivery. */
+class PipelineDimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+
+  private def goldOver(curated: org.apache.spark.sql.DataFrame,
+                       aptConv: org.apache.spark.sql.DataFrame) = Map(
+    "average_listing_price"  -> Present.weeklyAvgListingPrice(aptConv),
+    "occupancy_rate"         -> Present.monthlyOccupancy(curated),
+    "most_popular_location"  -> Present.weeklyPopularCities(curated),
+    "top_performing_listing" -> Present.weeklyTopListings(curated),
+    "bookings_per_user"      -> Present.bookingsPerUser(curated),
+    "avg_booking_duration"   -> Present.monthlyAvgDuration(curated),
+    "repeat_customer_rate"   -> Present.monthlyRepeatRate(curated))
+
+  private def convert(dim: org.apache.spark.sql.DataFrame) =
+    Curate.convertApartmentPrices(
+      Curate.parseRawDates(Curate.dedup(dim), Seq("listing_created_on")),
+      Tables.exchangeRates(spark))
+
+  test("dim-update fold ≡ full rebuild over the corrected dim") {
+    val out = Files.createTempDirectory("graft_dim").toString
+    val months = (Analog.curated(spark, sf)
+        .select(date_format(col("booking_date"), "yyyy-MM").as("m"))
+        .distinct().as[String].collect() ++
+      Analog.apartmentsConverted(spark, sf)
+        .select(date_format(col("listing_created_on"), "yyyy-MM").as("m"))
+        .distinct().as[String].collect()).toSet.toSeq.sorted
+    months.grouped(12).foreach { w =>
+      Pipeline.runIncrementalWindow(spark, sf, out, w, writeGold = false)
+    }
+
+    // ---- the update feed: price fixes (3, 10), a listing moved 10
+    // days (17 — old AND new week must repair), a no-op duplicate of
+    // the current row (24), and a NEW id absent from the dim that
+    // existing bookings already reference (204 — its bookings' null
+    // apartment columns must fill in) ----
+    val orig = Analog.apartmentsRaw(spark, sf)
+    val priceFix = orig.filter(col("id").isin(3L, 10L))
+      .withColumn("price", col("price") * 1.1)
+    val moved = orig.filter(col("id") === 17L)
+      .withColumn("listing_created_on", date_format(
+        date_add(to_date(col("listing_created_on"), Curate.RawDateFormat),
+          10), Curate.RawDateFormat))
+    val noop = orig.filter(col("id") === 24L)
+    val newRow = Seq((204L, "the annex", "Brand#55", 123.45, "EUR",
+        "15/03/1995", true))
+      .toDF("id", "title", "source", "price", "currency",
+        "listing_created_on", "is_active")
+    val updates = priceFix.unionByName(moved).unionByName(noop)
+      .unionByName(newRow.select(orig.columns.map(col).toSeq: _*))
+    val corrected = graft.ops.Upsert.applyUpdates(orig,
+      updates.select(orig.columns.map(col).toSeq: _*), Seq("id"))
+
+    // ---- file census baselines: Silver partitions and listing_price
+    // weeks the update does NOT touch must keep their files ----
+    def filesUnder(dir: String, excl: Set[String]): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !excl(f.getName))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val touchedMonths = Analog.curated(spark, sf)
+      .filter(col("apartment_id").isin(3L, 10L, 17L, 204L))
+      .select(date_format(col("booking_date"), "yyyy-MM")).distinct()
+      .as[String].collect().map("booking_month=" + _).toSet
+    // weeks of: 3 (Jan 4), 10 (Jan 11), 17 old (Jan 18) + new
+    // (Jan 28), 204 (Mar 15) — Monday week starts
+    val touchedWeekBuckets = Set("1995-01-02", "1995-01-09",
+      "1995-01-16", "1995-01-23", "1995-03-13")
+      .map("state_bucket=" + _)
+    val silverBefore = filesUnder(
+      s"$out/curated.apartment_bookings", touchedMonths)
+    val lpBefore = filesUnder(
+      s"$out/state/listing_price/live", touchedWeekBuckets)
+    assert(silverBefore.nonEmpty && lpBefore.nonEmpty)
+
+    val res = Pipeline.runIncrementalDimUpdate(spark, sf, out, updates,
+      writeGold = false)
+
+    assert(filesUnder(s"$out/curated.apartment_bookings", touchedMonths)
+      == silverBefore, "dim fold rewrote unaffected Silver partitions")
+    assert(filesUnder(s"$out/state/listing_price/live", touchedWeekBuckets)
+      == lpBefore, "dim fold rewrote untouched listing_price weeks")
+
+    // ---- Gold ≡ full rebuild over the corrected dim ----
+    val correctedCurated = Curate.curate(Analog.bookingsRaw(spark, sf),
+      corrected, Analog.attributesRaw(spark, sf),
+      Tables.exchangeRates(spark))
+    val expected = goldOver(correctedCurated, convert(corrected))
+    for ((name, exp) <- expected) {
+      assert(res.gold(name).schema.map(f => (f.name, f.dataType)) ==
+        exp.schema.map(f => (f.name, f.dataType)), s"$name schema")
+      assert(rows(res.gold(name)) == rows(exp), s"$name diverged")
+    }
+
+    // ---- Silver ≡ corrected curate (unordered multiset) ----
+    val silverRows = rows(spark.read
+      .parquet(s"$out/curated.apartment_bookings")
+      .select(Curate.SilverColumns.map(col): _*)).sorted
+    assert(silverRows == rows(correctedCurated).sorted,
+      "Silver diverged from the corrected-dim curate")
+
+    // ---- later folds use the corrected dim: the stored current
+    // reflects every update ----
+    assert(rows(Pipeline.currentApartmentsRaw(spark, sf, out)
+        .orderBy("id")) == rows(corrected.orderBy("id")))
+
+    // ---- crash sim: a second feed persists its delta, then "dies"
+    // before any mutation; entry points refuse; resumeDim finishes ----
+    val updates2 = orig.filter(col("id").isin(31L, 38L))
+      .withColumn("price", col("price") * 1.2)
+    val done2 = Pipeline.processedMonths(out)
+    val maxBase2 = done2.map(_.take(7)).max
+    val label2 =
+      f"$maxBase2.dim${done2.count(_.startsWith(maxBase2))}%02d"
+    val cur2 = Pipeline.currentApartmentsRaw(spark, sf, out)
+    updates2.select(cur2.columns.map(col).toSeq: _*).exceptAll(cur2)
+      .write.mode("overwrite")
+      .parquet(s"$out/state/_dim_delta/asof=$label2")
+    assert(Pipeline.pendingDim(spark, out) == Seq(label2))
+    val exW = intercept[IllegalArgumentException] {
+      Pipeline.runIncremental(spark, sf, out, "2099-01")
+    }
+    assert(exW.getMessage.contains("dim fold"), exW.getMessage)
+    val resumed = Pipeline.resumeDim(spark, sf, out, writeGold = false)
+    assert(resumed.size == 1 && Pipeline.pendingDim(spark, out).isEmpty)
+    val corrected2 = graft.ops.Upsert.applyUpdates(corrected,
+      updates2.select(orig.columns.map(col).toSeq: _*), Seq("id"))
+    val expected2 = goldOver(
+      Curate.curate(Analog.bookingsRaw(spark, sf), corrected2,
+        Analog.attributesRaw(spark, sf), Tables.exchangeRates(spark)),
+      convert(corrected2))
+    for ((name, exp) <- expected2)
+      assert(rows(resumed.head.gold(name)) == rows(exp),
+        s"$name diverged after dim crash resume")
+
+    // ---- idempotent redelivery: same feed again is a no-op ----
+    val again = Pipeline.runIncrementalDimUpdate(spark, sf, out,
+      updates2, writeGold = false)
+    assert(again.deltaSilver.count() == 0)
+    for ((name, exp) <- expected2)
+      assert(rows(again.gold(name)) == rows(exp),
+        s"$name changed under duplicate dim delivery")
+  }
+}
