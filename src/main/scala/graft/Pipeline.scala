@@ -198,18 +198,23 @@ object Pipeline {
     val live = liveDir(stateRoot, spec.name)
     if (touched.isEmpty)
       return readStateOpt(spark, live).getOrElse(makeNew(None))
+    // snapshot completion marker = the `_touched` bucket list (NOT
+    // parquet's _SUCCESS): written strictly LAST, and rollbackLast
+    // needs it anyway — undo content alone cannot name buckets the
+    // fold CREATED (they had no prior rows to snapshot)
     val undo = undoDir(stateRoot, spec.name, label)
     val fs = hFs(spark, hPath(undo))
-    if (!fs.exists(hPath(s"$undo/_SUCCESS"))) {
+    if (!fs.exists(hPath(s"$undo/_touched"))) {
       fs.delete(hPath(undo), true) // partial snapshot from a crash
       readStateOpt(spark, live) match {
         case Some(lv) =>
           lv.filter(col("state_bucket").isin(touched: _*))
             .write.mode("overwrite").parquet(undo)
-        case None => // no live yet: empty snapshot, marker only
+        case None => // no live yet: empty snapshot, marker dir only
           fs.mkdirs(hPath(undo))
-          fs.create(hPath(s"$undo/_SUCCESS")).close()
       }
+      val t = fs.create(hPath(s"$undo/_touched"), true)
+      t.write(touched.mkString("\n").getBytes("UTF-8")); t.close()
     }
     val prevTouched = readStateOpt(spark, undo)
     val fresh = spec.withBucket(makeNew(prevTouched))
@@ -254,6 +259,63 @@ object Pipeline {
         .getOrElse(recomputed.limit(0))
         .unionByName(recomputed),
       label)
+  }
+
+  /** Roll back the NEWEST ledgered fold: every state's touched
+    * buckets are restored from the label's undo snapshot — buckets
+    * the fold CREATED are deleted (they appear in the `_touched`
+    * list but have no snapshot rows), buckets it REPLACED get their
+    * pre-fold content back — and the ledger entry is removed.
+    * Returns the rolled-back label.
+    *
+    * Scope and follow-ups, by label kind:
+    *  - window month: Silver keeps the folded partitions (harmless —
+    *    the corrected refold's dynamic overwrite replaces them; the
+    *    monotonic gate re-admits the month once unledgered);
+    *  - `.lateNN`: the persisted late delta remains, so the label
+    *    becomes PENDING again — both fold entry points stay blocked
+    *    until `resumeLate` refolds it (or the delta dir is removed
+    *    to abandon it; its rows are then still in Silver);
+    *  - `.dimNN`: REFUSED — a dim fold also mutated the current dim
+    *    and re-derived Silver columns, which bucket rollback cannot
+    *    restore; recover via the SCD-2 history snapshot instead
+    *    (apply `dim/apartments_history/asof=<label>` back as a new
+    *    update feed — the forward path IS the inverse). */
+  def rollbackLast(spark: SparkSession, outDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val stateRoot = s"$outDir/state"
+    val done = processedMonths(spark, outDir)
+    require(done.nonEmpty, "nothing to roll back")
+    val label = done.last
+    require(!label.matches(""".*\.dim\d+"""),
+      s"$label is a dim fold — roll it back by applying its SCD-2 " +
+        "history snapshot as a new update feed (see scaladoc)")
+    GoldState.all.foreach { s =>
+      val undo = undoDir(stateRoot, s.name, label)
+      val fs = hFs(spark, hPath(undo))
+      if (fs.exists(hPath(undo))) { // absent ⟺ fold didn't touch it
+        require(fs.exists(hPath(s"$undo/_touched")),
+          s"incomplete undo snapshot for ${s.name}/$label")
+        val in = fs.open(hPath(s"$undo/_touched"))
+        val touched = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSeq
+        in.close()
+        touched.foreach { b =>
+          val dir = hPath(s"${liveDir(stateRoot, s.name)}/state_bucket=$b")
+          hFs(spark, dir).delete(dir, true): Unit
+        }
+        readStateOpt(spark, undo).foreach { prev =>
+          prev.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("state_bucket")
+            .parquet(liveDir(stateRoot, s.name))
+        }
+        fs.delete(hPath(undo), true): Unit
+      }
+    }
+    val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
+    hFs(spark, ledger).delete(ledger, true)
+    label
   }
 
   /** Keep each state's last [[UndoKeep]] undo snapshots, delete the

@@ -52,10 +52,45 @@ object ProfilePipelineIncr {
       Pipeline.run(spark, sfDir, outFull): Unit
     }
     var out: Pipeline.IncrementalOutputs = null
+    val foldStart = System.currentTimeMillis()
     val deltaT = timed(s"delta_fold (runIncremental ${months.last})") {
       out = Pipeline.runIncremental(spark, sfDir, outIncr, months.last)
     }
     println(f"[pipeincr:$label] delta/full = ${deltaT / fullT}%.2f")
+
+    // ---- write-amplification census (r10 ask #3): parquet bytes
+    // this fold actually WROTE under state/ (mtime >= fold start)
+    // vs the TOTAL live state — which is exactly what the r9
+    // full-copy-per-asof layout wrote on every fold ----
+    def census(dir: java.io.File,
+               since: Long): (Long, Long) = {
+      val fs = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+      fs.foldLeft((0L, 0L)) { case ((n, b), f) =>
+        if (f.isDirectory) {
+          val (n2, b2) = census(f, since); (n + n2, b + b2)
+        } else if (f.getName.endsWith(".parquet") &&
+            f.lastModified >= since) (n + 1, b + f.length)
+        else (n, b)
+      }
+    }
+    val stateDir = new java.io.File(s"$outIncr/state")
+    val lives = Option(stateDir.listFiles).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(d => new java.io.File(d, "live"))
+      .filter(_.isDirectory)
+    val undos = Option(stateDir.listFiles).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(d => new java.io.File(d, "undo"))
+      .filter(_.isDirectory)
+    def sumAll(dirs: Seq[java.io.File], since: Long) =
+      dirs.map(census(_, since)).foldLeft((0L, 0L)) {
+        case ((n, b), (n2, b2)) => (n + n2, b + b2) }
+    val (wFiles, wBytes) = sumAll(lives.toSeq, foldStart)
+    val (uFiles, uBytes) = sumAll(undos.toSeq, foldStart)
+    val (tFiles, tBytes) = sumAll(lives.toSeq, 0L)
+    println(f"[pipeincr:$label] fold wrote $wFiles live files / " +
+      f"${wBytes / 1024.0}%.0f KiB (+ undo $uFiles / " +
+      f"${uBytes / 1024.0}%.0f KiB); total live state $tFiles files / " +
+      f"${tBytes / 1024.0}%.0f KiB; r9 full-copy layout wrote " +
+      f"${tBytes.toDouble / (wBytes + uBytes)}%.1fx more per fold")
     out.deltaSilver.collect()
     val line = out.deltaSilver.queryExecution.executedPlan.toString
       .linesIterator.find(_.contains("PartitionFilters"))

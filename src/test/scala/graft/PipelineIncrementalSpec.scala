@@ -99,7 +99,7 @@ class PipelineIncrementalSpec extends SparkSpec {
         s"${s.name} undo not pruned: ${asofs.mkString(",")}")
     }
     assert(new java.io.File(
-      s"$outIncr/state/duration/undo/asof=${months.last}/_SUCCESS").exists)
+      s"$outIncr/state/duration/undo/asof=${months.last}/_touched").exists)
 
     // ---- the Silver delta read is partition-pruned (metadata, not
     // a filtered full scan) ----
@@ -140,5 +140,28 @@ class PipelineIncrementalSpec extends SparkSpec {
       Pipeline.runIncremental(spark, sf, outIncr, months.last)
     }
     assert(ex.getMessage.contains("monotonic-append"), ex.getMessage)
+
+    // ---- rollback: restore every touched bucket from the last
+    // label's undo (created buckets deleted), unledger the month —
+    // then the refold is re-admitted and lands the identical state
+    // and Gold (fold determinism makes rollback+refold lossless) ----
+    def liveRows(name: String): Seq[String] =
+      rows(spark.read.parquet(s"$outIncr/state/$name/live")).sorted
+    val stateBefore = graft.etl.GoldState.all
+      .map(s => s.name -> liveRows(s.name)).toMap
+    val rolled = Pipeline.rollbackLast(spark, outIncr)
+    assert(rolled == months.last)
+    assert(!Pipeline.processedMonths(outIncr).contains(months.last))
+    assert(liveRows("duration") != stateBefore("duration"),
+      "rollback should have removed the last month's contributions")
+    val out2 = Pipeline.runIncremental(spark, sf, outIncr, months.last,
+      writeGold = false)
+    graft.etl.GoldState.all.foreach { s =>
+      assert(liveRows(s.name) == stateBefore(s.name),
+        s"${s.name} state diverged after rollback+refold")
+    }
+    for ((name, fullDf) <- full.metrics)
+      assert(rows(out2.gold(name)) == rows(fullDf),
+        s"$name diverged after rollback+refold")
   }
 }
