@@ -287,7 +287,7 @@ object Pipeline {
     val done = processedMonths(spark, outDir)
     require(done.nonEmpty, "nothing to roll back")
     val label = done.last
-    require(!label.matches(""".*\.dim\d+"""),
+    require(!label.matches(""".*\.(dim|att)\d+"""),
       s"$label is a dim fold — roll it back by applying its SCD-2 " +
         "history snapshot as a new update feed (see scaladoc)")
     GoldState.all.foreach { s =>
@@ -402,15 +402,7 @@ object Pipeline {
     val silverDir = s"$outDir/curated.apartment_bookings"
     val stateRoot = s"$outDir/state"
 
-    val pending = pendingLate(spark, outDir)
-    require(pending.isEmpty,
-      s"a late fold crashed mid-way (pending delta " +
-        s"${pending.mkString(",")}): its rows are in Silver but not " +
-        "in state — run Pipeline.resumeLate first")
-    val pendingD = pendingDim(spark, outDir)
-    require(pendingD.isEmpty,
-      s"a dim fold crashed mid-way (pending delta " +
-        s"${pendingD.mkString(",")}) — run Pipeline.resumeDim first")
+    requireNoPending(spark, outDir)
     val done = processedMonths(spark, outDir)
     require(done.forall(d => months.forall(_ > d)),
       s"monotonic-append violated: window ${months.mkString(",")} vs " +
@@ -448,7 +440,7 @@ object Pipeline {
     // via runIncrementalDimUpdate stick for every later fold) ----
     val curatedDelta = Curate.curate(rawDelta,
         currentApartmentsRaw(spark, sfDir, outDir),
-        Analog.attributesRaw(spark, sfDir),
+        currentAttributesRaw(spark, sfDir, outDir),
         Tables.exchangeRates(spark))
       .withColumn("booking_month",
         date_format(col("booking_date"), "yyyy-MM"))
@@ -580,15 +572,7 @@ object Pipeline {
     import org.apache.spark.sql.functions.{col, date_format, expr}
     val silverDir = s"$outDir/curated.apartment_bookings"
     val stateRoot = s"$outDir/state"
-    val pending = pendingLate(spark, outDir)
-    require(pending.isEmpty,
-      s"a late fold crashed mid-way (pending delta " +
-        s"${pending.mkString(",")}): its rows are in Silver but not " +
-        "in state — run Pipeline.resumeLate first")
-    val pendingD = pendingDim(spark, outDir)
-    require(pendingD.isEmpty,
-      s"a dim fold crashed mid-way (pending delta " +
-        s"${pendingD.mkString(",")}) — run Pipeline.resumeDim first")
+    requireNoPending(spark, outDir)
     val done = processedMonths(spark, outDir)
     require(done.nonEmpty, "no folded months yet — run " +
       "runIncrementalWindow first; a late fold repairs existing state")
@@ -608,7 +592,7 @@ object Pipeline {
 
     val lateCurated = Curate.curate(lateRawBookings,
         currentApartmentsRaw(spark, sfDir, outDir),
-        Analog.attributesRaw(spark, sfDir),
+        currentAttributesRaw(spark, sfDir, outDir),
         Tables.exchangeRates(spark))
       .withColumn("booking_month",
         date_format(col("booking_date"), "yyyy-MM"))
@@ -824,12 +808,7 @@ object Pipeline {
       failOnViolations: Boolean = true,
       writeGold: Boolean = true): IncrementalOutputs = {
     import org.apache.spark.sql.functions.col
-    val pendingL = pendingLate(spark, outDir)
-    require(pendingL.isEmpty, s"late fold pending (${pendingL.mkString(",")})" +
-      " — run Pipeline.resumeLate first")
-    val pendingD = pendingDim(spark, outDir)
-    require(pendingD.isEmpty, s"dim fold pending (${pendingD.mkString(",")})" +
-      " — run Pipeline.resumeDim first")
+    requireNoPending(spark, outDir)
     val done = processedMonths(spark, outDir)
     require(done.nonEmpty, "no folded months yet — run " +
       "runIncrementalWindow first; a dim update repairs existing state")
@@ -952,22 +931,6 @@ object Pipeline {
       .distinct().localCheckpoint(true)
     val recomputedLp = GoldState.listingPricePartial(newConv)
       .join(broadcast(touchedWeeks), Seq("week_start"), "left_semi")
-    val emptySilver = spark.read.parquet(silverDir).limit(0)
-    def emptyState(s: GoldState.Spec): DataFrame = s.name match {
-      case GoldState.listingPrice.name =>
-        GoldState.listingPricePartial(newConv.limit(0))
-      case GoldState.occupancy.name => GoldState.occupancyPartial(emptySilver)
-      case GoldState.popularCities.name =>
-        GoldState.popularCitiesPartial(emptySilver)
-      case GoldState.topListings.name =>
-        GoldState.topListingsPartial(emptySilver)
-      case GoldState.bookingsPerUser.name =>
-        GoldState.bookingsPerUserPartial(emptySilver)
-      case GoldState.duration.name => GoldState.durationPartial(emptySilver)
-      case GoldState.repeatFlags.name =>
-        GoldState.repeatFlagsPartial(emptySilver, None)
-      case GoldState.userLast.name => GoldState.userLastPartial(emptySilver)
-    }
     val merged: Map[String, DataFrame] = GoldState.all.map { s =>
       val m = stage(s"dim.state.${s.name}") { s.name match {
         case GoldState.listingPrice.name =>
@@ -978,7 +941,7 @@ object Pipeline {
           // apartments update; serve the live copy unchanged (empty
           // shape if that state never got a touched bucket)
           readStateOpt(spark, liveDir(stateRoot, s.name))
-            .getOrElse(emptyState(s))
+            .getOrElse(emptyStateFrame(spark, sfDir, outDir, silverDir, s))
       }}
       s.name -> m
     }.toMap
@@ -997,6 +960,231 @@ object Pipeline {
 
     IncrementalOutputs(delta, gold,
       GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
+  }
+
+  // ------------------------------------------------------------------
+  // ATTRIBUTES dim updates — the "city reassignment" case: the other
+  // mutable reference dim (scripts/init_db.sql:21-30). Same contract
+  // as the apartments path, with two differences: the Silver
+  // re-derivation replays curate's attributes-join-through-the-
+  // apartments-dim subtlety (Curate.recurateAttributeSide), and the
+  // repaired state is popular_cities — cityname is a STATE KEY, so a
+  // reassignment moves counts between city rows; the repair replaces
+  // the affected bookings' WEEKS wholesale with partials recomputed
+  // from the rewritten Silver (Silver is the full history, so a
+  // week's state rows are exactly derivable from it).
+  // ------------------------------------------------------------------
+
+  private def attrCurrentDir(outDir: String) = s"$outDir/dim/attributes_current"
+  private def attrHistoryDir(outDir: String, label: String) =
+    s"$outDir/dim/attributes_history/asof=$label"
+
+  /** The warehouse's current attributes dim (raw feed shape). */
+  def currentAttributesRaw(spark: SparkSession, sfDir: String,
+                           outDir: String): DataFrame =
+    readStateOpt(spark, attrCurrentDir(outDir))
+      .getOrElse(Analog.attributesRaw(spark, sfDir))
+
+  def pendingAttr(spark: SparkSession, outDir: String): Seq[String] = {
+    val dir = hPath(s"$outDir/state/_attr_delta")
+    val fs = hFs(spark, dir)
+    val labels =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("asof=")).map(_.stripPrefix("asof="))
+    (labels.toSet -- processedMonths(spark, outDir).toSet).toSeq.sorted
+  }
+
+  def resumeAttr(spark: SparkSession, sfDir: String, outDir: String,
+                 writeGold: Boolean = true): Seq[IncrementalOutputs] =
+    pendingAttr(spark, outDir).map(label =>
+      foldAttrDelta(spark, sfDir, outDir, label, writeGold))
+
+  /** Apply an attributes-dim update feed (raw attributes schema, one
+    * row per id). PipelineDimSpec's attributes leg proves Silver and
+    * all 7 Gold tables land identical to a full rebuild over the
+    * corrected dim. */
+  def runIncrementalAttrUpdate(spark: SparkSession, sfDir: String,
+      outDir: String, attrUpdatesRaw: DataFrame,
+      failOnViolations: Boolean = true,
+      writeGold: Boolean = true): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.col
+    requireNoPending(spark, outDir)
+    val done = processedMonths(spark, outDir)
+    require(done.nonEmpty, "no folded months yet — run " +
+      "runIncrementalWindow first; a dim update repairs existing state")
+    val maxBase = done.map(_.take(7)).max
+    val label = f"$maxBase.att${done.count(_.startsWith(maxBase))}%02d"
+
+    stage("validate.attr") {
+      val report = etl.Validate.run(attrUpdatesRaw,
+        Seq(etl.Validate.NotNull("id")))
+      if (!report.clean) {
+        println(s"[pipeline] attr-update violations: ${report.failed}")
+        if (failOnViolations) throw new IllegalStateException(
+          s"attr update failed quality gate: ${report.failed}")
+      }
+      report
+    }
+    val updates = Curate.dedup(attrUpdatesRaw)
+    val dupIds = updates.groupBy(col("id"))
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupIds == 0, "attr update feed has conflicting rows for " +
+      "the same id — resolve versions upstream (Upsert.latestByKey)")
+
+    val current = currentAttributesRaw(spark, sfDir, outDir)
+    stage("attr.delta.persist") {
+      updates.select(current.columns.map(col).toSeq: _*)
+        .exceptAll(current)
+        .write.mode("overwrite")
+        .parquet(s"$outDir/state/_attr_delta/asof=$label")
+    }
+    foldAttrDelta(spark, sfDir, outDir, label, writeGold)
+  }
+
+  private def foldAttrDelta(spark: SparkSession, sfDir: String,
+      outDir: String, label: String,
+      writeGold: Boolean): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val silverDir = s"$outDir/curated.apartment_bookings"
+    val stateRoot = s"$outDir/state"
+    val delta = readStateOpt(spark, s"$stateRoot/_attr_delta/asof=$label")
+      .getOrElse(currentAttributesRaw(spark, sfDir, outDir).limit(0))
+      .localCheckpoint(true)
+    val affectedIds = delta.select("id").distinct().localCheckpoint(true)
+
+    val history = attrHistoryDir(outDir, label)
+    val hfs = hFs(spark, hPath(history))
+    if (!hfs.exists(hPath(s"$history/_SUCCESS"))) stage("attr.history") {
+      hfs.delete(hPath(history), true)
+      currentAttributesRaw(spark, sfDir, outDir)
+        .join(affectedIds, Seq("id"), "left_semi")
+        .write.mode("overwrite").parquet(history)
+    }
+
+    stage("attr.current.apply") {
+      val cur = currentAttributesRaw(spark, sfDir, outDir)
+      val staging = s"$outDir/_staging/attr_$label"
+      graft.ops.Upsert.applyUpdates(cur,
+          delta.select(cur.columns.map(col).toSeq: _*), Seq("id"))
+        .write.mode("overwrite").parquet(staging)
+      spark.read.parquet(staging).write.mode("overwrite")
+        .parquet(attrCurrentDir(outDir))
+      val p = hPath(staging)
+      hFs(spark, p).delete(p, true): Unit
+    }
+
+    // ---- affected Silver rows: any booking referencing an affected
+    // id (superset — rows whose apartment is absent from the
+    // apartments dim re-derive to the same nulls, reproduced by the
+    // recurate gate). Weeks captured BEFORE the rewrite (booking
+    // dates don't change under a dim update) ----
+    val silver = spark.read.parquet(silverDir)
+    val affectedRows = silver.join(broadcast(affectedIds),
+      silver("apartment_id") === affectedIds("id"), "left_semi")
+    val affectedMonths = affectedRows.select("booking_month").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // bounded: calendar
+    val touchedWeeks = affectedRows
+      .filter(col("booking_status") === "confirmed")
+      .select(Present.weekOf(col("booking_date")).as("week_start"))
+      .distinct().localCheckpoint(true)
+    if (affectedMonths.nonEmpty) stage("attr.silver.recurate") {
+      val parts = silver.filter(col("booking_month").isin(affectedMonths: _*))
+      val untouched = parts.join(broadcast(affectedIds),
+        parts("apartment_id") === affectedIds("id"), "left_anti")
+      val redone = Curate.recurateAttributeSide(
+        parts.join(broadcast(affectedIds),
+          parts("apartment_id") === affectedIds("id"), "left_semi"),
+        currentAttributesRaw(spark, sfDir, outDir),
+        currentApartmentsRaw(spark, sfDir, outDir))
+      val staging = s"$outDir/_staging/attr_silver_$label"
+      untouched.unionByName(redone)
+        .write.mode("overwrite")
+        .partitionBy("booking_month").parquet(staging)
+      spark.read.parquet(staging).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("booking_month").parquet(silverDir)
+      val p = hPath(staging)
+      hFs(spark, p).delete(p, true): Unit
+    }
+
+    // ---- popular_cities repair: the touched weeks' state rows are
+    // replaced wholesale with partials over the REWRITTEN Silver —
+    // cityname is a state key, so per-key surgery can't express a
+    // reassignment, but a week's rows are exactly derivable from the
+    // (full-history) Silver ----
+    val silverNow = spark.read.parquet(silverDir)
+    val recomputedPc = GoldState.popularCitiesPartial(
+      silverNow
+        .withColumn("week_start", Present.weekOf(col("booking_date")))
+        .join(broadcast(touchedWeeks), Seq("week_start"), "left_semi")
+        .drop("week_start"))
+    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
+      val m = stage(s"attr.state.${s.name}") { s.name match {
+        case GoldState.popularCities.name =>
+          foldStateRepair(spark, stateRoot, s, touchedWeeks, "week_start",
+            recomputedPc, label)
+        case _ =>
+          // cityname feeds ONLY popular_cities; every other state is
+          // bookings- or apartments-sourced and untouched
+          readStateOpt(spark, liveDir(stateRoot, s.name))
+            .getOrElse(emptyStateFrame(spark, sfDir, outDir, silverDir, s))
+      }}
+      s.name -> m
+    }.toMap
+
+    val gold = goldFromState.map { case (name, spec, derive) =>
+      val g = derive(merged(spec.name))
+      if (writeGold) stage(s"attr.present.$name") {
+        Tables.writeParquet(g, s"$outDir/presentation.$name")
+      }
+      name -> g
+    }.toMap
+
+    val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
+    hFs(spark, ledger).mkdirs(ledger)
+    pruneUndo(spark, stateRoot)
+
+    IncrementalOutputs(delta, gold,
+      GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
+  }
+
+  /** Empty frame in a state's partial schema — the serve shape for a
+    * state that never received a touched bucket. */
+  private def emptyStateFrame(spark: SparkSession, sfDir: String,
+      outDir: String, silverDir: String,
+      s: GoldState.Spec): DataFrame = {
+    val es = readStateOpt(spark, silverDir)
+      .getOrElse(throw new IllegalStateException("no Silver table"))
+      .limit(0)
+    s.name match {
+      case GoldState.listingPrice.name => GoldState.listingPricePartial(
+        currentApartmentsConverted(spark, sfDir, outDir).limit(0))
+      case GoldState.occupancy.name => GoldState.occupancyPartial(es)
+      case GoldState.popularCities.name =>
+        GoldState.popularCitiesPartial(es)
+      case GoldState.topListings.name => GoldState.topListingsPartial(es)
+      case GoldState.bookingsPerUser.name =>
+        GoldState.bookingsPerUserPartial(es)
+      case GoldState.duration.name => GoldState.durationPartial(es)
+      case GoldState.repeatFlags.name =>
+        GoldState.repeatFlagsPartial(es, None)
+      case GoldState.userLast.name => GoldState.userLastPartial(es)
+    }
+  }
+
+  /** Every fold entry point refuses while ANY crashed fold's
+    * persisted delta awaits its resume — late, dim, or attr. */
+  private def requireNoPending(spark: SparkSession, outDir: String): Unit = {
+    val pl = pendingLate(spark, outDir)
+    require(pl.isEmpty, s"a late fold crashed mid-way (pending " +
+      s"${pl.mkString(",")}) — run Pipeline.resumeLate first")
+    val pd = pendingDim(spark, outDir)
+    require(pd.isEmpty, s"a dim fold crashed mid-way (pending " +
+      s"${pd.mkString(",")}) — run Pipeline.resumeDim first")
+    val pa = pendingAttr(spark, outDir)
+    require(pa.isEmpty, s"an attr fold crashed mid-way (pending " +
+      s"${pa.mkString(",")}) — run Pipeline.resumeAttr first")
   }
 
   // ------------------------------------------------------------------

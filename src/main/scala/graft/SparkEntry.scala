@@ -1207,6 +1207,36 @@ object SparkEntry {
             .join(touched, Seq("week_start"), "left_semi"))
       graft.etl.GoldState.listingPriceGold(repaired)
     }),
+    // Attributes-update repair algebra (r10, q203's sibling for the
+    // harder case: cityname is a popular_cities STATE KEY, so a city
+    // reassignment MOVES counts between rows — per-key surgery can't
+    // express it; the repair replaces the affected bookings' WEEKS
+    // wholesale with partials over the corrected curate). Oracle =
+    // the one-shot weekly city counts over the corrected attributes.
+    "q204_attr_repair_cities" -> ((s, dir) => {
+      val correctedAttrs = Analog.attributesRaw(s, dir)
+        .withColumn("cityname",
+          when(col("id") % 13 === 5, lit("ATLANTIS"))
+            .otherwise(col("cityname")))
+      val corrCur = Curate.curate(Analog.bookingsRaw(s, dir),
+        Analog.apartmentsRaw(s, dir), correctedAttrs,
+        Tables.exchangeRates(s))
+      val stale = graft.etl.GoldState.popularCitiesPartial(
+        Analog.curated(s, dir))
+      val touched = corrCur
+        .filter(col("apartment_id") % 13 === 5 &&
+          col("booking_status") === "confirmed")
+        .select(Present.weekOf(col("booking_date")).as("week_start"))
+        .distinct()
+      val recomputed = graft.etl.GoldState.popularCitiesPartial(
+        corrCur.withColumn("week_start",
+            Present.weekOf(col("booking_date")))
+          .join(touched, Seq("week_start"), "left_semi")
+          .drop("week_start"))
+      graft.etl.GoldState.popularCitiesGold(
+        stale.join(touched, Seq("week_start"), "left_anti")
+          .unionByName(recomputed))
+    }),
     // Sequence packing: contiguous token-budget bins per (lang,
     // shard) — the pretraining batch-assembly op; sharded cumsum is
     // the scale path (no per-stratum serialization).
@@ -2359,6 +2389,7 @@ object SparkEntry {
     "q201_late_repair_repeat" -> Oracle.monthlyRepeatRate,
     "q202_quarter_city_revenue" -> Oracle.quarterCityRevenue,
     "q203_dim_repair_price" -> Oracle.dimRepairPrice,
+    "q204_attr_repair_cities" -> Oracle.attrRepairCities,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -176,4 +176,28 @@ object Curate {
       .select((SilverColumns ++
         silverRows.columns.filterNot(SilverColumns.contains)).map(col): _*)
   }
+
+  /** The attribute-sourced Silver columns (J3 join output). */
+  val AttributeSilverColumns: Seq[String] = Seq(
+    "category", "bedrooms", "bathrooms", "square_feet", "cityname")
+
+  /** [[recurateApartmentSide]]'s sibling for a corrected ATTRIBUTES
+    * dim. One replayed subtlety: [[curate]] joins attributes on the
+    * APARTMENTS dim's id (`aptConv("id") === attr_id`), so a booking
+    * whose apartment is absent from the apartments dim gets null
+    * attributes even when the attributes table has its id — the gate
+    * semi-join reproduces exactly that. */
+  def recurateAttributeSide(silverRows: DataFrame, attributes: DataFrame,
+                            apartments: DataFrame): DataFrame = {
+    val aptIds = parseRawDates(dedup(apartments), Seq("listing_created_on"))
+      .select(col("id"))
+    val attrGated = dedup(attributes).withColumnRenamed("id", "attr_id")
+      .join(aptIds, col("attr_id") === aptIds("id"), "left_semi")
+    val kept = silverRows.drop(AttributeSilverColumns: _*)
+    kept
+      .join(attrGated, kept("apartment_id") === attrGated("attr_id"), "left")
+      .drop("attr_id")
+      .select((SilverColumns ++
+        silverRows.columns.filterNot(SilverColumns.contains)).map(col): _*)
+  }
 }

@@ -190,6 +190,28 @@ SELECT CAST(date_trunc('week', listing_created_on) AS DATE) AS week_start,
        ${money(s"${decSum("price_usd")} / count(price_usd)")} AS avg_price_usd
 FROM aptc GROUP BY 1 ORDER BY week_start"""
 
+  /** One-shot weekly city counts over the CORRECTED attributes
+    * (id % 13 = 5 → cityname 'ATLANTIS') — q204's engine side
+    * computes the same table via the attributes-repair algebra
+    * (stale weekly state, touched weeks replaced wholesale). Built
+    * by rewriting [[curatedCte]]'s attr projection, so the two can
+    * never drift. */
+  val attrRepairCities: String = {
+    val corrected = curatedCte.replace("n_name AS cityname",
+      "CASE WHEN p_partkey % 13 = 5 THEN 'ATLANTIS' " +
+        "ELSE n_name END AS cityname")
+    assert(corrected.contains("ATLANTIS"),
+      "curatedCte attr projection changed — update attrRepairCities")
+    s"""$corrected
+SELECT CAST(date_trunc('week', booking_date) AS DATE) AS week_start,
+       cityname,
+       count(*) AS total_bookings
+FROM curated
+WHERE booking_status = 'confirmed'
+GROUP BY 1, 2
+ORDER BY week_start, total_bookings DESC, cityname ASC NULLS FIRST"""
+  }
+
   val monthlyAvgDuration: String = s"""$curatedCte
 SELECT CAST(date_trunc('month', checkin_date) AS DATE) AS month_start,
        ${money("""CAST(sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT)) AS DOUBLE)

@@ -165,4 +165,69 @@ class PipelineDimSpec extends SparkSpec {
       assert(rows(again.gold(name)) == rows(exp),
         s"$name changed under duplicate dim delivery")
   }
+
+  test("attributes-update fold ≡ full rebuild over the corrected attrs " +
+      "(city reassignment moves popular_cities counts)") {
+    val out = Files.createTempDirectory("graft_attr").toString
+    val months = (Analog.curated(spark, sf)
+        .select(date_format(col("booking_date"), "yyyy-MM").as("m"))
+        .distinct().as[String].collect() ++
+      Analog.apartmentsConverted(spark, sf)
+        .select(date_format(col("listing_created_on"), "yyyy-MM").as("m"))
+        .distinct().as[String].collect()).toSet.toSeq.sorted
+    months.grouped(12).foreach { w =>
+      Pipeline.runIncrementalWindow(spark, sf, out, w, writeGold = false)
+    }
+
+    // city reassignment (33 → a NEW city name: counts must MOVE
+    // between state keys), a non-city attr change (44), a no-op
+    // (55), attrs ADDED for an apartment the attributes table lacks
+    // (40 — p_partkey % 10 = 0 rows are absent by construction: its
+    // bookings' null cityname fills in), and attrs for an id absent
+    // from the APARTMENTS dim (500 — curate joins attributes through
+    // the apartments dim, so this must change NOTHING)
+    val orig = Analog.attributesRaw(spark, sf)
+    val recity = orig.filter(col("id") === 33L)
+      .withColumn("cityname", lit("ATLANTIS"))
+    val rebeds = orig.filter(col("id") === 44L)
+      .withColumn("bedrooms", col("bedrooms") + 1)
+    val noop = orig.filter(col("id") === 55L)
+    val newAttr = Seq((40L, "loft", 2, 3, 4200, "ATLANTIS"),
+        (500L, "ghost", 1, 1, 100, "NOWHERE"))
+      .toDF("id", "category", "bathrooms", "bedrooms", "square_feet",
+        "cityname")
+    val updates = recity.unionByName(rebeds).unionByName(noop)
+      .unionByName(newAttr.select(orig.columns.map(col).toSeq: _*))
+    val corrected = graft.ops.Upsert.applyUpdates(orig,
+      updates.select(orig.columns.map(col).toSeq: _*), Seq("id"))
+
+    val res = Pipeline.runIncrementalAttrUpdate(spark, sf, out, updates,
+      writeGold = false)
+
+    val correctedCurated = Curate.curate(Analog.bookingsRaw(spark, sf),
+      Analog.apartmentsRaw(spark, sf), corrected,
+      Tables.exchangeRates(spark))
+    val expected = goldOver(correctedCurated,
+      convert(Analog.apartmentsRaw(spark, sf)))
+    for ((name, exp) <- expected) {
+      assert(res.gold(name).schema.map(f => (f.name, f.dataType)) ==
+        exp.schema.map(f => (f.name, f.dataType)), s"$name schema")
+      assert(rows(res.gold(name)) == rows(exp), s"$name diverged")
+    }
+    val silverRows = rows(spark.read
+      .parquet(s"$out/curated.apartment_bookings")
+      .select(Curate.SilverColumns.map(col): _*)).sorted
+    assert(silverRows == rows(correctedCurated).sorted,
+      "Silver diverged from the corrected-attrs curate")
+
+    // the reassigned city genuinely moved: ATLANTIS appears for
+    // apartments 33 and 40's confirmed booking weeks (if confirmed)
+    val cities = res.gold("most_popular_location")
+      .select("cityname").distinct().as[String].collect().toSet
+    val expCities = expected("most_popular_location")
+      .select("cityname").distinct().as[String].collect().toSet
+    assert(cities == expCities)
+    // and the id-500 ghost city never surfaces (no apartments row)
+    assert(!cities.contains("NOWHERE"))
+  }
 }
