@@ -501,11 +501,33 @@ object Pipeline {
       GoldState.repeatFlags.name -> GoldState.repeatFlagsPartial(deltaSilver, carry),
       GoldState.userLast.name -> GoldState.userLastPartial(deltaSilver))
     val asof = months.max
-    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
-      s.name -> stage(s"state.${s.name}") {
-        foldStateMerge(spark, stateRoot, s, windowPartial(s.name), asof)
+    // The 8 state folds are independent Spark jobs EXCEPT the carry
+    // dependency: repeat_flags reads user_last's live copy (the LAG
+    // carry), so those two fold sequentially — repeat first, then
+    // user_last overwrites. The other six run concurrently (Spark's
+    // scheduler overlaps their small jobs; same win on a cluster,
+    // where each fold is a short I/O-bound job).
+    val merged: Map[String, DataFrame] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val orderedNames =
+        Seq(GoldState.repeatFlags.name, GoldState.userLast.name)
+      val indep = GoldState.all.filterNot(s => orderedNames.contains(s.name))
+      val futs = indep.map { s =>
+        s.name -> Future(stage(s"state.${s.name}") {
+          foldStateMerge(spark, stateRoot, s, windowPartial(s.name), asof)
+        })
       }
-    }.toMap
+      val orderedFolds = orderedNames.map { n =>
+        val s = GoldState.all.find(_.name == n).get
+        n -> stage(s"state.$n") {
+          foldStateMerge(spark, stateRoot, s, windowPartial(n), asof)
+        }
+      }
+      (futs.map { case (n, f) => n -> Await.result(f, Duration.Inf) } ++
+        orderedFolds).toMap
+    }
 
     // ---- Republish the 7 Gold tables from merged state ----
     val gold = goldFromState.map { case (name, spec, derive) =>
