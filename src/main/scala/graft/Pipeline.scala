@@ -77,10 +77,18 @@ object Pipeline {
       "bookings_per_user"      -> Present.bookingsPerUser(silver),
       "avg_booking_duration"   -> Present.monthlyAvgDuration(silver),
       "repeat_customer_rate"   -> Present.monthlyRepeatRate(silver))
-    metrics.foreach { case (name, df) =>
-      stage(s"present.$name") {
-        Tables.writeParquet(df, s"$outDir/presentation.$name")
+    // independent writes → concurrent Spark jobs (same overlap the
+    // incremental paths' publishGold uses)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futs = metrics.toSeq.map { case (name, df) =>
+        Future(stage(s"present.$name") {
+          Tables.writeParquet(df, s"$outDir/presentation.$name")
+        })
       }
+      futs.foreach(Await.result(_, Duration.Inf))
     }
     Outputs(silver, metrics)
   }
@@ -141,6 +149,28 @@ object Pipeline {
   private def readStateOpt(spark: SparkSession, path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path))
     catch { case _: AnalysisException => None } // absent or 0-file state
+
+  /** Derive and publish the 7 Gold tables from merged state — the
+    * writes are independent, so they run as concurrent Spark jobs
+    * (locally overlaps the many small publishes; on a cluster the
+    * same overlap hides each write's commit latency). */
+  private def publishGold(spark: SparkSession, outDir: String,
+      merged: Map[String, DataFrame], writeGold: Boolean,
+      stagePrefix: String): Map[String, DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = goldFromState.map { case (name, spec, derive) =>
+      name -> Future {
+        val g = derive(merged(spec.name))
+        if (writeGold) stage(s"$stagePrefix$name") {
+          Tables.writeParquet(g, s"$outDir/presentation.$name")
+        }
+        g
+      }
+    }
+    futs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
+  }
 
   // ------------------------------------------------------------------
   // State storage (r9 verdict ask #3): each state table lives ONCE at
@@ -530,13 +560,7 @@ object Pipeline {
     }
 
     // ---- Republish the 7 Gold tables from merged state ----
-    val gold = goldFromState.map { case (name, spec, derive) =>
-      val g = derive(merged(spec.name))
-      if (writeGold) stage(s"present.$name") {
-        Tables.writeParquet(g, s"$outDir/presentation.$name")
-      }
-      name -> g
-    }.toMap
+    val gold = publishGold(spark, outDir, merged, writeGold, "present.")
 
     // ledger marker LAST (see processedMonths — crash anywhere above
     // leaves the month unledgered, and the refold re-derives every
@@ -739,13 +763,7 @@ object Pipeline {
       s.name -> m
     }.toMap
 
-    val gold = goldFromState.map { case (name, spec, derive) =>
-      val g = derive(merged(spec.name))
-      if (writeGold) stage(s"late.present.$name") {
-        Tables.writeParquet(g, s"$outDir/presentation.$name")
-      }
-      name -> g
-    }.toMap
+    val gold = publishGold(spark, outDir, merged, writeGold, "late.present.")
 
     val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
     hFs(spark, ledger).mkdirs(ledger)
@@ -968,13 +986,7 @@ object Pipeline {
       s.name -> m
     }.toMap
 
-    val gold = goldFromState.map { case (name, spec, derive) =>
-      val g = derive(merged(spec.name))
-      if (writeGold) stage(s"dim.present.$name") {
-        Tables.writeParquet(g, s"$outDir/presentation.$name")
-      }
-      name -> g
-    }.toMap
+    val gold = publishGold(spark, outDir, merged, writeGold, "dim.present.")
 
     val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
     hFs(spark, ledger).mkdirs(ledger)
@@ -1155,13 +1167,7 @@ object Pipeline {
       s.name -> m
     }.toMap
 
-    val gold = goldFromState.map { case (name, spec, derive) =>
-      val g = derive(merged(spec.name))
-      if (writeGold) stage(s"attr.present.$name") {
-        Tables.writeParquet(g, s"$outDir/presentation.$name")
-      }
-      name -> g
-    }.toMap
+    val gold = publishGold(spark, outDir, merged, writeGold, "attr.present.")
 
     val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
     hFs(spark, ledger).mkdirs(ledger)
