@@ -24,12 +24,34 @@ object Pipeline {
 
   case class Outputs(curated: DataFrame, metrics: Map[String, DataFrame])
 
+  /** Test-only fault injection (r10 verdict ask #2): invoked right
+    * AFTER a stage's body completes — its effects are durable — and
+    * before control returns, so a throwing hook simulates a crash at
+    * exactly that stage boundary. PipelineCrashSweepSpec enumerates
+    * the boundaries from a clean run (a NEW stage is automatically
+    * swept) and proves resume/refold ≡ clean at every kill point.
+    * Thread-local: stages run on the calling thread under
+    * [[serializeStages]], so concurrent suites cannot cross-fire. */
+  private[graft] val stageBoundaryHook: ThreadLocal[String => Unit] =
+    ThreadLocal.withInitial(() => (_: String) => ())
+
+  /** Test-only: run the fold's normally-concurrent stage groups (the
+    * six carry-independent state folds, the 7 Gold publishes) inline
+    * on the calling thread. Gives the crash sweep sequential
+    * semantics — a crash after stage N means stages 1..N durable and
+    * nothing after — which is the strongest recovery contract (any
+    * concurrent real crash leaves a SUBSET of these states, each of
+    * which the same per-stage idempotence covers). */
+  private[graft] val serializeStages: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
   /** X2: per-stage structured logging (replaces the reference's Glue
     * try/except logging, `curate_data_etl_job.py:84-112`). */
   private def stage[A](name: String)(body: => A): A = {
     val t0 = System.nanoTime()
     try {
       val r = body
+      stageBoundaryHook.get()(name)
       println(f"[pipeline] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     } catch {
@@ -146,6 +168,9 @@ object Pipeline {
     ("avg_booking_duration", GoldState.duration, GoldState.durationGold),
     ("repeat_customer_rate", GoldState.repeatFlags, GoldState.repeatGold))
 
+  /** The published Gold table names (one per state-served metric). */
+  def goldTableNames: Seq[String] = goldFromState.map(_._1)
+
   private def readStateOpt(spark: SparkSession, path: String): Option[DataFrame] =
     try Some(spark.read.parquet(path))
     catch { case _: AnalysisException => None } // absent or 0-file state
@@ -157,19 +182,25 @@ object Pipeline {
   private def publishGold(spark: SparkSession, outDir: String,
       merged: Map[String, DataFrame], writeGold: Boolean,
       stagePrefix: String): Map[String, DataFrame] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val futs = goldFromState.map { case (name, spec, derive) =>
-      name -> Future {
-        val g = derive(merged(spec.name))
-        if (writeGold) stage(s"$stagePrefix$name") {
-          Tables.writeParquet(g, s"$outDir/presentation.$name")
-        }
-        g
+    def one(name: String, spec: GoldState.Spec,
+            derive: DataFrame => DataFrame): DataFrame = {
+      val g = derive(merged(spec.name))
+      if (writeGold) stage(s"$stagePrefix$name") {
+        Tables.writeParquet(g, s"$outDir/presentation.$name")
       }
+      g
     }
-    futs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
+    if (serializeStages.get()) // crash-sweep mode: inline, in order
+      goldFromState.map { case (n, sp, d) => n -> one(n, sp, d) }.toMap
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futs = goldFromState.map { case (n, sp, d) =>
+        n -> Future(one(n, sp, d))
+      }
+      futs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
+    }
   }
 
   // ------------------------------------------------------------------
@@ -247,10 +278,25 @@ object Pipeline {
       t.write(touched.mkString("\n").getBytes("UTF-8")); t.close()
     }
     val prevTouched = readStateOpt(spark, undo)
-    val fresh = spec.withBucket(makeNew(prevTouched))
+    // checkpointed: feeds both the bucket-presence collect below and
+    // the write (single-tokenize), and pins the content before any
+    // live mutation
+    val fresh = spec.withBucket(makeNew(prevTouched)).localCheckpoint(true)
+    val freshBuckets = fresh.select("state_bucket").distinct()
+      .collect().map(_.getString(0)).toSet // bounded: ≤ |touched|
     fresh.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("state_bucket").parquet(live)
+    // dynamic overwrite only replaces buckets PRESENT in `fresh` — a
+    // touched bucket whose new content is EMPTY (e.g. a dim update
+    // moving the only listing out of a week) would otherwise keep its
+    // stale live dir and silently break fold ≡ rebuild (r10 ADVICE).
+    // Mirror rollbackLast's created-bucket deletion: drop every
+    // touched bucket fresh has no rows for. Idempotent on retries.
+    touched.filterNot(freshBuckets).foreach { b =>
+      val dir = hPath(s"$live/state_bucket=$b")
+      hFs(spark, dir).delete(dir, true): Unit
+    }
     readStateOpt(spark, live).getOrElse(fresh)
   }
 
@@ -314,10 +360,10 @@ object Pipeline {
   def rollbackLast(spark: SparkSession, outDir: String): String = {
     import org.apache.spark.sql.functions.col
     val stateRoot = s"$outDir/state"
-    val done = processedMonths(spark, outDir)
+    val done = ledgerEntries(spark, outDir) // fold order, NOT label order
     require(done.nonEmpty, "nothing to roll back")
-    val label = done.last
-    require(!label.matches(""".*\.(dim|att)\d+"""),
+    val label = done.last._1
+    require(!label.matches(""".*\.(dim|att|rate)\d+"""),
       s"$label is a dim fold — roll it back by applying its SCD-2 " +
         "history snapshot as a new update feed (see scaladoc)")
     GoldState.all.foreach { s =>
@@ -382,6 +428,51 @@ object Pipeline {
     else fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("asof="))
       .map(_.getPath.getName.stripPrefix("asof=")).sorted
+  }
+
+  /** Ledgered labels in the order the folds actually HAPPENED — each
+    * marker records a monotonic `_seq` counter at write time. Lexical
+    * label sort is NOT fold order across kinds (`.attNN`/`.dimNN`
+    * sort before `.lateNN` on the same base month), so rollback must
+    * order by this, never by label (r10 ADVICE: rolling back "last"
+    * under lexical sort reverted a NEWER att repair's snapshot).
+    * Markers from pre-seq layouts (no `_seq` file) order as -1,
+    * lexically among themselves. */
+  def ledgerEntries(spark: SparkSession, outDir: String): Seq[(String, Long)] = {
+    val dir = hPath(s"$outDir/state/_ledger")
+    val fs = hFs(spark, dir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("asof="))
+      .map { st =>
+        val label = st.getPath.getName.stripPrefix("asof=")
+        val seqFile = new org.apache.hadoop.fs.Path(st.getPath, "_seq")
+        val n =
+          if (!fs.exists(seqFile)) -1L
+          else {
+            val in = fs.open(seqFile)
+            val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            in.close()
+            s.toLong
+          }
+        label -> n
+      }
+      .sortBy { case (label, n) => (n, label) }
+  }
+
+  /** Write a fold's ledger marker — strictly LAST in every fold — with
+    * the next `_seq` counter (max existing + 1). The marker becomes
+    * visible when the `_seq` file is created (parents auto-created in
+    * one call), so there is no window where the label is ledgered
+    * without its sequence. */
+  private def writeLedger(spark: SparkSession, stateRoot: String,
+                          label: String): Unit = {
+    val outDirLike = stateRoot.stripSuffix("/state")
+    val next = ledgerEntries(spark, outDirLike)
+      .foldLeft(-1L) { case (m, (_, n)) => math.max(m, n) } + 1L
+    val seqFile = hPath(s"$stateRoot/_ledger/asof=$label/_seq")
+    val out = hFs(spark, seqFile).create(seqFile, true)
+    out.write(next.toString.getBytes("UTF-8")); out.close()
   }
 
   /** Fold ONE month (see [[runIncrementalWindow]] for the general
@@ -471,7 +562,7 @@ object Pipeline {
     val curatedDelta = Curate.curate(rawDelta,
         currentApartmentsRaw(spark, sfDir, outDir),
         currentAttributesRaw(spark, sfDir, outDir),
-        Tables.exchangeRates(spark))
+        currentRates(spark, outDir))
       .withColumn("booking_month",
         date_format(col("booking_date"), "yyyy-MM"))
     stage("curate.delta.write") {
@@ -512,6 +603,12 @@ object Pipeline {
       }
       report
     }
+    // the PARTIAL folds only rows with an in-window month: null-date
+    // listings feed the gate above (loud), never the state — with a
+    // non-fatal gate they would otherwise be re-summed into the
+    // __null__ week on EVERY fold, double-counting (r10 ADVICE); a
+    // non-fatal gate thus degrades to skip-and-report semantics
+    val aptDeltaFold = aptDelta.filter(aptMonth.isin(months: _*))
 
     // ---- Fold each state: touched buckets only (see the state-
     // storage block above). The repeat carry reads user_last's LIVE
@@ -522,7 +619,7 @@ object Pipeline {
         liveDir(stateRoot, GoldState.userLast.name))
       .map(GoldState.carryFromState)
     val windowPartial: Map[String, DataFrame] = Map(
-      GoldState.listingPrice.name -> GoldState.listingPricePartial(aptDelta),
+      GoldState.listingPrice.name -> GoldState.listingPricePartial(aptDeltaFold),
       GoldState.occupancy.name -> GoldState.occupancyPartial(deltaSilver),
       GoldState.popularCities.name -> GoldState.popularCitiesPartial(deltaSilver),
       GoldState.topListings.name -> GoldState.topListingsPartial(deltaSilver),
@@ -537,27 +634,36 @@ object Pipeline {
     // user_last overwrites. The other six run concurrently (Spark's
     // scheduler overlaps their small jobs; same win on a cluster,
     // where each fold is a short I/O-bound job).
-    val merged: Map[String, DataFrame] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val orderedNames =
-        Seq(GoldState.repeatFlags.name, GoldState.userLast.name)
-      val indep = GoldState.all.filterNot(s => orderedNames.contains(s.name))
-      val futs = indep.map { s =>
-        s.name -> Future(stage(s"state.${s.name}") {
-          foldStateMerge(spark, stateRoot, s, windowPartial(s.name), asof)
-        })
-      }
-      val orderedFolds = orderedNames.map { n =>
-        val s = GoldState.all.find(_.name == n).get
-        n -> stage(s"state.$n") {
-          foldStateMerge(spark, stateRoot, s, windowPartial(n), asof)
+    val merged: Map[String, DataFrame] =
+      if (serializeStages.get())
+        // crash-sweep mode: strict GoldState.all order (repeat_flags
+        // before user_last — the carry dependency — holds there too)
+        GoldState.all.map { s =>
+          s.name -> stage(s"state.${s.name}") {
+            foldStateMerge(spark, stateRoot, s, windowPartial(s.name), asof)
+          }
+        }.toMap
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val orderedNames =
+          Seq(GoldState.repeatFlags.name, GoldState.userLast.name)
+        val indep = GoldState.all.filterNot(s => orderedNames.contains(s.name))
+        val futs = indep.map { s =>
+          s.name -> Future(stage(s"state.${s.name}") {
+            foldStateMerge(spark, stateRoot, s, windowPartial(s.name), asof)
+          })
         }
+        val orderedFolds = orderedNames.map { n =>
+          val s = GoldState.all.find(_.name == n).get
+          n -> stage(s"state.$n") {
+            foldStateMerge(spark, stateRoot, s, windowPartial(n), asof)
+          }
+        }
+        (futs.map { case (n, f) => n -> Await.result(f, Duration.Inf) } ++
+          orderedFolds).toMap
       }
-      (futs.map { case (n, f) => n -> Await.result(f, Duration.Inf) } ++
-        orderedFolds).toMap
-    }
 
     // ---- Republish the 7 Gold tables from merged state ----
     val gold = publishGold(spark, outDir, merged, writeGold, "present.")
@@ -566,8 +672,7 @@ object Pipeline {
     // leaves the month unledgered, and the refold re-derives every
     // touched bucket from its undo snapshot: idempotent recovery),
     // then undo retention
-    val ledger = hPath(s"$stateRoot/_ledger/asof=$asof")
-    hFs(spark, ledger).mkdirs(ledger)
+    writeLedger(spark, stateRoot, asof)
     pruneUndo(spark, stateRoot)
 
     IncrementalOutputs(deltaSilver, gold,
@@ -639,7 +744,7 @@ object Pipeline {
     val lateCurated = Curate.curate(lateRawBookings,
         currentApartmentsRaw(spark, sfDir, outDir),
         currentAttributesRaw(spark, sfDir, outDir),
-        Tables.exchangeRates(spark))
+        currentRates(spark, outDir))
       .withColumn("booking_month",
         date_format(col("booking_date"), "yyyy-MM"))
     val affected = lateCurated.select("booking_month").distinct()
@@ -765,8 +870,7 @@ object Pipeline {
 
     val gold = publishGold(spark, outDir, merged, writeGold, "late.present.")
 
-    val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
-    hFs(spark, ledger).mkdirs(ledger)
+    writeLedger(spark, stateRoot, label)
     pruneUndo(spark, stateRoot)
 
     IncrementalOutputs(lateNew, gold,
@@ -802,13 +906,69 @@ object Pipeline {
   private def dimHistoryDir(outDir: String, label: String) =
     s"$outDir/dim/apartments_history/asof=$label"
 
+  // ---- Versioned current-dim storage (r10 ADVICE: a plain full-dir
+  // overwrite of the current dim is non-atomic — a crash mid-write
+  // left the dir unreadable and the reader silently fell back to the
+  // ORIGINAL feed, vaporizing every applied update). Layout:
+  // <root>/v=<label>/ parquet dirs; the newest COMPLETE (_SUCCESS)
+  // version IS the current. A write lands in a NEW version dir (never
+  // the dir being read) and becomes visible atomically with parquet's
+  // own _SUCCESS commit; a crash mid-write leaves an incomplete
+  // version readers skip and the resume's rewrite replaces. Labels
+  // within one root are same-kind fold labels, so lexical order is
+  // fold order. Old versions GC to the newest [[CurrentKeep]]. ----
+
+  private val CurrentKeep = 2
+
+  private def completeVersions(spark: SparkSession, root: String): Seq[String] = {
+    val rp = hPath(root); val fs = hFs(spark, rp)
+    if (!fs.exists(rp)) Nil
+    else fs.listStatus(rp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** The stored current dim, or None when no update ever landed. A
+    * root that EXISTS but holds no complete version fails LOUDLY —
+    * falling back to the original feed there would silently revert
+    * every applied update. */
+  private def readCurrentVersioned(spark: SparkSession,
+                                   root: String): Option[DataFrame] = {
+    val versions = completeVersions(spark, root)
+    if (versions.isEmpty) {
+      require(!hFs(spark, hPath(root)).exists(hPath(root)),
+        s"$root exists but holds no complete version — a crash " +
+          "corrupted the current dim; restore the newest v= dir from " +
+          "the dim history snapshots (do NOT fall back to the feed)")
+      None
+    } else Some(spark.read.parquet(s"$root/${versions.last}"))
+  }
+
+  /** Land `df` as version `label` of a current dim, then GC versions
+    * beyond the newest [[CurrentKeep]]. Skips the write when this
+    * label's version is already complete (a resume after a crash
+    * BETWEEN current-write and the fold's later steps: the content is
+    * deterministic, and rewriting would mean overwriting the dir the
+    * resume's own upsert is reading). */
+  private def writeCurrentVersioned(spark: SparkSession, root: String,
+                                    label: String, df: => DataFrame): Unit = {
+    if (!completeVersions(spark, root).contains(s"v=$label"))
+      df.write.mode("overwrite").parquet(s"$root/v=$label")
+    completeVersions(spark, root).dropRight(CurrentKeep).foreach { v =>
+      val p = hPath(s"$root/$v")
+      hFs(spark, p).delete(p, true): Unit
+    }
+  }
+
   /** The warehouse's current apartments dim (raw feed shape) —
     * stored if any dim update ever landed, else the arriving-feed
     * analog. All incremental folds curate against THIS, so a dim
     * correction sticks for every later fold. */
   def currentApartmentsRaw(spark: SparkSession, sfDir: String,
                            outDir: String): DataFrame =
-    readStateOpt(spark, dimCurrentDir(outDir))
+    readCurrentVersioned(spark, dimCurrentDir(outDir))
       .getOrElse(Analog.apartmentsRaw(spark, sfDir))
 
   private def currentApartmentsConverted(spark: SparkSession,
@@ -817,7 +977,7 @@ object Pipeline {
       Curate.parseRawDates(
         Curate.dedup(currentApartmentsRaw(spark, sfDir, outDir)),
         Seq("listing_created_on")),
-      Tables.exchangeRates(spark))
+      currentRates(spark, outDir))
 
   /** Labels of persisted dim deltas whose fold never reached the
     * ledger — a crashed [[runIncrementalDimUpdate]]. */
@@ -897,7 +1057,7 @@ object Pipeline {
       .getOrElse(currentApartmentsRaw(spark, sfDir, outDir).limit(0))
       .localCheckpoint(true)
     val affectedIds = delta.select("id").distinct().localCheckpoint(true)
-    val rates = Tables.exchangeRates(spark)
+    val rates = currentRates(spark, outDir)
 
     // ---- SCD-2 history: superseded versions of the affected ids,
     // snapshotted BEFORE current mutates (skipped on resume — the
@@ -911,18 +1071,15 @@ object Pipeline {
         .write.mode("overwrite").parquet(history)
     }
 
-    // ---- upsert current through a staging roundtrip (idempotent:
-    // re-applying an applied delta rewrites identical content) ----
+    // ---- upsert current into a NEW version dir (atomic visibility
+    // via parquet's _SUCCESS; idempotent: a resume whose version is
+    // already complete skips the write, and re-deriving from an
+    // already-updated current rewrites identical content) ----
     stage("dim.current.apply") {
       val cur = currentApartmentsRaw(spark, sfDir, outDir)
-      val staging = s"$outDir/_staging/dim_$label"
-      graft.ops.Upsert.applyUpdates(cur,
-          delta.select(cur.columns.map(col).toSeq: _*), Seq("id"))
-        .write.mode("overwrite").parquet(staging)
-      spark.read.parquet(staging).write.mode("overwrite")
-        .parquet(dimCurrentDir(outDir))
-      val p = hPath(staging)
-      hFs(spark, p).delete(p, true): Unit
+      writeCurrentVersioned(spark, dimCurrentDir(outDir), label,
+        graft.ops.Upsert.applyUpdates(cur,
+          delta.select(cur.columns.map(col).toSeq: _*), Seq("id")))
     }
 
     // ---- re-derive the affected Silver rows' apartment-side columns
@@ -988,8 +1145,7 @@ object Pipeline {
 
     val gold = publishGold(spark, outDir, merged, writeGold, "dim.present.")
 
-    val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
-    hFs(spark, ledger).mkdirs(ledger)
+    writeLedger(spark, stateRoot, label)
     pruneUndo(spark, stateRoot)
 
     IncrementalOutputs(delta, gold,
@@ -1016,7 +1172,7 @@ object Pipeline {
   /** The warehouse's current attributes dim (raw feed shape). */
   def currentAttributesRaw(spark: SparkSession, sfDir: String,
                            outDir: String): DataFrame =
-    readStateOpt(spark, attrCurrentDir(outDir))
+    readCurrentVersioned(spark, attrCurrentDir(outDir))
       .getOrElse(Analog.attributesRaw(spark, sfDir))
 
   def pendingAttr(spark: SparkSession, outDir: String): Seq[String] = {
@@ -1098,14 +1254,9 @@ object Pipeline {
 
     stage("attr.current.apply") {
       val cur = currentAttributesRaw(spark, sfDir, outDir)
-      val staging = s"$outDir/_staging/attr_$label"
-      graft.ops.Upsert.applyUpdates(cur,
-          delta.select(cur.columns.map(col).toSeq: _*), Seq("id"))
-        .write.mode("overwrite").parquet(staging)
-      spark.read.parquet(staging).write.mode("overwrite")
-        .parquet(attrCurrentDir(outDir))
-      val p = hPath(staging)
-      hFs(spark, p).delete(p, true): Unit
+      writeCurrentVersioned(spark, attrCurrentDir(outDir), label,
+        graft.ops.Upsert.applyUpdates(cur,
+          delta.select(cur.columns.map(col).toSeq: _*), Seq("id")))
     }
 
     // ---- affected Silver rows: any booking referencing an affected
@@ -1169,8 +1320,230 @@ object Pipeline {
 
     val gold = publishGold(spark, outDir, merged, writeGold, "attr.present.")
 
-    val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
-    hFs(spark, ledger).mkdirs(ledger)
+    writeLedger(spark, stateRoot, label)
+    pruneUndo(spark, stateRoot)
+
+    IncrementalOutputs(delta, gold,
+      GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
+  }
+
+  // ------------------------------------------------------------------
+  // EXCHANGE-RATE updates (r10 verdict ask #3) — the third reference
+  // dim (`curated_tranformation.py:121-125` is a literal rate table; a
+  // corrected rate invalidates the DERIVED `price_usd` /
+  // `total_price_usd` across every Silver row of that currency). Same
+  // warehouse-owned-current contract as apartments/attributes: the
+  // current rates live versioned at dim/rates_current (seeded from the
+  // literal feed), every fold curates against them, and an update flows
+  // persisted-delta → history snapshot → versioned upsert → COLUMN-
+  // GRAIN Silver repair (only the two USD columns of affected rows
+  // re-derive; the affected set is booking-currency ∈ Δ for
+  // total_price_usd, apartment-currency ∈ Δ for price_usd) → state
+  // repair for the two USD-sourced states:
+  //   - listing_price: the affected-currency LISTINGS' weeks, replaced
+  //     with partials over the dim at the new rates (q203's pattern);
+  //   - top_listings: the affected-currency BOOKINGS' weeks, replaced
+  //     wholesale from the rewritten Silver — a (week, apartment)
+  //     revenue row sums bookings of SEVERAL currencies, so per-key
+  //     surgery cannot split it (q204's week-replacement pattern).
+  // Counts/nights states (occupancy, cities, per-user, duration,
+  // repeat) carry no USD and are provably untouched. Scale shape: the
+  // Silver rewrite is partition-pruned to the affected rows' months —
+  // O(affected months) files when the currency is rare, an honest
+  // full-partition-set rewrite when it isn't (PipelineRateSpec's two
+  // legs measure both).
+  // ------------------------------------------------------------------
+
+  private def ratesCurrentDir(outDir: String) = s"$outDir/dim/rates_current"
+  private def ratesHistoryDir(outDir: String, label: String) =
+    s"$outDir/dim/rates_history/asof=$label"
+
+  /** The warehouse's current exchange-rate dim — stored if any rate
+    * update ever landed, else the literal feed dim (S6). */
+  def currentRates(spark: SparkSession, outDir: String): DataFrame =
+    readCurrentVersioned(spark, ratesCurrentDir(outDir))
+      .getOrElse(Tables.exchangeRates(spark))
+
+  def pendingRate(spark: SparkSession, outDir: String): Seq[String] = {
+    val dir = hPath(s"$outDir/state/_rate_delta")
+    val fs = hFs(spark, dir)
+    val labels =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("asof=")).map(_.stripPrefix("asof="))
+    (labels.toSet -- processedMonths(spark, outDir).toSet).toSeq.sorted
+  }
+
+  def resumeRate(spark: SparkSession, sfDir: String, outDir: String,
+                 writeGold: Boolean = true): Seq[IncrementalOutputs] =
+    pendingRate(spark, outDir).map(label =>
+      foldRateDelta(spark, sfDir, outDir, label, writeGold))
+
+  /** Apply an exchange-rate update feed (currency, usd_rate — one row
+    * per currency: the corrected/new rate) to the folded warehouse.
+    * No-op rows contribute nothing. PipelineRateSpec proves Silver
+    * and all Gold tables land row-bit-identical to a full rebuild
+    * over the corrected rates. */
+  def runIncrementalRateUpdate(spark: SparkSession, sfDir: String,
+      outDir: String, rateUpdatesRaw: DataFrame,
+      failOnViolations: Boolean = true,
+      writeGold: Boolean = true): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.col
+    requireNoPending(spark, outDir)
+    val done = processedMonths(spark, outDir)
+    require(done.nonEmpty, "no folded months yet — run " +
+      "runIncrementalWindow first; a rate update repairs existing state")
+    val maxBase = done.map(_.take(7)).max
+    val label = f"$maxBase.rate${done.count(_.startsWith(maxBase))}%02d"
+
+    stage("validate.rate") {
+      val report = etl.Validate.run(rateUpdatesRaw, Seq(
+        etl.Validate.NotNull("currency"),
+        etl.Validate.NotNull("usd_rate")))
+      if (!report.clean) {
+        println(s"[pipeline] rate-update violations: ${report.failed}")
+        if (failOnViolations) throw new IllegalStateException(
+          s"rate update failed quality gate: ${report.failed}")
+      }
+      report
+    }
+    val updates = Curate.dedup(rateUpdatesRaw)
+    val dupCur = updates.groupBy(col("currency"))
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupCur == 0, "rate update feed has conflicting rows for " +
+      "the same currency — resolve versions upstream")
+
+    val current = currentRates(spark, outDir)
+    stage("rate.delta.persist") {
+      updates.select(current.columns.map(col).toSeq: _*)
+        .exceptAll(current)
+        .write.mode("overwrite")
+        .parquet(s"$outDir/state/_rate_delta/asof=$label")
+    }
+    foldRateDelta(spark, sfDir, outDir, label, writeGold)
+  }
+
+  private def foldRateDelta(spark: SparkSession, sfDir: String,
+      outDir: String, label: String,
+      writeGold: Boolean): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val silverDir = s"$outDir/curated.apartment_bookings"
+    val stateRoot = s"$outDir/state"
+    val delta = readStateOpt(spark, s"$stateRoot/_rate_delta/asof=$label")
+      .getOrElse(currentRates(spark, outDir).limit(0))
+      .localCheckpoint(true)
+    // bounded collect: ≤ |currencies| — the rates dim is literal-sized
+    // by construction (the reference's is 3 rows)
+    val affectedCur: Seq[String] = delta.select("currency").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+    // ---- history: superseded rates of the affected currencies,
+    // snapshotted BEFORE current mutates (skipped on resume) ----
+    val history = ratesHistoryDir(outDir, label)
+    val hfs = hFs(spark, hPath(history))
+    if (!hfs.exists(hPath(s"$history/_SUCCESS"))) stage("rate.history") {
+      hfs.delete(hPath(history), true)
+      currentRates(spark, outDir)
+        .filter(col("currency").isin(affectedCur: _*))
+        .write.mode("overwrite").parquet(history)
+    }
+
+    stage("rate.current.apply") {
+      val cur = currentRates(spark, outDir)
+      writeCurrentVersioned(spark, ratesCurrentDir(outDir), label,
+        graft.ops.Upsert.applyUpdates(cur,
+          delta.select(cur.columns.map(col).toSeq: _*), Seq("currency")))
+    }
+    val newRates = currentRates(spark, outDir).localCheckpoint(true)
+
+    // ---- column-grain Silver repair: rows affected on the booking
+    // side (currency ∈ Δ) or the apartment side (their apartment's
+    // currency ∈ Δ — Silver does not carry apt_currency, so the id
+    // set comes from the dim). Both derived columns re-derive through
+    // curate's exact J1/J4 shapes; unaffected columns are carried.
+    // Re-deriving BOTH on a row affected on one side only is a pure
+    // no-op for the other (same inputs → same money()), so one
+    // rewrite covers every overlap case ----
+    val affectedAptIds = currentApartmentsRaw(spark, sfDir, outDir)
+      .filter(col("currency").isin(affectedCur: _*))
+      .select("id").distinct().localCheckpoint(true)
+    val silver = spark.read.parquet(silverDir)
+    def affectedOf(df: DataFrame): DataFrame = {
+      val bookingSide = df.filter(col("currency").isin(affectedCur: _*))
+      val aptSide = df.join(broadcast(affectedAptIds),
+        df("apartment_id") === affectedAptIds("id"), "left_semi")
+      bookingSide.unionByName(aptSide).dropDuplicates()
+    }
+    // months captured via the two prunable predicates (no dedup needed
+    // for a distinct-collect)
+    val affectedMonths = silver
+      .filter(col("currency").isin(affectedCur: _*))
+      .select("booking_month")
+      .unionByName(silver.join(broadcast(affectedAptIds),
+          silver("apartment_id") === affectedAptIds("id"), "left_semi")
+        .select("booking_month"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted // calendar
+    // top_listings' touched weeks come from the BOOKING-side affected
+    // rows (apt-side price_usd never feeds revenue); captured before
+    // the rewrite — booking dates don't change under a rate update
+    val touchedRevWeeks = silver
+      .filter(col("currency").isin(affectedCur: _*) &&
+        col("booking_status") === "confirmed")
+      .select(Present.weekOf(col("booking_date")).as("week_start"))
+      .distinct().localCheckpoint(true)
+    if (affectedMonths.nonEmpty) stage("rate.silver.recurate") {
+      val parts = silver.filter(col("booking_month").isin(affectedMonths: _*))
+      val aff = affectedOf(parts)
+      val untouched = parts.exceptAll(aff)
+      val redone = Curate.recurateBookingRate(
+        Curate.recurateApartmentSide(aff,
+          currentApartmentsRaw(spark, sfDir, outDir), newRates),
+        newRates)
+      val staging = s"$outDir/_staging/rate_silver_$label"
+      untouched.unionByName(redone)
+        .write.mode("overwrite")
+        .partitionBy("booking_month").parquet(staging)
+      spark.read.parquet(staging).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("booking_month").parquet(silverDir)
+      val p = hPath(staging)
+      hFs(spark, p).delete(p, true): Unit
+    }
+
+    // ---- state repairs for the two USD-sourced states ----
+    val newConv = currentApartmentsConverted(spark, sfDir, outDir)
+    val touchedLpWeeks = currentApartmentsRaw(spark, sfDir, outDir)
+      .filter(col("currency").isin(affectedCur: _*))
+      .select(Present.weekOf(org.apache.spark.sql.functions.to_date(
+        col("listing_created_on"), Curate.RawDateFormat)).as("week_start"))
+      .distinct().localCheckpoint(true)
+    val recomputedLp = GoldState.listingPricePartial(newConv)
+      .join(broadcast(touchedLpWeeks), Seq("week_start"), "left_semi")
+    lazy val silverNow = spark.read.parquet(silverDir)
+    val recomputedTl = GoldState.topListingsPartial(
+      silverNow
+        .withColumn("week_start", Present.weekOf(col("booking_date")))
+        .join(broadcast(touchedRevWeeks), Seq("week_start"), "left_semi")
+        .drop("week_start"))
+    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
+      val m = stage(s"rate.state.${s.name}") { s.name match {
+        case GoldState.listingPrice.name =>
+          foldStateRepair(spark, stateRoot, s, touchedLpWeeks, "week_start",
+            recomputedLp, label)
+        case GoldState.topListings.name =>
+          foldStateRepair(spark, stateRoot, s, touchedRevWeeks, "week_start",
+            recomputedTl, label)
+        case _ =>
+          // no USD column feeds these — provably untouched
+          readStateOpt(spark, liveDir(stateRoot, s.name))
+            .getOrElse(emptyStateFrame(spark, sfDir, outDir, silverDir, s))
+      }}
+      s.name -> m
+    }.toMap
+
+    val gold = publishGold(spark, outDir, merged, writeGold, "rate.present.")
+
+    writeLedger(spark, stateRoot, label)
     pruneUndo(spark, stateRoot)
 
     IncrementalOutputs(delta, gold,
@@ -1213,6 +1586,9 @@ object Pipeline {
     val pa = pendingAttr(spark, outDir)
     require(pa.isEmpty, s"an attr fold crashed mid-way (pending " +
       s"${pa.mkString(",")}) — run Pipeline.resumeAttr first")
+    val pr = pendingRate(spark, outDir)
+    require(pr.isEmpty, s"a rate fold crashed mid-way (pending " +
+      s"${pr.mkString(",")}) — run Pipeline.resumeRate first")
   }
 
   // ------------------------------------------------------------------

@@ -1237,6 +1237,44 @@ object SparkEntry {
         stale.join(touched, Seq("week_start"), "left_anti")
           .unionByName(recomputed))
     }),
+    // Exchange-rate repair algebra (r11, the THIRD reference dim —
+    // `curated_tranformation.py:121-125`): a corrected EUR rate
+    // re-derives total_price_usd across every EUR booking; the
+    // top_listings repair replaces the affected bookings' WEEKS
+    // wholesale, because a (week, apartment) revenue row sums
+    // bookings of several currencies and per-key surgery cannot
+    // split it (q204's week-replacement pattern, rate-flavored).
+    // Oracle = the one-shot weekly revenue over the corrected rates:
+    // repair(stale \ W ∪ recompute(W)) ≡ one-shot proven by hash.
+    "q206_rate_repair" -> ((s, dir) => {
+      val fixedRates = Tables.exchangeRates(s)
+        .withColumn("usd_rate",
+          when(col("currency") === "EUR", lit(1.2))
+            .otherwise(col("usd_rate")))
+      val stale = graft.etl.GoldState.topListingsPartial(
+        Analog.curated(s, dir))
+      // feeds the touched-week collect AND the week recompute — one
+      // curate rebuild (single-tokenize discipline)
+      val corrected = Curate.curate(Analog.bookingsRaw(s, dir),
+          Analog.apartmentsRaw(s, dir), Analog.attributesRaw(s, dir),
+          fixedRates)
+        .select("booking_date", "booking_status", "currency",
+          "apartment_id", "total_price_usd")
+        .localCheckpoint(true)
+      val touched = corrected
+        .filter(col("currency") === "EUR" &&
+          col("booking_status") === "confirmed")
+        .select(Present.weekOf(col("booking_date")).as("week_start"))
+        .distinct()
+      val recomputed = graft.etl.GoldState.topListingsPartial(
+        corrected
+          .withColumn("week_start", Present.weekOf(col("booking_date")))
+          .join(touched, Seq("week_start"), "left_semi")
+          .drop("week_start"))
+      graft.etl.GoldState.topListingsGold(
+        stale.join(touched, Seq("week_start"), "left_anti")
+          .unionByName(recomputed))
+    }),
     // Sequence packing: contiguous token-budget bins per (lang,
     // shard) — the pretraining batch-assembly op; sharded cumsum is
     // the scale path (no per-stratum serialization).
@@ -2390,6 +2428,7 @@ object SparkEntry {
     "q202_quarter_city_revenue" -> Oracle.quarterCityRevenue,
     "q203_dim_repair_price" -> Oracle.dimRepairPrice,
     "q204_attr_repair_cities" -> Oracle.attrRepairCities,
+    "q206_rate_repair"      -> Oracle.rateRepairRevenue,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

@@ -177,6 +177,21 @@ object Curate {
         silverRows.columns.filterNot(SilverColumns.contains)).map(col): _*)
   }
 
+  /** Re-derive ONLY `total_price_usd` of existing Silver rows against
+    * a corrected rates dim — the exchange-rate repair's booking-side
+    * half ([[recurateApartmentSide]] with the new rates is the
+    * apartment-side half: `price_usd` rides the same dim). Replays
+    * [[curate]]'s exact J4 shape: left join on the booking currency,
+    * then `money(total_price * usd_rate)` — a currency absent from
+    * the rates dim yields null, exactly as the full curate does. */
+  def recurateBookingRate(silverRows: DataFrame, rates: DataFrame): DataFrame =
+    silverRows.drop("total_price_usd")
+      .join(broadcast(rates), Seq("currency"), "left")
+      .withColumn("total_price_usd", money(col("total_price") * col("usd_rate")))
+      .drop("usd_rate")
+      .select((SilverColumns ++
+        silverRows.columns.filterNot(SilverColumns.contains)).map(col): _*)
+
   /** The attribute-sourced Silver columns (J3 join output). */
   val AttributeSilverColumns: Seq[String] = Seq(
     "category", "bedrooms", "bathrooms", "square_feet", "cityname")

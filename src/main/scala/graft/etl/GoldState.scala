@@ -110,9 +110,19 @@ object GoldState {
     maxCols = Seq("is_repeat"), bucket = TimeBucket("month_start"))
   val userLast      = Spec("user_last", Seq("user_id"),
     maxCols = Seq("last"), bucket = HashBucket("user_id", 64))
+  /** The engagement family (q13's metric, r10 verdict ask #4): the
+    * user_viewing-style events feed the reference ingests
+    * (`curated_tranformation.py:130`). All three aggregates are
+    * order-free — `COUNT(DISTINCT user_id)` becomes mergeable at the
+    * (week, event_type, user_id) grain exactly like occupancy's
+    * distinct-apartment trick, count sums, max maxes. */
+  val engagement    = Spec("weekly_engagement",
+    Seq("week_start", "event_type", "user_id"),
+    maxCols = Seq("value"), bucket = TimeBucket("week_start"))
 
   val all: Seq[Spec] = Seq(listingPrice, occupancy, popularCities,
-    topListings, bookingsPerUser, duration, repeatFlags, userLast)
+    topListings, bookingsPerUser, duration, repeatFlags, userLast,
+    engagement)
 
   private def confirmed(df: DataFrame): DataFrame =
     df.filter(col("booking_status") === "confirmed")
@@ -221,6 +231,13 @@ object GoldState {
         struct(col("booking_date"), col("booking_id")).as("last")),
       keys = Seq("user_id"), sumCols = Nil, maxCols = Seq("last"))
 
+  def engagementPartial(eventsDelta: DataFrame): DataFrame =
+    Incremental.partialAggregate(
+      eventsDelta.select(weekOf(col("ts")).as("week_start"),
+        col("event_type"), col("user_id"), col("value")),
+      keys = Seq("week_start", "event_type", "user_id"),
+      sumCols = Nil, maxCols = Seq("value"))
+
   // ---------- read-time Gold derivations (Present's exact IEEE shapes) ----
 
   def listingPriceGold(state: DataFrame): DataFrame =
@@ -263,6 +280,17 @@ object GoldState {
       money(col("sum_nights").cast(DoubleType) / col("n_rows"))
         .as("avg_duration_days"))
       .orderBy("month_start")
+
+  /** Replays [[Present.weeklyEngagement]]: `count(*)` = Σ per-user row
+    * counts, `count(DISTINCT user_id)` = count of non-null user rows
+    * at the user grain, max-of-max. */
+  def engagementGold(state: DataFrame): DataFrame =
+    state.groupBy(col("week_start"), col("event_type"))
+      .agg(
+        sum(col("n_rows")).as("n_events"),
+        count(col("user_id")).as("n_users"),
+        max(col("max_value")).as("max_value"))
+      .orderBy(col("week_start"), col("event_type"))
 
   def repeatGold(state: DataFrame): DataFrame = {
     val rep = sum(when(col("user_id").isNotNull, col("max_is_repeat"))

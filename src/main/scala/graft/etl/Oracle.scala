@@ -212,6 +212,26 @@ GROUP BY 1, 2
 ORDER BY week_start, total_bookings DESC, cityname ASC NULLS FIRST"""
   }
 
+  /** One-shot weekly top-listing revenue over the CORRECTED rates
+    * (EUR 1.1 → 1.2) — q206's engine side computes the same table via
+    * the rate-repair algebra (stale state from the original rates,
+    * the affected bookings' weeks replaced wholesale from the
+    * re-derived rows). Built by rewriting [[curatedCte]]'s rates
+    * VALUES, so the two can never drift. */
+  val rateRepairRevenue: String = {
+    val corrected = curatedCte.replace("('EUR', 1.1)", "('EUR', 1.2)")
+    assert(corrected.contains("('EUR', 1.2)"),
+      "curatedCte rates VALUES changed — update rateRepairRevenue")
+    s"""$corrected
+SELECT CAST(date_trunc('week', booking_date) AS DATE) AS week_start,
+       apartment_id,
+       ${decSum("total_price_usd")} AS weekly_revenue
+FROM curated
+WHERE booking_status = 'confirmed'
+GROUP BY 1, 2
+ORDER BY week_start, weekly_revenue DESC NULLS LAST, apartment_id"""
+  }
+
   val monthlyAvgDuration: String = s"""$curatedCte
 SELECT CAST(date_trunc('month', checkin_date) AS DATE) AS month_start,
        ${money("""CAST(sum(CAST(datediff('day', checkin_date, checkout_date) AS BIGINT)) AS DOUBLE)
