@@ -98,7 +98,13 @@ object Pipeline {
       "top_performing_listing" -> Present.weeklyTopListings(silver),
       "bookings_per_user"      -> Present.bookingsPerUser(silver),
       "avg_booking_duration"   -> Present.monthlyAvgDuration(silver),
-      "repeat_customer_rate"   -> Present.monthlyRepeatRate(silver))
+      "repeat_customer_rate"   -> Present.monthlyRepeatRate(silver),
+      // the events-feed family (q13 — the viewing feed the reference
+      // ingests next to bookings, `curated_tranformation.py:130`), so
+      // the batch rebuild publishes the same Gold set the incremental
+      // warehouse serves
+      "weekly_engagement"      -> Present.weeklyEngagement(
+        Tables.events(spark, sfDir)))
     // independent writes → concurrent Spark jobs (same overlap the
     // incremental paths' publishGold uses)
     locally {
@@ -166,7 +172,8 @@ object Pipeline {
     ("top_performing_listing", GoldState.topListings, GoldState.topListingsGold),
     ("bookings_per_user", GoldState.bookingsPerUser, GoldState.bookingsPerUserGold),
     ("avg_booking_duration", GoldState.duration, GoldState.durationGold),
-    ("repeat_customer_rate", GoldState.repeatFlags, GoldState.repeatGold))
+    ("repeat_customer_rate", GoldState.repeatFlags, GoldState.repeatGold),
+    ("weekly_engagement", GoldState.engagement, GoldState.engagementGold))
 
   /** The published Gold table names (one per state-served metric). */
   def goldTableNames: Seq[String] = goldFromState.map(_._1)
@@ -517,7 +524,8 @@ object Pipeline {
                            outDir: String, months: Seq[String],
                            failOnViolations: Boolean = true,
                            writeGold: Boolean = true,
-                           rawBookings: Option[DataFrame] = None): IncrementalOutputs = {
+                           rawBookings: Option[DataFrame] = None,
+                           rawEvents: Option[DataFrame] = None): IncrementalOutputs = {
     import org.apache.spark.sql.functions.{col, date_format, expr, lit}
     require(months.nonEmpty, "months must be non-empty")
     val silverDir = s"$outDir/curated.apartment_bookings"
@@ -581,6 +589,28 @@ object Pipeline {
       .map(_.filter(col("booking_month").isin(months: _*)))
       .getOrElse(curatedDelta)
 
+    // ---- events-side delta (the engagement family, r10 verdict ask
+    // #4): the user_viewing-style feed the reference ingests next to
+    // bookings (`curated_tranformation.py:130`). Raw events land
+    // as-is under month partitions — no curation beyond the slice
+    // (q13 aggregates the raw feed), and NO dedup: full-row event
+    // multiplicity is signal, redelivery is handled by the late-
+    // events path's multiset diff. Empty windows (booking months
+    // with no events — the common case, the feeds' calendars are
+    // disjoint) write nothing and fold nothing. ----
+    val eventsDir = s"$outDir/curated.events"
+    val eventsDelta0 = rawEvents.getOrElse(Tables.events(spark, sfDir))
+      .withColumn("event_month", date_format(col("ts"), "yyyy-MM"))
+      .filter(col("event_month").isin(months: _*))
+    stage("events.delta.write") {
+      eventsDelta0.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_month").parquet(eventsDir)
+    }
+    val eventsDelta = readStateOpt(spark, eventsDir)
+      .map(_.filter(col("event_month").isin(months: _*)))
+      .getOrElse(eventsDelta0)
+
     // apartments-side delta: listings created in the window (the
     // listing-price metric's input is the apartments dim, not Silver).
     // Mirrors the bookings null contract: a null listing_created_on
@@ -626,7 +656,8 @@ object Pipeline {
       GoldState.bookingsPerUser.name -> GoldState.bookingsPerUserPartial(deltaSilver),
       GoldState.duration.name -> GoldState.durationPartial(deltaSilver),
       GoldState.repeatFlags.name -> GoldState.repeatFlagsPartial(deltaSilver, carry),
-      GoldState.userLast.name -> GoldState.userLastPartial(deltaSilver))
+      GoldState.userLast.name -> GoldState.userLastPartial(deltaSilver),
+      GoldState.engagement.name -> GoldState.engagementPartial(eventsDelta))
     val asof = months.max
     // The 8 state folds are independent Spark jobs EXCEPT the carry
     // dependency: repeat_flags reads user_last's live copy (the LAG
@@ -858,6 +889,11 @@ object Pipeline {
           readStateOpt(spark, liveDir(stateRoot, s.name))
             .getOrElse(GoldState.listingPricePartial(
               currentApartmentsConverted(spark, sfDir, outDir).limit(0)))
+        case GoldState.engagement.name =>
+          // no events in a bookings late feed — live unchanged
+          readStateOpt(spark, liveDir(stateRoot, s.name))
+            .getOrElse(GoldState.engagementPartial(
+              Tables.events(spark, sfDir).limit(0)))
         case GoldState.repeatFlags.name =>
           foldStateRepair(spark, stateRoot, s, affectedUsers, "user_id",
             GoldState.repeatFlagsPartial(userHistory, None), label)
@@ -869,6 +905,144 @@ object Pipeline {
     }.toMap
 
     val gold = publishGold(spark, outDir, merged, writeGold, "late.present.")
+
+    writeLedger(spark, stateRoot, label)
+    pruneUndo(spark, stateRoot)
+
+    IncrementalOutputs(lateNew, gold,
+      GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
+  }
+
+  // ------------------------------------------------------------------
+  // LATE EVENTS (r10 verdict ask #4, second half): the engagement
+  // feed's late path. All three engagement aggregates are order-free,
+  // so late events just MERGE — no repair leg. What differs from late
+  // bookings is idempotence: bookings replay through Curate.dedup
+  // (re-applying a landed rewrite collapses to a no-op), but event
+  // multiplicity is SIGNAL (q13 counts raw rows), so a dedup-based
+  // replay would be wrong and a naive re-union would double-count.
+  // The resumable unit therefore persists BOTH halves before any
+  // mutation: `new` (the multiset diff vs stored events — redelivery-
+  // safe) and `months` (the affected partitions' full post-apply
+  // content); the apply is then a dynamic overwrite FROM the persisted
+  // `months`, trivially idempotent, and the state fold reads `new`.
+  // ------------------------------------------------------------------
+
+  /** Labels of persisted late-events deltas whose fold never reached
+    * the ledger — a crashed [[runIncrementalLateEvents]]. */
+  def pendingEvents(spark: SparkSession, outDir: String): Seq[String] = {
+    val dir = hPath(s"$outDir/state/_evt_delta")
+    val fs = hFs(spark, dir)
+    val labels =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("asof=")).map(_.stripPrefix("asof="))
+        .filter(l => fs.exists(
+          hPath(s"$outDir/state/_evt_delta/asof=$l/new/_SUCCESS")))
+    (labels.toSet -- processedMonths(spark, outDir).toSet).toSeq.sorted
+  }
+
+  def resumeLateEvents(spark: SparkSession, sfDir: String, outDir: String,
+                       writeGold: Boolean = true): Seq[IncrementalOutputs] =
+    pendingEvents(spark, outDir).map(label =>
+      foldEventsDelta(spark, sfDir, outDir, label, writeGold))
+
+  /** Apply a late-arriving events feed to the folded warehouse: the
+    * genuinely-new rows (multiset diff vs the stored events — an
+    * exact redelivery contributes nothing, an extra copy of an
+    * existing row counts once more) merge into the engagement state's
+    * touched week buckets; the affected event-month partitions are
+    * rewritten from a persisted post-apply snapshot (see the block
+    * comment above for why not dedup-replay). PipelineEngagementSpec
+    * proves fold ≡ full rebuild over all events. */
+  def runIncrementalLateEvents(spark: SparkSession, sfDir: String,
+      outDir: String, lateEvents: DataFrame,
+      failOnViolations: Boolean = true,
+      writeGold: Boolean = true): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val eventsDir = s"$outDir/curated.events"
+    requireNoPending(spark, outDir)
+    val done = processedMonths(spark, outDir)
+    require(done.nonEmpty, "no folded months yet — run " +
+      "runIncrementalWindow first; a late-events fold repairs existing " +
+      "state")
+    val maxBase = done.map(_.take(7)).max
+    val label = f"$maxBase.evt${done.count(_.startsWith(maxBase))}%02d"
+
+    stage("validate.events") {
+      val report = etl.Validate.run(lateEvents, Seq(
+        etl.Validate.NotNull("event_id"),
+        etl.Validate.NotNull("ts"),
+        etl.Validate.NotNull("event_type")))
+      if (!report.clean) {
+        println(s"[pipeline] late-events quality violations: ${report.failed}")
+        if (failOnViolations) throw new IllegalStateException(
+          s"late events failed quality gate: ${report.failed}")
+      }
+      report
+    }
+    val lateM = lateEvents
+      .withColumn("event_month", date_format(col("ts"), "yyyy-MM"))
+    val affected = lateM.select("event_month").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // bounded: calendar
+    require(affected.forall(_ <= maxBase),
+      s"late event months ${affected.filter(_ > maxBase).mkString(",")} " +
+        s"are NEWER than the folded history (max $maxBase) — fold new " +
+        "months through runIncrementalWindow")
+
+    val existing = readStateOpt(spark, eventsDir)
+      .map(_.filter(col("event_month").isin(affected: _*)))
+      .getOrElse(lateM.limit(0))
+    val base = s"${stateRoot_evt(outDir)}/asof=$label"
+    stage("events.delta.persist") {
+      val fresh = lateM.select(existing.columns.map(col).toSeq: _*)
+        .exceptAll(existing).localCheckpoint(true)
+      // post-apply month content FIRST, `new` (the pending marker)
+      // LAST — a crash between the two leaves no pending label and
+      // nothing mutated: a clean rerun
+      fresh.unionByName(existing)
+        .write.mode("overwrite").parquet(s"$base/months")
+      fresh.write.mode("overwrite").parquet(s"$base/new")
+    }
+    foldEventsDelta(spark, sfDir, outDir, label, writeGold)
+  }
+
+  private def stateRoot_evt(outDir: String) = s"$outDir/state/_evt_delta"
+
+  private def foldEventsDelta(spark: SparkSession, sfDir: String,
+      outDir: String, label: String,
+      writeGold: Boolean): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.col
+    val eventsDir = s"$outDir/curated.events"
+    val stateRoot = s"$outDir/state"
+    val base = s"${stateRoot_evt(outDir)}/asof=$label"
+    val lateNew = spark.read.parquet(s"$base/new")
+    val monthsContent = spark.read.parquet(s"$base/months")
+
+    // idempotent apply: dynamic overwrite straight from the persisted
+    // post-apply snapshot (replaying after a landed apply rewrites
+    // identical content; after a partial one it completes it)
+    stage("events.apply") {
+      monthsContent.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_month").parquet(eventsDir)
+    }
+
+    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
+      val m = stage(s"evt.state.${s.name}") { s.name match {
+        case GoldState.engagement.name =>
+          foldStateMerge(spark, stateRoot, s,
+            GoldState.engagementPartial(lateNew), label)
+        case _ =>
+          // bookings/apartments-sourced — untouched by an events feed
+          readStateOpt(spark, liveDir(stateRoot, s.name))
+            .getOrElse(emptyStateFrame(spark, sfDir, outDir,
+              s"$outDir/curated.apartment_bookings", s))
+      }}
+      s.name -> m
+    }.toMap
+
+    val gold = publishGold(spark, outDir, merged, writeGold, "evt.present.")
 
     writeLedger(spark, stateRoot, label)
     pruneUndo(spark, stateRoot)
@@ -1571,6 +1745,8 @@ object Pipeline {
       case GoldState.repeatFlags.name =>
         GoldState.repeatFlagsPartial(es, None)
       case GoldState.userLast.name => GoldState.userLastPartial(es)
+      case GoldState.engagement.name =>
+        GoldState.engagementPartial(Tables.events(spark, sfDir).limit(0))
     }
   }
 
@@ -1589,6 +1765,9 @@ object Pipeline {
     val pr = pendingRate(spark, outDir)
     require(pr.isEmpty, s"a rate fold crashed mid-way (pending " +
       s"${pr.mkString(",")}) — run Pipeline.resumeRate first")
+    val pe = pendingEvents(spark, outDir)
+    require(pe.isEmpty, s"a late-events fold crashed mid-way (pending " +
+      s"${pe.mkString(",")}) — run Pipeline.resumeLateEvents first")
   }
 
   // ------------------------------------------------------------------

@@ -1162,6 +1162,22 @@ object SparkEntry {
           graft.etl.GoldState.occupancyPartial(
             c.filter(col("booking_date") >= pivot)))))
     }),
+    // Incremental engagement (r11, verdict ask #4): the user_viewing-
+    // style events feed folded as mergeable state — COUNT(DISTINCT
+    // user_id) at the (week, event_type, user) grain (occupancy's
+    // distinct-key trick), count sums, max maxes. Stale partial over
+    // the on-time slice ⊕ late partial ≡ the one-shot q13 oracle over
+    // ALL events, verbatim.
+    "q207_incremental_engagement" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("ts", "event_type", "user_id", "value")
+        .localCheckpoint(true)
+      val isLate = col("user_id") % 7 === 3
+      graft.etl.GoldState.engagementGold(
+        graft.etl.GoldState.engagement.merge(Seq(
+          graft.etl.GoldState.engagementPartial(ev.filter(!isLate)),
+          graft.etl.GoldState.engagementPartial(ev.filter(isLate)))))
+    }),
     // Dynamic-partition-pruning flagship query (r10, oracle-gated):
     // the quarter predicate lives on a parquet month DIM only, so the
     // fact scan can prune its booking_month partitions solely through
@@ -2429,6 +2445,7 @@ object SparkEntry {
     "q203_dim_repair_price" -> Oracle.dimRepairPrice,
     "q204_attr_repair_cities" -> Oracle.attrRepairCities,
     "q206_rate_repair"      -> Oracle.rateRepairRevenue,
+    "q207_incremental_engagement" -> Oracle.weeklyEngagement,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
     "q71_repetition"        -> Oracle.repetition

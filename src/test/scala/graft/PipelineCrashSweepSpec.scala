@@ -87,6 +87,7 @@ class PipelineCrashSweepSpec extends SparkSpec {
         "dim.attributes" ->
           rows(Pipeline.currentAttributesRaw(spark, sf, out)),
         "dim.rates" -> rows(Pipeline.currentRates(spark, out)),
+        "silver.events" -> rowsAt(s"$out/curated.events"),
         "ledger" -> Pipeline.processedMonths(spark, out))).toMap
   }
 
@@ -102,6 +103,8 @@ class PipelineCrashSweepSpec extends SparkSpec {
       Pipeline.resumeAttr(spark, sf, out): Unit
     else if (Pipeline.pendingRate(spark, out).nonEmpty)
       Pipeline.resumeRate(spark, sf, out): Unit
+    else if (Pipeline.pendingEvents(spark, out).nonEmpty)
+      Pipeline.resumeLateEvents(spark, sf, out): Unit
     else rerun(out)
 
   private def causedByInjection(e: Throwable): Boolean =
@@ -183,6 +186,18 @@ class PipelineCrashSweepSpec extends SparkSpec {
       .localCheckpoint(true)
     sweep("rate") { out =>
       Pipeline.runIncrementalRateUpdate(spark, sf, out, updates)
+    }
+  }
+
+  test("late-events fold: resume ≡ clean at every stage boundary") {
+    // events shifted into already-folded month territory (the late
+    // contract requires affected months ≤ the folded max)
+    val late = io.Tables.events(spark, sf)
+      .withColumn("ts", expr("ts - INTERVAL 29 YEARS"))
+      .filter(col("event_id") % 11 === 5)
+      .localCheckpoint(true)
+    sweep("events") { out =>
+      Pipeline.runIncrementalLateEvents(spark, sf, out, late)
     }
   }
 
