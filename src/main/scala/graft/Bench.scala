@@ -187,6 +187,69 @@ object Bench {
       catch { case NonFatal(_) => }
     }
 
+    // ---- Incremental-fold mode (r10 verdict asks #5/#6): the
+    // steady-state nightly shape — fold ONE month into stored state —
+    // gated per round like the Gold and serving paths, with the
+    // write-amplification census (files/bytes the fold writes, the
+    // metric that matters at 100 TB) machine-comparable instead of
+    // living in PLANS prose. Build folds all history but the last few
+    // months; each remaining month then folds individually and the
+    // MEDIANS of (wall, state files written, state bytes written) are
+    // reported next to the one-shot rebuild wall.
+    val incRoot =
+      s"${sys.props("java.io.tmpdir")}/graft_bench_incr_${ProcessHandle.current().pid()}"
+    val incremental = try {
+      val months = (Analog.curated(spark, sfDir)
+          .select(date_format(col("booking_date"), "yyyy-MM").as("m"))
+          .distinct().collect().map(_.getString(0)) ++
+        Analog.apartmentsConverted(spark, sfDir)
+          .select(date_format(col("listing_created_on"), "yyyy-MM").as("m"))
+          .distinct().collect().map(_.getString(0))).toSet.toSeq.sorted
+      val tailN = math.min(5, months.size - 1)
+      val buildWall = timed {
+        months.dropRight(tailN).grouped(24).foreach { w =>
+          Pipeline.runIncrementalWindow(spark, sfDir, incRoot, w)
+        }
+      }
+      def stateWrites(since: Long): (Long, Long) = {
+        def walk(f: java.io.File): Iterator[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty)
+              .iterator.flatMap(walk)
+          else Iterator(f)
+        val fresh = walk(new java.io.File(s"$incRoot/state"))
+          .filter(f => f.lastModified() >= since &&
+            f.getName.endsWith(".parquet")).toSeq
+        (fresh.size.toLong, fresh.map(_.length()).sum)
+      }
+      val folds = months.takeRight(tailN).map { m =>
+        val since = System.currentTimeMillis()
+        val w = timed(
+          Pipeline.runIncrementalWindow(spark, sfDir, incRoot, Seq(m)))
+        val (nf, nb) = stateWrites(since)
+        (w, nf.toDouble, nb.toDouble)
+      }
+      val rebuildWall = timed(
+        Pipeline.run(spark, sfDir, s"${incRoot}_rebuild"))
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"${incRoot}_rebuild"))
+      catch { case NonFatal(_) => }
+      val metrics = Seq(
+        "build_wall" -> buildWall,
+        "fold_wall_median" -> medianOf(folds.map(_._1)),
+        "fold_state_files_median" -> medianOf(folds.map(_._2)),
+        "fold_state_bytes_median" -> medianOf(folds.map(_._3)),
+        "rebuild_wall" -> rebuildWall)
+      s""""incremental":${jsonMap(metrics)}"""
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] incremental failed: ${e.getMessage}")
+      s""""incremental":{}"""
+    } finally {
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(incRoot))
+      catch { case NonFatal(_) => }
+    }
+
     // ---- ANN recall@5 at the production q32/q36 parameters, measured
     // against brute force on this SF's real corpus (same harness the
     // SimilaritySessionsSpec retune used) — emitted per round so a
@@ -224,7 +287,7 @@ object Bench {
     }
 
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},$amortized,$serving,$recall,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},$amortized,$serving,$incremental,$recall,"sf":"$sfDir"}"""
     println(detail)
     // full detail also lands on disk — the stdout tail alone cannot
     // hold a ~2.5 KB line plus the compact summary below

@@ -1253,6 +1253,59 @@ object SparkEntry {
         stale.join(touched, Seq("week_start"), "left_anti")
           .unionByName(recomputed))
     }),
+    // Interleaved repair algebra (r11, verdict ask #1 — q201 ∘ q204):
+    // a REALISTIC nightly window delivers late facts and dim
+    // corrections together (the reference's raw layer is mutable
+    // Postgres, `scripts/init_db.sql:11-80`). Timeline replayed in
+    // order: fold the on-time history → MERGE a late-bookings delta
+    // (order-free city counts, q201's split) → then an attributes
+    // city-reassignment repair replaces the affected bookings' weeks
+    // wholesale from the corrected FULL history (q204's algebra) —
+    // which includes the late rows, so a late booking whose apartment
+    // is ALSO being re-citied lands in the NEW city (the interaction
+    // no single-repair query exercises). Final table ≡ the one-shot
+    // oracle over the corrected attributes, proven by hash.
+    "q205_interleaved_repair" -> ((s, dir) => {
+      val correctedAttrs = Analog.attributesRaw(s, dir)
+        .withColumn("cityname",
+          when(col("id") % 13 === 5, lit("ATLANTIS"))
+            .otherwise(col("cityname")))
+      val corrCur = Curate.curate(Analog.bookingsRaw(s, dir),
+          Analog.apartmentsRaw(s, dir), correctedAttrs,
+          Tables.exchangeRates(s))
+        .select("apartment_id", "booking_id", "booking_date",
+          "booking_status", "cityname")
+        .localCheckpoint(true)
+      val origCur = Analog.curated(s, dir)
+        .select("apartment_id", "booking_id", "booking_date",
+          "booking_status", "cityname")
+        .localCheckpoint(true)
+      val isLate = date_format(col("booking_date"), "yyyy-MM")
+        .isin("1995-03", "1995-04") && col("booking_id") % 3 === 0
+      // t0: on-time fold (original attrs)
+      val stale = graft.etl.GoldState.popularCitiesPartial(
+        origCur.filter(!isLate))
+      // t1: late fold — the order-free merge (attrs still original:
+      // the correction hasn't landed yet)
+      val afterLate = graft.etl.GoldState.popularCities.merge(Seq(
+        stale, graft.etl.GoldState.popularCitiesPartial(
+          origCur.filter(isLate))))
+      // t2: attributes repair — touched weeks replaced from the
+      // corrected full history (late rows included)
+      val touched = corrCur
+        .filter(col("apartment_id") % 13 === 5 &&
+          col("booking_status") === "confirmed")
+        .select(Present.weekOf(col("booking_date")).as("week_start"))
+        .distinct()
+      val recomputed = graft.etl.GoldState.popularCitiesPartial(
+        corrCur.withColumn("week_start",
+            Present.weekOf(col("booking_date")))
+          .join(touched, Seq("week_start"), "left_semi")
+          .drop("week_start"))
+      graft.etl.GoldState.popularCitiesGold(
+        afterLate.join(touched, Seq("week_start"), "left_anti")
+          .unionByName(recomputed))
+    }),
     // Exchange-rate repair algebra (r11, the THIRD reference dim —
     // `curated_tranformation.py:121-125`): a corrected EUR rate
     // re-derives total_price_usd across every EUR booking; the
@@ -2444,6 +2497,10 @@ object SparkEntry {
     "q202_quarter_city_revenue" -> Oracle.quarterCityRevenue,
     "q203_dim_repair_price" -> Oracle.dimRepairPrice,
     "q204_attr_repair_cities" -> Oracle.attrRepairCities,
+    // the interleaved late+attr replay converges to the SAME one-shot
+    // corrected-attrs table (late rows merge, then the repair's week
+    // replacement reads the full history) — one oracle, two algebras
+    "q205_interleaved_repair" -> Oracle.attrRepairCities,
     "q206_rate_repair"      -> Oracle.rateRepairRevenue,
     "q207_incremental_engagement" -> Oracle.weeklyEngagement,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,

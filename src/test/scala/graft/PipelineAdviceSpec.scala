@@ -124,7 +124,10 @@ class PipelineAdviceSpec extends SparkSpec {
     Pipeline.runIncrementalLate(spark, sf, outB, all.filter(isLate),
       writeGold = false)
     def liveRows(name: String): Seq[String] =
-      rows(spark.read.parquet(s"$outB/state/$name/live")).sorted
+      try rows(spark.read.parquet(s"$outB/state/$name/live")).sorted
+      catch { // a state no fold has touched (engagement: no events)
+        case _: org.apache.spark.sql.AnalysisException => Nil
+      }
     val before = GoldState.all.map(s => s.name -> liveRows(s.name)).toMap
     val rolled = Pipeline.rollbackLast(spark, outB)
     assert(rolled.contains(".late"), s"expected to roll the late fold: $rolled")

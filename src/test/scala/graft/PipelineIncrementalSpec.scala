@@ -109,10 +109,12 @@ class PipelineIncrementalSpec extends SparkSpec {
       plan.contains("booking_month"),
       s"expected partition pruning on booking_month:\n$plan")
 
-    // ---- all 7 Gold tables: schema and ordered rows identical ----
+    // ---- all 7 booking Gold tables: schema and ordered rows
+    // identical (weekly_engagement folds LAST — the events month
+    // sorts after every booking month — and is compared below) ----
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
-    for ((name, fullDf) <- full.metrics) {
+    for ((name, fullDf) <- full.metrics - "weekly_engagement") {
       val inc = out.gold(name)
       // nullability flags differ (sum-of-counts vs count, parquet
       // roundtrips); names and types are the schema contract
@@ -146,7 +148,10 @@ class PipelineIncrementalSpec extends SparkSpec {
     // then the refold is re-admitted and lands the identical state
     // and Gold (fold determinism makes rollback+refold lossless) ----
     def liveRows(name: String): Seq[String] =
-      rows(spark.read.parquet(s"$outIncr/state/$name/live")).sorted
+      try rows(spark.read.parquet(s"$outIncr/state/$name/live")).sorted
+      catch { // a state no fold has touched yet (events fold below)
+        case _: org.apache.spark.sql.AnalysisException => Nil
+      }
     val stateBefore = graft.etl.GoldState.all
       .map(s => s.name -> liveRows(s.name)).toMap
     val rolled = Pipeline.rollbackLast(spark, outIncr)
@@ -160,8 +165,31 @@ class PipelineIncrementalSpec extends SparkSpec {
       assert(liveRows(s.name) == stateBefore(s.name),
         s"${s.name} state diverged after rollback+refold")
     }
-    for ((name, fullDf) <- full.metrics)
+    for ((name, fullDf) <- full.metrics - "weekly_engagement")
       assert(rows(out2.gold(name)) == rows(fullDf),
         s"$name diverged after rollback+refold")
+
+    // ---- the events month folds as its own trailing window (the
+    // feeds' calendars are disjoint — every event month sorts after
+    // every booking month): engagement Gold ≡ the rebuild's, and the
+    // booking states are untouched by it ----
+    val eventMonths = io.Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM").as("m"))
+      .distinct().as[String].collect().toSeq.sorted
+    val outEvt = Pipeline.runIncrementalWindow(spark, sf, outIncr,
+      eventMonths)
+    assert(rows(outEvt.gold("weekly_engagement")) ==
+      rows(full.metrics("weekly_engagement")),
+      "weekly_engagement diverged from the rebuild")
+    assert(rows(spark.read.parquet(
+        s"$outIncr/presentation.weekly_engagement")).sorted ==
+      rows(spark.read.parquet(
+        s"$outFull/presentation.weekly_engagement")).sorted,
+      "published weekly_engagement diverged")
+    graft.etl.GoldState.all.filterNot(_.name == "weekly_engagement")
+      .foreach { s =>
+        assert(liveRows(s.name) == stateBefore(s.name),
+          s"${s.name} state changed under an events-only fold")
+      }
   }
 }

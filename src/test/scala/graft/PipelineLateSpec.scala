@@ -27,7 +27,14 @@ class PipelineLateSpec extends SparkSpec {
     val listingMonths = Analog.apartmentsConverted(spark, sf)
       .select(date_format(col("listing_created_on"), "yyyy-MM").as("m"))
       .distinct().as[String].collect()
-    val months = (bookingMonths ++ listingMonths).toSet.toSeq.sorted
+    // event months included: the rebuild publishes weekly_engagement,
+    // so the folded warehouse must too (they sort after every booking
+    // month and fold as their own trailing windows)
+    val eventMonths = io.Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM").as("m"))
+      .distinct().as[String].collect()
+    val months = (bookingMonths ++ listingMonths ++ eventMonths)
+      .toSet.toSeq.sorted
 
     // withhold every 3rd booking of two mid-history months — their
     // users' LATER bookings get folded with a wrong LAG carry that

@@ -10,7 +10,7 @@ class PipelineSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_pipe").toString
     val res = Pipeline.run(spark, "/root/testdata/sf0.001", out)
     assert(res.curated.count() == 1500)
-    assert(res.metrics.size == 7)
+    assert(res.metrics.size == 8)
 
     val m = Pipeline.monthMetrics(spark, out, "1995-06")
     val occ = m("occupancy_rate")
