@@ -307,6 +307,39 @@ object Pipeline {
     readStateOpt(spark, live).getOrElse(fresh)
   }
 
+  /** A state's PRE-FOLD content for `label`: the live copy with the
+    * label's undo snapshot applied in REVERSE (touched buckets
+    * restored from the snapshot, fold-created buckets dropped). On a
+    * clean first attempt no snapshot exists and live IS pre-fold;
+    * after a CRASHED attempt the live copy may already contain the
+    * label's fold — and reading it as the repeat-LAG carry then
+    * contaminates the refold: a straddle user's true predecessor
+    * (their last pre-window booking) is replaced by their own
+    * in-window booking, silently flipping flags. Found mechanically
+    * by PipelineCrashSweepSpec's window leg (crash after
+    * state.user_last); every carry read goes through this. */
+  private def preFoldState(spark: SparkSession, stateRoot: String,
+      spec: GoldState.Spec, label: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val live = readStateOpt(spark, liveDir(stateRoot, spec.name))
+    val undo = undoDir(stateRoot, spec.name, label)
+    val fs = hFs(spark, hPath(undo))
+    if (!fs.exists(hPath(s"$undo/_touched"))) live
+    else {
+      val in = fs.open(hPath(s"$undo/_touched"))
+      val touched = scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSeq
+      in.close()
+      val rest = live.map(_.filter(!col("state_bucket").isin(touched: _*)))
+      (rest, readStateOpt(spark, undo)) match {
+        case (Some(r), Some(s)) =>
+          Some(r.unionByName(s.select(r.columns.map(col).toSeq: _*)))
+        case (Some(r), None) => Some(r)
+        case (None, s) => s
+      }
+    }
+  }
+
   /** Fold a mergeable window partial into a state's live copy:
     * touched = the partial's own buckets; new content = stored
     * partial ⊕ window partial for exactly those buckets. The partial
@@ -678,12 +711,12 @@ object Pipeline {
     val aptDeltaFold = aptDelta.filter(aptMonth.isin(months: _*))
 
     // ---- Fold each state: touched buckets only (see the state-
-    // storage block above). The repeat carry reads user_last's LIVE
-    // copy — safe because repeat_flags' partial is materialized
-    // (localCheckpoint in foldStateMerge) before user_last's own
-    // fold, the last in GoldState.all, overwrites it ----
-    val carry = readStateOpt(spark,
-        liveDir(stateRoot, GoldState.userLast.name))
+    // storage block above). The repeat carry reads user_last's
+    // PRE-FOLD content — live on a clean attempt, undo-restored on a
+    // refold after a crash that had already overwritten user_last
+    // (the live copy then contains THIS window's bookings and would
+    // contaminate the LAG; see preFoldState) ----
+    val carry = preFoldState(spark, stateRoot, GoldState.userLast, months.max)
       .map(GoldState.carryFromState)
     val windowPartial: Map[String, DataFrame] = Map(
       GoldState.listingPrice.name -> GoldState.listingPricePartial(aptDeltaFold),

@@ -35,7 +35,14 @@ class PipelineCrashSweepSpec extends SparkSpec {
     extends RuntimeException(s"injected crash after $at")
 
   // ---- shared base warehouse: months.init folded once from the
-  // on-time slice (late rows withheld so the late path has work) ----
+  // on-time slice (late rows withheld so the late path has work).
+  // History is truncated to the first 7 months: the sweep's subject
+  // is STAGE coverage (every boundary × every path — ~117 crash
+  // injections, quadratic in stage count), which is independent of
+  // history depth; a short history keeps the per-boundary
+  // fold/snapshot cost down while still spanning month straddles and
+  // the late slice. Full-depth equivalence is
+  // PipelineIncrementalSpec/LateSpec/DimSpec/RateSpec territory. ----
   private object Base {
     lazy val months: Seq[String] =
       (Analog.curated(spark, sf)
@@ -43,14 +50,14 @@ class PipelineCrashSweepSpec extends SparkSpec {
           .distinct().as[String].collect() ++
         Analog.apartmentsConverted(spark, sf)
           .select(date_format(col("listing_created_on"), "yyyy-MM").as("m"))
-          .distinct().as[String].collect()).toSet.toSeq.sorted
+          .distinct().as[String].collect()).toSet.toSeq.sorted.take(7)
     lazy val all: DataFrame =
       Analog.bookingsRaw(spark, sf).localCheckpoint(true)
     // late rows live strictly BEFORE the last month (already-folded
     // territory for the late path; absent from the window path's month)
     lazy val isLate = col("booking_id") % 17 === 3 &&
-      !date_format(to_date(col("booking_date"), etl.Curate.RawDateFormat),
-        "yyyy-MM").isin(months.last)
+      date_format(to_date(col("booking_date"), etl.Curate.RawDateFormat),
+        "yyyy-MM").isin(months.init: _*)
     lazy val onTime: DataFrame = all.filter(!isLate).localCheckpoint(true)
     lazy val late: DataFrame = all.filter(isLate).localCheckpoint(true)
     lazy val dir: String = {
