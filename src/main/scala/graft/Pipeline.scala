@@ -435,7 +435,13 @@ object Pipeline {
     GoldState.all.foreach { s =>
       val undo = undoDir(stateRoot, s.name, label)
       val fs = hFs(spark, hPath(undo))
-      if (fs.exists(hPath(undo))) { // absent ⟺ fold didn't touch it
+      // absent ⟺ fold didn't touch it (or an earlier rollback attempt
+      // already restored it — the undo dir is deleted after restore,
+      // so a crashed rollback's re-run skips the done states and
+      // finishes the rest; the ledger entry goes LAST, so the re-run
+      // targets the same label). Each restore is a stage boundary:
+      // PipelineCrashSweepSpec's rollback leg sweeps them.
+      if (fs.exists(hPath(undo))) stage(s"rollback.${s.name}") {
         require(fs.exists(hPath(s"$undo/_touched")),
           s"incomplete undo snapshot for ${s.name}/$label")
         val in = fs.open(hPath(s"$undo/_touched"))

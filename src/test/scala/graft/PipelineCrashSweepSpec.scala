@@ -208,6 +208,56 @@ class PipelineCrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("rollback: re-run ≡ clean at every per-state restore boundary") {
+    Pipeline.serializeStages.set(true)
+    try {
+      def foldLast(out: String): Unit =
+        Pipeline.runIncrementalWindow(spark, sf, out,
+          Seq(Base.months.last), rawBookings = Some(Base.onTime)): Unit
+      // clean rollback: enumerate its restore boundaries + expectation
+      val clean = copyBase()
+      foldLast(clean)
+      val stages = ListBuffer[String]()
+      Pipeline.stageBoundaryHook.set(n => { stages += n; () })
+      Pipeline.rollbackLast(spark, clean)
+      Pipeline.stageBoundaryHook.remove()
+      val restoreStages = stages.filter(_.startsWith("rollback."))
+      assert(restoreStages.size >= 5,
+        s"expected per-state restore boundaries, got $stages")
+      val expected = snapshot(clean)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(clean))
+
+      for (target <- restoreStages) {
+        val out = copyBase()
+        foldLast(out)
+        Pipeline.stageBoundaryHook.set(n =>
+          if (n == target) throw InjectedCrash(n))
+        val crashed =
+          try { Pipeline.rollbackLast(spark, out); false }
+          catch {
+            case _: InjectedCrash => true
+            case e: Throwable if causedByInjection(e) => true
+          }
+        Pipeline.stageBoundaryHook.remove()
+        assert(crashed, s"rollback hook at '$target' never fired")
+        // a crashed rollback leaves the label ledgered (the entry is
+        // removed LAST) — re-running completes it: restored states
+        // have no undo left and are skipped, the rest restore
+        Pipeline.rollbackLast(spark, out)
+        val got = snapshot(out)
+        for ((k, exp) <- expected)
+          assert(got(k) == exp,
+            s"rollback: '$k' diverged after crash at '$target'")
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(out))
+      }
+    } finally {
+      Pipeline.serializeStages.remove()
+      Pipeline.stageBoundaryHook.remove()
+    }
+  }
+
   test("attr fold: resume ≡ clean at every stage boundary") {
     val orig = Analog.attributesRaw(spark, sf)
     val updates = orig.filter(col("id") === 1L)
