@@ -678,6 +678,18 @@ object Pipeline {
     val eventsDelta0 = rawEvents.getOrElse(Tables.events(spark, sfDir))
       .withColumn("event_month", date_format(col("ts"), "yyyy-MM"))
       .filter(col("event_month").isin(months: _*))
+    stage("validate.events.delta") {
+      val report = etl.Validate.run(eventsDelta0, Seq(
+        etl.Validate.NotNull("event_id"),
+        etl.Validate.NotNull("ts"),
+        etl.Validate.NotNull("event_type")))
+      if (!report.clean) {
+        println(s"[pipeline] events delta violations: ${report.failed}")
+        if (failOnViolations) throw new IllegalStateException(
+          s"events delta failed quality gate: ${report.failed}")
+      }
+      report
+    }
     stage("events.delta.write") {
       eventsDelta0.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -10,19 +10,21 @@ import graft.etl.{Analog, Curate, GoldState, Present}
 /** Interleaved-history equivalence (r10 verdict ask #1, the top
   * remaining risk): the repair paths were each proven in ISOLATION; a
   * real nightly window delivers several at once (the reference's raw
-  * layer is mutable Postgres, `scripts/init_db.sql:11-80`). One
-  * realistic timeline against ONE set of final inputs:
+  * layer is mutable Postgres, `scripts/init_db.sql:11-80`). Two
+  * realistic timelines against ONE set of final inputs:
   *
-  *   fold months 1..k  →  late-bookings delta  →  apartments price
-  *   fix  →  attributes city move  →  exchange-rate fix  →  fold the
-  *   next month  →  roll it back  →  refold it
+  *   A: fold months 1..k → late bookings → apartments price fix →
+  *      attributes city move → exchange-rate fix → fold the next
+  *      month → roll it back → refold it
+  *   B: the dim corrections land FIRST (apartments, attributes,
+  *      rate), THEN the late bookings — whose rows then curate
+  *      against the already-updated dims — then fold/rollback/refold
   *
   * — where the late slice includes bookings whose apartment is ALSO
   * being price-fixed AND re-citied (the interaction case no
-  * single-repair spec exercises: the late rows land in Silver curated
-  * against the OLD dims, and the dim folds must re-derive them like
-  * any other row). Asserts final Silver, every state table, and all
-  * Gold ≡ the one-shot computation over the corrected inputs.
+  * single-repair spec exercises). Both orders must land final Silver,
+  * every state table, and all Gold ≡ the one-shot computation over
+  * the corrected inputs — repair composition must commute.
   */
 class PipelineInterleaveSpec extends SparkSpec {
   import spark.implicits._
@@ -32,61 +34,63 @@ class PipelineInterleaveSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
 
-  test("late + dim + attr + rate + fold + rollback/refold ≡ one-shot") {
+  // ---- shared inputs ----
+  private lazy val all = Analog.bookingsRaw(spark, sf).localCheckpoint(true)
+  private lazy val bMonth = date_format(
+    to_date(col("booking_date"), Curate.RawDateFormat), "yyyy-MM")
+  private lazy val isLate = bMonth.isin("1995-03", "1995-04") &&
+    col("booking_id") % 3 === 0
+  private lazy val onTime = all.filter(!isLate).localCheckpoint(true)
+  private lazy val late = all.filter(isLate).localCheckpoint(true)
+  private lazy val correctedApts = Analog.apartmentsRaw(spark, sf)
+    .withColumn("price",
+      when(col("id") % 7 === 3, col("price") * 1.1)
+        .otherwise(col("price")))
+    .localCheckpoint(true)
+  private lazy val correctedAttrs = Analog.attributesRaw(spark, sf)
+    .withColumn("cityname",
+      when(col("id") % 13 === 5, lit("ATLANTIS"))
+        .otherwise(col("cityname")))
+    .localCheckpoint(true)
+  private lazy val correctedRates =
+    Seq(("USD", 1.0), ("EUR", 1.25), ("INR", 0.012))
+      .toDF("currency", "usd_rate")
+  private lazy val months = (Analog.curated(spark, sf)
+      .select(date_format(col("booking_date"), "yyyy-MM").as("m"))
+      .distinct().as[String].collect() ++
+    Analog.apartmentsConverted(spark, sf)
+      .select(date_format(col("listing_created_on"), "yyyy-MM").as("m"))
+      .distinct().as[String].collect()).toSet.toSeq.sorted
+
+  private def deliverLate(out: String): Unit =
+    Pipeline.runIncrementalLate(spark, sf, out, late,
+      writeGold = false): Unit
+  private def deliverDims(out: String): Unit = {
+    Pipeline.runIncrementalDimUpdate(spark, sf, out, correctedApts,
+      writeGold = false)
+    Pipeline.runIncrementalAttrUpdate(spark, sf, out, correctedAttrs,
+      writeGold = false)
+    Pipeline.runIncrementalRateUpdate(spark, sf, out,
+      Seq(("EUR", 1.25)).toDF("currency", "usd_rate"),
+      writeGold = false): Unit
+  }
+
+  /** Fold history, run the nightly batch in the given order, fold the
+    * next month, roll it back, refold — then assert ≡ one-shot. */
+  private def runTimeline(nightly: Seq[String => Unit]): Unit = {
     val out = Files.createTempDirectory("graft_interleave").toString
-    val all = Analog.bookingsRaw(spark, sf).localCheckpoint(true)
-    val bMonth = date_format(
-      to_date(col("booking_date"), Curate.RawDateFormat), "yyyy-MM")
-    val isLate = bMonth.isin("1995-03", "1995-04") &&
-      col("booking_id") % 3 === 0
-    val onTime = all.filter(!isLate).localCheckpoint(true)
-    val late = all.filter(isLate).localCheckpoint(true)
     // the interaction rows exist: late bookings on apartments that the
     // dim fix (id % 7 = 3) AND the attr move (id % 13 = 5) both touch
     assert(late.filter(col("apartment_id") % 7 === 3).count() > 0)
     assert(late.filter(col("apartment_id") % 13 === 5).count() > 0)
 
-    val months = (Analog.curated(spark, sf)
-        .select(date_format(col("booking_date"), "yyyy-MM").as("m"))
-        .distinct().as[String].collect() ++
-      Analog.apartmentsConverted(spark, sf)
-        .select(date_format(col("listing_created_on"), "yyyy-MM").as("m"))
-        .distinct().as[String].collect()).toSet.toSeq.sorted
-
-    // ---- t0: fold the history minus the last month ----
     months.init.grouped(12).foreach { w =>
       Pipeline.runIncrementalWindow(spark, sf, out, w, writeGold = false,
         rawBookings = Some(onTime))
     }
-
-    // ---- t1..t4: the nightly batch — late facts and THREE dim
-    // corrections in one window ----
-    Pipeline.runIncrementalLate(spark, sf, out, late, writeGold = false)
-    val correctedApts = Analog.apartmentsRaw(spark, sf)
-      .withColumn("price",
-        when(col("id") % 7 === 3, col("price") * 1.1)
-          .otherwise(col("price")))
-      .localCheckpoint(true)
-    Pipeline.runIncrementalDimUpdate(spark, sf, out, correctedApts,
-      writeGold = false)
-    val correctedAttrs = Analog.attributesRaw(spark, sf)
-      .withColumn("cityname",
-        when(col("id") % 13 === 5, lit("ATLANTIS"))
-          .otherwise(col("cityname")))
-      .localCheckpoint(true)
-    Pipeline.runIncrementalAttrUpdate(spark, sf, out, correctedAttrs,
-      writeGold = false)
-    val correctedRates = Seq(("USD", 1.0), ("EUR", 1.25), ("INR", 0.012))
-      .toDF("currency", "usd_rate")
-    Pipeline.runIncrementalRateUpdate(spark, sf, out,
-      Seq(("EUR", 1.25)).toDF("currency", "usd_rate"), writeGold = false)
-
-    // ---- t5: more folds after the repairs ----
+    nightly.foreach(_(out))
     Pipeline.runIncrementalWindow(spark, sf, out, Seq(months.last),
       writeGold = false, rawBookings = Some(onTime))
-
-    // ---- t6: roll the newest fold back (must be the month, in FOLD
-    // order — not a lexically-last repair label), then refold ----
     val rolled = Pipeline.rollbackLast(spark, out)
     assert(rolled == months.last, s"rolled back '$rolled'")
     val res = Pipeline.runIncrementalWindow(spark, sf, out,
@@ -157,5 +161,14 @@ class PipelineInterleaveSpec extends SparkSpec {
       assert(rows(live).sorted == rows(exp).sorted,
         s"state $name diverged from the one-shot partial")
     }
+  }
+
+  test("late + dim + attr + rate + fold + rollback/refold ≡ one-shot") {
+    runTimeline(Seq(deliverLate, deliverDims))
+  }
+
+  test("dims FIRST, late after (late rows curate against the updated " +
+      "dims) ≡ the same one-shot — repair composition commutes") {
+    runTimeline(Seq(deliverDims, deliverLate))
   }
 }
