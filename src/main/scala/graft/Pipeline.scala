@@ -36,7 +36,7 @@ object Pipeline {
     ThreadLocal.withInitial(() => (_: String) => ())
 
   /** Test-only: run the fold's normally-concurrent stage groups (the
-    * six carry-independent state folds, the 7 Gold publishes) inline
+    * state folds, the Gold publishes) inline
     * on the calling thread. Gives the crash sweep sequential
     * semantics — a crash after stage N means stages 1..N durable and
     * nothing after — which is the strongest recovery contract (any
@@ -160,7 +160,7 @@ object Pipeline {
 
   case class IncrementalOutputs(
       deltaSilver: DataFrame,            // the pruned Silver delta read
-      gold: Map[String, DataFrame],      // the 7 refreshed Gold tables
+      gold: Map[String, DataFrame],      // the 8 refreshed Gold tables
       statePaths: Map[String, String])   // each state's live dir
 
   /** Gold-table names ↔ the state table + derivation that serves each
@@ -182,7 +182,7 @@ object Pipeline {
     try Some(spark.read.parquet(path))
     catch { case _: AnalysisException => None } // absent or 0-file state
 
-  /** Derive and publish the 7 Gold tables from merged state — the
+  /** Derive and publish the 8 Gold tables from merged state — the
     * writes are independent, so they run as concurrent Spark jobs
     * (locally overlaps the many small publishes; on a cluster the
     * same overlap hides each write's commit latency). */
@@ -788,7 +788,7 @@ object Pipeline {
           .toMap
       }
 
-    // ---- Republish the 7 Gold tables from merged state ----
+    // ---- Republish the 8 Gold tables from merged state ----
     val gold = publishGold(spark, outDir, merged, writeGold, "present.")
 
     // ledger marker LAST (see processedMonths — crash anywhere above
@@ -837,7 +837,7 @@ object Pipeline {
     * The fold's ledger/undo label is `<maxMonth>.lateNN` — sorts
     * after the base month, before any later month, so the ledger
     * ordering and the monotonic-append gate are untouched.
-    * PipelineLateSpec proves the 7 Gold tables land row-bit-identical
+    * PipelineLateSpec proves the Gold tables land row-bit-identical
     * to a full rebuild over ALL the data. */
   def runIncrementalLate(spark: SparkSession, sfDir: String,
                          outDir: String, lateRawBookings: DataFrame,
@@ -1458,7 +1458,7 @@ object Pipeline {
 
   /** Apply an attributes-dim update feed (raw attributes schema, one
     * row per id). PipelineDimSpec's attributes leg proves Silver and
-    * all 7 Gold tables land identical to a full rebuild over the
+    * all Gold tables land identical to a full rebuild over the
     * corrected dim. */
   def runIncrementalAttrUpdate(spark: SparkSession, sfDir: String,
       outDir: String, attrUpdatesRaw: DataFrame,

@@ -9,7 +9,7 @@ import graft.ops.Incremental
 import Curate.money
 import Present.{monthOf, weekOf}
 
-/** Mergeable Gold STATE for the 7 presentation metrics — what lets
+/** Mergeable Gold STATE for the 8 presentation metrics — what lets
   * [[graft.Pipeline.runIncremental]] refresh the warehouse by folding
   * a month delta into stored partials ([[Incremental.merge]]) instead
   * of full-rebuilding (`Pipeline.run`'s shape, the r8 verdict's top
@@ -32,6 +32,9 @@ import Present.{monthOf, weekOf}
   *    depends only on the user's immediately-previous confirmed
   *    booking, so folding month M needs exactly this one row per
   *    user, never history
+  *  - `weekly_engagement` (week, event_type, user_id): n, max(value)
+  *    — the events-feed family (r11); same distinct-keyed trick for
+  *    `COUNT(DISTINCT user_id)`
   *
   * Every aggregate is combine-order-independent per [[Incremental]]'s
   * contract (counts, long sums, decimal sums, struct max); the
