@@ -229,6 +229,35 @@ object Bench {
         val (nf, nb) = stateWrites(since)
         (w, nf.toDouble, nb.toDouble)
       }
+      // composed NIGHTLY (r11): one correction night — an attributes
+      // city move + a rate fix + a late-bookings slice (synthetic new
+      // rows for an already-folded month, so the merge does real
+      // work) — through the runNightly driver: manifest persist,
+      // three repair folds in canonical order, ONE Gold publish.
+      // Gates the composition's wall per round next to the fold wall.
+      val nightlyWall = {
+        import org.apache.spark.sql.functions.{expr, lit, when}
+        val lateMonth = months(months.size / 2)
+        val bMonth = date_format(expr(
+          s"try_to_date(booking_date, '${etl.Curate.RawDateFormat}')"),
+          "yyyy-MM")
+        val lateSynth = Analog.bookingsRaw(spark, sfDir)
+          .filter(bMonth === lateMonth && col("booking_id") % 97 === 0)
+          .withColumn("booking_id", col("booking_id") + 10000000L)
+        val attrMove = Analog.attributesRaw(spark, sfDir)
+          .withColumn("cityname",
+            when(col("id") % 13 === 5, lit("ATLANTIS"))
+              .otherwise(col("cityname")))
+        val rateFix = {
+          import spark.implicits._
+          Seq(("EUR", 1.2)).toDF("currency", "usd_rate")
+        }
+        timed(Pipeline.runNightly(spark, sfDir, incRoot,
+          Pipeline.NightlyDeltas(
+            attributeUpdates = Some(attrMove),
+            rateUpdates = Some(rateFix),
+            lateBookings = Some(lateSynth))))
+      }
       val rebuildWall = timed(
         Pipeline.run(spark, sfDir, s"${incRoot}_rebuild"))
       try org.apache.commons.io.FileUtils
@@ -239,6 +268,7 @@ object Bench {
         "fold_wall_median" -> medianOf(folds.map(_._1)),
         "fold_state_files_median" -> medianOf(folds.map(_._2)),
         "fold_state_bytes_median" -> medianOf(folds.map(_._3)),
+        "nightly_wall" -> nightlyWall,
         "rebuild_wall" -> rebuildWall)
       s""""incremental":${jsonMap(metrics)}"""
     } catch { case NonFatal(e) =>

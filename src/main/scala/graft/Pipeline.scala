@@ -228,8 +228,12 @@ object Pipeline {
   // labels after each successful fold.
   // ------------------------------------------------------------------
 
-  /** Undo snapshots retained per state (most recent labels). */
-  val UndoKeep = 3
+  /** Undo snapshots retained per state (most recent labels). Also the
+    * [[goldAsOf]] rewind horizon: the last UndoKeep-1 folds are
+    * time-travelable. Env-configurable (X3) — deeper history costs
+    * UndoKeep × per-fold touched-bucket bytes (the bench census). */
+  val UndoKeep: Int =
+    sys.env.get("GRAFT_UNDO_KEEP").map(_.toInt).getOrElse(3)
 
   private def liveDir(stateRoot: String, name: String): String =
     s"$stateRoot/$name/live"
@@ -382,6 +386,30 @@ object Pipeline {
     }.toMap
   }
 
+  /** Run the per-state fold computations of a repair path as
+    * concurrent Spark jobs (inline, in order, under
+    * [[serializeStages]] — the crash sweep's sequential semantics).
+    * The window fold has always parallelized its 9 state folds; the
+    * late/events/dim/attr/rate paths ran theirs back to back, paying
+    * ~9 small-job commit latencies sequentially (measured: the late
+    * phase of a composed night was ~14 s of serialized ~1.5-2.5 s
+    * folds at sf0.1). Safe for the same reason as the window path:
+    * each fold writes only its own state dir, and every shared input
+    * is computed — checkpointed where mutable — before the folds
+    * start. */
+  private def foldAllStates(
+      f: GoldState.Spec => DataFrame): Map[String, DataFrame] =
+    if (serializeStages.get())
+      GoldState.all.map(s => s.name -> f(s)).toMap
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      GoldState.all.map(s => s.name -> Future(f(s)))
+        .map { case (n, fu) => n -> Await.result(fu, Duration.Inf) }
+        .toMap
+    }
+
   /** Targeted repair fold (the late path's order-dependent states):
     * the affected keys' rows are REPLACED — touched buckets = the
     * recomputed rows' buckets ∪ the affected keys' existing rows'
@@ -463,6 +491,76 @@ object Pipeline {
     }
     val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
     hFs(spark, ledger).delete(ledger, true)
+    label
+  }
+
+  /** Compensate the NEWEST ledgered fold when it is a dim-kind fold
+    * (`.dimNN`/`.attNN`/`.rateNN`) — the case [[rollbackLast]]
+    * refuses, because a dim fold also mutated the current dim and
+    * re-derived Silver columns, which bucket restore cannot undo. The
+    * forward path is its own inverse for every row it CHANGED:
+    * re-applying the fold's SCD-2 history snapshot (the superseded
+    * versions of the affected keys) as a NEW update feed upserts the
+    * old versions back, re-derives the same Silver rows to their
+    * original bits (the re-derivation is a pure function of (row,
+    * dim)), and repairs the same touched state. This is COMPENSATION,
+    * not erasure: the ledger keeps both folds, the compensating fold
+    * snapshots the corrected versions in turn (so it is itself
+    * compensatable), and the audit trail stays append-only.
+    *
+    * Rows the fold ADDED (keys with no superseded version) cannot be
+    * compensated — the dim has no tombstones — so a fold that added
+    * keys is REFUSED loudly rather than half-reverted.
+    * PipelineCompensateSpec proves the round trip lands the whole
+    * warehouse row-bit-identical to the pre-update state for all
+    * three kinds. Returns the compensated label. */
+  def compensateLastDimUpdate(spark: SparkSession, sfDir: String,
+      outDir: String, writeGold: Boolean = true): String = {
+    import org.apache.spark.sql.functions.col
+    requireNoPending(spark, outDir)
+    val done = ledgerEntries(spark, outDir)
+    require(done.nonEmpty, "nothing to compensate")
+    val label = done.last._1
+    require(label.matches(""".*\.(dim|att|rate)\d+"""),
+      s"$label is not a dim-kind fold — window/late folds roll back " +
+        "via rollbackLast (bucket restore); compensation is for the " +
+        "folds that also mutated the current dim")
+    val kind = label.replaceAll(""".*\.(dim|att|rate)\d+$""", "$1")
+    val (historyDir, deltaDir, keyCols) = kind match {
+      case "dim" => (dimHistoryDir(outDir, label),
+        s"$outDir/state/_dim_delta/asof=$label", Seq("id"))
+      case "att" => (attrHistoryDir(outDir, label),
+        s"$outDir/state/_attr_delta/asof=$label", Seq("id"))
+      case "rate" => (ratesHistoryDir(outDir, label),
+        s"$outDir/state/_rate_delta/asof=$label", Seq("currency"))
+    }
+    val historyOpt = readStateOpt(spark, historyDir)
+    readStateOpt(spark, deltaDir).foreach { d =>
+      // a key in the delta with no superseded version = the fold
+      // ADDED it (an empty/absent history dir means every key was)
+      val added = historyOpt match {
+        case Some(h) => d.select(keyCols.map(col): _*).distinct()
+          .join(h.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti")
+          .limit(1).count()
+        case None => d.limit(1).count()
+      }
+      require(added == 0, s"fold $label ADDED keys (no superseded " +
+        "version in its history snapshot) — the dim has no " +
+        "tombstones, so compensation would half-revert; rebuild from " +
+        "Bronze or correct forward instead")
+    }
+    val history = historyOpt.getOrElse(
+      throw new IllegalArgumentException(
+        s"no SCD-2 history snapshot at $historyDir — cannot compensate"))
+    kind match {
+      case "dim" => runIncrementalDimUpdate(spark, sfDir, outDir,
+        history, writeGold = writeGold): Unit
+      case "att" => runIncrementalAttrUpdate(spark, sfDir, outDir,
+        history, writeGold = writeGold): Unit
+      case "rate" => runIncrementalRateUpdate(spark, sfDir, outDir,
+        history, writeGold = writeGold): Unit
+    }
     label
   }
 
@@ -972,8 +1070,8 @@ object Pipeline {
       .filter(col("booking_status") === "confirmed")
       .join(affectedUsers, Seq("user_id"), "left_semi")
 
-    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
-      val m = stage(s"late.state.${s.name}") { s.name match {
+    val merged: Map[String, DataFrame] = foldAllStates { s =>
+      stage(s"late.state.${s.name}") { s.name match {
         case n if latePartial.contains(n) =>
           foldStateMerge(spark, stateRoot, s, latePartial(n), label)
         case GoldState.listingPrice.name =>
@@ -993,8 +1091,7 @@ object Pipeline {
           foldStateRepair(spark, stateRoot, s, affectedUsers, "user_id",
             GoldState.userLastPartial(userHistory), label)
       }}
-      s.name -> m
-    }.toMap
+    }
 
     val gold = publishGold(spark, outDir, merged, writeGold, "late.present.")
 
@@ -1120,8 +1217,8 @@ object Pipeline {
         .partitionBy("event_month").parquet(eventsDir)
     }
 
-    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
-      val m = stage(s"evt.state.${s.name}") { s.name match {
+    val merged: Map[String, DataFrame] = foldAllStates { s =>
+      stage(s"evt.state.${s.name}") { s.name match {
         case GoldState.engagement.name =>
           foldStateMerge(spark, stateRoot, s,
             GoldState.engagementPartial(lateNew), label)
@@ -1131,8 +1228,7 @@ object Pipeline {
             .getOrElse(emptyStateFrame(spark, sfDir, outDir,
               s"$outDir/curated.apartment_bookings", s))
       }}
-      s.name -> m
-    }.toMap
+    }
 
     val gold = publishGold(spark, outDir, merged, writeGold, "evt.present.")
 
@@ -1394,8 +1490,8 @@ object Pipeline {
       .distinct().localCheckpoint(true)
     val recomputedLp = GoldState.listingPricePartial(newConv)
       .join(broadcast(touchedWeeks), Seq("week_start"), "left_semi")
-    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
-      val m = stage(s"dim.state.${s.name}") { s.name match {
+    val merged: Map[String, DataFrame] = foldAllStates { s =>
+      stage(s"dim.state.${s.name}") { s.name match {
         case GoldState.listingPrice.name =>
           foldStateRepair(spark, stateRoot, s, touchedWeeks, "week_start",
             recomputedLp, label)
@@ -1406,8 +1502,7 @@ object Pipeline {
           readStateOpt(spark, liveDir(stateRoot, s.name))
             .getOrElse(emptyStateFrame(spark, sfDir, outDir, silverDir, s))
       }}
-      s.name -> m
-    }.toMap
+    }
 
     val gold = publishGold(spark, outDir, merged, writeGold, "dim.present.")
 
@@ -1570,8 +1665,8 @@ object Pipeline {
         .withColumn("week_start", Present.weekOf(col("booking_date")))
         .join(broadcast(touchedWeeks), Seq("week_start"), "left_semi")
         .drop("week_start"))
-    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
-      val m = stage(s"attr.state.${s.name}") { s.name match {
+    val merged: Map[String, DataFrame] = foldAllStates { s =>
+      stage(s"attr.state.${s.name}") { s.name match {
         case GoldState.popularCities.name =>
           foldStateRepair(spark, stateRoot, s, touchedWeeks, "week_start",
             recomputedPc, label)
@@ -1581,8 +1676,7 @@ object Pipeline {
           readStateOpt(spark, liveDir(stateRoot, s.name))
             .getOrElse(emptyStateFrame(spark, sfDir, outDir, silverDir, s))
       }}
-      s.name -> m
-    }.toMap
+    }
 
     val gold = publishGold(spark, outDir, merged, writeGold, "attr.present.")
 
@@ -1791,8 +1885,8 @@ object Pipeline {
         .withColumn("week_start", Present.weekOf(col("booking_date")))
         .join(broadcast(touchedRevWeeks), Seq("week_start"), "left_semi")
         .drop("week_start"))
-    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
-      val m = stage(s"rate.state.${s.name}") { s.name match {
+    val merged: Map[String, DataFrame] = foldAllStates { s =>
+      stage(s"rate.state.${s.name}") { s.name match {
         case GoldState.listingPrice.name =>
           foldStateRepair(spark, stateRoot, s, touchedLpWeeks, "week_start",
             recomputedLp, label)
@@ -1804,8 +1898,7 @@ object Pipeline {
           readStateOpt(spark, liveDir(stateRoot, s.name))
             .getOrElse(emptyStateFrame(spark, sfDir, outDir, silverDir, s))
       }}
-      s.name -> m
-    }.toMap
+    }
 
     val gold = publishGold(spark, outDir, merged, writeGold, "rate.present.")
 
@@ -1814,6 +1907,384 @@ object Pipeline {
 
     IncrementalOutputs(delta, gold,
       GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
+  }
+
+  // ------------------------------------------------------------------
+  // NIGHTLY composition: one entry point for one night's arrivals.
+  // The reference's raw layer is mutable Postgres
+  // (`scripts/init_db.sql:11-80`), so a real nightly window delivers
+  // late facts, dim corrections, rate fixes, AND the new month's feed
+  // TOGETHER — PipelineInterleaveSpec proves the composition commutes
+  // to the one-shot rebuild, but until now the operator had to invoke
+  // the six fold paths by hand, in the right order, and know which
+  // resume* to call after a crash. runNightly owns both:
+  //
+  //  1. every supplied delta persists into ONE manifest
+  //     (`state/_nightly/asof=<label>/`) before anything durable
+  //     happens to the warehouse — the resumable unit for the WHOLE
+  //     night (the window's raw slice persists too, so a resume
+  //     replays the same bytes even if the mutable feed moves under
+  //     it);
+  //  2. phases then run in the canonical order dim → att → rate →
+  //     late → evt → win (dims first, so late rows and the new window
+  //     curate against corrected dims; window last, so the late
+  //     months ≤ folded-max contract is judged against the PRE-window
+  //     history);
+  //  3. phase completion is detected from the LEDGER, not a separate
+  //     marker: each phase's last durable act is its ledger label, so
+  //     "a label of this phase's kind with _seq > the manifest's
+  //     baseSeq" is complete-iff-ledgered with no marker-vs-ledger
+  //     crash window. A crash inside a phase leaves that phase's own
+  //     pending delta, which resumeNightly routes to the phase's
+  //     resume before continuing the remaining phases;
+  //  4. Gold publishes ONCE from merged live state after the last
+  //     phase (each phase runs writeGold=false), and the manifest
+  //     retires only after that.
+  //
+  // PipelineNightlySpec proves a full six-phase night ≡ the one-shot
+  // rebuild over the corrected inputs; the crash sweep's nightly leg
+  // proves resumeNightly ≡ clean at every stage boundary of the
+  // composition.
+  // ------------------------------------------------------------------
+
+  /** Test-only guard context: phase runs inside a nightly must pass
+    * [[requireNoPending]] while the nightly's own manifest is pending. */
+  private val inNightly: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** One night's arrivals, all optional (at least one required):
+    * update feeds in their raw shapes, late slices in the raw facts
+    * shape, and/or a new window of months with its feed injection
+    * points (defaults read the Bronze analog, as the individual fold
+    * entry points do). */
+  case class NightlyDeltas(
+      apartmentUpdates: Option[DataFrame] = None,
+      attributeUpdates: Option[DataFrame] = None,
+      rateUpdates: Option[DataFrame] = None,
+      lateBookings: Option[DataFrame] = None,
+      lateEvents: Option[DataFrame] = None,
+      windowMonths: Seq[String] = Nil,
+      windowBookings: Option[DataFrame] = None,
+      windowEvents: Option[DataFrame] = None) {
+    /** Phase tokens in canonical execution order. */
+    private[graft] def phases: Seq[String] = Seq(
+      apartmentUpdates.map(_ => "dim"),
+      attributeUpdates.map(_ => "att"),
+      rateUpdates.map(_ => "rate"),
+      lateBookings.map(_ => "late"),
+      lateEvents.map(_ => "evt"),
+      if (windowMonths.nonEmpty) Some("win") else None).flatten
+  }
+
+  private case class NightlyPlan(baseSeq: Long, phases: Seq[String],
+      months: Seq[String], failOnViolations: Boolean)
+
+  private def nightlyRoot(outDir: String) = s"$outDir/state/_nightly"
+  private def nightlyDir(outDir: String, label: String) =
+    s"${nightlyRoot(outDir)}/asof=$label"
+
+  /** The plan file is the manifest's commit marker — written LAST, so
+    * a manifest without `_plan` is an aborted persist (invisible to
+    * [[pendingNightly]], overwritten by the next submit). */
+  private def writePlan(spark: SparkSession, dir: String,
+                        p: NightlyPlan): Unit = {
+    val content = Seq(
+      s"baseSeq=${p.baseSeq}",
+      s"phases=${p.phases.mkString(",")}",
+      s"months=${p.months.mkString(",")}",
+      s"failOnViolations=${p.failOnViolations}").mkString("\n")
+    val f = hPath(s"$dir/_plan")
+    val out = hFs(spark, f).create(f, true)
+    out.write(content.getBytes("UTF-8")); out.close()
+  }
+
+  private def readPlan(spark: SparkSession, dir: String): NightlyPlan = {
+    val f = hPath(s"$dir/_plan")
+    val in = hFs(spark, f).open(f)
+    val kv = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    in.close()
+    def list(k: String) =
+      kv.getOrElse(k, "").split(",").filter(_.nonEmpty).toSeq
+    NightlyPlan(kv("baseSeq").toLong, list("phases"), list("months"),
+      kv("failOnViolations").toBoolean)
+  }
+
+  /** Labels of persisted nightly manifests that never retired — a
+    * crashed [[runNightly]]. Every fold entry point refuses while one
+    * is pending; [[resumeNightly]] finishes it. */
+  def pendingNightly(spark: SparkSession, outDir: String): Seq[String] = {
+    val dir = hPath(nightlyRoot(outDir))
+    val fs = hFs(spark, dir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("asof=")).map(_.stripPrefix("asof="))
+      .filter(l => fs.exists(hPath(s"${nightlyDir(outDir, l)}/_plan")))
+      .sorted
+  }
+
+  /** Finish a nightly that crashed anywhere after its manifest
+    * persist: completed phases are skipped (ledger-detected), an
+    * in-flight phase resumes from its own pending delta, un-started
+    * phases run from the manifest, and Gold republishes. */
+  def resumeNightly(spark: SparkSession, sfDir: String, outDir: String,
+      writeGold: Boolean = true): Seq[IncrementalOutputs] =
+    pendingNightly(spark, outDir).map(label =>
+      executeNightly(spark, sfDir, outDir, label, writeGold))
+
+  /** Retire a pending nightly WITHOUT running its remaining phases —
+    * the escape hatch for a manifest whose un-started deltas turn out
+    * to be garbage. Phases already applied stay applied (each is a
+    * complete, consistent fold); an in-flight phase must be resumed
+    * first, because its Silver/dim effects are already partially
+    * durable. Returns the retired labels. */
+  def abortNightly(spark: SparkSession, outDir: String): Seq[String] = {
+    requireNoPhasePending(spark, outDir)
+    val labels = pendingNightly(spark, outDir)
+    labels.foreach { l =>
+      val p = hPath(nightlyDir(outDir, l))
+      hFs(spark, p).delete(p, true): Unit
+    }
+    labels
+  }
+
+  /** Run one night against the warehouse: see the section comment for
+    * the contract. All supplied deltas validate at SUBMIT time (before
+    * anything durable lands) when `failOnViolations` — a garbage feed
+    * refuses with nothing to clean up; with the gate non-fatal each
+    * phase still prints its own report. */
+  def runNightly(spark: SparkSession, sfDir: String, outDir: String,
+      deltas: NightlyDeltas, failOnViolations: Boolean = true,
+      writeGold: Boolean = true): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.{col, date_format, expr}
+    requireNoPending(spark, outDir)
+    val done = processedMonths(spark, outDir)
+    require(done.nonEmpty, "no folded months yet — initialize the " +
+      "warehouse with runIncrementalWindow; runNightly composes " +
+      "repairs and appends over existing state")
+    val phases = deltas.phases
+    require(phases.nonEmpty,
+      "an empty nightly: supply at least one delta or a window")
+
+    if (failOnViolations) stage("nightly.validate") {
+      val reports = Seq(
+        deltas.apartmentUpdates.map(d => "apartmentUpdates" ->
+          etl.Validate.run(d, Seq(etl.Validate.NotNull("id"),
+            etl.Validate.NotNull("listing_created_on"),
+            etl.Validate.ParsesAsRawDate("listing_created_on")))),
+        deltas.attributeUpdates.map(d => "attributeUpdates" ->
+          etl.Validate.run(d, Seq(etl.Validate.NotNull("id")))),
+        deltas.rateUpdates.map(d => "rateUpdates" ->
+          etl.Validate.run(d, Seq(etl.Validate.NotNull("currency"),
+            etl.Validate.NotNull("usd_rate")))),
+        deltas.lateBookings.map(d => "lateBookings" ->
+          etl.Validate.run(d, etl.Validate.bookingsChecks :+
+            etl.Validate.NotNull("booking_date"))),
+        deltas.lateEvents.map(d => "lateEvents" ->
+          etl.Validate.run(d, Seq(etl.Validate.NotNull("event_id"),
+            etl.Validate.NotNull("ts"),
+            etl.Validate.NotNull("event_type"))))).flatten
+      val bad = reports.filterNot(_._2.clean)
+      require(bad.isEmpty, "nightly deltas failed their quality " +
+        s"gates before anything durable landed: ${bad.map { case (n, r) =>
+          s"$n=${r.failed}" }.mkString("; ")}")
+    }
+
+    val baseSeq = ledgerEntries(spark, outDir)
+      .foldLeft(-1L) { case (m, (_, n)) => math.max(m, n) }
+    val label = f"night${baseSeq + 1}%06d"
+    val mdir = nightlyDir(outDir, label)
+    stage("nightly.manifest.persist") {
+      hFs(spark, hPath(mdir)).delete(hPath(mdir), true)
+      deltas.apartmentUpdates.foreach(
+        _.write.mode("overwrite").parquet(s"$mdir/dim"))
+      deltas.attributeUpdates.foreach(
+        _.write.mode("overwrite").parquet(s"$mdir/att"))
+      deltas.rateUpdates.foreach(
+        _.write.mode("overwrite").parquet(s"$mdir/rate"))
+      deltas.lateBookings.foreach(
+        _.write.mode("overwrite").parquet(s"$mdir/late"))
+      deltas.lateEvents.foreach(
+        _.write.mode("overwrite").parquet(s"$mdir/evt"))
+      if (deltas.windowMonths.nonEmpty) {
+        // the window's raw slices persist too (delta-sized: one
+        // window of feed), so a resume replays the same bytes even
+        // if the mutable Bronze feed moves under it
+        val bm = date_format(expr(
+          s"try_to_date(booking_date, '${Curate.RawDateFormat}')"),
+          "yyyy-MM")
+        deltas.windowBookings.getOrElse(Analog.bookingsRaw(spark, sfDir))
+          .filter(bm.isin(deltas.windowMonths: _*) || bm.isNull)
+          .write.mode("overwrite").parquet(s"$mdir/win_bookings")
+        deltas.windowEvents.getOrElse(Tables.events(spark, sfDir))
+          .withColumn("event_month", date_format(col("ts"), "yyyy-MM"))
+          .filter(col("event_month").isin(deltas.windowMonths: _*))
+          .drop("event_month")
+          .write.mode("overwrite").parquet(s"$mdir/win_events")
+      }
+      writePlan(spark, mdir, NightlyPlan(baseSeq, phases,
+        deltas.windowMonths.sorted, failOnViolations))
+    }
+    executeNightly(spark, sfDir, outDir, label, writeGold)
+  }
+
+  private def executeNightly(spark: SparkSession, sfDir: String,
+      outDir: String, label: String,
+      writeGold: Boolean): IncrementalOutputs = {
+    import org.apache.spark.sql.functions.col
+    val mdir = nightlyDir(outDir, label)
+    val plan = readPlan(spark, mdir)
+    val stateRoot = s"$outDir/state"
+    val silverDir = s"$outDir/curated.apartment_bookings"
+
+    // a phase is COMPLETE iff the ledger holds a label of its kind
+    // written after the manifest (seq > baseSeq) — the nightly is the
+    // only writer past requireNoPending, so any such entry is this
+    // nightly's own
+    def kindDone(kind: String): Boolean =
+      ledgerEntries(spark, outDir).exists { case (l, n) =>
+        n > plan.baseSeq && l.matches(".*\\." + kind + "\\d+") }
+
+    inNightly.set(true)
+    try {
+      plan.phases.foreach {
+        case "dim" if !kindDone("dim") =>
+          if (pendingDim(spark, outDir).nonEmpty)
+            resumeDim(spark, sfDir, outDir, writeGold = false): Unit
+          else runIncrementalDimUpdate(spark, sfDir, outDir,
+            spark.read.parquet(s"$mdir/dim"), plan.failOnViolations,
+            writeGold = false): Unit
+        case "att" if !kindDone("att") =>
+          if (pendingAttr(spark, outDir).nonEmpty)
+            resumeAttr(spark, sfDir, outDir, writeGold = false): Unit
+          else runIncrementalAttrUpdate(spark, sfDir, outDir,
+            spark.read.parquet(s"$mdir/att"), plan.failOnViolations,
+            writeGold = false): Unit
+        case "rate" if !kindDone("rate") =>
+          if (pendingRate(spark, outDir).nonEmpty)
+            resumeRate(spark, sfDir, outDir, writeGold = false): Unit
+          else runIncrementalRateUpdate(spark, sfDir, outDir,
+            spark.read.parquet(s"$mdir/rate"), plan.failOnViolations,
+            writeGold = false): Unit
+        case "late" if !kindDone("late") =>
+          if (pendingLate(spark, outDir).nonEmpty)
+            resumeLate(spark, sfDir, outDir, writeGold = false): Unit
+          else runIncrementalLate(spark, sfDir, outDir,
+            spark.read.parquet(s"$mdir/late"), plan.failOnViolations,
+            writeGold = false): Unit
+        case "evt" if !kindDone("evt") =>
+          if (pendingEvents(spark, outDir).nonEmpty)
+            resumeLateEvents(spark, sfDir, outDir, writeGold = false): Unit
+          else runIncrementalLateEvents(spark, sfDir, outDir,
+            spark.read.parquet(s"$mdir/evt"), plan.failOnViolations,
+            writeGold = false): Unit
+        case "win"
+          if !processedMonths(spark, outDir).contains(plan.months.max) =>
+          runIncrementalWindow(spark, sfDir, outDir, plan.months,
+            plan.failOnViolations, writeGold = false,
+            rawBookings =
+              Some(spark.read.parquet(s"$mdir/win_bookings")),
+            rawEvents =
+              Some(spark.read.parquet(s"$mdir/win_events"))): Unit
+        case done => println(s"[pipeline] nightly phase $done already " +
+          "ledgered — skipped")
+      }
+    } finally inNightly.remove()
+
+    // ---- one Gold publish for the whole night, from merged live
+    // state (each phase ran writeGold=false) ----
+    val merged: Map[String, DataFrame] = GoldState.all.map(s =>
+      s.name -> readStateOpt(spark, liveDir(stateRoot, s.name))
+        .getOrElse(
+          emptyStateFrame(spark, sfDir, outDir, silverDir, s))).toMap
+    val gold = publishGold(spark, outDir, merged, writeGold,
+      "nightly.present.")
+
+    // manifest retirement — deliberately NOT a stage: the last stage
+    // boundary is the last publish, so every swept crash leaves the
+    // manifest pending and recovery is always resumeNightly (which
+    // republishes and retires idempotently)
+    val p = hPath(mdir)
+    hFs(spark, p).delete(p, true): Unit
+
+    val winSilver = readStateOpt(spark, silverDir)
+      .map(_.filter(col("booking_month").isin(plan.months: _*)))
+      .getOrElse(spark.emptyDataFrame)
+    IncrementalOutputs(winSilver, gold,
+      GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
+  }
+
+  // ------------------------------------------------------------------
+  // TIME TRAVEL: Gold as of a past fold. Every fold already persists
+  // the pre-fold content of the buckets it touches (the undo
+  // snapshots that make refolds and rollbackLast possible) — applying
+  // the snapshots of every LATER fold in reverse fold order
+  // reconstructs each state exactly as it stood when `label`'s ledger
+  // marker landed, and Gold derives from state. Read-only: live state
+  // is untouched, nothing is written. The horizon is the undo
+  // retention ([[UndoKeep]]): at most the last UndoKeep-1 folds can
+  // be rewound past, and a deeper ask fails LOUDLY rather than serve
+  // a wrong rewind (past the horizon, absence of a state's undo dir
+  // could mean pruned rather than untouched). Within the horizon
+  // absence ⟺ untouched: a fold that touched state S wrote S's
+  // snapshot, and pruning keeps S's newest UndoKeep labels, of which
+  // at most UndoKeep-1 are newer than a within-horizon label.
+  // ------------------------------------------------------------------
+
+  /** All 8 Gold tables as they stood right after fold `label`
+    * completed. `label` must be ledgered and within the undo horizon
+    * (the last [[UndoKeep]] ledger entries, the newest = the live
+    * tables themselves). Dim-kind labels are fine as anchors — Gold
+    * is a pure function of state, which the snapshots capture; what
+    * this does NOT time-travel is Silver and the current dims (the
+    * SCD-2 `*_history/asof=` snapshots own those). */
+  def goldAsOf(spark: SparkSession, outDir: String, sfDir: String,
+               label: String): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val stateRoot = s"$outDir/state"
+    val silverDir = s"$outDir/curated.apartment_bookings"
+    requireNoPending(spark, outDir) // a pending fold's undo is in flux
+    val done = ledgerEntries(spark, outDir)
+    require(done.exists(_._1 == label),
+      s"'$label' is not a ledgered fold: ${done.map(_._1).mkString(",")}")
+    // folds to rewind, newest first
+    val after = done.dropWhile(_._1 != label).drop(1).map(_._1).reverse
+    require(after.size < UndoKeep,
+      s"'$label' is ${after.size} folds back — beyond the undo " +
+        s"horizon (UndoKeep=$UndoKeep keeps the last ${UndoKeep - 1} " +
+        "rewindable); raise UndoKeep or rebuild from Bronze")
+
+    def rewindOne(spec: GoldState.Spec, cur: Option[DataFrame],
+                  l: String): Option[DataFrame] = {
+      val undo = undoDir(stateRoot, spec.name, l)
+      val fs = hFs(spark, hPath(undo))
+      if (!fs.exists(hPath(undo))) cur // within horizon ⟹ untouched
+      else {
+        require(fs.exists(hPath(s"$undo/_touched")),
+          s"incomplete undo snapshot for ${spec.name}/$l")
+        val in = fs.open(hPath(s"$undo/_touched"))
+        val touched = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSeq
+        in.close()
+        val rest = cur.map(_.filter(!col("state_bucket").isin(touched: _*)))
+        (rest, readStateOpt(spark, undo)) match {
+          case (Some(r), Some(s)) =>
+            Some(r.unionByName(s.select(r.columns.map(col).toSeq: _*)))
+          case (Some(r), None) => Some(r)
+          case (None, s) => s
+        }
+      }
+    }
+
+    val merged: Map[String, DataFrame] = GoldState.all.map { s =>
+      val live = readStateOpt(spark, liveDir(stateRoot, s.name))
+      val rewound = after.foldLeft(live)((cur, l) => rewindOne(s, cur, l))
+      s.name -> rewound.map(_.drop("state_bucket"))
+        .getOrElse(emptyStateFrame(spark, sfDir, outDir, silverDir, s))
+    }.toMap
+    goldFromState.map { case (n, sp, derive) =>
+      n -> derive(merged(sp.name))
+    }.toMap
   }
 
   /** Empty frame in a state's partial schema — the serve shape for a
@@ -1843,8 +2314,21 @@ object Pipeline {
   }
 
   /** Every fold entry point refuses while ANY crashed fold's
-    * persisted delta awaits its resume — late, dim, or attr. */
+    * persisted delta awaits its resume — late, dim, attr, rate,
+    * events, or a whole pending nightly (whose phases are exempt via
+    * [[inNightly]]: the manifest is pending by construction while its
+    * own phases run). */
   private def requireNoPending(spark: SparkSession, outDir: String): Unit = {
+    if (!inNightly.get()) {
+      val pn = pendingNightly(spark, outDir)
+      require(pn.isEmpty, s"a nightly crashed mid-way (pending " +
+        s"${pn.mkString(",")}) — run Pipeline.resumeNightly first")
+    }
+    requireNoPhasePending(spark, outDir)
+  }
+
+  private def requireNoPhasePending(spark: SparkSession,
+                                    outDir: String): Unit = {
     val pl = pendingLate(spark, outDir)
     require(pl.isEmpty, s"a late fold crashed mid-way (pending " +
       s"${pl.mkString(",")}) — run Pipeline.resumeLate first")

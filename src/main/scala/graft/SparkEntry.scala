@@ -1344,6 +1344,57 @@ object SparkEntry {
         stale.join(touched, Seq("week_start"), "left_anti")
           .unionByName(recomputed))
     }),
+    // Nightly rate×late interaction (r11 — the q205 pattern for the
+    // THIRD dim, q201 ∘ q206): a late-bookings delta and a rate
+    // correction land in the SAME night (the reference's raw layer is
+    // mutable Postgres, `scripts/init_db.sql:11-80`). Timeline: fold
+    // the on-time history at the ORIGINAL rates → MERGE the late
+    // partials (rates still original: the fix hasn't landed) → then
+    // the EUR rate repair replaces the affected bookings' weeks
+    // wholesale from the corrected FULL history — which includes the
+    // late rows, so a late EUR booking's revenue lands at the NEW
+    // rate (the interaction neither q201 nor q206 exercises alone).
+    // Final table ≡ the one-shot oracle over corrected rates, proven
+    // by hash. PipelineNightlySpec proves the same composition at the
+    // warehouse level (manifest, resume, one publish).
+    "q208_rate_late_repair" -> ((s, dir) => {
+      val fixedRates = Tables.exchangeRates(s)
+        .withColumn("usd_rate",
+          when(col("currency") === "EUR", lit(1.2))
+            .otherwise(col("usd_rate")))
+      val cols = Seq("booking_id", "booking_date", "booking_status",
+        "currency", "apartment_id", "total_price_usd")
+      val origCur = Analog.curated(s, dir)
+        .select(cols.map(col): _*).localCheckpoint(true)
+      val corrected = Curate.curate(Analog.bookingsRaw(s, dir),
+          Analog.apartmentsRaw(s, dir), Analog.attributesRaw(s, dir),
+          fixedRates)
+        .select(cols.map(col): _*).localCheckpoint(true)
+      val isLate = date_format(col("booking_date"), "yyyy-MM")
+        .isin("1995-03", "1995-04") && col("booking_id") % 3 === 0
+      // t0: on-time fold at the original rates
+      val stale = graft.etl.GoldState.topListingsPartial(
+        origCur.filter(!isLate))
+      // t1: late merge — order-free, rates still original
+      val afterLate = graft.etl.GoldState.topListings.merge(Seq(
+        stale, graft.etl.GoldState.topListingsPartial(
+          origCur.filter(isLate))))
+      // t2: EUR rate repair — touched weeks replaced from the
+      // corrected full history (late rows included)
+      val touched = corrected
+        .filter(col("currency") === "EUR" &&
+          col("booking_status") === "confirmed")
+        .select(Present.weekOf(col("booking_date")).as("week_start"))
+        .distinct()
+      val recomputed = graft.etl.GoldState.topListingsPartial(
+        corrected
+          .withColumn("week_start", Present.weekOf(col("booking_date")))
+          .join(touched, Seq("week_start"), "left_semi")
+          .drop("week_start"))
+      graft.etl.GoldState.topListingsGold(
+        afterLate.join(touched, Seq("week_start"), "left_anti")
+          .unionByName(recomputed))
+    }),
     // Sequence packing: contiguous token-budget bins per (lang,
     // shard) — the pretraining batch-assembly op; sharded cumsum is
     // the scale path (no per-stratum serialization).
@@ -2502,6 +2553,7 @@ object SparkEntry {
     // replacement reads the full history) — one oracle, two algebras
     "q205_interleaved_repair" -> Oracle.attrRepairCities,
     "q206_rate_repair"      -> Oracle.rateRepairRevenue,
+    "q208_rate_late_repair" -> Oracle.rateRepairRevenue,
     "q207_incremental_engagement" -> Oracle.weeklyEngagement,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
