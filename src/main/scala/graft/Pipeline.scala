@@ -386,6 +386,37 @@ object Pipeline {
     }.toMap
   }
 
+  /** Persist one validate stage's report under
+    * `state/_quality/asof=<label>/<stage>.json` — the warehouse's
+    * quality audit trail (X2's structured-logging sibling, persisted).
+    * Plain FS write, no Spark job: the fold wall doesn't pay for its
+    * own audit. Overwritten on refold (the record describes the
+    * attempt that landed). [[qualityHistory]] reads the trail back. */
+  private def persistQuality(spark: SparkSession, outDir: String,
+      label: String, stageName: String,
+      report: etl.Validate.Report): Unit = {
+    val f = hPath(s"$outDir/state/_quality/asof=$label/$stageName.json")
+    val out = hFs(spark, f).create(f, true)
+    val viol = report.violations.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    out.write((s"""{"label":"$label","stage":"$stageName",""" +
+      s""""total":${report.total},"violations":$viol}""")
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The per-fold validation reports, one row per (fold label,
+    * validate stage): what every gate saw — totals and per-check
+    * violation counts — for the whole warehouse history. Empty frame
+    * (not an error) when no fold has run. */
+  def qualityHistory(spark: SparkSession, outDir: String): DataFrame = {
+    val root = s"$outDir/state/_quality"
+    if (!hFs(spark, hPath(root)).exists(hPath(root)))
+      spark.read.json(spark.createDataset(Seq.empty[String])(
+        org.apache.spark.sql.Encoders.STRING))
+    else spark.read.option("recursiveFileLookup", "true").json(root)
+  }
+
   /** Run the per-state fold computations of a repair path as
     * concurrent Spark jobs (inline, in order, under
     * [[serializeStages]] — the crash sweep's sequential semantics).
@@ -730,6 +761,7 @@ object Pipeline {
     stage(s"validate.delta[${months.min}..${months.max}]") {
       val report = etl.Validate.run(rawDelta,
         etl.Validate.bookingsChecks :+ etl.Validate.NotNull("booking_date"))
+      persistQuality(spark, outDir, months.max, "validate.delta", report)
       if (!report.clean) {
         println(s"[pipeline] delta quality violations: ${report.failed}")
         if (failOnViolations) throw new IllegalStateException(
@@ -781,6 +813,8 @@ object Pipeline {
         etl.Validate.NotNull("event_id"),
         etl.Validate.NotNull("ts"),
         etl.Validate.NotNull("event_type")))
+      persistQuality(spark, outDir, months.max, "validate.events.delta",
+        report)
       if (!report.clean) {
         println(s"[pipeline] events delta violations: ${report.failed}")
         if (failOnViolations) throw new IllegalStateException(
@@ -811,6 +845,8 @@ object Pipeline {
     stage("validate.listings.delta") {
       val report = etl.Validate.run(aptDelta,
         Seq(etl.Validate.NotNull("listing_created_on")))
+      persistQuality(spark, outDir, months.max, "validate.listings.delta",
+        report)
       if (!report.clean) {
         println(s"[pipeline] listings delta violations: ${report.failed}")
         if (failOnViolations) throw new IllegalStateException(
@@ -954,6 +990,7 @@ object Pipeline {
     stage("validate.late") {
       val report = etl.Validate.run(lateRawBookings,
         etl.Validate.bookingsChecks :+ etl.Validate.NotNull("booking_date"))
+      persistQuality(spark, outDir, label, "validate.late", report)
       if (!report.clean) {
         println(s"[pipeline] late-delta quality violations: ${report.failed}")
         if (failOnViolations) throw new IllegalStateException(
@@ -1163,6 +1200,7 @@ object Pipeline {
         etl.Validate.NotNull("event_id"),
         etl.Validate.NotNull("ts"),
         etl.Validate.NotNull("event_type")))
+      persistQuality(spark, outDir, label, "validate.events", report)
       if (!report.clean) {
         println(s"[pipeline] late-events quality violations: ${report.failed}")
         if (failOnViolations) throw new IllegalStateException(
@@ -1382,6 +1420,7 @@ object Pipeline {
         etl.Validate.NotNull("id"),
         etl.Validate.NotNull("listing_created_on"),
         etl.Validate.ParsesAsRawDate("listing_created_on")))
+      persistQuality(spark, outDir, label, "validate.dim", report)
       if (!report.clean) {
         println(s"[pipeline] dim-update violations: ${report.failed}")
         if (failOnViolations) throw new IllegalStateException(
@@ -1570,6 +1609,7 @@ object Pipeline {
     stage("validate.attr") {
       val report = etl.Validate.run(attrUpdatesRaw,
         Seq(etl.Validate.NotNull("id")))
+      persistQuality(spark, outDir, label, "validate.attr", report)
       if (!report.clean) {
         println(s"[pipeline] attr-update violations: ${report.failed}")
         if (failOnViolations) throw new IllegalStateException(
@@ -1760,6 +1800,7 @@ object Pipeline {
       val report = etl.Validate.run(rateUpdatesRaw, Seq(
         etl.Validate.NotNull("currency"),
         etl.Validate.NotNull("usd_rate")))
+      persistQuality(spark, outDir, label, "validate.rate", report)
       if (!report.clean) {
         println(s"[pipeline] rate-update violations: ${report.failed}")
         if (failOnViolations) throw new IllegalStateException(
@@ -2066,6 +2107,10 @@ object Pipeline {
     require(phases.nonEmpty,
       "an empty nightly: supply at least one delta or a window")
 
+    val baseSeq = ledgerEntries(spark, outDir)
+      .foldLeft(-1L) { case (m, (_, n)) => math.max(m, n) }
+    val label = f"night${baseSeq + 1}%06d"
+
     if (failOnViolations) stage("nightly.validate") {
       val reports = Seq(
         deltas.apartmentUpdates.map(d => "apartmentUpdates" ->
@@ -2084,15 +2129,14 @@ object Pipeline {
           etl.Validate.run(d, Seq(etl.Validate.NotNull("event_id"),
             etl.Validate.NotNull("ts"),
             etl.Validate.NotNull("event_type"))))).flatten
+      reports.foreach { case (n, r) =>
+        persistQuality(spark, outDir, label, s"nightly.$n", r) }
       val bad = reports.filterNot(_._2.clean)
       require(bad.isEmpty, "nightly deltas failed their quality " +
         s"gates before anything durable landed: ${bad.map { case (n, r) =>
           s"$n=${r.failed}" }.mkString("; ")}")
     }
 
-    val baseSeq = ledgerEntries(spark, outDir)
-      .foldLeft(-1L) { case (m, (_, n)) => math.max(m, n) }
-    val label = f"night${baseSeq + 1}%06d"
     val mdir = nightlyDir(outDir, label)
     stage("nightly.manifest.persist") {
       hFs(spark, hPath(mdir)).delete(hPath(mdir), true)

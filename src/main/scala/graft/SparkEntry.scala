@@ -1395,6 +1395,44 @@ object SparkEntry {
         afterLate.join(touched, Seq("week_start"), "left_anti")
           .unionByName(recomputed))
     }),
+    // Compensation round trip (r11 — q203 composed with its own
+    // inverse): a dim price fix is applied via the repair algebra,
+    // then COMPENSATED by re-applying the superseded versions (the
+    // SCD-2 history snapshot) through the SAME algebra — the forward
+    // path is its own inverse for changed rows. Final Gold ≡ the
+    // weekly listing price over the ORIGINAL dim, proven by hash
+    // against q06's untouched oracle. PipelineCompensateSpec proves
+    // the same round trip at the warehouse level (Silver, all states,
+    // current dims) for all three dim kinds.
+    "q209_compensate_roundtrip" -> ((s, dir) => {
+      val orig = Analog.apartmentsRaw(s, dir)
+      val fixed = orig.withColumn("price",
+        when(col("id") % 7 === 3, col("price") * 1.1)
+          .otherwise(col("price")))
+      def conv(d: DataFrame) = Curate.convertApartmentPrices(
+        Curate.parseRawDates(Curate.dedup(d), Seq("listing_created_on")),
+        Tables.exchangeRates(s))
+      // touched weeks: the affected ids' listing weeks (dates don't
+      // move under a price fix, so the update's and the
+      // compensation's touched sets coincide)
+      val touched = conv(fixed).filter(col("id") % 7 === 3)
+        .select(Present.weekOf(col("listing_created_on")).as("week_start"))
+        .distinct()
+      // t0 → t1: the q203 forward repair lands the fix
+      val updated = graft.etl.GoldState.listingPricePartial(conv(orig))
+        .join(touched, Seq("week_start"), "left_anti")
+        .unionByName(
+          graft.etl.GoldState.listingPricePartial(conv(fixed))
+            .join(touched, Seq("week_start"), "left_semi"))
+      // t1 → t2: compensation re-applies the superseded versions —
+      // the identical algebra with history (= orig) as the feed
+      val compensated = updated
+        .join(touched, Seq("week_start"), "left_anti")
+        .unionByName(
+          graft.etl.GoldState.listingPricePartial(conv(orig))
+            .join(touched, Seq("week_start"), "left_semi"))
+      graft.etl.GoldState.listingPriceGold(compensated)
+    }),
     // Sequence packing: contiguous token-budget bins per (lang,
     // shard) — the pretraining batch-assembly op; sharded cumsum is
     // the scale path (no per-stratum serialization).
@@ -2554,6 +2592,7 @@ object SparkEntry {
     "q205_interleaved_repair" -> Oracle.attrRepairCities,
     "q206_rate_repair"      -> Oracle.rateRepairRevenue,
     "q208_rate_late_repair" -> Oracle.rateRepairRevenue,
+    "q209_compensate_roundtrip" -> Oracle.weeklyAvgListingPrice,
     "q207_incremental_engagement" -> Oracle.weeklyEngagement,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,
