@@ -303,6 +303,44 @@ class PipelineNightlySpec extends SparkSpec {
       .deleteDirectory(new java.io.File(base))
   }
 
+  test("a window-only nightly ≡ runIncrementalWindow + publish (the " +
+      "single-phase dispatch edge), and its crash resumes from the " +
+      "manifest's persisted feed slice") {
+    val hist = months.take(6)
+    val viaWindow = Files.createTempDirectory("graft_nightly_w1").toString
+    val viaNightly = Files.createTempDirectory("graft_nightly_w2").toString
+    Seq(viaWindow, viaNightly).foreach(buildBase(hist, _))
+    Pipeline.runIncrementalWindow(spark, sf, viaWindow, Seq(hist.last),
+      rawBookings = Some(onTime), rawEvents = Some(baseEvents))
+    val winOnly = Pipeline.NightlyDeltas(windowMonths = Seq(hist.last),
+      windowBookings = Some(onTime), windowEvents = Some(baseEvents))
+
+    // crash right after the manifest persists, then resume: the window
+    // must fold from the manifest's slice (the feed could have moved)
+    Pipeline.serializeStages.set(true)
+    try {
+      Pipeline.stageBoundaryHook.set(n =>
+        if (n == "nightly.manifest.persist") throw InjectedCrash(n))
+      intercept[InjectedCrash] {
+        Pipeline.runNightly(spark, sf, viaNightly, winOnly)
+      }
+      Pipeline.stageBoundaryHook.remove()
+      Pipeline.resumeNightly(spark, sf, viaNightly)
+    } finally {
+      Pipeline.serializeStages.remove()
+      Pipeline.stageBoundaryHook.remove()
+    }
+    assert(Pipeline.pendingNightly(spark, viaNightly).isEmpty)
+
+    val a = snapshot(viaWindow)
+    val b = snapshot(viaNightly)
+    for ((k, v) <- a)
+      assert(b(k) == v, s"window-only nightly diverged at '$k'")
+    Seq(viaWindow, viaNightly).foreach(d =>
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(d)))
+  }
+
   test("abortNightly retires un-started phases; applied phases persist") {
     val hist = months.take(6)
     val out = Files.createTempDirectory("graft_nightly_a").toString
