@@ -58,13 +58,14 @@ object Bench {
     if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
   }
 
-  /** One interleaved-pass measurement of `items`: `Passes` sweeps over
+  /** One interleaved-pass measurement of `items`: `passes` sweeps over
     * the whole list, then per-item medians. A failing run records -1
     * for that pass only — it never crashes the bench or voids other
     * timings (the r4 failure mode this file exists to prevent). */
-  private def measureInterleaved[A](items: Seq[(String, A)])(
+  private def measureInterleaved[A](items: Seq[(String, A)],
+      passes: Int = Passes)(
       run: A => Unit): Seq[(String, Double)] = {
-    val samples = (1 to Passes).map { _ =>
+    val samples = (1 to passes).map { _ =>
       // between passes, outside any timing: give ContextCleaner a GC
       // edge so the dead localCheckpoint blocks the eager operators
       // (bm25 tf frames, sketch-tier customer frames) leave behind
@@ -84,8 +85,27 @@ object Bench {
     }
   }
 
+  /** The prior run's per-query medians, read from the detail file
+    * this run is about to overwrite — the round-over-round drift
+    * baseline (r11 verdict ask #2). Only the FIRST `"queries":{...}`
+    * object is the main suite (the amortized/serving sections reuse
+    * query names). */
+  private def priorQueryMedians(path: String): Map[String, Double] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(text)
+      m.map { q =>
+        """"(\w+)":(-?[0-9.]+)""".r.findAllMatchIn(q.group(1))
+          .map(p => p.group(1) -> p.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
+    val prior = priorQueryMedians(detailPath)
     val spark = GraftSession.local()
     // warm up codegen/JIT/parquet-footer caches outside the timings
     try spark.read.parquet(s"$sfDir/orders.parquet")
@@ -263,11 +283,17 @@ object Bench {
       try org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(s"${incRoot}_rebuild"))
       catch { case NonFatal(_) => }
+      // files-per-bucket census (r11 verdict ask #4): with the
+      // bucket-aligned write this must equal StateFilesPerBucket —
+      // a regression here is unbounded small-file growth at 100 TB
+      val filesPerBucketMax = Pipeline.bucketFileCounts(spark, incRoot)
+        .map(_._3).foldLeft(0)(math.max).toDouble
       val metrics = Seq(
         "build_wall" -> buildWall,
         "fold_wall_median" -> medianOf(folds.map(_._1)),
         "fold_state_files_median" -> medianOf(folds.map(_._2)),
         "fold_state_bytes_median" -> medianOf(folds.map(_._3)),
+        "live_files_per_bucket_max" -> filesPerBucketMax,
         "nightly_wall" -> nightlyWall,
         "rebuild_wall" -> rebuildWall)
       s""""incremental":${jsonMap(metrics)}"""
@@ -316,16 +342,43 @@ object Bench {
       s""""recall_at_5":{}"""
     }
 
+    // ---- round-over-round drift gate (r11 verdict ask #2): any
+    // query > 1.5× its prior-run median gets flagged AND re-measured
+    // at the very END of the run with 5 interleaved passes — the
+    // closest this process gets to an idle box — so an in-suite
+    // pressure artifact carries its own idle evidence instead of
+    // needing a manual standalone replay next round. Sub-noise
+    // timings (prior < 50 ms or swing < 250 ms) are not flagged. ----
+    val drift = try {
+      val flagged = results.filter { case (name, now) =>
+        prior.get(name).exists(prev =>
+          prev > 0.05 && now >= 0 && now > 1.5 * prev && now - prev > 0.25)
+      }.map(_._1)
+      if (flagged.isEmpty) s""""drift":{}"""
+      else {
+        val items = SparkEntry.queries.toSeq
+          .filter(q => flagged.contains(q._1)).sortBy(_._1)
+        val idle = measureInterleaved(items, passes = 5) { fn =>
+          fn(spark, sfDir).count(): Unit
+        }.toMap
+        val nowOf = results.toMap
+        val body = flagged.sorted.map { n =>
+          s""""$n":{"prev":${fmt(prior(n))},"run":${fmt(nowOf(n))},"idle_median5":${fmt(idle.getOrElse(n, -1.0))}}"""
+        }.mkString(",")
+        s""""drift":{$body}"""
+      }
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] drift failed: ${e.getMessage}")
+      s""""drift":{}"""
+    }
+
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},$amortized,$serving,$incremental,$recall,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},$amortized,$serving,$incremental,$recall,$drift,"sf":"$sfDir"}"""
     println(detail)
     // full detail also lands on disk — the stdout tail alone cannot
     // hold a ~2.5 KB line plus the compact summary below
     try {
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-          "/root/repo/BENCH_DETAIL.json"))
-      java.nio.file.Files.write(p,
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case NonFatal(_) => }
     // the compact total line is printed LAST so it always sits inside

@@ -231,18 +231,173 @@ object Pipeline {
   /** Undo snapshots retained per state (most recent labels). Also the
     * [[goldAsOf]] rewind horizon: the last UndoKeep-1 folds are
     * time-travelable. Env-configurable (X3) — deeper history costs
-    * UndoKeep × per-fold touched-bucket bytes (the bench census). */
-  val UndoKeep: Int =
-    sys.env.get("GRAFT_UNDO_KEEP").map(_.toInt).getOrElse(3)
+    * UndoKeep × per-fold touched-bucket bytes (the bench census).
+    * Parsed defensively (r11 ADVICE): a malformed value fails with a
+    * message naming the variable instead of an opaque
+    * ExceptionInInitializerError, and values < 2 are refused — 0 or a
+    * negative would silently disable pruning (dropRight keeps
+    * everything: unbounded retention), and 1 would prune the newest
+    * snapshot rollbackLast/refold depend on. */
+  /** Exposed for the regression spec — the env is fixed per JVM. */
+  private[graft] def parseUndoKeep(raw: String): Int = {
+    val n = raw.trim
+    require(n.nonEmpty && n.forall(_.isDigit) && n.length <= 9,
+      s"GRAFT_UNDO_KEEP must be a positive integer, got '$raw'")
+    require(n.toInt >= 2, "GRAFT_UNDO_KEEP must be >= 2 — keeping " +
+      "fewer snapshots would prune the newest undo that " +
+      s"rollbackLast and crash refolds need, got '$raw'")
+    n.toInt
+  }
+
+  private val undoKeepEnv: Int =
+    sys.env.get("GRAFT_UNDO_KEEP").map(parseUndoKeep).getOrElse(3)
+
+  /** Test-only override (-1 = env): the watermark spec must RAISE
+    * UndoKeep after pruning ran under a smaller value — the exact
+    * config change the watermark exists to survive. */
+  private[graft] val undoKeepOverride =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  def UndoKeep: Int = {
+    val o = undoKeepOverride.get()
+    if (o >= 0) o else undoKeepEnv
+  }
+
+  /** How often (in ledgered folds) a FULL per-state snapshot persists
+    * under `state/<name>/snap/asof=<label>` — the [[goldAsOf]]
+    * horizon extension (r11 verdict ask #5). 0 (default) disables:
+    * retention prunes undos to [[UndoKeep]] and time travel stops at
+    * the watermark. When > 0, undo snapshots are NEVER pruned (the
+    * per-fold touched-bucket deltas ARE the redo/undo log — keeping
+    * them costs O(total delta history), the same order as the input
+    * feeds) and the periodic full snapshots bound the REWIND COST of
+    * a deep ask to ≤ SnapEvery undo applications instead of
+    * O(history). */
+  private val snapEveryEnv: Int =
+    sys.env.get("GRAFT_SNAP_EVERY").map { raw =>
+      val n = raw.trim
+      require(n.nonEmpty && n.forall(_.isDigit) && n.length <= 9,
+        s"GRAFT_SNAP_EVERY must be a non-negative integer, got '$raw'")
+      n.toInt
+    }.getOrElse(0)
+
+  /** Test-only override for [[SnapEvery]] (-1 = use the env value):
+    * the env is fixed for the JVM, and the snapshot-horizon spec
+    * needs both modes in one run. */
+  private[graft] val snapEveryOverride =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  def SnapEvery: Int = {
+    val o = snapEveryOverride.get()
+    if (o >= 0) o else snapEveryEnv
+  }
 
   private def liveDir(stateRoot: String, name: String): String =
     s"$stateRoot/$name/live"
   private def undoDir(stateRoot: String, name: String, label: String): String =
     s"$stateRoot/$name/undo/asof=$label"
+  private def snapDir(stateRoot: String, name: String, label: String): String =
+    s"$stateRoot/$name/snap/asof=$label"
+
+  // ---- prune watermark (r11 ADVICE #1): the oldest ledger `_seq`
+  // that is still a SAFE goldAsOf anchor, persisted by every prune.
+  // Deriving the horizon from the CURRENT UndoKeep is wrong across
+  // config changes: snapshots may already be gone under a smaller
+  // prior value, and raising GRAFT_UNDO_KEEP would then make deeper
+  // anchors pass the count check while `!fs.exists(undo)` reads a
+  // PRUNED snapshot as "fold untouched this state" — a silent wrong
+  // rewind. The watermark records what pruning actually destroyed;
+  // it only ever moves forward. ----
+
+  private def watermarkPath(stateRoot: String) =
+    hPath(s"$stateRoot/_undo_watermark")
+
+  /** Oldest ledger seq that is a safe rewind anchor; Long.MinValue
+    * when nothing has ever been pruned (or a pre-watermark layout —
+    * those fall back to the conservative UndoKeep count check). */
+  private def undoWatermark(spark: SparkSession, stateRoot: String): Long = {
+    val p = watermarkPath(stateRoot)
+    val fs = hFs(spark, p)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      in.close()
+      s.toLong
+    }
+  }
+
+  private def writeWatermark(spark: SparkSession, stateRoot: String,
+                             seq: Long): Unit = {
+    val p = watermarkPath(stateRoot)
+    val out = hFs(spark, p).create(p, true)
+    out.write(seq.toString.getBytes("UTF-8")); out.close()
+  }
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
   private def hFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Parquet files a state write produces per bucket. 1 (default)
+    * pins the fold's write-amplification census exactly — the r11
+    * artifact's 164-vs-212-file swing at one HEAD was the UNALIGNED
+    * write path: file count = however many upstream tasks held rows
+    * for a bucket, which tracks box parallelism and AQE coalescing,
+    * not the data. At cluster scale a full rebuild's buckets can want
+    * more write parallelism than one task per bucket — raise this and
+    * the deterministic salt fans each bucket across N files. */
+  val StateFilesPerBucket: Int =
+    sys.env.get("GRAFT_STATE_FILES_PER_BUCKET").map { raw =>
+      val n = raw.trim
+      require(n.nonEmpty && n.forall(_.isDigit) && n.length <= 9 &&
+          n.toInt >= 1,
+        s"GRAFT_STATE_FILES_PER_BUCKET must be a positive integer, got '$raw'")
+      n.toInt
+    }.getOrElse(1)
+
+  /** Booking-row share of the affected currencies above which the
+    * rate fold abandons the targeted column-grain repair (exceptAll +
+    * semi-joins sized to the affected rows) for the WHOLESALE
+    * recompute (re-derive every row, replace the two USD-sourced
+    * states' full partials) — r11 verdict ask #6: on the
+    * dominant-currency night the affected set approaches the table
+    * and targeted bookkeeping is pure overhead. Both paths are
+    * spec-proven bit-identical; this only picks the cheaper one. */
+  private val rateRebuildShareEnv: Double =
+    sys.env.get("GRAFT_RATE_REBUILD_SHARE").map { raw =>
+      val d =
+        try raw.trim.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"GRAFT_RATE_REBUILD_SHARE must be a number in [0,1], got '$raw'")
+        }
+      require(d >= 0.0 && d <= 1.0,
+        s"GRAFT_RATE_REBUILD_SHARE must be in [0,1], got '$raw'")
+      d
+    }.getOrElse(0.3)
+
+  /** Test-only override (NaN = env): the chooser spec drives both
+    * paths over the same update in one JVM. */
+  private[graft] val rateRebuildShareOverride =
+    new java.util.concurrent.atomic.AtomicReference[java.lang.Double](null)
+
+  def RateRebuildShare: Double =
+    Option(rateRebuildShareOverride.get())
+      .map(_.doubleValue).getOrElse(rateRebuildShareEnv)
+
+  /** Route every row of one `state_bucket` into exactly
+    * [[StateFilesPerBucket]] write tasks — a hash repartition on the
+    * bucket value (plus a deterministic row-hash salt when fanning
+    * out), so the files-per-bucket census is a function of the DATA,
+    * never of task scheduling. The shuffle moves only the fold's
+    * touched-bucket partial (delta-sized). */
+  private def bucketAligned(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    if (StateFilesPerBucket == 1) df.repartition(col("state_bucket"))
+    else df.repartition(col("state_bucket"),
+      pmod(xxhash64(df.columns.map(col).toSeq: _*),
+        lit(StateFilesPerBucket)))
+  }
 
   /** Distinct `state_bucket` values a frame's rows land in — the
     * touched set. Bounded collect: window periods for TimeBucket
@@ -280,7 +435,9 @@ object Pipeline {
       fs.delete(hPath(undo), true) // partial snapshot from a crash
       readStateOpt(spark, live) match {
         case Some(lv) =>
-          lv.filter(col("state_bucket").isin(touched: _*))
+          // bucket-aligned (census determinism): the undo files count
+          // into the fold's write census too
+          bucketAligned(lv.filter(col("state_bucket").isin(touched: _*)))
             .write.mode("overwrite").parquet(undo)
         case None => // no live yet: empty snapshot, marker dir only
           fs.mkdirs(hPath(undo))
@@ -292,10 +449,34 @@ object Pipeline {
     // checkpointed: feeds both the bucket-presence collect below and
     // the write (single-tokenize), and pins the content before any
     // live mutation
-    val fresh = spec.withBucket(makeNew(prevTouched)).localCheckpoint(true)
+    // align to the live schema: merge folds widen decimal sums
+    // (sum over decimal(28,2) → (38,2)), so live buckets carry the
+    // widened types — fresh content built from a PARTIAL (a wholesale
+    // replacement, a repair that CREATES its buckets) would otherwise
+    // write narrower decimals into sibling files of the same state
+    // and fail the next read with a per-file precision mismatch.
+    // `state_bucket` is exempt: the string partition value must not
+    // round-trip through live's inferred partition type.
+    val liveSchema = readStateOpt(spark, live).map(_.schema)
+    def aligned(df: DataFrame): DataFrame = liveSchema match {
+      case None => df
+      case Some(sch) => df.select(df.columns.map { c =>
+        sch.find(f => f.name == c && c != "state_bucket") match {
+          case Some(f) if f.dataType != df.schema(c).dataType =>
+            col(c).cast(f.dataType).as(c)
+          case _ => col(c)
+        }
+      }.toSeq: _*)
+    }
+    val fresh = aligned(spec.withBucket(makeNew(prevTouched)))
+      .localCheckpoint(true)
     val freshBuckets = fresh.select("state_bucket").distinct()
       .collect().map(_.getString(0)).toSet // bounded: ≤ |touched|
-    fresh.write.mode("overwrite")
+    // bucket-aligned write (r11 verdict ask #3): exactly
+    // StateFilesPerBucket files per bucket, so the write-amplification
+    // census — the 100 TB argument — is reproducible run to run
+    // instead of tracking task scheduling
+    bucketAligned(fresh).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("state_bucket").parquet(live)
     // dynamic overwrite only replaces buckets PRESENT in `fresh` — a
@@ -512,7 +693,7 @@ object Pipeline {
           hFs(spark, dir).delete(dir, true): Unit
         }
         readStateOpt(spark, undo).foreach { prev =>
-          prev.write.mode("overwrite")
+          bucketAligned(prev).write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("state_bucket")
             .parquet(liveDir(stateRoot, s.name))
@@ -595,6 +776,116 @@ object Pipeline {
     label
   }
 
+  // ------------------------------------------------------------------
+  // STATE-BUCKET COMPACTION (r11 verdict ask #4). The bucket-aligned
+  // write above keeps every bucket a FOLD rewrites at exactly
+  // StateFilesPerBucket files, so steady-state file growth is already
+  // bounded by construction — compaction is the maintenance path for
+  // buckets written under another discipline (a pre-r12 layout, a
+  // raised StateFilesPerBucket, a cluster-parallel full build) and
+  // the per-round census gauge that PROVES the bound. It rides the
+  // standard fold machinery: a `.cmpNN` ledger label, a persisted
+  // resumable unit, undo snapshots (so it is rollback-able and
+  // goldAsOf-transparent — the content is identical by construction,
+  // proven in PipelineCompactSpec), and the same crash contract as
+  // every other fold.
+  // ------------------------------------------------------------------
+
+  private def cmpDeltaDir(outDir: String, label: String) =
+    s"$outDir/state/_cmp_delta/asof=$label"
+
+  /** Parquet-file count of every live state bucket — the
+    * files-per-bucket census (exposed for Bench and the spec). */
+  def bucketFileCounts(spark: SparkSession,
+                       outDir: String): Seq[(String, String, Int)] = {
+    val stateRoot = s"$outDir/state"
+    GoldState.all.flatMap { s =>
+      val dir = hPath(liveDir(stateRoot, s.name))
+      val fs = hFs(spark, dir)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("state_bucket="))
+        .map { st =>
+          val files = fs.listStatus(st.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))
+          (s.name, st.getPath.getName.stripPrefix("state_bucket="), files)
+        }
+    }
+  }
+
+  /** Labels of persisted compaction plans whose fold never reached the
+    * ledger — a crashed [[compactStateBuckets]]. */
+  def pendingCompact(spark: SparkSession, outDir: String): Seq[String] = {
+    val dir = hPath(s"$outDir/state/_cmp_delta")
+    val fs = hFs(spark, dir)
+    val labels =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("asof=")).map(_.stripPrefix("asof="))
+        .filter(l => fs.exists(
+          hPath(s"$outDir/state/_cmp_delta/asof=$l/_SUCCESS")))
+    (labels.toSet -- processedMonths(spark, outDir).toSet).toSeq.sorted
+  }
+
+  def resumeCompact(spark: SparkSession, outDir: String): Seq[String] = {
+    val pend = pendingCompact(spark, outDir)
+    pend.foreach(l => foldCmpDelta(spark, outDir, l))
+    pend
+  }
+
+  /** Rewrite every live bucket holding more than `maxFilesPerBucket`
+    * parquet files back to the aligned layout, row-set-identical.
+    * Returns the fold's ledger label, or None when nothing is
+    * fragmented (no ledger entry, nothing written). The plan (which
+    * buckets) persists first as the resumable unit; untouched buckets
+    * keep their exact files (census-proven in the spec). */
+  def compactStateBuckets(spark: SparkSession, outDir: String,
+      maxFilesPerBucket: Int = StateFilesPerBucket): Option[String] = {
+    requireNoPending(spark, outDir)
+    val done = processedMonths(spark, outDir)
+    require(done.nonEmpty, "no folded months yet — nothing to compact")
+    val frag = bucketFileCounts(spark, outDir)
+      .filter(_._3 > maxFilesPerBucket)
+    if (frag.isEmpty) return None
+    val maxBase = done.map(_.take(7)).max
+    val label = f"$maxBase.cmp${done.count(_.startsWith(maxBase))}%02d"
+    stage("cmp.delta.persist") {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          frag.map(t => Row(t._1, t._2)).toSeq, 1),
+        StructType(Seq(StructField("state_name", StringType),
+          StructField("state_bucket", StringType))))
+      df.write.mode("overwrite").parquet(cmpDeltaDir(outDir, label))
+    }
+    foldCmpDelta(spark, outDir, label)
+    Some(label)
+  }
+
+  private def foldCmpDelta(spark: SparkSession, outDir: String,
+                           label: String): Unit = {
+    val stateRoot = s"$outDir/state"
+    // bounded collect: ≤ the bucket census (calendar periods + the
+    // fixed hash-bucket counts)
+    val plan = spark.read.parquet(cmpDeltaDir(outDir, label))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2).toSeq.sorted }
+    GoldState.all.filter(s => plan.contains(s.name)).foreach { s =>
+      stage(s"cmp.state.${s.name}") {
+        // identity on content: the new bucket bytes derive from the
+        // undo snapshot (pre-fold content), re-written bucket-aligned
+        rewriteTouchedBuckets(spark, stateRoot, s, plan(s.name),
+          prev => prev.map(_.drop("state_bucket")).getOrElse(
+            spark.read.parquet(liveDir(stateRoot, s.name))
+              .drop("state_bucket").limit(0)),
+          label): Unit
+      }
+    }
+    postFold(spark, stateRoot, label)
+  }
+
   /** Keep each state's last [[UndoKeep]] undo snapshots, delete the
     * rest — run AFTER the fold's ledger marker lands, so the newest
     * (possibly still pending elsewhere) label is never pruned.
@@ -604,8 +895,30 @@ object Pipeline {
     * snapshot `rollbackLast` is about to need (the r10-ADVICE
     * rollback-ordering bug's pruning twin). */
   private def pruneUndo(spark: SparkSession, stateRoot: String): Unit = {
-    val seqOf = ledgerEntries(spark, stateRoot.stripSuffix("/state"))
-      .zipWithIndex.map { case ((l, _), i) => l -> i }.toMap
+    // snapshot mode: undo deltas are the permanent rewind log — keep
+    // them all (see [[SnapEvery]]); the watermark then never advances
+    if (SnapEvery > 0) return
+    // pruning mode retires any full snapshots a previous SnapEvery
+    // configuration left behind: once undos between them start
+    // pruning, a between-snapshot anchor could rewind WRONGLY (an
+    // absent undo reads as "untouched"), and a stale extended horizon
+    // that silently narrows to only-exact-snapshot labels is a trap —
+    // the mode switch reclaims the storage and the contract reverts
+    // to the UndoKeep window, loudly
+    locally {
+      val marker = hPath(s"$stateRoot/_snapshots")
+      val fs = hFs(spark, marker)
+      if (fs.exists(marker)) {
+        fs.delete(marker, true): Unit
+        GoldState.all.foreach { s =>
+          val d = hPath(s"$stateRoot/${s.name}/snap")
+          hFs(spark, d).delete(d, true): Unit
+        }
+      }
+    }
+    val entries = ledgerEntries(spark, stateRoot.stripSuffix("/state"))
+    val seqOf = entries.zipWithIndex
+      .map { case ((l, _), i) => l -> i }.toMap
     GoldState.all.foreach { s =>
       val dir = hPath(s"$stateRoot/${s.name}/undo")
       val fs = hFs(spark, dir)
@@ -620,6 +933,72 @@ object Pipeline {
           .foreach(st => fs.delete(st.getPath, true))
       }
     }
+    // advance the watermark: after keeping each state's newest
+    // UndoKeep snapshots, the oldest anchor every later fold's undo
+    // is still guaranteed for is the UndoKeep-th-newest ledger entry
+    // (a fold m-1 ≤ UndoKeep-1 entries newer that touched state S is
+    // among S's newest UndoKeep snapshots). Monotonic max: a lowered
+    // UndoKeep tightens it, a raised one must NOT loosen it.
+    if (entries.size >= UndoKeep) {
+      val safeOldest = entries(entries.size - UndoKeep)._2
+      val prev = undoWatermark(spark, stateRoot)
+      if (safeOldest > prev) writeWatermark(spark, stateRoot, safeOldest)
+    }
+  }
+
+  /** Persist a FULL copy of every state's live table under
+    * `state/<name>/snap/asof=<label>` when the fold's ledger seq hits
+    * the [[SnapEvery]] cadence. Runs strictly AFTER the ledger marker
+    * (the fold is complete either way; a crash mid-snapshot leaves an
+    * incomplete snap dir that stays invisible — the global
+    * `_complete` marker under `state/_snapshots/asof=<label>` is
+    * written last and is what [[goldAsOf]] trusts). */
+  private def maybeSnapshot(spark: SparkSession, stateRoot: String,
+                            label: String): Unit = {
+    if (SnapEvery <= 0) return
+    val seq = ledgerEntries(spark, stateRoot.stripSuffix("/state"))
+      .collectFirst { case (l, n) if l == label => n }.getOrElse(-1L)
+    if (seq < 0 || seq % SnapEvery != 0) return
+    val marker = hPath(s"$stateRoot/_snapshots/asof=$label/_complete")
+    val fs = hFs(spark, marker)
+    if (fs.exists(marker)) return // idempotent on refold/resume
+    GoldState.all.foreach { s =>
+      readStateOpt(spark, liveDir(stateRoot, s.name)).foreach { lv =>
+        stage(s"snapshot.${s.name}") {
+          bucketAligned(lv).write.mode("overwrite")
+            .partitionBy("state_bucket")
+            .parquet(snapDir(stateRoot, s.name, label))
+        }
+      }
+    }
+    val out = fs.create(marker, true)
+    out.write(label.getBytes("UTF-8")); out.close()
+  }
+
+  /** Ledgered snapshot labels with a complete marker, in fold order. */
+  private def snapshotLabels(spark: SparkSession,
+                             stateRoot: String): Seq[(String, Long)] = {
+    val dir = hPath(s"$stateRoot/_snapshots")
+    val fs = hFs(spark, dir)
+    if (!fs.exists(dir)) Nil
+    else {
+      val complete = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("asof=")).map(_.stripPrefix("asof="))
+        .filter(l => fs.exists(hPath(s"$stateRoot/_snapshots/asof=$l/_complete")))
+        .toSet
+      ledgerEntries(spark, stateRoot.stripSuffix("/state"))
+        .filter { case (l, _) => complete(l) }
+    }
+  }
+
+  /** Every fold's closing bookkeeping, in the one safe order: ledger
+    * marker (the fold's commit point — strictly after all durable
+    * work), then the periodic full snapshot, then undo retention. */
+  private def postFold(spark: SparkSession, stateRoot: String,
+                       label: String): Unit = {
+    writeLedger(spark, stateRoot, label)
+    maybeSnapshot(spark, stateRoot, label)
+    pruneUndo(spark, stateRoot)
   }
 
   /** Months already folded into the state under `outDir`. The ledger
@@ -929,8 +1308,7 @@ object Pipeline {
     // leaves the month unledgered, and the refold re-derives every
     // touched bucket from its undo snapshot: idempotent recovery),
     // then undo retention
-    writeLedger(spark, stateRoot, asof)
-    pruneUndo(spark, stateRoot)
+    postFold(spark, stateRoot, asof)
 
     IncrementalOutputs(deltaSilver, gold,
       GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
@@ -1132,8 +1510,7 @@ object Pipeline {
 
     val gold = publishGold(spark, outDir, merged, writeGold, "late.present.")
 
-    writeLedger(spark, stateRoot, label)
-    pruneUndo(spark, stateRoot)
+    postFold(spark, stateRoot, label)
 
     IncrementalOutputs(lateNew, gold,
       GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
@@ -1270,8 +1647,7 @@ object Pipeline {
 
     val gold = publishGold(spark, outDir, merged, writeGold, "evt.present.")
 
-    writeLedger(spark, stateRoot, label)
-    pruneUndo(spark, stateRoot)
+    postFold(spark, stateRoot, label)
 
     IncrementalOutputs(lateNew, gold,
       GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
@@ -1517,8 +1893,23 @@ object Pipeline {
     // touches both) with partials over the UPDATED dim. The partial
     // runs over the whole dim then prunes to touched weeks (week is
     // its group key, so filter-after ≡ filter-before) — O(dim), and
-    // dims are small relative to facts by construction ----
+    // dims are small relative to facts by construction.
+    //
+    // FOLDED-HORIZON GUARD (r12, found by analysis): the recompute
+    // must see only listings whose months have FOLDED. The state so
+    // far holds exactly the folded months' window partials; a dim
+    // update touching a listing in a not-yet-folded month would
+    // otherwise INSERT that whole week's partial early, and the
+    // month's later window fold would merge the same rows again —
+    // silent double-count (unobserved by the pre-r12 suites only
+    // because the analog's listing calendar ends before the booking
+    // calendar, so every spec's dim update ran with all listing
+    // months already folded; PipelineSoakSpec now pins the overlap).
+    val maxFoldedMonth = processedMonths(spark, outDir)
+      .map(_.take(7)).max
     val newConv = currentApartmentsConverted(spark, sfDir, outDir)
+      .filter(org.apache.spark.sql.functions.date_format(
+        col("listing_created_on"), "yyyy-MM") <= maxFoldedMonth)
     val weekCol = Present.weekOf(
       to_date(col("listing_created_on"), Curate.RawDateFormat))
       .as("week_start")
@@ -1545,8 +1936,7 @@ object Pipeline {
 
     val gold = publishGold(spark, outDir, merged, writeGold, "dim.present.")
 
-    writeLedger(spark, stateRoot, label)
-    pruneUndo(spark, stateRoot)
+    postFold(spark, stateRoot, label)
 
     IncrementalOutputs(delta, gold,
       GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
@@ -1720,8 +2110,7 @@ object Pipeline {
 
     val gold = publishGold(spark, outDir, merged, writeGold, "attr.present.")
 
-    writeLedger(spark, stateRoot, label)
-    pruneUndo(spark, stateRoot)
+    postFold(spark, stateRoot, label)
 
     IncrementalOutputs(delta, gold,
       GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
@@ -1857,51 +2246,87 @@ object Pipeline {
     }
     val newRates = currentRates(spark, outDir).localCheckpoint(true)
 
-    // ---- column-grain Silver repair: rows affected on the booking
-    // side (currency ∈ Δ) or the apartment side (their apartment's
-    // currency ∈ Δ — Silver does not carry apt_currency, so the id
-    // set comes from the dim). Both derived columns re-derive through
-    // curate's exact J1/J4 shapes; unaffected columns are carried.
-    // Re-deriving BOTH on a row affected on one side only is a pure
-    // no-op for the other (same inputs → same money()), so one
-    // rewrite covers every overlap case ----
+    val silver = spark.read.parquet(silverDir)
+
+    // ---- repair-vs-rebuild chooser (r11 verdict ask #6): the
+    // targeted column-grain repair wins when the affected currencies
+    // are SPARSE — its exceptAll/semi-join machinery moves only the
+    // affected rows. For a DOMINANT currency (the EUR night: ~⅓ of
+    // Silver) the affected set approaches the table and the targeted
+    // path pays full-table multiset subtraction for nothing; past
+    // [[RateRebuildShare]] the fold switches to WHOLESALE: re-derive
+    // every row (a pure per-row function — identical output on
+    // unaffected rows) and replace the two USD-sourced states' full
+    // partials. Both paths land bit-identical warehouses
+    // (PipelineRateSpec's chooser leg); the decision input is one
+    // cheap column-predicate count. Deterministic across resumes: a
+    // rate update never changes the `currency` column the share is
+    // measured on. ----
+    val totalRows = silver.count()
+    val bookingSideRows =
+      if (totalRows == 0L || affectedCur.isEmpty) 0L
+      else silver.filter(col("currency").isin(affectedCur: _*)).count()
+    val share =
+      if (totalRows == 0L) 0.0 else bookingSideRows.toDouble / totalRows
+    val wholesale = share > RateRebuildShare
+    println(f"[pipeline] rate fold: affected booking share $share%.3f " +
+      f"(threshold $RateRebuildShare%.2f) → " +
+      (if (wholesale) "wholesale recompute" else "targeted repair"))
+
     val affectedAptIds = currentApartmentsRaw(spark, sfDir, outDir)
       .filter(col("currency").isin(affectedCur: _*))
       .select("id").distinct().localCheckpoint(true)
-    val silver = spark.read.parquet(silverDir)
     def affectedOf(df: DataFrame): DataFrame = {
       val bookingSide = df.filter(col("currency").isin(affectedCur: _*))
       val aptSide = df.join(broadcast(affectedAptIds),
         df("apartment_id") === affectedAptIds("id"), "left_semi")
       bookingSide.unionByName(aptSide).dropDuplicates()
     }
-    // months captured via the two prunable predicates (no dedup needed
-    // for a distinct-collect)
-    val affectedMonths = silver
-      .filter(col("currency").isin(affectedCur: _*))
-      .select("booking_month")
-      .unionByName(silver.join(broadcast(affectedAptIds),
-          silver("apartment_id") === affectedAptIds("id"), "left_semi")
-        .select("booking_month"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted // calendar
+    // months to rewrite: wholesale takes every partition (unaffected
+    // rows re-derive to identical bytes); targeted captures them via
+    // the two prunable predicates (no dedup needed for a
+    // distinct-collect)
+    val affectedMonths =
+      (if (wholesale) silver.select("booking_month").distinct()
+       else silver
+        .filter(col("currency").isin(affectedCur: _*))
+        .select("booking_month")
+        .unionByName(silver.join(broadcast(affectedAptIds),
+            silver("apartment_id") === affectedAptIds("id"), "left_semi")
+          .select("booking_month"))
+        .distinct())
+      .collect().map(_.getString(0)).toSeq.sorted // bounded: calendar
     // top_listings' touched weeks come from the BOOKING-side affected
-    // rows (apt-side price_usd never feeds revenue); captured before
-    // the rewrite — booking dates don't change under a rate update
-    val touchedRevWeeks = silver
-      .filter(col("currency").isin(affectedCur: _*) &&
-        col("booking_status") === "confirmed")
-      .select(Present.weekOf(col("booking_date")).as("week_start"))
-      .distinct().localCheckpoint(true)
+    // rows (apt-side price_usd never feeds revenue); captured — and
+    // CHECKPOINTED — strictly before the rewrite replaces the files
+    // this pre-rewrite `silver` frame's listing points at. (Targeted
+    // path only — wholesale replaces every bucket.)
+    val touchedRevWeeks: Option[DataFrame] =
+      if (wholesale) None
+      else Some(silver
+        .filter(col("currency").isin(affectedCur: _*) &&
+          col("booking_status") === "confirmed")
+        .select(Present.weekOf(col("booking_date")).as("week_start"))
+        .distinct().localCheckpoint(true))
     if (affectedMonths.nonEmpty) stage("rate.silver.recurate") {
       val parts = silver.filter(col("booking_month").isin(affectedMonths: _*))
-      val aff = affectedOf(parts)
-      val untouched = parts.exceptAll(aff)
-      val redone = Curate.recurateBookingRate(
-        Curate.recurateApartmentSide(aff,
-          currentApartmentsRaw(spark, sfDir, outDir), newRates),
-        newRates)
+      val rewritten =
+        if (wholesale) // every row re-derives (pure per-row function)
+          Curate.recurateBookingRate(
+            Curate.recurateApartmentSide(parts,
+              currentApartmentsRaw(spark, sfDir, outDir), newRates),
+            newRates)
+            .select(parts.columns.map(col).toSeq: _*) // stable order
+        else {
+          val aff = affectedOf(parts)
+          parts.exceptAll(aff).unionByName(
+            Curate.recurateBookingRate(
+              Curate.recurateApartmentSide(aff,
+                currentApartmentsRaw(spark, sfDir, outDir), newRates),
+              newRates))
+        }
       val staging = s"$outDir/_staging/rate_silver_$label"
-      untouched.unionByName(redone)
+      rewritten
         .write.mode("overwrite")
         .partitionBy("booking_month").parquet(staging)
       spark.read.parquet(staging).write.mode("overwrite")
@@ -1911,29 +2336,63 @@ object Pipeline {
       hFs(spark, p).delete(p, true): Unit
     }
 
-    // ---- state repairs for the two USD-sourced states ----
+    // ---- state repairs for the two USD-sourced states. The
+    // listing-price recompute is restricted to FOLDED listing months
+    // (same r12 horizon guard as the dim fold: a week of a
+    // not-yet-folded month must not be inserted early, or its later
+    // window fold double-counts it) ----
+    val maxFoldedMonth = processedMonths(spark, outDir)
+      .map(_.take(7)).max
     val newConv = currentApartmentsConverted(spark, sfDir, outDir)
-    val touchedLpWeeks = currentApartmentsRaw(spark, sfDir, outDir)
+      .filter(org.apache.spark.sql.functions.date_format(
+        col("listing_created_on"), "yyyy-MM") <= maxFoldedMonth)
+    lazy val touchedLpWeeks = currentApartmentsRaw(spark, sfDir, outDir)
       .filter(col("currency").isin(affectedCur: _*))
       .select(Present.weekOf(org.apache.spark.sql.functions.to_date(
         col("listing_created_on"), Curate.RawDateFormat)).as("week_start"))
       .distinct().localCheckpoint(true)
-    val recomputedLp = GoldState.listingPricePartial(newConv)
-      .join(broadcast(touchedLpWeeks), Seq("week_start"), "left_semi")
     lazy val silverNow = spark.read.parquet(silverDir)
-    val recomputedTl = GoldState.topListingsPartial(
-      silverNow
-        .withColumn("week_start", Present.weekOf(col("booking_date")))
-        .join(broadcast(touchedRevWeeks), Seq("week_start"), "left_semi")
-        .drop("week_start"))
+
+    /** Wholesale state replacement: every live bucket ∪ every partial
+      * bucket is touched; the new content is the FULL recomputed
+      * partial (unaffected buckets re-derive to identical rows). */
+    def replaceAllBuckets(spec: GoldState.Spec,
+                          partial: DataFrame): DataFrame = {
+      val p = partial.localCheckpoint(true)
+      // cast: partition-column type inference reads week buckets back
+      // as DATE — the touched list is the string dir-name value
+      val liveBuckets = readStateOpt(spark, liveDir(stateRoot, spec.name))
+        .map(_.select(col("state_bucket").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq).getOrElse(Nil)
+      val touched = (touchedBuckets(spec, p) ++ liveBuckets)
+        .distinct.sorted
+      rewriteTouchedBuckets(spark, stateRoot, spec, touched, _ => p, label)
+    }
+
     val merged: Map[String, DataFrame] = foldAllStates { s =>
       stage(s"rate.state.${s.name}") { s.name match {
         case GoldState.listingPrice.name =>
-          foldStateRepair(spark, stateRoot, s, touchedLpWeeks, "week_start",
-            recomputedLp, label)
+          if (wholesale)
+            replaceAllBuckets(s, GoldState.listingPricePartial(newConv))
+          else foldStateRepair(spark, stateRoot, s, touchedLpWeeks,
+            "week_start",
+            GoldState.listingPricePartial(newConv)
+              .join(broadcast(touchedLpWeeks), Seq("week_start"),
+                "left_semi"),
+            label)
         case GoldState.topListings.name =>
-          foldStateRepair(spark, stateRoot, s, touchedRevWeeks, "week_start",
-            recomputedTl, label)
+          if (wholesale)
+            replaceAllBuckets(s, GoldState.topListingsPartial(silverNow))
+          else foldStateRepair(spark, stateRoot, s, touchedRevWeeks.get,
+            "week_start",
+            GoldState.topListingsPartial(
+              silverNow
+                .withColumn("week_start",
+                  Present.weekOf(col("booking_date")))
+                .join(broadcast(touchedRevWeeks.get), Seq("week_start"),
+                  "left_semi")
+                .drop("week_start")),
+            label)
         case _ =>
           // no USD column feeds these — provably untouched
           readStateOpt(spark, liveDir(stateRoot, s.name))
@@ -1943,8 +2402,7 @@ object Pipeline {
 
     val gold = publishGold(spark, outDir, merged, writeGold, "rate.present.")
 
-    writeLedger(spark, stateRoot, label)
-    pruneUndo(spark, stateRoot)
+    postFold(spark, stateRoot, label)
 
     IncrementalOutputs(delta, gold,
       GoldState.all.map(s => s.name -> liveDir(stateRoot, s.name)).toMap)
@@ -2006,15 +2464,18 @@ object Pipeline {
       lateEvents: Option[DataFrame] = None,
       windowMonths: Seq[String] = Nil,
       windowBookings: Option[DataFrame] = None,
-      windowEvents: Option[DataFrame] = None) {
-    /** Phase tokens in canonical execution order. */
+      windowEvents: Option[DataFrame] = None,
+      compactBuckets: Boolean = false) {
+    /** Phase tokens in canonical execution order (compaction last —
+      * it tidies whatever layout the night's folds left). */
     private[graft] def phases: Seq[String] = Seq(
       apartmentUpdates.map(_ => "dim"),
       attributeUpdates.map(_ => "att"),
       rateUpdates.map(_ => "rate"),
       lateBookings.map(_ => "late"),
       lateEvents.map(_ => "evt"),
-      if (windowMonths.nonEmpty) Some("win") else None).flatten
+      if (windowMonths.nonEmpty) Some("win") else None,
+      if (compactBuckets) Some("cmp") else None).flatten
   }
 
   private case class NightlyPlan(baseSeq: Long, phases: Seq[String],
@@ -2078,10 +2539,27 @@ object Pipeline {
     * to be garbage. Phases already applied stay applied (each is a
     * complete, consistent fold); an in-flight phase must be resumed
     * first, because its Silver/dim effects are already partially
-    * durable. Returns the retired labels. */
-  def abortNightly(spark: SparkSession, outDir: String): Seq[String] = {
+    * durable. The 8 Gold tables REPUBLISH from merged live state
+    * before the manifest retires (r11 ADVICE #2): every applied phase
+    * ran writeGold=false, so without this the published presentation
+    * tables would keep serving the pre-nightly warehouse while
+    * Silver, the current dims, and live state already hold the
+    * applied corrections — stale, internally inconsistent reads until
+    * some unrelated later fold republished. Returns the retired
+    * labels. */
+  def abortNightly(spark: SparkSession, sfDir: String, outDir: String,
+                   writeGold: Boolean = true): Seq[String] = {
     requireNoPhasePending(spark, outDir)
     val labels = pendingNightly(spark, outDir)
+    if (labels.nonEmpty) {
+      val stateRoot = s"$outDir/state"
+      val silverDir = s"$outDir/curated.apartment_bookings"
+      val merged: Map[String, DataFrame] = GoldState.all.map(s =>
+        s.name -> readStateOpt(spark, liveDir(stateRoot, s.name))
+          .getOrElse(
+            emptyStateFrame(spark, sfDir, outDir, silverDir, s))).toMap
+      publishGold(spark, outDir, merged, writeGold, "abort.present."): Unit
+    }
     labels.foreach { l =>
       val p = hPath(nightlyDir(outDir, l))
       hFs(spark, p).delete(p, true): Unit
@@ -2112,6 +2590,23 @@ object Pipeline {
     val label = f"night${baseSeq + 1}%06d"
 
     if (failOnViolations) stage("nightly.validate") {
+      // the window's slices validate at submit too (r11 ADVICE #3) —
+      // same filters the manifest persist applies, same checks the
+      // window phase's own gates apply, so a garbage window feed
+      // refuses here with nothing durable to clean up instead of
+      // failing inside phase 6 after the repair phases already landed
+      val winBookingsSlice = if (deltas.windowMonths.isEmpty) None else {
+        val bm = date_format(expr(
+          s"try_to_date(booking_date, '${Curate.RawDateFormat}')"),
+          "yyyy-MM")
+        Some(deltas.windowBookings
+          .getOrElse(Analog.bookingsRaw(spark, sfDir))
+          .filter(bm.isin(deltas.windowMonths: _*) || bm.isNull))
+      }
+      val winEventsSlice = if (deltas.windowMonths.isEmpty) None else
+        Some(deltas.windowEvents.getOrElse(Tables.events(spark, sfDir))
+          .filter(date_format(col("ts"), "yyyy-MM")
+            .isin(deltas.windowMonths: _*)))
       val reports = Seq(
         deltas.apartmentUpdates.map(d => "apartmentUpdates" ->
           etl.Validate.run(d, Seq(etl.Validate.NotNull("id"),
@@ -2126,6 +2621,13 @@ object Pipeline {
           etl.Validate.run(d, etl.Validate.bookingsChecks :+
             etl.Validate.NotNull("booking_date"))),
         deltas.lateEvents.map(d => "lateEvents" ->
+          etl.Validate.run(d, Seq(etl.Validate.NotNull("event_id"),
+            etl.Validate.NotNull("ts"),
+            etl.Validate.NotNull("event_type")))),
+        winBookingsSlice.map(d => "windowBookings" ->
+          etl.Validate.run(d, etl.Validate.bookingsChecks :+
+            etl.Validate.NotNull("booking_date"))),
+        winEventsSlice.map(d => "windowEvents" ->
           etl.Validate.run(d, Seq(etl.Validate.NotNull("event_id"),
             etl.Validate.NotNull("ts"),
             etl.Validate.NotNull("event_type"))))).flatten
@@ -2230,6 +2732,13 @@ object Pipeline {
               Some(spark.read.parquet(s"$mdir/win_bookings")),
             rawEvents =
               Some(spark.read.parquet(s"$mdir/win_events"))): Unit
+        case "cmp" if !kindDone("cmp") =>
+          // idempotent and content-identity: a resume after a crash
+          // routes to the pending plan; a nothing-fragmented night
+          // simply no-ops (no ledger entry, re-checked on any resume)
+          if (pendingCompact(spark, outDir).nonEmpty)
+            resumeCompact(spark, outDir): Unit
+          else compactStateBuckets(spark, outDir): Unit
         case done => println(s"[pipeline] nightly phase $done already " +
           "ledgered — skipped")
       }
@@ -2291,12 +2800,46 @@ object Pipeline {
     val done = ledgerEntries(spark, outDir)
     require(done.exists(_._1 == label),
       s"'$label' is not a ledgered fold: ${done.map(_._1).mkString(",")}")
-    // folds to rewind, newest first
-    val after = done.dropWhile(_._1 != label).drop(1).map(_._1).reverse
-    require(after.size < UndoKeep,
+    val labelSeq = done.collectFirst { case (l, n) if l == label => n }.get
+    // the PERSISTED prune watermark is the horizon, not the mutable
+    // UndoKeep constant (r11 ADVICE #1): snapshots older than the
+    // watermark were destroyed under whatever UndoKeep was live at
+    // prune time, and past them `!fs.exists(undo)` cannot distinguish
+    // pruned from untouched — raising UndoKeep after the fact must
+    // not make those anchors "pass"
+    val wm = undoWatermark(spark, stateRoot)
+    require(labelSeq >= wm,
+      s"'$label' (seq $labelSeq) is older than the undo prune " +
+        s"watermark (seq $wm) — its later folds' undo snapshots were " +
+        "already pruned; a larger GRAFT_UNDO_KEEP only extends FUTURE " +
+        "retention. Rebuild from Bronze, or enable GRAFT_SNAP_EVERY " +
+        "for full-history time travel going forward")
+    // rewind anchor: live, or (snapshot mode) the oldest complete
+    // full snapshot at/after the label — fewest undo applications.
+    // The snapshot at fold S captures state right after S, so the
+    // rewind applies the undos of folds in (label, S], newest first.
+    // Pruning mode (SnapEvery=0) NEVER anchors to a leftover
+    // snapshot: once undos between snapshots prune, a between-
+    // snapshot rewind would read absence as "untouched" — the mode
+    // switch reverts the horizon to the UndoKeep window loudly (and
+    // the next prune deletes the leftover snapshots).
+    val snapAnchor =
+      if (SnapEvery == 0) None
+      else snapshotLabels(spark, stateRoot).find(_._2 >= labelSeq)
+    val after = snapAnchor match {
+      case Some((sl, slSeq)) =>
+        done.filter { case (_, n) => n > labelSeq && n <= slSeq }
+          .map(_._1).reverse
+      case None => done.dropWhile(_._1 != label).drop(1).map(_._1).reverse
+    }
+    // legacy count bound — only meaningful while pruning is active
+    // (SnapEvery=0); it also covers pre-watermark layouts, where the
+    // watermark file does not exist yet
+    if (SnapEvery == 0) require(after.size < UndoKeep,
       s"'$label' is ${after.size} folds back — beyond the undo " +
         s"horizon (UndoKeep=$UndoKeep keeps the last ${UndoKeep - 1} " +
-        "rewindable); raise UndoKeep or rebuild from Bronze")
+        "rewindable); enable GRAFT_SNAP_EVERY (periodic full " +
+        "snapshots + full undo retention) or rebuild from Bronze")
 
     def rewindOne(spec: GoldState.Spec, cur: Option[DataFrame],
                   l: String): Option[DataFrame] = {
@@ -2321,8 +2864,11 @@ object Pipeline {
     }
 
     val merged: Map[String, DataFrame] = GoldState.all.map { s =>
-      val live = readStateOpt(spark, liveDir(stateRoot, s.name))
-      val rewound = after.foldLeft(live)((cur, l) => rewindOne(s, cur, l))
+      val start = snapAnchor match {
+        case Some((sl, _)) => readStateOpt(spark, snapDir(stateRoot, s.name, sl))
+        case None => readStateOpt(spark, liveDir(stateRoot, s.name))
+      }
+      val rewound = after.foldLeft(start)((cur, l) => rewindOne(s, cur, l))
       s.name -> rewound.map(_.drop("state_bucket"))
         .getOrElse(emptyStateFrame(spark, sfDir, outDir, silverDir, s))
     }.toMap
@@ -2388,6 +2934,9 @@ object Pipeline {
     val pe = pendingEvents(spark, outDir)
     require(pe.isEmpty, s"a late-events fold crashed mid-way (pending " +
       s"${pe.mkString(",")}) — run Pipeline.resumeLateEvents first")
+    val pc = pendingCompact(spark, outDir)
+    require(pc.isEmpty, s"a compaction fold crashed mid-way (pending " +
+      s"${pc.mkString(",")}) — run Pipeline.resumeCompact first")
   }
 
   // ------------------------------------------------------------------

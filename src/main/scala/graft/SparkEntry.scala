@@ -1364,11 +1364,16 @@ object SparkEntry {
             .otherwise(col("usd_rate")))
       val cols = Seq("booking_id", "booking_date", "booking_status",
         "currency", "apartment_id", "total_price_usd")
-      val origCur = Analog.curated(s, dir)
-        .select(cols.map(col): _*).localCheckpoint(true)
-      val corrected = Curate.curate(Analog.bookingsRaw(s, dir),
-          Analog.apartmentsRaw(s, dir), Analog.attributesRaw(s, dir),
-          fixedRates)
+      // ONE curate build (r12, verdict ask #7 — this query paid two
+      // full Bronze→Silver rebuilds and was the suite's heaviest):
+      // the corrected history re-derives from the SAME build through
+      // the production repair re-derivation (recurateBookingRate — a
+      // rate fix only moves the USD columns), which is also the
+      // sharper gate: the hash now proves the repair's own
+      // re-derivation matches the oracle's one-shot money().
+      val full = Analog.curated(s, dir).localCheckpoint(true)
+      val origCur = full.select(cols.map(col): _*)
+      val corrected = Curate.recurateBookingRate(full, fixedRates)
         .select(cols.map(col): _*).localCheckpoint(true)
       val isLate = date_format(col("booking_date"), "yyyy-MM")
         .isin("1995-03", "1995-04") && col("booking_id") % 3 === 0
@@ -1432,6 +1437,67 @@ object SparkEntry {
           graft.etl.GoldState.listingPricePartial(conv(orig))
             .join(touched, Seq("week_start"), "left_semi"))
       graft.etl.GoldState.listingPriceGold(compensated)
+    }),
+    // Two-night composition (r12, verdict ask #1's in-query replay —
+    // q205 ∘ q204): the repair algebra applied TWICE in sequence, the
+    // second night's repair running over the FIRST night's already-
+    // repaired state. Timeline: on-time fold → night 1 = late merge +
+    // attr move #1 (%13==5 → ATLANTIS) → night 2 = attr move #2
+    // (%11==7 → NEOPOLIS, overriding night 1 where both apply).
+    // Night 2's touched weeks replace night-1 content computed from a
+    // DIFFERENT correction state — the cross-night interaction no
+    // single-night query exercises. ≡ the one-shot oracle over the
+    // cumulative corrections, proven by hash. Corrections enter as
+    // column rewrites over ONE curated build (attr corrections only
+    // exist where an attr row joined — cityname null = left-join
+    // miss), keeping the query at q205's weight instead of paying
+    // three curate rebuilds (the q208 bench lesson).
+    // PipelineSoakSpec proves the same multi-night composition at the
+    // warehouse level (manifests, rollback, pruning, asOf anchors).
+    "q210_two_night_compose" -> ((s, dir) => {
+      val cur0 = Analog.curated(s, dir)
+        .select("apartment_id", "booking_id", "booking_date",
+          "booking_status", "cityname")
+        .localCheckpoint(true)
+      val hasAttr = col("cityname").isNotNull
+      val city1 = when(col("apartment_id") % 13 === 5 && hasAttr,
+        lit("ATLANTIS")).otherwise(col("cityname"))
+      val city2 = when(col("apartment_id") % 11 === 7 && hasAttr,
+        lit("NEOPOLIS")).otherwise(city1)
+      val cur1 = cur0.withColumn("cityname", city1)
+      val cur2 = cur0.withColumn("cityname", city2)
+      val isLate = date_format(col("booking_date"), "yyyy-MM")
+        .isin("1995-03", "1995-04") && col("booking_id") % 3 === 0
+      val wk = Present.weekOf(col("booking_date")).as("week_start")
+      // t0: on-time fold (original attrs)
+      val stale = graft.etl.GoldState.popularCitiesPartial(
+        cur0.filter(!isLate))
+      // night 1: late merge, then attr repair #1 from the night-1
+      // corrected history (late rows included)
+      val afterLate = graft.etl.GoldState.popularCities.merge(Seq(
+        stale, graft.etl.GoldState.popularCitiesPartial(
+          cur0.filter(isLate))))
+      val t1 = cur1.filter(col("apartment_id") % 13 === 5 &&
+          col("booking_status") === "confirmed")
+        .select(wk).distinct()
+      val night1 = afterLate.join(t1, Seq("week_start"), "left_anti")
+        .unionByName(graft.etl.GoldState.popularCitiesPartial(
+          cur1.withColumn("week_start",
+              Present.weekOf(col("booking_date")))
+            .join(t1, Seq("week_start"), "left_semi")
+            .drop("week_start")))
+      // night 2: attr repair #2 over night-1 state, history now
+      // carrying BOTH corrections
+      val t2 = cur2.filter(col("apartment_id") % 11 === 7 &&
+          col("booking_status") === "confirmed")
+        .select(wk).distinct()
+      val night2 = night1.join(t2, Seq("week_start"), "left_anti")
+        .unionByName(graft.etl.GoldState.popularCitiesPartial(
+          cur2.withColumn("week_start",
+              Present.weekOf(col("booking_date")))
+            .join(t2, Seq("week_start"), "left_semi")
+            .drop("week_start")))
+      graft.etl.GoldState.popularCitiesGold(night2)
     }),
     // Sequence packing: contiguous token-budget bins per (lang,
     // shard) — the pretraining batch-assembly op; sharded cumsum is
@@ -2593,6 +2659,7 @@ object SparkEntry {
     "q206_rate_repair"      -> Oracle.rateRepairRevenue,
     "q208_rate_late_repair" -> Oracle.rateRepairRevenue,
     "q209_compensate_roundtrip" -> Oracle.weeklyAvgListingPrice,
+    "q210_two_night_compose" -> Oracle.twoNightCities,
     "q207_incremental_engagement" -> Oracle.weeklyEngagement,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,

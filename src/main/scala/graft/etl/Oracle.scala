@@ -212,6 +212,29 @@ GROUP BY 1, 2
 ORDER BY week_start, total_bookings DESC, cityname ASC NULLS FIRST"""
   }
 
+  /** One-shot weekly city counts over TWO cumulative attr
+    * corrections (night 1: %13==5 → ATLANTIS; night 2: %11==7 →
+    * NEOPOLIS, winning where both apply) — q210's engine side reaches
+    * the same table by running the repair algebra twice in sequence
+    * over the intermediate (night-1) state. Built by rewriting
+    * [[curatedCte]]'s attr projection, so the two can never drift. */
+  val twoNightCities: String = {
+    val corrected = curatedCte.replace("n_name AS cityname",
+      "CASE WHEN p_partkey % 11 = 7 THEN 'NEOPOLIS' " +
+        "WHEN p_partkey % 13 = 5 THEN 'ATLANTIS' " +
+        "ELSE n_name END AS cityname")
+    assert(corrected.contains("NEOPOLIS"),
+      "curatedCte attr projection changed — update twoNightCities")
+    s"""$corrected
+SELECT CAST(date_trunc('week', booking_date) AS DATE) AS week_start,
+       cityname,
+       count(*) AS total_bookings
+FROM curated
+WHERE booking_status = 'confirmed'
+GROUP BY 1, 2
+ORDER BY week_start, total_bookings DESC, cityname ASC NULLS FIRST"""
+  }
+
   /** One-shot weekly top-listing revenue over the CORRECTED rates
     * (EUR 1.1 → 1.2) — q206's engine side computes the same table via
     * the rate-repair algebra (stale state from the original rates,

@@ -216,4 +216,55 @@ class PipelineAdviceSpec extends SparkSpec {
     assert(rows(res.gold("average_listing_price")) == rows(expected),
       "non-null weeks diverged (double-count?)")
   }
+
+  test("a garbage WINDOW feed refuses at nightly submit with nothing " +
+      "durable — no manifest, no ledger entry, no dim applied " +
+      "(r11 ADVICE #3)") {
+    val out = Files.createTempDirectory("graft_adv_wval").toString
+    val hist = allMonths.take(5)
+    hist.init.grouped(12).foreach { w =>
+      Pipeline.runIncrementalWindow(spark, sf, out, w, writeGold = false)
+    }
+    val before = Pipeline.ledgerEntries(spark, out).map(_._1)
+    // garbage: some window rows carry a null booking_date — they
+    // route into every window slice (bm.isNull) and must trip the
+    // SUBMIT gate, not phase 6 after the dim phase already landed
+    val garbage = Analog.bookingsRaw(spark, sf)
+      .withColumn("booking_date",
+        when(col("booking_id") % 5 === 0, lit(null: String))
+          .otherwise(col("booking_date")))
+    val dimFix = Analog.apartmentsRaw(spark, sf)
+      .withColumn("price",
+        when(col("id") % 7 === 3, col("price") * 1.1)
+          .otherwise(col("price")))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runNightly(spark, sf, out, Pipeline.NightlyDeltas(
+        apartmentUpdates = Some(dimFix),
+        windowMonths = Seq(hist.last),
+        windowBookings = Some(garbage)))
+    }
+    assert(e.getMessage.contains("windowBookings"), e.getMessage)
+    assert(Pipeline.pendingNightly(spark, out).isEmpty,
+      "a refused submit must leave no manifest")
+    assert(Pipeline.ledgerEntries(spark, out).map(_._1) == before,
+      "a refused submit must leave the ledger untouched")
+    assert(!new java.io.File(s"$out/dim/apartments_current").exists,
+      "the dim phase must not have landed before the submit gate")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(out))
+  }
+
+  test("GRAFT_UNDO_KEEP parses defensively: malformed or <2 values " +
+      "fail with a message naming the variable (r11 ADVICE #4)") {
+    assert(Pipeline.parseUndoKeep("3") == 3)
+    assert(Pipeline.parseUndoKeep(" 5 ") == 5) // stray whitespace OK
+    for (bad <- Seq("", "abc", "3x", "-1", "0", "1",
+        "99999999999999999999")) {
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.parseUndoKeep(bad)
+      }
+      assert(e.getMessage.contains("GRAFT_UNDO_KEEP"),
+        s"'$bad' → ${e.getMessage}")
+    }
+  }
 }

@@ -137,4 +137,74 @@ class PipelineAsOfSpec extends SparkSpec {
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(out))
   }
+
+  test("the persisted prune watermark refuses anchors whose snapshots " +
+      "were pruned under a SMALLER UndoKeep — raising GRAFT_UNDO_KEEP " +
+      "must not un-refuse them (r11 ADVICE #1)") {
+    assert(months.size >= 7, s"need ≥7 fold anchors, got $months")
+    val hist = months.take(7) // anchors, not depth — keep the run lean
+    val out = Files.createTempDirectory("graft_asof_wm").toString
+    // every month folds individually under UndoKeep=3: by the end the
+    // watermark sits at the 3rd-newest ledger seq
+    hist.foreach { m =>
+      Pipeline.runIncrementalWindow(spark, sf, out, Seq(m),
+        writeGold = false, rawEvents = Some(shiftedEvents)): Unit
+    }
+    // operator "remedy": raise UndoKeep well past the ask depth. The
+    // old count check would now pass a 4-back anchor whose later
+    // folds' undo snapshots are GONE — the watermark must refuse it.
+    Pipeline.undoKeepOverride.set(10)
+    try {
+      val deep = hist(hist.size - 5) // 4 folds back
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.goldAsOf(spark, out, sf, deep)
+      }
+      assert(e.getMessage.contains("watermark"),
+        s"refusal must cite the watermark, got: ${e.getMessage}")
+      // anchors at/after the watermark still serve correctly
+      val ok = hist(hist.size - 3) // 2 folds back = the watermark
+      assertGold(Pipeline.goldAsOf(spark, out, sf, ok),
+        expectedAt(ok), s"$ok under raised UndoKeep")
+    } finally Pipeline.undoKeepOverride.set(-1)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(out))
+  }
+
+  test("GRAFT_SNAP_EVERY extends goldAsOf to ANY ledgered fold: deep " +
+      "anchors serve from the nearest periodic snapshot + undo rewind, " +
+      "at snapshot labels and between them") {
+    assert(months.size >= 8, s"need ≥8 fold anchors, got $months")
+    val hist = months.take(8) // anchors, not depth — keep the run lean
+    val out = Files.createTempDirectory("graft_asof_snap").toString
+    Pipeline.snapEveryOverride.set(2)
+    try {
+      hist.foreach { m =>
+        Pipeline.runIncrementalWindow(spark, sf, out, Seq(m),
+          writeGold = false, rawEvents = Some(shiftedEvents)): Unit
+      }
+      // deepest possible anchor: the FIRST fold (hist.size-1 back,
+      // far past UndoKeep-1) — seq 0 is itself a snapshot label
+      assertGold(Pipeline.goldAsOf(spark, out, sf, hist.head),
+        expectedAt(hist.head), s"${hist.head} (snapshot label)")
+      // an anchor BETWEEN snapshots (odd seq): nearest snapshot above
+      // + one undo application
+      assertGold(Pipeline.goldAsOf(spark, out, sf, hist(1)),
+        expectedAt(hist(1)), s"${hist(1)} (between snapshots)")
+      // the newest fold still serves from live
+      assertGold(Pipeline.goldAsOf(spark, out, sf, hist.last),
+        expectedAt(hist.last), s"${hist.last} (live)")
+      // snapshot markers exist only at the cadence
+      val snaps = new java.io.File(s"$out/state/_snapshots")
+      assert(Option(snaps.list()).getOrElse(Array.empty)
+        .count(_.startsWith("asof=")) >= hist.size / 2,
+        "periodic snapshots missing")
+    } finally Pipeline.snapEveryOverride.set(-1)
+    // back in pruning mode the same deep ask is refused loudly — the
+    // horizon contract is mode-dependent, never silently wrong
+    intercept[IllegalArgumentException] {
+      Pipeline.goldAsOf(spark, out, sf, hist.head)
+    }
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(out))
+  }
 }

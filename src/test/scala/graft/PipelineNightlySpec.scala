@@ -356,12 +356,28 @@ class PipelineNightlySpec extends SparkSpec {
       Pipeline.stageBoundaryHook.remove()
       // a phase is mid-fold — abort must refuse until it's resumed
       intercept[IllegalArgumentException] {
-        Pipeline.abortNightly(spark, out)
+        Pipeline.abortNightly(spark, sf, out)
       }
       Pipeline.resumeRate(spark, sf, out, writeGold = false)
-      val aborted = Pipeline.abortNightly(spark, out)
+      val aborted = Pipeline.abortNightly(spark, sf, out)
       assert(aborted.nonEmpty, "nothing aborted")
       assert(Pipeline.pendingNightly(spark, out).isEmpty)
+      // the abort REPUBLISHED Gold from the applied phases' state
+      // (r11 ADVICE #2): every phase ran writeGold=false, so without
+      // the abort-time publish the presentation tables would still
+      // serve the pre-nightly warehouse. Expected = the one-shot
+      // metrics over the folded history (hist.init months of onTime)
+      // under the corrected dims/rates the applied phases landed.
+      val bm = date_format(
+        to_date(col("booking_date"), Curate.RawDateFormat), "yyyy-MM")
+      val appliedCurated = Curate.curate(
+        onTime.filter(bm.isin(hist.init: _*)),
+        correctedApts, correctedAttrs, correctedRates)
+      val expPopular = Present.weeklyPopularCities(appliedCurated)
+      assert(rows(spark.read
+          .parquet(s"$out/presentation.most_popular_location")).sorted ==
+        rows(expPopular).sorted,
+        "published Gold not republished from applied phases by abort")
       // applied phases persist: dim, attr, and the resumed rate fix
       // are in the current dims; un-started phases never landed
       assert(rows(Pipeline.currentRates(spark, out)).sorted ==

@@ -183,4 +183,45 @@ class PipelineRateSpec extends SparkSpec {
       assert(rows(res.gold(name)) == rows(exp),
         s"$name diverged in the rare-currency leg")
   }
+
+  test("repair-vs-rebuild chooser: the targeted and wholesale paths " +
+      "land bit-identical warehouses for the same rate fix") {
+    val outT = Files.createTempDirectory("graft_rate_t").toString
+    val outW = Files.createTempDirectory("graft_rate_w").toString
+    Seq(outT, outW).foreach(o => foldAll(o))
+    val updates = Seq(("EUR", 1.25)).toDF("currency", "usd_rate")
+
+    def warehouse(out: String): Map[String, Seq[String]] =
+      (graft.etl.GoldState.all.map(s =>
+        s"state.${s.name}" -> (try rows(spark.read
+            .parquet(s"$out/state/${s.name}/live")
+            .drop("state_bucket")).sorted
+          catch { case _: org.apache.spark.sql.AnalysisException => Nil })) ++
+        Seq(
+          "silver" -> rows(spark.read
+            .parquet(s"$out/curated.apartment_bookings")
+            .select(Curate.SilverColumns.map(col): _*)).sorted,
+          "rates" -> rows(Pipeline.currentRates(spark, out)
+            .orderBy("currency")))).toMap
+
+    // force each path regardless of the measured share
+    Pipeline.rateRebuildShareOverride.set(java.lang.Double.valueOf(1.0))
+    try Pipeline.runIncrementalRateUpdate(spark, sf, outT, updates,
+      writeGold = false): Unit
+    finally Pipeline.rateRebuildShareOverride.set(null)
+    Pipeline.rateRebuildShareOverride.set(java.lang.Double.valueOf(0.0))
+    try Pipeline.runIncrementalRateUpdate(spark, sf, outW, updates,
+      writeGold = false): Unit
+    finally Pipeline.rateRebuildShareOverride.set(null)
+
+    val t = warehouse(outT)
+    val w = warehouse(outW)
+    for ((k, v) <- t)
+      assert(w(k) == v, s"chooser paths diverged at '$k'")
+    // the wholesale write stays bucket-aligned
+    assert(Pipeline.bucketFileCounts(spark, outW)
+      .forall(_._3 <= Pipeline.StateFilesPerBucket))
+    Seq(outT, outW).foreach(d => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(d)))
+  }
 }
