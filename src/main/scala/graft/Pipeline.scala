@@ -267,12 +267,12 @@ object Pipeline {
     * under `state/<name>/snap/asof=<label>` — the [[goldAsOf]]
     * horizon extension (r11 verdict ask #5). 0 (default) disables:
     * retention prunes undos to [[UndoKeep]] and time travel stops at
-    * the watermark. When > 0, undo snapshots are NEVER pruned (the
+    * the watermark. When > 0, undo snapshots are kept in full (the
     * per-fold touched-bucket deltas ARE the redo/undo log — keeping
     * them costs O(total delta history), the same order as the input
-    * feeds) and the periodic full snapshots bound the REWIND COST of
-    * a deep ask to ≤ SnapEvery undo applications instead of
-    * O(history). */
+    * feeds) unless [[SnapKeep]] bounds them, and the periodic full
+    * snapshots bound the REWIND COST of a deep ask to ≤ SnapEvery
+    * undo applications instead of O(history). */
   private val snapEveryEnv: Int =
     sys.env.get("GRAFT_SNAP_EVERY").map { raw =>
       val n = raw.trim
@@ -290,6 +290,34 @@ object Pipeline {
   def SnapEvery: Int = {
     val o = snapEveryOverride.get()
     if (o >= 0) o else snapEveryEnv
+  }
+
+  /** Snapshot RETENTION under snapshot mode (r12 verdict ask #3) —
+    * 0 (default) keeps every periodic snapshot and every undo delta:
+    * full-history time travel at O(history) storage, the trade
+    * SCALING.md r12 stated honestly. M > 0 keeps the newest M
+    * COMPLETE snapshots; older snapshots are dropped, undo deltas
+    * nothing retained can need (seq ≤ the oldest retained snapshot's)
+    * are pruned, and the watermark advances — storage becomes
+    * O(M full copies + M×SnapEvery deltas). [[goldAsOf]] stays exact
+    * for every ledgered fold at/after the oldest retained snapshot
+    * and refuses older anchors loudly at the watermark (never a
+    * silent wrong rewind). Ignored while [[SnapEvery]] is 0. */
+  private val snapKeepEnv: Int =
+    sys.env.get("GRAFT_SNAP_KEEP").map { raw =>
+      val n = raw.trim
+      require(n.nonEmpty && n.forall(_.isDigit) && n.length <= 9,
+        s"GRAFT_SNAP_KEEP must be a non-negative integer, got '$raw'")
+      n.toInt
+    }.getOrElse(0)
+
+  /** Test-only override for [[SnapKeep]] (-1 = use the env value). */
+  private[graft] val snapKeepOverride =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  def SnapKeep: Int = {
+    val o = snapKeepOverride.get()
+    if (o >= 0) o else snapKeepEnv
   }
 
   private def liveDir(stateRoot: String, name: String): String =
@@ -312,41 +340,84 @@ object Pipeline {
   private def watermarkPath(stateRoot: String) =
     hPath(s"$stateRoot/_undo_watermark")
 
+  private def watermarkTmpPath(stateRoot: String) =
+    hPath(s"$stateRoot/_undo_watermark.tmp")
+
   /** Oldest ledger seq that is a safe rewind anchor; Long.MinValue
     * when nothing has ever been pruned (or a pre-watermark layout —
-    * those fall back to the conservative UndoKeep count check). */
-  private def undoWatermark(spark: SparkSession, stateRoot: String): Long = {
+    * those fall back to the conservative UndoKeep count check).
+    *
+    * Crash recovery (r12 ADVICE #2): [[writeWatermark]] stages the
+    * new value in a tmp file and swaps it in (delete + rename), so
+    * the main file is never observable half-written. If the main
+    * file is ABSENT but a parseable tmp exists, a write crashed
+    * between the delete and the rename — the tmp holds the complete
+    * new value, so finish the rename and serve it. A tmp that does
+    * NOT parse is a crash before its content landed (the main file,
+    * if any, was still intact then): drop it. A CORRUPT main file
+    * can only be hand-damage or a pre-fix layout's torn write —
+    * refuse loudly with the recovery step rather than bricking every
+    * later fold with a bare NumberFormatException. */
+  private[graft] def undoWatermark(spark: SparkSession,
+                                   stateRoot: String): Long = {
     val p = watermarkPath(stateRoot)
     val fs = hFs(spark, p)
-    if (!fs.exists(p)) Long.MinValue
-    else {
-      val in = fs.open(p)
+    def parse(path: org.apache.hadoop.fs.Path): Option[Long] = {
+      val in = fs.open(path)
       val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       in.close()
-      s.toLong
+      if (s.nonEmpty && s.matches("-?\\d{1,19}")) Some(s.toLong) else None
+    }
+    if (fs.exists(p)) parse(p).getOrElse(throw new IllegalStateException(
+      s"corrupt undo prune watermark at $p — pruning history is " +
+        "unknown, so no rewind depth is provably safe. Recover by " +
+        "restoring the file to the oldest ledger _seq whose undo " +
+        "snapshots are known intact, or rebuild state from Bronze"))
+    else {
+      val tmp = watermarkTmpPath(stateRoot)
+      if (!fs.exists(tmp)) Long.MinValue
+      else parse(tmp) match {
+        case Some(v) => fs.rename(tmp, p); v
+        case None => fs.delete(tmp, false); Long.MinValue
+      }
     }
   }
 
-  private def writeWatermark(spark: SparkSession, stateRoot: String,
-                             seq: Long): Unit = {
+  /** Atomic advance (r12 ADVICE #2): value lands in a tmp file first,
+    * then swaps into place — a crash anywhere leaves either the old
+    * value, the new value, or a recoverable tmp (see
+    * [[undoWatermark]]); never a torn/empty main file. */
+  private[graft] def writeWatermark(spark: SparkSession, stateRoot: String,
+                                    seq: Long): Unit = {
     val p = watermarkPath(stateRoot)
-    val out = hFs(spark, p).create(p, true)
+    val tmp = watermarkTmpPath(stateRoot)
+    val fs = hFs(spark, p)
+    val out = fs.create(tmp, true)
     out.write(seq.toString.getBytes("UTF-8")); out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"watermark rename $tmp -> $p failed")
   }
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
   private def hFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Parquet files a state write produces per bucket. 1 (default)
-    * pins the fold's write-amplification census exactly — the r11
-    * artifact's 164-vs-212-file swing at one HEAD was the UNALIGNED
-    * write path: file count = however many upstream tasks held rows
-    * for a bucket, which tracks box parallelism and AQE coalescing,
-    * not the data. At cluster scale a full rebuild's buckets can want
-    * more write parallelism than one task per bucket — raise this and
-    * the deterministic salt fans each bucket across N files. */
-  val StateFilesPerBucket: Int =
+  /** Parquet files a state write produces per bucket — EXACT at the
+    * default 1, an UPPER BOUND for N > 1 (r12 ADVICE #3). 1 pins the
+    * fold's write-amplification census exactly — the r11 artifact's
+    * 164-vs-212-file swing at one HEAD was the UNALIGNED write path:
+    * file count = however many upstream tasks held rows for a bucket,
+    * which tracks box parallelism and AQE coalescing, not the data.
+    * At cluster scale a full rebuild's buckets can want more write
+    * parallelism than one task per bucket — raise this and the
+    * deterministic salt fans each bucket across AT MOST N files:
+    * the (bucket, salt) pairs hash into `spark.sql.shuffle.partitions`
+    * tasks, so two salts of one bucket can land in the same task (one
+    * file), and duplicate rows share a salt. Still deterministic for
+    * fixed data + shuffle-partition count — just ≤ N, not = N — and
+    * the bench census gauges it as a bound
+    * (`live_files_per_bucket_max`). */
+  private val stateFilesPerBucketEnv: Int =
     sys.env.get("GRAFT_STATE_FILES_PER_BUCKET").map { raw =>
       val n = raw.trim
       require(n.nonEmpty && n.forall(_.isDigit) && n.length <= 9 &&
@@ -354,6 +425,16 @@ object Pipeline {
         s"GRAFT_STATE_FILES_PER_BUCKET must be a positive integer, got '$raw'")
       n.toInt
     }.getOrElse(1)
+
+  /** Test-only override (-1 = env): the fan-out-bound spec drives an
+    * N > 1 fold in the same JVM as the exact N = 1 suites. */
+  private[graft] val filesPerBucketOverride =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  def StateFilesPerBucket: Int = {
+    val o = filesPerBucketOverride.get()
+    if (o >= 1) o else stateFilesPerBucketEnv
+  }
 
   /** Booking-row share of the affected currencies above which the
     * rate fold abandons the targeted column-grain repair (exceptAll +
@@ -385,11 +466,12 @@ object Pipeline {
     Option(rateRebuildShareOverride.get())
       .map(_.doubleValue).getOrElse(rateRebuildShareEnv)
 
-  /** Route every row of one `state_bucket` into exactly
-    * [[StateFilesPerBucket]] write tasks — a hash repartition on the
-    * bucket value (plus a deterministic row-hash salt when fanning
-    * out), so the files-per-bucket census is a function of the DATA,
-    * never of task scheduling. The shuffle moves only the fold's
+  /** Route every row of one `state_bucket` into at most
+    * [[StateFilesPerBucket]] write tasks (exactly one at the default
+    * 1) — a hash repartition on the bucket value (plus a
+    * deterministic row-hash salt when fanning out), so the
+    * files-per-bucket census is a function of the DATA, never of
+    * task scheduling. The shuffle moves only the fold's
     * touched-bucket partial (delta-sized). */
   private def bucketAligned(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
@@ -490,6 +572,37 @@ object Pipeline {
       hFs(spark, dir).delete(dir, true): Unit
     }
     readStateOpt(spark, live).getOrElse(fresh)
+  }
+
+  /** `cur` with fold `l`'s undo snapshot applied in REVERSE for one
+    * state — touched buckets restored from the label's undo, fold-
+    * created buckets dropped; `cur` unchanged when the fold left the
+    * state untouched (within an unpruned horizon, absence ⟺
+    * untouched). Keeps `state_bucket`. Shared by [[goldAsOf]]'s
+    * rewind chain and [[maybeSnapshot]]'s missed-cadence
+    * reconstruction. */
+  private def applyUndo(spark: SparkSession, stateRoot: String,
+      spec: GoldState.Spec, cur: Option[DataFrame],
+      l: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val undo = undoDir(stateRoot, spec.name, l)
+    val fs = hFs(spark, hPath(undo))
+    if (!fs.exists(hPath(undo))) cur
+    else {
+      require(fs.exists(hPath(s"$undo/_touched")),
+        s"incomplete undo snapshot for ${spec.name}/$l")
+      val in = fs.open(hPath(s"$undo/_touched"))
+      val touched = scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSeq
+      in.close()
+      val rest = cur.map(_.filter(!col("state_bucket").isin(touched: _*)))
+      (rest, readStateOpt(spark, undo)) match {
+        case (Some(r), Some(s)) =>
+          Some(r.unionByName(s.select(r.columns.map(col).toSeq: _*)))
+        case (Some(r), None) => Some(r)
+        case (None, s) => s
+      }
+    }
   }
 
   /** A state's PRE-FOLD content for `label`: the live copy with the
@@ -701,6 +814,29 @@ object Pipeline {
         fs.delete(hPath(undo), true): Unit
       }
     }
+    // r12 ADVICE #1: a periodic full snapshot taken at this fold is
+    // now WRONG content. Labels are deterministically REUSED after a
+    // rollback (resumeLate refolds the exact pending label; month and
+    // `.suffixNN` labels recompute from the current ledger) and so are
+    // ledger seqs (writeLedger reissues max+1, which the rollback just
+    // freed) — so the seq-stamped `_complete` marker ALONE cannot tell
+    // a refolded label's snapshot ask from the stale dirs, and
+    // maybeSnapshot's idempotence guard would keep them. goldAsOf
+    // would then anchor on rolled-back state and silently serve bad
+    // historical Gold. Delete the label's snapshot STRICTLY BEFORE the
+    // ledger marker: a crash in between leaves the label ledgered, so
+    // the rollback re-run reaches this point again (the per-state
+    // deletes above are all idempotent skips by then). The seq stamp
+    // still earns its keep against pre-seq layouts and crashed
+    // snapshot sweeps (see [[maybeSnapshot]]).
+    locally {
+      val gm = hPath(s"$stateRoot/_snapshots/asof=$label")
+      hFs(spark, gm).delete(gm, true): Unit
+      GoldState.all.foreach { s =>
+        val d = hPath(snapDir(stateRoot, s.name, label))
+        hFs(spark, d).delete(d, true): Unit
+      }
+    }
     val ledger = hPath(s"$stateRoot/_ledger/asof=$label")
     hFs(spark, ledger).delete(ledger, true)
     label
@@ -895,8 +1031,9 @@ object Pipeline {
     * snapshot `rollbackLast` is about to need (the r10-ADVICE
     * rollback-ordering bug's pruning twin). */
   private def pruneUndo(spark: SparkSession, stateRoot: String): Unit = {
-    // snapshot mode: undo deltas are the permanent rewind log — keep
-    // them all (see [[SnapEvery]]); the watermark then never advances
+    // snapshot mode: undo deltas are the rewind log — retention there
+    // is [[pruneSnapshots]]'s job (keep-all by default; under SnapKeep
+    // it prunes dead undos and advances the watermark itself)
     if (SnapEvery > 0) return
     // pruning mode retires any full snapshots a previous SnapEvery
     // configuration left behind: once undos between them start
@@ -946,59 +1083,167 @@ object Pipeline {
     }
   }
 
-  /** Persist a FULL copy of every state's live table under
-    * `state/<name>/snap/asof=<label>` when the fold's ledger seq hits
-    * the [[SnapEvery]] cadence. Runs strictly AFTER the ledger marker
-    * (the fold is complete either way; a crash mid-snapshot leaves an
-    * incomplete snap dir that stays invisible — the global
-    * `_complete` marker under `state/_snapshots/asof=<label>` is
-    * written last and is what [[goldAsOf]] trusts). */
-  private def maybeSnapshot(spark: SparkSession, stateRoot: String,
-                            label: String): Unit = {
-    if (SnapEvery <= 0) return
-    val seq = ledgerEntries(spark, stateRoot.stripSuffix("/state"))
-      .collectFirst { case (l, n) if l == label => n }.getOrElse(-1L)
-    if (seq < 0 || seq % SnapEvery != 0) return
-    val marker = hPath(s"$stateRoot/_snapshots/asof=$label/_complete")
-    val fs = hFs(spark, marker)
-    if (fs.exists(marker)) return // idempotent on refold/resume
-    GoldState.all.foreach { s =>
-      readStateOpt(spark, liveDir(stateRoot, s.name)).foreach { lv =>
-        stage(s"snapshot.${s.name}") {
-          bucketAligned(lv).write.mode("overwrite")
-            .partitionBy("state_bucket")
-            .parquet(snapDir(stateRoot, s.name, label))
-        }
-      }
+  /** The fold `_seq` a snapshot's `_complete` marker records; None
+    * when the marker is missing or unparsable (a pre-r13 marker held
+    * the label text — treated as stale and refreshed). */
+  private def snapMarkerSeq(spark: SparkSession, stateRoot: String,
+                            label: String): Option[Long] = {
+    val p = hPath(s"$stateRoot/_snapshots/asof=$label/_complete")
+    val fs = hFs(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      in.close()
+      if (s.nonEmpty && s.matches("-?\\d{1,19}")) Some(s.toLong) else None
     }
-    val out = fs.create(marker, true)
-    out.write(label.getBytes("UTF-8")); out.close()
   }
 
-  /** Ledgered snapshot labels with a complete marker, in fold order. */
+  /** Persist a FULL copy of every state's live table under
+    * `state/<name>/snap/asof=<label>` for every ledgered fold on the
+    * [[SnapEvery]] cadence that doesn't have one yet. Runs strictly
+    * AFTER the ledger marker (the fold is complete either way; a
+    * crash mid-snapshot leaves an incomplete snap dir that stays
+    * invisible — the global `_complete` marker under
+    * `state/_snapshots/asof=<label>` is written last and is what
+    * [[goldAsOf]] trusts).
+    *
+    * The marker records the fold's ledger `_seq` (r12 ADVICE #1):
+    * labels are deterministically reused after a rollback+refold, and
+    * a marker whose stamp disagrees with the label's CURRENT seq is
+    * stale rolled-back content — [[snapshotLabels]] rejects it and
+    * this method refreshes it instead of trusting `exists`.
+    * [[rollbackLast]]'s snapshot deletion is the primary defense (seqs
+    * are reused too); the stamp covers pre-seq layouts and crashed
+    * sweeps.
+    *
+    * This is a SWEEP over every cadence seq, not an own-label check
+    * (r12 ADVICE #4): a crash between the ledger marker and the
+    * snapshot write is retried by no resume path — the fold is
+    * complete — so the old guard lost that snapshot forever and a
+    * deep goldAsOf silently paid up to 2×SnapEvery undo rewinds,
+    * breaking the documented ≤ SnapEvery bound. Snapshot mode retains
+    * every fold's undo delta, so the state right after ANY ledgered
+    * fold is reconstructible — live rewound through the undos of all
+    * later folds — and the sweep repairs a miss at the very next fold
+    * (usually one undo application). A missed label below the
+    * retention watermark (its later undos are gone) is logged and
+    * skipped: that horizon is already refused by [[goldAsOf]]. */
+  private def maybeSnapshot(spark: SparkSession, stateRoot: String,
+                            label: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (SnapEvery <= 0) return
+    val entries = ledgerEntries(spark, stateRoot.stripSuffix("/state"))
+    val wm = undoWatermark(spark, stateRoot)
+    val due = entries
+      .filter { case (_, n) => n >= 0 && n % SnapEvery == 0 }
+      .filter { case (l, n) => !snapMarkerSeq(spark, stateRoot, l).contains(n) }
+    due.foreach { case (l, n) =>
+      if (n < wm && l != label) {
+        System.err.println(s"[pipeline] cadence snapshot asof=$l " +
+          s"(seq $n) is missing and below the prune watermark ($wm) — " +
+          "its rewind deltas are gone; goldAsOf already refuses that " +
+          "horizon, so it stays lost")
+      } else {
+        val gdir = hPath(s"$stateRoot/_snapshots/asof=$l")
+        hFs(spark, gdir).delete(gdir, true): Unit // stale marker, if any
+        val after = entries.filter(_._2 > n).map(_._1).reverse
+        GoldState.all.foreach { s =>
+          val d = hPath(snapDir(stateRoot, s.name, l))
+          hFs(spark, d).delete(d, true): Unit // crashed partial, if any
+          val start = readStateOpt(spark, liveDir(stateRoot, s.name))
+          val rewound = after.foldLeft(start)(
+            (cur, al) => applyUndo(spark, stateRoot, s, cur, al))
+          rewound.foreach { st =>
+            stage(s"snapshot.${s.name}") {
+              // partition values re-read from live are type-inferred
+              // (dates/ints) — normalize before the partitioned write
+              bucketAligned(st.withColumn("state_bucket",
+                  col("state_bucket").cast("string")))
+                .write.mode("overwrite")
+                .partitionBy("state_bucket")
+                .parquet(snapDir(stateRoot, s.name, l))
+            }
+          }
+        }
+        val marker = hPath(s"$stateRoot/_snapshots/asof=$l/_complete")
+        val out = hFs(spark, marker).create(marker, true)
+        out.write(n.toString.getBytes("UTF-8")); out.close()
+      }
+    }
+  }
+
+  /** Ledgered snapshot labels whose complete marker is VALID — its
+    * recorded fold `_seq` matches the label's current ledger seq (a
+    * mismatched or pre-seq marker is stale rolled-back content, r12
+    * ADVICE #1) — in fold order. */
   private def snapshotLabels(spark: SparkSession,
                              stateRoot: String): Seq[(String, Long)] = {
     val dir = hPath(s"$stateRoot/_snapshots")
     val fs = hFs(spark, dir)
     if (!fs.exists(dir)) Nil
-    else {
-      val complete = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("asof=")).map(_.stripPrefix("asof="))
-        .filter(l => fs.exists(hPath(s"$stateRoot/_snapshots/asof=$l/_complete")))
-        .toSet
-      ledgerEntries(spark, stateRoot.stripSuffix("/state"))
-        .filter { case (l, _) => complete(l) }
+    else ledgerEntries(spark, stateRoot.stripSuffix("/state"))
+      .filter { case (l, n) =>
+        snapMarkerSeq(spark, stateRoot, l).contains(n) }
+  }
+
+  /** Snapshot retention ([[SnapKeep]], r12 verdict ask #3): keep the
+    * newest SnapKeep complete snapshots, drop the older ones, prune
+    * the undo deltas no retained rewind can need, and advance the
+    * watermark. A goldAsOf for labelSeq ≥ keepOldest applies only
+    * undos with seq > labelSeq ≥ keepOldest, so undos at seq ≤
+    * keepOldest are dead (rollbackLast needs only the NEWEST fold's
+    * undo, which always survives). Crash-safe order: the watermark
+    * TIGHTENS first (a crash after it refuses slightly more than
+    * strictly necessary until the next fold retries the deletes —
+    * never a wrong rewind), then each snapshot's marker before its
+    * content (goldAsOf must never anchor on partial content), then
+    * the dead undos. Every step is re-derived from current listings,
+    * so retries are idempotent. */
+  private def pruneSnapshots(spark: SparkSession,
+                             stateRoot: String): Unit = {
+    if (SnapEvery <= 0 || SnapKeep <= 0) return
+    val snaps = snapshotLabels(spark, stateRoot)
+    if (snaps.size <= SnapKeep) return
+    val drop = snaps.dropRight(SnapKeep)
+    val keepOldest = snaps(snaps.size - SnapKeep)._2
+    if (keepOldest > undoWatermark(spark, stateRoot))
+      writeWatermark(spark, stateRoot, keepOldest)
+    drop.foreach { case (l, _) =>
+      val gm = hPath(s"$stateRoot/_snapshots/asof=$l")
+      hFs(spark, gm).delete(gm, true): Unit
+      GoldState.all.foreach { sp =>
+        val d = hPath(snapDir(stateRoot, sp.name, l))
+        hFs(spark, d).delete(d, true): Unit
+      }
+    }
+    val seqOf = ledgerEntries(spark, stateRoot.stripSuffix("/state")).toMap
+    GoldState.all.foreach { sp =>
+      val dir = hPath(s"$stateRoot/${sp.name}/undo")
+      val fs = hFs(spark, dir)
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).toSeq
+          .filter(_.getPath.getName.startsWith("asof="))
+          .filter { st =>
+            val l = st.getPath.getName.stripPrefix("asof=")
+            // an unledgered undo dir is a pending fold's — keep it
+            seqOf.get(l).exists(_ <= keepOldest)
+          }
+          .foreach(st => fs.delete(st.getPath, true))
+      }
     }
   }
 
   /** Every fold's closing bookkeeping, in the one safe order: ledger
     * marker (the fold's commit point — strictly after all durable
-    * work), then the periodic full snapshot, then undo retention. */
+    * work), then the periodic full snapshot (own label + missed-
+    * cadence sweep), then undo retention, then snapshot retention. */
   private def postFold(spark: SparkSession, stateRoot: String,
                        label: String): Unit = {
     writeLedger(spark, stateRoot, label)
     maybeSnapshot(spark, stateRoot, label)
     pruneUndo(spark, stateRoot)
+    pruneSnapshots(spark, stateRoot)
   }
 
   /** Months already folded into the state under `outDir`. The ledger
@@ -2813,7 +3058,8 @@ object Pipeline {
         s"watermark (seq $wm) — its later folds' undo snapshots were " +
         "already pruned; a larger GRAFT_UNDO_KEEP only extends FUTURE " +
         "retention. Rebuild from Bronze, or enable GRAFT_SNAP_EVERY " +
-        "for full-history time travel going forward")
+        "for full-history time travel going forward (and if snapshot " +
+        "retention pruned this horizon, raise GRAFT_SNAP_KEEP)")
     // rewind anchor: live, or (snapshot mode) the oldest complete
     // full snapshot at/after the label — fewest undo applications.
     // The snapshot at fold S captures state right after S, so the
@@ -2841,34 +3087,13 @@ object Pipeline {
         "rewindable); enable GRAFT_SNAP_EVERY (periodic full " +
         "snapshots + full undo retention) or rebuild from Bronze")
 
-    def rewindOne(spec: GoldState.Spec, cur: Option[DataFrame],
-                  l: String): Option[DataFrame] = {
-      val undo = undoDir(stateRoot, spec.name, l)
-      val fs = hFs(spark, hPath(undo))
-      if (!fs.exists(hPath(undo))) cur // within horizon ⟹ untouched
-      else {
-        require(fs.exists(hPath(s"$undo/_touched")),
-          s"incomplete undo snapshot for ${spec.name}/$l")
-        val in = fs.open(hPath(s"$undo/_touched"))
-        val touched = scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toSeq
-        in.close()
-        val rest = cur.map(_.filter(!col("state_bucket").isin(touched: _*)))
-        (rest, readStateOpt(spark, undo)) match {
-          case (Some(r), Some(s)) =>
-            Some(r.unionByName(s.select(r.columns.map(col).toSeq: _*)))
-          case (Some(r), None) => Some(r)
-          case (None, s) => s
-        }
-      }
-    }
-
     val merged: Map[String, DataFrame] = GoldState.all.map { s =>
       val start = snapAnchor match {
         case Some((sl, _)) => readStateOpt(spark, snapDir(stateRoot, s.name, sl))
         case None => readStateOpt(spark, liveDir(stateRoot, s.name))
       }
-      val rewound = after.foldLeft(start)((cur, l) => rewindOne(s, cur, l))
+      val rewound = after.foldLeft(start)(
+        (cur, l) => applyUndo(spark, stateRoot, s, cur, l))
       s.name -> rewound.map(_.drop("state_bucket"))
         .getOrElse(emptyStateFrame(spark, sfDir, outDir, silverDir, s))
     }.toMap

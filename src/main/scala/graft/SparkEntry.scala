@@ -1499,6 +1499,69 @@ object SparkEntry {
             .drop("week_start")))
       graft.etl.GoldState.popularCitiesGold(night2)
     }),
+    // Rollback composition (r13 — q210 with an UNDO in the middle):
+    // night 1 applies attr correction #1, night 2 applies #2, then
+    // night 2 is ROLLED BACK exactly the way the warehouse does it —
+    // its touched buckets replaced from the pre-fold undo snapshot
+    // (content captured BEFORE night 2's rewrite) — and night 2'
+    // applies a DIFFERENT correction #3 over the restored state, its
+    // touched set and replacement content computed from the #1+#3
+    // cumulative history. The oracle is the one-shot over #1+#3 ONLY:
+    // any residue of the rolled-back #2 (a NEOPOLIS row, a week
+    // restored from post-#2 content) breaks the hash. Gates the
+    // undo-restore algebra COMPOSED with a subsequent repair — the
+    // warehouse twin is PipelineSnapshotSpec's rollback+refold leg.
+    "q211_rollback_compose" -> ((s, dir) => {
+      val cur0 = Analog.curated(s, dir)
+        .select("apartment_id", "booking_id", "booking_date",
+          "booking_status", "cityname")
+        .localCheckpoint(true)
+      val hasAttr = col("cityname").isNotNull
+      val city1 = when(col("apartment_id") % 13 === 5 && hasAttr,
+        lit("ATLANTIS")).otherwise(col("cityname"))
+      val city2 = when(col("apartment_id") % 11 === 7 && hasAttr,
+        lit("NEOPOLIS")).otherwise(city1)
+      val city3 = when(col("apartment_id") % 7 === 2 && hasAttr,
+        lit("ELDORADO")).otherwise(city1) // #2 rolled back: over #1
+      val cur1 = cur0.withColumn("cityname", city1)
+      val cur2 = cur0.withColumn("cityname", city2)
+      val cur3 = cur0.withColumn("cityname", city3)
+      val isLate = date_format(col("booking_date"), "yyyy-MM")
+        .isin("1995-03", "1995-04") && col("booking_id") % 3 === 0
+      val wk = Present.weekOf(col("booking_date")).as("week_start")
+      val stale = graft.etl.GoldState.popularCitiesPartial(
+        cur0.filter(!isLate))
+      val afterLate = graft.etl.GoldState.popularCities.merge(Seq(
+        stale, graft.etl.GoldState.popularCitiesPartial(
+          cur0.filter(isLate))))
+      def repair(state: org.apache.spark.sql.DataFrame,
+          cur: org.apache.spark.sql.DataFrame,
+          touchedBy: Column): org.apache.spark.sql.DataFrame = {
+        val t = cur.filter(touchedBy &&
+            col("booking_status") === "confirmed")
+          .select(wk).distinct()
+        state.join(t, Seq("week_start"), "left_anti")
+          .unionByName(graft.etl.GoldState.popularCitiesPartial(
+            cur.withColumn("week_start",
+                Present.weekOf(col("booking_date")))
+              .join(t, Seq("week_start"), "left_semi")
+              .drop("week_start")))
+      }
+      val night1 = repair(afterLate, cur1, col("apartment_id") % 13 === 5)
+      val night2 = repair(night1, cur2, col("apartment_id") % 11 === 7)
+      // rollback of night 2: its undo snapshot is the PRE-fold content
+      // of the touched weeks (captured from night-1 state before the
+      // rewrite, exactly what rewriteTouchedBuckets persists); weeks
+      // night 2 CREATED have no snapshot rows and drop out
+      val t2 = cur2.filter(col("apartment_id") % 11 === 7 &&
+          col("booking_status") === "confirmed")
+        .select(wk).distinct().localCheckpoint(true)
+      val undo2 = night1.join(t2, Seq("week_start"), "left_semi")
+      val restored = night2.join(t2, Seq("week_start"), "left_anti")
+        .unionByName(undo2)
+      val night2b = repair(restored, cur3, col("apartment_id") % 7 === 2)
+      graft.etl.GoldState.popularCitiesGold(night2b)
+    }),
     // Sequence packing: contiguous token-budget bins per (lang,
     // shard) — the pretraining batch-assembly op; sharded cumsum is
     // the scale path (no per-stratum serialization).
@@ -2660,6 +2723,7 @@ object SparkEntry {
     "q208_rate_late_repair" -> Oracle.rateRepairRevenue,
     "q209_compensate_roundtrip" -> Oracle.weeklyAvgListingPrice,
     "q210_two_night_compose" -> Oracle.twoNightCities,
+    "q211_rollback_compose" -> Oracle.rollbackCities,
     "q207_incremental_engagement" -> Oracle.weeklyEngagement,
     "q25_minhash_dedup"     -> Oracle.minhashDedup,
     "q70_chunk_docs"        -> Oracle.chunkDocs,

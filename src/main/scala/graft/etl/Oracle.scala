@@ -235,6 +235,32 @@ GROUP BY 1, 2
 ORDER BY week_start, total_bookings DESC, cityname ASC NULLS FIRST"""
   }
 
+  /** One-shot weekly city counts over corrections #1 and #3 ONLY
+    * (%7==2 → ELDORADO winning over %13==5 → ATLANTIS where both
+    * apply; the rolled-back #2 ABSENT) — q211's engine side reaches
+    * this table by applying #1, applying #2, restoring #2's touched
+    * weeks from their pre-fold undo snapshot, and then applying #3
+    * over the restored state. Any residue of #2 (a NEOPOLIS row, a
+    * week restored from post-#2 content) breaks the hash. Built by
+    * rewriting [[curatedCte]]'s attr projection, so the two can never
+    * drift. */
+  val rollbackCities: String = {
+    val corrected = curatedCte.replace("n_name AS cityname",
+      "CASE WHEN p_partkey % 7 = 2 THEN 'ELDORADO' " +
+        "WHEN p_partkey % 13 = 5 THEN 'ATLANTIS' " +
+        "ELSE n_name END AS cityname")
+    assert(corrected.contains("ELDORADO"),
+      "curatedCte attr projection changed — update rollbackCities")
+    s"""$corrected
+SELECT CAST(date_trunc('week', booking_date) AS DATE) AS week_start,
+       cityname,
+       count(*) AS total_bookings
+FROM curated
+WHERE booking_status = 'confirmed'
+GROUP BY 1, 2
+ORDER BY week_start, total_bookings DESC, cityname ASC NULLS FIRST"""
+  }
+
   /** One-shot weekly top-listing revenue over the CORRECTED rates
     * (EUR 1.1 → 1.2) — q206's engine side computes the same table via
     * the rate-repair algebra (stale state from the original rates,
