@@ -138,7 +138,8 @@ object Bench {
     try {
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      Seq("amortized", "amortized_serving", "incremental").flatMap { sec =>
+      Seq("amortized", "amortized_serving", "incremental",
+          "recall_at_5").flatMap { sec =>
         jsonSection(text, sec).toSeq.flatMap { body =>
           val qSpan = jsonSection(body, "queries")
           val flat = qSpan.map(q => body.replace(q, "{}")).getOrElse(body)
@@ -399,13 +400,24 @@ object Bench {
         try org.apache.commons.io.FileUtils
           .deleteDirectory(new java.io.File(s"${root}_rebuild"))
         catch { case NonFatal(_) => }
+        // time-travel serve (r13): goldAsOf at the deepest in-horizon
+        // anchor (UndoKeep-1 folds back) — the undo-rewind read path a
+        // user actually pays for, gauged like every other serve shape
+        val asofWall = {
+          val entries = Pipeline.ledgerEntries(spark, root)
+          val anchor = entries(math.max(0,
+            entries.size - Pipeline.UndoKeep))._1
+          timed(Pipeline.goldAsOf(spark, sfDir = sfDir, outDir = root,
+            label = anchor)("top_performing_listing").count(): Unit)
+        }
         Map(
           "build_wall" -> buildWall,
           "fold_wall_median" -> medianOf(folds.map(_._1)),
           "fold_state_files_median" -> medianOf(folds.map(_._2)),
           "fold_state_bytes_median" -> medianOf(folds.map(_._3)),
           "nightly_wall" -> nightlyWall,
-          "rebuild_wall" -> rebuildWall)
+          "rebuild_wall" -> rebuildWall,
+          "asof_wall" -> asofWall)
       }
       val m = measureIncr(incRoot)
       // files-per-bucket census (r11 verdict ask #4): with the
@@ -427,7 +439,7 @@ object Bench {
       def rem(k: String): Option[() => Double] =
         Some(() => idleReplay.getOrElse(k, -1.0))
       for (k <- Seq("build_wall", "fold_wall_median", "nightly_wall",
-          "rebuild_wall"))
+          "rebuild_wall", "asof_wall"))
         g(s"incremental.$k", m(k), rem(k)): Unit
       for (k <- Seq("fold_state_files_median", "fold_state_bytes_median"))
         g(s"incremental.$k", m(k)): Unit
@@ -439,7 +451,8 @@ object Bench {
         "fold_state_bytes_median" -> m("fold_state_bytes_median"),
         "live_files_per_bucket_max" -> filesPerBucketMax,
         "nightly_wall" -> m("nightly_wall"),
-        "rebuild_wall" -> m("rebuild_wall"))
+        "rebuild_wall" -> m("rebuild_wall"),
+        "asof_wall" -> m("asof_wall"))
       s""""incremental":${jsonMap(metrics)}"""
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] incremental failed: ${e.getMessage}")
@@ -461,21 +474,29 @@ object Bench {
       // other VM error must ABORT the run rather than continue on a
       // corrupted runtime recording plausible-looking timings
       // (r7 ADVICE)
-      def probe(name: String)(mk: => org.apache.spark.sql.DataFrame) =
-        name -> (try Similarity.recallAtK(truth, mk)
+      val probes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "q32_lsh_topk" -> (() => Similarity.lshTopKAuto(emb, queries, 5)),
+        "q36_ivf_topk" -> (() => Similarity.ivfTopK(emb, queries, 5,
+          numCentroids = 32, nProbe = 16)),
+        "q128_ivf_kmeans" -> (() => Similarity.ivfKmeansTopK(emb, queries,
+          5, numCentroids = 32, iters = 2, nProbe = 16)),
+        "q82_hamming_ann" -> (() => Similarity.hammingTopK(emb, queries,
+          5, rerank = 400)),
+        "q134_pq_topk" -> (() => Similarity.pqTopK(emb, queries, 5, m = 8,
+          codesPerSub = 16, iters = 2, rerank = 400)))
+      val metrics = probes.map { case (name, mk) =>
+        name -> (try Similarity.recallAtK(truth, mk())
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] recall $name failed: ${e.getMessage}")
           -1.0 })
-      val metrics = Seq(
-        probe("q32_lsh_topk")(Similarity.lshTopKAuto(emb, queries, 5)),
-        probe("q36_ivf_topk")(Similarity.ivfTopK(emb, queries, 5,
-          numCentroids = 32, nProbe = 16)),
-        probe("q128_ivf_kmeans")(Similarity.ivfKmeansTopK(emb, queries,
-          5, numCentroids = 32, iters = 2, nProbe = 16)),
-        probe("q82_hamming_ann")(Similarity.hammingTopK(emb, queries,
-          5, rerank = 400)),
-        probe("q134_pq_topk")(Similarity.pqTopK(emb, queries, 5, m = 8,
-          codesPerSub = 16, iters = 2, rerank = 400)))
+      }
+      // recall gauges drift DOWNWARD (direction-aware in the gauge
+      // gate); the idle re-measure recomputes the probe once — a
+      // repeat at the same value is a real regression, not weather
+      metrics.zip(probes).foreach { case ((name, v), (_, mk)) =>
+        g(s"recall_at_5.$name", v,
+          Some(() => Similarity.recallAtK(truth, mk()))): Unit
+      }
       s""""recall_at_5":${jsonMap(metrics)}"""
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] recall failed: ${e.getMessage}")
@@ -527,8 +548,15 @@ object Bench {
     // flagged, same thresholds as the query gate. ----
     val gaugeDrift = try {
       val flagged = gauges.toList.filter { case (name, now, _) =>
-        priorG.get(name).exists(prev =>
-          prev > 0.05 && now >= 0 && now > 1.5 * prev && now - prev > 0.25)
+        priorG.get(name).exists { prev =>
+          if (name.startsWith("recall_at_5."))
+            // recall regresses DOWNWARD; 0.02 absolute is the noise
+            // band observed across r8–r12 (recall is deterministic
+            // given data+params, so any real drop is code)
+            prev > 0 && now >= 0 && now < prev - 0.02
+          else
+            prev > 0.05 && now >= 0 && now > 1.5 * prev && now - prev > 0.25
+        }
       }
       if (flagged.isEmpty) s""""gauge_drift":{}"""
       else {

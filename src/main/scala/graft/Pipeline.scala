@@ -1204,32 +1204,47 @@ object Pipeline {
                              stateRoot: String): Unit = {
     if (SnapEvery <= 0 || SnapKeep <= 0) return
     val snaps = snapshotLabels(spark, stateRoot)
-    if (snaps.size <= SnapKeep) return
-    val drop = snaps.dropRight(SnapKeep)
-    val keepOldest = snaps(snaps.size - SnapKeep)._2
-    if (keepOldest > undoWatermark(spark, stateRoot))
-      writeWatermark(spark, stateRoot, keepOldest)
-    drop.foreach { case (l, _) =>
-      val gm = hPath(s"$stateRoot/_snapshots/asof=$l")
-      hFs(spark, gm).delete(gm, true): Unit
-      GoldState.all.foreach { sp =>
-        val d = hPath(snapDir(stateRoot, sp.name, l))
-        hFs(spark, d).delete(d, true): Unit
+    if (snaps.size > SnapKeep) {
+      val drop = snaps.dropRight(SnapKeep)
+      val keepOldest = snaps(snaps.size - SnapKeep)._2
+      if (keepOldest > undoWatermark(spark, stateRoot))
+        stage("snap.retention.watermark") {
+          writeWatermark(spark, stateRoot, keepOldest)
+        }
+      stage("snap.retention.drop") {
+        drop.foreach { case (l, _) =>
+          val gm = hPath(s"$stateRoot/_snapshots/asof=$l")
+          hFs(spark, gm).delete(gm, true): Unit
+          GoldState.all.foreach { sp =>
+            val d = hPath(snapDir(stateRoot, sp.name, l))
+            hFs(spark, d).delete(d, true): Unit
+          }
+        }
       }
     }
-    val seqOf = ledgerEntries(spark, stateRoot.stripSuffix("/state")).toMap
-    GoldState.all.foreach { sp =>
-      val dir = hPath(s"$stateRoot/${sp.name}/undo")
-      val fs = hFs(spark, dir)
-      if (fs.exists(dir)) {
-        fs.listStatus(dir).toSeq
-          .filter(_.getPath.getName.startsWith("asof="))
-          .filter { st =>
-            val l = st.getPath.getName.stripPrefix("asof=")
-            // an unledgered undo dir is a pending fold's — keep it
-            seqOf.get(l).exists(_ <= keepOldest)
-          }
-          .foreach(st => fs.delete(st.getPath, true))
+    // Undo pruning keys off the PERSISTED watermark, not the drop set
+    // computed above: after a crash between the drop and this step,
+    // the next fold's retry sees snaps.size == SnapKeep (the drop
+    // completed) and would otherwise never reach the undo prune —
+    // leaking every dead delta forever. The watermark is the durable
+    // record of how far retention committed; pruning to it is
+    // idempotent and re-runs on every fold under retention.
+    val wm = undoWatermark(spark, stateRoot)
+    if (wm > Long.MinValue) stage("snap.retention.undo") {
+      val seqOf = ledgerEntries(spark, stateRoot.stripSuffix("/state")).toMap
+      GoldState.all.foreach { sp =>
+        val dir = hPath(s"$stateRoot/${sp.name}/undo")
+        val fs = hFs(spark, dir)
+        if (fs.exists(dir)) {
+          fs.listStatus(dir).toSeq
+            .filter(_.getPath.getName.startsWith("asof="))
+            .filter { st =>
+              val l = st.getPath.getName.stripPrefix("asof=")
+              // an unledgered undo dir is a pending fold's — keep it
+              seqOf.get(l).exists(_ <= wm)
+            }
+            .foreach(st => fs.delete(st.getPath, true))
+        }
       }
     }
   }

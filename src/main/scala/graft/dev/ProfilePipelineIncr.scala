@@ -116,6 +116,14 @@ object ProfilePipelineIncr {
       .write.mode("overwrite").parquet(s"$repDir/part.parquet")
     Tables.nation(spark, sfDir)
       .write.mode("overwrite").parquet(s"$repDir/nation.parquet")
+    // events replicate 10× too (the engagement state folds them since
+    // r11): same ts spread, distinct ids/users
+    val ev = Tables.events(spark, sfDir)
+    (0 until 10).map(k => ev
+        .withColumn("event_id", col("event_id") + lit(k * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$repDir/events.parquet")
     profile(spark, "x10", repDir, s"$base/run10x")
     spark.stop()
   }

@@ -229,6 +229,155 @@ class PipelineSnapshotSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(out))
   }
 
+  test("retention crash sweep: a crash after the watermark advance, " +
+      "and a crash after the snapshot drop, are both retried to " +
+      "completion by later folds — including the undo prune, which " +
+      "keys off the persisted watermark (a drop-set-keyed retry " +
+      "would never run again once the drop completed)") {
+    assert(months.size >= 10, s"need 10 fold months, got $months")
+    val hist = months.take(10)
+    val out = Files.createTempDirectory("graft_snap_crash").toString
+    Pipeline.snapEveryOverride.set(2)
+    Pipeline.snapKeepOverride.set(2)
+    Pipeline.serializeStages.set(true)
+    try {
+      def fold(m: String): Unit =
+        Pipeline.runIncrementalWindow(spark, sf, out, Seq(m),
+          writeGold = false, rawEvents = Some(shiftedEvents)): Unit
+      def wmFile: String = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/state/_undo_watermark")),
+        "UTF-8").trim
+      def marker(l: String) = new java.io.File(
+        s"$out/state/_snapshots/asof=$l/_complete")
+      def undoLabels(state: String): Set[String] = {
+        val d = new java.io.File(s"$out/state/$state/undo")
+        Option(d.list()).getOrElse(Array.empty)
+          .filter(_.startsWith("asof=")).map(_.stripPrefix("asof=")).toSet
+      }
+      val tl = graft.etl.GoldState.topListings.name
+
+      // seqs 0..5; at seq 4's retention: drop seq-0 snapshot, wm=2
+      hist.take(6).foreach(fold)
+      assert(wmFile == "2")
+
+      // ---- leg A: crash right after the watermark ADVANCE (before
+      // the drop) at seq 6's retention (wm 2 → 4) ----
+      Pipeline.stageBoundaryHook.set(n =>
+        if (n == "snap.retention.watermark")
+          throw new RuntimeException(s"injected at $n"))
+      intercept[RuntimeException] { fold(hist(6)) }
+      Pipeline.stageBoundaryHook.remove()
+      assert(wmFile == "4", "watermark did not land before the crash")
+      assert(marker(hist(2)).exists(),
+        "drop ran before the injected crash — wrong boundary")
+      // degraded window is correct-side: over-refusal below the new
+      // watermark, exact service at/above it
+      intercept[IllegalArgumentException] {
+        Pipeline.goldAsOf(spark, out, sf, hist(3))
+      }
+      assertGold(Pipeline.goldAsOf(spark, out, sf, hist(5)),
+        expectedAt(hist(5), Analog.bookingsRaw(spark, sf)),
+        s"${hist(5)} during the degraded retention window")
+      // next fold retries the drop and the undo prune to completion
+      fold(hist(7))
+      assert(!marker(hist(2)).exists(), "retry did not finish the drop")
+      assert(!undoLabels(tl).exists(l => hist.indexOf(l) >= 0 &&
+          hist.indexOf(l) <= 4),
+        s"retry did not finish the undo prune: ${undoLabels(tl)}")
+
+      // ---- leg B: crash right after the DROP (before the undo
+      // prune) at seq 8's retention (drop seq-4 snapshot, wm 4 → 6) ----
+      Pipeline.stageBoundaryHook.set(n =>
+        if (n == "snap.retention.drop")
+          throw new RuntimeException(s"injected at $n"))
+      intercept[RuntimeException] { fold(hist(8)) }
+      Pipeline.stageBoundaryHook.remove()
+      assert(wmFile == "6" && !marker(hist(4)).exists())
+      assert(undoLabels(tl).exists(l => Seq(hist(5), hist(6)).contains(l)),
+        "undo prune ran before the injected crash — wrong boundary")
+      // seq 9's retention has NOTHING left to drop (snaps == SnapKeep)
+      // — the watermark-keyed undo stage must still prune the dead
+      // deltas the crash orphaned
+      fold(hist(9))
+      for (s <- graft.etl.GoldState.all) {
+        val stale = undoLabels(s.name)
+          .filter(l => hist.indexOf(l) >= 0 && hist.indexOf(l) <= 6)
+        assert(stale.isEmpty,
+          s"dead undos leaked past the crash in ${s.name}: $stale")
+      }
+      // full service across the retained horizon after both crashes
+      for (i <- Seq(7, 8, 9))
+        assertGold(Pipeline.goldAsOf(spark, out, sf, hist(i)),
+          expectedAt(hist(i), Analog.bookingsRaw(spark, sf)),
+          s"${hist(i)} after both retention crashes")
+      intercept[IllegalArgumentException] {
+        Pipeline.goldAsOf(spark, out, sf, hist(5))
+      }
+    } finally {
+      Pipeline.stageBoundaryHook.remove()
+      Pipeline.serializeStages.remove()
+      Pipeline.snapEveryOverride.set(-1)
+      Pipeline.snapKeepOverride.set(-1)
+    }
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(out))
+  }
+
+  test("a crash MID-SWEEP (one state's snapshot written, marker " +
+      "absent) repairs at the next fold — together with the crashed " +
+      "fold's own never-written snapshot") {
+    assert(months.size >= 6, s"need 6 fold months, got $months")
+    val hist = months.take(6)
+    val out = Files.createTempDirectory("graft_sweep_crash").toString
+    Pipeline.snapEveryOverride.set(2)
+    Pipeline.serializeStages.set(true)
+    try {
+      def fold(m: String): Unit =
+        Pipeline.runIncrementalWindow(spark, sf, out, Seq(m),
+          writeGold = false, rawEvents = Some(shiftedEvents)): Unit
+      hist.take(4).foreach(fold) // seqs 0..3; snapshots at 0, 2
+      val lost = hist(2)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$out/state/_snapshots/asof=$lost"))
+      for {
+        d <- new java.io.File(s"$out/state").listFiles().toSeq
+        snap = new java.io.File(d, s"snap/asof=$lost")
+        if snap.exists()
+      } org.apache.commons.io.FileUtils.deleteDirectory(snap)
+      // fold seq 4: the sweep reconstructs seq 2 FIRST (ledger
+      // order); crash after its first state's snapshot write — both
+      // seq 2 (partial, no marker) and seq 4 (never started) are lost
+      var fired = false
+      Pipeline.stageBoundaryHook.set(n =>
+        if (n == s"snapshot.${graft.etl.GoldState.listingPrice.name}" &&
+            !fired) {
+          fired = true; throw new RuntimeException(s"injected at $n")
+        })
+      intercept[RuntimeException] { fold(hist(4)) }
+      Pipeline.stageBoundaryHook.remove()
+      assert(!new java.io.File(
+          s"$out/state/_snapshots/asof=$lost/_complete").exists())
+      // next fold's sweep repairs BOTH
+      fold(hist(5))
+      for ((l, seq) <- Seq(lost -> 2, hist(4) -> 4)) {
+        val m = new java.io.File(s"$out/state/_snapshots/asof=$l/_complete")
+        assert(m.exists(), s"sweep did not repair asof=$l")
+        val stamp = new String(
+          java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim
+        assert(stamp == seq.toString, s"asof=$l stamped '$stamp'")
+        assertGold(Pipeline.goldAsOf(spark, out, sf, l),
+          expectedAt(l, Analog.bookingsRaw(spark, sf)),
+          s"$l from the crash-repaired snapshot")
+      }
+    } finally {
+      Pipeline.stageBoundaryHook.remove()
+      Pipeline.serializeStages.remove()
+      Pipeline.snapEveryOverride.set(-1)
+    }
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(out))
+  }
+
   test("the prune watermark write is atomic and every crash window " +
       "recovers (r12 ADVICE #2)") {
     val root = Files.createTempDirectory("graft_wm").toString + "/state"

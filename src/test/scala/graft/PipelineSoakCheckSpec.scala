@@ -224,12 +224,12 @@ class PipelineSoakCheckSpec extends SparkSpec {
       "cumulative corrected inputs; every closing label replays " +
       "exactly through goldAsOf or is refused loudly") {
     val params = Gen.Parameters.default
-    val scenarios = (0 until 2).map { i =>
+    val scenarios = (0 until 4).map { i =>
       genScenario.pureApply(params, org.scalacheck.rng.Seed(913L + i))
     }
-    // the two seeds must differ somewhere, or the sample proves less
+    // the seeds must differ somewhere, or the sample proves less
     // than it claims
-    assert(scenarios.distinct.size == 2,
+    assert(scenarios.distinct.size == scenarios.size,
       s"degenerate sample: $scenarios")
     scenarios.zipWithIndex.foreach { case (plans, i) =>
       runScenario(plans, s"s$i")
