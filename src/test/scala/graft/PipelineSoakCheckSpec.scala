@@ -13,9 +13,10 @@ import graft.io.Tables
   * soaks approximate the algebra's real claim — closure under
   * ARBITRARY composition of nightly phase sets, rollback points, and
   * anchor reads. This spec samples bounded scenarios from a ScalaCheck
-  * generator (phase subset per night from {late-slice, attr move,
-  * rate fix, window, fragment+compact}, an optional rollback+repair
-  * after each night) at FIXED seeds — deterministic per the repo's
+  * generator (phase subset per night from {late-slice, dim price
+  * bump, attr move, rate fix, window, fragment+compact}, an optional
+  * rollback+repair after each night) at FIXED seeds — deterministic
+  * per the repo's
   * no-RNG contract, while still exploring compositions nobody
   * hand-picked — and asserts after EVERY generated night that the
   * published warehouse ≡ the one-shot rebuild over that night's
@@ -25,9 +26,12 @@ import graft.io.Tables
   *
   * Late corrections arrive as disjoint slices (booking_id % 6 ∈ {0,3}
   * of the 1995-03/04 months), rate fixes climb a fixed ladder
-  * (EUR 1.1 → 1.2 → 1.25), the attr move applies at most once, and
-  * windows consume the next unfolded months in order — so every
-  * generated sequence has a well-defined one-shot expectation. */
+  * (EUR 1.1 → 1.2 → 1.25), the dim price bump and the attr move each
+  * apply at most once, and windows consume the next unfolded months
+  * in order — so every generated sequence has a well-defined one-shot
+  * expectation. A dim update landing while later listing months are
+  * still unfolded also re-exercises the r12 folded-horizon guard
+  * under generated composition. */
 class PipelineSoakCheckSpec extends SparkSpec {
   import spark.implicits._
 
@@ -57,6 +61,12 @@ class PipelineSoakCheckSpec extends SparkSpec {
     when(col("id") % 13 === 5, lit("ATLANTIS"))
       .otherwise(col("cityname")))
     .localCheckpoint(true)
+  private lazy val origApts = Analog.apartmentsRaw(spark, sf)
+    .localCheckpoint(true)
+  private lazy val bumpedApts = origApts.withColumn("price",
+    when(col("id") % 7 === 3, col("price") * 1.1)
+      .otherwise(col("price")))
+    .localCheckpoint(true)
   private val rateLadder = Seq(1.2, 1.25)
   private def ratesAt(v: Double): DataFrame =
     Seq(("USD", 1.0), ("EUR", v), ("INR", 0.012))
@@ -66,15 +76,14 @@ class PipelineSoakCheckSpec extends SparkSpec {
     .localCheckpoint(true)
 
   private case class Expected(cutoff: String, bookings: DataFrame,
-      attrs: DataFrame, rates: DataFrame) {
+      apts: DataFrame, attrs: DataFrame, rates: DataFrame) {
     lazy val curated: DataFrame = Curate.curate(bookings,
-        Analog.apartmentsRaw(spark, sf), attrs, rates)
+        apts, attrs, rates)
       .filter(date_format(col("booking_date"), "yyyy-MM") <= cutoff)
       .localCheckpoint(true)
     lazy val conv: DataFrame = Curate.convertApartmentPrices(
-        Curate.parseRawDates(Curate.dedup(
-          Analog.apartmentsRaw(spark, sf)), Seq("listing_created_on")),
-        rates)
+        Curate.parseRawDates(Curate.dedup(apts),
+          Seq("listing_created_on")), rates)
       .filter(date_format(col("listing_created_on"), "yyyy-MM") <= cutoff)
     lazy val events: DataFrame = shiftedEvents
       .filter(date_format(col("ts"), "yyyy-MM") <= cutoff)
@@ -99,17 +108,18 @@ class PipelineSoakCheckSpec extends SparkSpec {
   }
 
   // ---- the generator: one bounded scenario = 3 night plans ----
-  private case class NightPlan(late: Boolean, attr: Boolean,
-      rate: Boolean, window: Boolean, compact: Boolean,
+  private case class NightPlan(late: Boolean, dim: Boolean,
+      attr: Boolean, rate: Boolean, window: Boolean, compact: Boolean,
       rollback: Boolean)
   private val genNight: Gen[NightPlan] = for {
     late <- Gen.oneOf(true, false)
+    dim <- Gen.oneOf(true, false)
     attr <- Gen.oneOf(true, false)
     rate <- Gen.oneOf(true, false)
     window <- Gen.oneOf(true, false)
     compact <- Gen.oneOf(true, false)
     rollback <- Gen.oneOf(true, false)
-  } yield NightPlan(late, attr, rate, window, compact, rollback)
+  } yield NightPlan(late, dim, attr, rate, window, compact, rollback)
   private val genScenario: Gen[List[NightPlan]] = Gen.listOfN(3, genNight)
 
   private def fragmentOne(out: String): Boolean = {
@@ -138,6 +148,8 @@ class PipelineSoakCheckSpec extends SparkSpec {
     var cutoff = hist(5)
     var bookings = onTime
     var slicesLeft = lateSlices.indices.toList
+    var aptsNow = origApts
+    var dimLeft = true
     var attrsNow = origAttrs
     var attrLeft = true
     var rateSteps = rateLadder.toList
@@ -151,6 +163,9 @@ class PipelineSoakCheckSpec extends SparkSpec {
         val s = slicesLeft.head; slicesLeft = slicesLeft.tail
         Some(lateSlices(s))
       } else None
+      val dimDelta = if (p.dim && dimLeft) {
+        dimLeft = false; Some(bumpedApts)
+      } else None
       val attrDelta = if (p.attr && attrLeft) {
         attrLeft = false; Some(movedAttrs)
       } else None
@@ -163,6 +178,7 @@ class PipelineSoakCheckSpec extends SparkSpec {
       } else Nil
       val doCompact = p.compact && fragmentOne(out)
       val deltas = Pipeline.NightlyDeltas(
+        apartmentUpdates = dimDelta,
         attributeUpdates = attrDelta,
         rateUpdates = rateDelta,
         lateBookings = lateDelta,
@@ -174,9 +190,11 @@ class PipelineSoakCheckSpec extends SparkSpec {
         Pipeline.runNightly(spark, sf, out, deltas)
         // cumulative expectation
         lateDelta.foreach(d => bookings = bookings.unionByName(d))
+        dimDelta.foreach(_ => aptsNow = bumpedApts)
         attrDelta.foreach(_ => attrsNow = movedAttrs)
         if (winDelta.nonEmpty) cutoff = winDelta.last
-        val exp = Expected(cutoff, bookings, attrsNow, ratesAt(rateNow))
+        val exp = Expected(cutoff, bookings, aptsNow, attrsNow,
+          ratesAt(rateNow))
         // optional rollback+repair of the night's newest fold, when
         // it is a rollback-able kind (dim-kind folds refuse by
         // contract — compensation is their path, covered elsewhere)
