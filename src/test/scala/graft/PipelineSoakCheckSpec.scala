@@ -107,10 +107,16 @@ class PipelineSoakCheckSpec extends SparkSpec {
       s"manifest still pending at $at")
   }
 
-  // ---- the generator: one bounded scenario = 3 night plans ----
+  // ---- the generator: one bounded scenario = 2..4 night plans plus
+  // a snapshot-mode draw (r13 verdict asks #5/#6: snap cadence and
+  // retention — including the SnapKeep=1 boundary the r13 ADVICE
+  // found broken — are generated dimensions, and the sample covers
+  // variable night counts, not just 3) ----
   private case class NightPlan(late: Boolean, dim: Boolean,
       attr: Boolean, rate: Boolean, window: Boolean, compact: Boolean,
       rollback: Boolean)
+  private case class Scenario(nights: List[NightPlan], snapEvery: Int,
+      snapKeep: Int)
   private val genNight: Gen[NightPlan] = for {
     late <- Gen.oneOf(true, false)
     dim <- Gen.oneOf(true, false)
@@ -120,7 +126,33 @@ class PipelineSoakCheckSpec extends SparkSpec {
     compact <- Gen.oneOf(true, false)
     rollback <- Gen.oneOf(true, false)
   } yield NightPlan(late, dim, attr, rate, window, compact, rollback)
-  private val genScenario: Gen[List[NightPlan]] = Gen.listOfN(3, genNight)
+  private val genScenario: Gen[Scenario] = for {
+    n <- Gen.choose(2, 4)
+    nights <- Gen.listOfN(n, genNight)
+    // 0 = pruning mode; 2 = snapshot cadence 2 (cadence 1 is pinned
+    // by PipelineSnapshotSpec's dedicated SnapKeep=1 leg — drawing it
+    // here would double the generated suite's snapshot writes for a
+    // boundary a targeted leg already owns)
+    snapEvery <- Gen.oneOf(0, 2)
+    snapKeep <- Gen.oneOf(1, 2, 3)  // retention bound (1 = the r13 cap)
+  } yield Scenario(nights, snapEvery, snapKeep)
+
+  /** The 6-fold on-time base warehouse, built ONCE per snapshot mode
+    * and COPIED per scenario (the PipelineNightlySpec copyBase
+    * pattern) — the per-scenario rebuild was 48 base folds across 8
+    * scenarios, ~3× the suite's useful work. Base builds run with
+    * SnapKeep=0 (keep-all); each scenario's own retention prunes the
+    * copy down on its first fold — the idempotent catch-up path. */
+  private lazy val baseRoots: Map[Int, String] = Seq(0, 2).map { se =>
+    val d = Files.createTempDirectory(s"graft_gen_base$se").toString
+    Pipeline.snapEveryOverride.set(se)
+    try months.take(6).foreach { m =>
+      Pipeline.runIncrementalWindow(spark, sf, d, Seq(m),
+        writeGold = false, rawBookings = Some(onTime),
+        rawEvents = Some(shiftedEvents)): Unit
+    } finally Pipeline.snapEveryOverride.set(-1)
+    se -> d
+  }.toMap
 
   private def fragmentOne(out: String): Boolean = {
     val cand = Pipeline.bucketFileCounts(spark, out)
@@ -134,17 +166,38 @@ class PipelineSoakCheckSpec extends SparkSpec {
     cand.nonEmpty
   }
 
+  private case class InjectedCrash(at: String)
+    extends RuntimeException(s"injected crash after $at")
+  private def causedByInjection(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(_.isInstanceOf[InjectedCrash])
+  /** Boundary CLASSES (the PipelineNightlySpec mechanical selection,
+    * not a per-boundary sweep): 0 = the manifest persist, 1 = the
+    * night's first phase's resumable-unit persist (kind-dependent),
+    * 2 = the Gold publish. */
+  private val phaseStage = Map(
+    "dim" -> "dim.delta.persist", "att" -> "attr.delta.persist",
+    "rate" -> "rate.delta.persist", "late" -> "late.delta.persist",
+    "evt" -> "events.delta.persist", "win" -> "curate.delta.write",
+    "cmp" -> "cmp.delta.persist")
+
   /** Run one generated scenario end-to-end; returns nothing, fails
-    * the test on any divergence. */
-  private def runScenario(plans: List[NightPlan], tag: String): Unit = {
+    * the test on any divergence. `inject` = (nightIdx, boundaryClass):
+    * the first non-empty night at/after nightIdx runs with a crash
+    * injected at that boundary class and recovers via resumeNightly —
+    * the recovered night must STILL equal the one-shot expectation
+    * (r13 verdict ask #5). */
+  private def runScenario(s: Scenario, tag: String,
+      inject: Option[(Int, Int)] = None): Unit = {
+    val plans = s.nights
     val hist = months.take(8)
     val out = Files.createTempDirectory(s"graft_gen_$tag").toString
-    // base: folds through hist(5) on the on-time feed
-    hist.take(6).foreach { m =>
-      Pipeline.runIncrementalWindow(spark, sf, out, Seq(m),
-        writeGold = false, rawBookings = Some(onTime),
-        rawEvents = Some(shiftedEvents)): Unit
-    }
+    // base: folds through hist(5) on the on-time feed (cached copy)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(baseRoots(s.snapEvery)), new java.io.File(out))
+    Pipeline.snapEveryOverride.set(s.snapEvery)
+    Pipeline.snapKeepOverride.set(s.snapKeep)
+    try {
     var cutoff = hist(5)
     var bookings = onTime
     var slicesLeft = lateSlices.indices.toList
@@ -155,6 +208,7 @@ class PipelineSoakCheckSpec extends SparkSpec {
     var rateSteps = rateLadder.toList
     var rateNow = 1.1
     var winsLeft = List(hist(6), hist(7))
+    var injected = false
     val anchors = scala.collection.mutable.ListBuffer
       .empty[(String, Expected)]
 
@@ -187,7 +241,33 @@ class PipelineSoakCheckSpec extends SparkSpec {
         windowEvents = if (winDelta.nonEmpty) Some(shiftedEvents) else None,
         compactBuckets = doCompact)
       if (deltas.phases.nonEmpty) {
-        Pipeline.runNightly(spark, sf, out, deltas)
+        val doInject = inject.exists(_._1 <= i) && !injected
+        if (doInject) {
+          val cls = inject.get._2
+          val matcher: String => Boolean = cls match {
+            case 0 => _ == "nightly.manifest.persist"
+            case 1 => _ == phaseStage(deltas.phases.head)
+            case _ => _.startsWith("nightly.present.")
+          }
+          var fired = false
+          Pipeline.stageBoundaryHook.set(n =>
+            if (!fired && matcher(n)) {
+              fired = true; throw InjectedCrash(n)
+            })
+          val crashed =
+            try { Pipeline.runNightly(spark, sf, out, deltas); false }
+            catch {
+              case _: InjectedCrash => true
+              case e: Throwable if causedByInjection(e) => true
+            }
+          Pipeline.stageBoundaryHook.remove()
+          assert(crashed, s"$tag night $i: boundary class $cls never " +
+            s"fired for phases ${deltas.phases}")
+          assert(Pipeline.pendingNightly(spark, out).nonEmpty,
+            s"$tag night $i: no pending manifest after injected crash")
+          Pipeline.resumeNightly(spark, sf, out)
+          injected = true
+        } else Pipeline.runNightly(spark, sf, out, deltas)
         // cumulative expectation
         lateDelta.foreach(d => bookings = bookings.unionByName(d))
         dimDelta.foreach(_ => aptsNow = bumpedApts)
@@ -233,24 +313,60 @@ class PipelineSoakCheckSpec extends SparkSpec {
             s"$tag anchor $label: unexpected refusal ${e.getMessage}")
       }
     }
+    if (inject.isDefined)
+      assert(injected, s"$tag: no non-empty night at/after " +
+        s"${inject.get._1} — the injection never ran (degenerate seed)")
+    } finally {
+      Pipeline.stageBoundaryHook.remove()
+      Pipeline.snapEveryOverride.set(-1)
+      Pipeline.snapKeepOverride.set(-1)
+    }
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(out))
   }
 
-  test("ScalaCheck-generated 3-night scenarios (fixed seeds): after " +
+  test("ScalaCheck-generated scenarios (8 fixed seeds, 2-4 nights, " +
+      "generated snap cadence/retention incl. SnapKeep=1): after " +
       "every generated night the warehouse ≡ one-shot over the " +
       "cumulative corrected inputs; every closing label replays " +
       "exactly through goldAsOf or is refused loudly") {
     val params = Gen.Parameters.default
-    val scenarios = (0 until 4).map { i =>
+    val scenarios = (0 until 8).map { i =>
       genScenario.pureApply(params, org.scalacheck.rng.Seed(913L + i))
     }
     // the seeds must differ somewhere, or the sample proves less
-    // than it claims
+    // than it claims — and the generated snap dims must actually vary
     assert(scenarios.distinct.size == scenarios.size,
       s"degenerate sample: $scenarios")
-    scenarios.zipWithIndex.foreach { case (plans, i) =>
-      runScenario(plans, s"s$i")
+    assert(scenarios.map(_.snapEvery).distinct.size > 1 &&
+      scenarios.map(_.snapKeep).distinct.size > 1 &&
+      scenarios.map(_.nights.size).distinct.size > 1,
+      s"snap/night draws did not vary: $scenarios")
+    scenarios.zipWithIndex.foreach { case (s, i) =>
+      runScenario(s, s"s$i")
     }
+  }
+
+  test("generated scenarios WITH crash injection (r13 verdict ask " +
+      "#5): a generated night crashes at a generated boundary class " +
+      "(manifest persist / first-phase persist / Gold publish), " +
+      "recovers via resumeNightly, and the recovered warehouse must " +
+      "STILL equal the one-shot expectation; anchors exact-or-loud") {
+    Pipeline.serializeStages.set(true)
+    try {
+      val params = Gen.Parameters.default
+      (0 until 2).foreach { i =>
+        val s = genScenario.pureApply(params,
+          org.scalacheck.rng.Seed(4177L + i))
+        val night = Gen.choose(0, 1).pureApply(params,
+          org.scalacheck.rng.Seed(5301L + i))
+        val cls = Gen.choose(0, 2).pureApply(params,
+          org.scalacheck.rng.Seed(6421L + i))
+        runScenario(s, s"inj$i", inject = Some((night, cls)))
+      }
+    } finally Pipeline.serializeStages.remove()
+    // last test in the file: retire the cached bases
+    baseRoots.values.foreach(d => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(d)))
   }
 }
