@@ -249,8 +249,13 @@ object Analytics {
     require(topN > 0, "topN must be positive")
     require(maxBasket >= 2, "maxBasket must be at least 2")
     import org.apache.spark.sql.expressions.Window
+    // materialized once: n_orders, item counts and both self-join
+    // sides all consume the distinct (order, item) set —
+    // un-checkpointed, the lineitem scan + distinct runs four times
+    // (guide §2.4). Two-long rows; order lines never re-read.
     val items = lineitem.select(col(orderCol).as("ord"),
       col(itemCol).as("item")).distinct()
+      .localCheckpoint(true)
     val nOrders = items.select(col("ord")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCounts = items.groupBy("item")

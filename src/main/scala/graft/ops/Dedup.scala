@@ -124,7 +124,11 @@ object Dedup {
       if (shingleLen == 0) TextOps.tokenSetSorted(col(textCol))
       else graft.functions.TextExpressions.sorted_distinct_shingles(
         TextOps.tokens(col(textCol)), shingleLen)
+    // materialized once: both verify joins (id_a, id_b) consume the
+    // sets — un-checkpointed, the tokenize+shingle corpus pass is
+    // planned (and run) twice (guide §2.4)
     val sets = docs.select(col(idCol), items.as("toks"))
+      .localCheckpoint(true)
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("toks").as("toks_b")), "id_b")
@@ -275,8 +279,11 @@ object Dedup {
     * never silently disagree on the pair measure). */
   private def allPairsJaccard(docs: DataFrame, textCol: String,
                               idCol: String): DataFrame = {
+    // materialized once: both cross-join sides consume the token
+    // sets — un-checkpointed, the tokenize pass runs twice (guide §2.4)
     val sets = docs.select(col(idCol),
       TextOps.tokenSetSorted(col(textCol)).as("toks"))
+      .localCheckpoint(true)
     val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
     val b = sets.select(col(idCol).as("id_b"), col("toks").as("toks_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -475,15 +482,31 @@ object Dedup {
   def containmentCandidates(docs: DataFrame, threshold: Double = 0.8,
                             shingleLen: Int = ShingleLen,
                             textCol: String = "text",
-                            idCol: String = "doc_id"): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
+                            idCol: String = "doc_id"): DataFrame =
+    containmentCandidatesFrom(
+      shingleSetsCk(docs, shingleLen, textCol, idCol), threshold)
+
+  /** The df-ranked inverted index both prefix-filter families probe:
+    * (id, s, df, n_a, pos). NOT checkpointed: although both join
+    * sides (probe prefix, index prefix) derive from it, the two
+    * shuffles below it are identical and AQE reuses the map stages at
+    * runtime — measured: materializing it instead cost +0.5-0.9 s per
+    * query at sf0.1 (the exploded inverted index is the largest frame
+    * in the family; the window recompute above the reused exchange is
+    * cheaper than writing the rows out). */
+  private def rankedFrom(sets: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = docs.select(col(idCol).as("id"),
-      graft.functions.TextExpressions.sorted_distinct_shingles(
-        TextOps.tokens(col(textCol)), shingleLen).as("sh"))
     val inv = sets.select(col("id"), explode(col("sh")).as("s"))
-    val withDf = inv.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("s")))
+    inv.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("s")))
+      .withColumn("n_a", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+  }
+
+  private def containmentCandidatesFrom(sets: DataFrame,
+                                        threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
     // rarest-first prefix of the CONTAINED side: rank each doc's
     // shingles by (df asc, shingle asc); prefix size n−⌈θ·n⌉+1
     // (≡ ⌊(1−θ)n⌋+1 in exact arithmetic — the integer form with a
@@ -491,10 +514,7 @@ object Dedup {
     // prefix: floor((1−θ)·n) in doubles lands BELOW the lossless
     // bound whenever (1−θ)n is an exact integer, e.g. θ=0.8, n=10
     // → 1.9999… → a one-short prefix that silently misses pairs)
-    val ranked = withDf
-      .withColumn("n_a", count(lit(1)).over(Window.partitionBy("id")))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+    val ranked = rankedFrom(sets)
     val prefix = ranked.filter(
       col("pos") <= col("n_a") -
         ceil(lit(threshold) * col("n_a").cast("double") - lit(1e-6))
@@ -538,19 +558,14 @@ object Dedup {
   def jaccardCandidates(docs: DataFrame, threshold: Double = 0.8,
                         shingleLen: Int = ShingleLen,
                         textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id"): DataFrame =
+    jaccardCandidatesFrom(
+      shingleSetsCk(docs, shingleLen, textCol, idCol), threshold)
+
+  private def jaccardCandidatesFrom(sets: DataFrame,
+                                    threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
-    import org.apache.spark.sql.expressions.Window
-    val sets = docs.select(col(idCol).as("id"),
-      graft.functions.TextExpressions.sorted_distinct_shingles(
-        TextOps.tokens(col(textCol)), shingleLen).as("sh"))
-    val inv = sets.select(col("id"), explode(col("sh")).as("s"))
-    val withDf = inv.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("s")))
-    val ranked = withDf
-      .withColumn("n_a", count(lit(1)).over(Window.partitionBy("id")))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+    val ranked = rankedFrom(sets)
     val alpha = ceil(
       lit(2 * threshold / (1 + threshold)) * col("n_a").cast("double")
         - lit(1e-6)).cast("long")
@@ -598,6 +613,25 @@ object Dedup {
       .distinct()
   }
 
+  /** ONE materialized pass computing each doc's sorted distinct
+    * shingle set — the shared input of candidate generation AND
+    * verification. Eager localCheckpoint: without it every plan
+    * branch that mentions the sets (the candidate prefix side, the
+    * candidate index side, the id_a verify join, the id_b verify
+    * join) re-runs the tokenize+shingle scan — q112's before-plan
+    * carried SIX full document scans, each with the
+    * sorted_distinct_shingles expression additionally re-computed
+    * inside Generate's inferred size()>0 filter (guide §2.4 "remove
+    * shuffles/passes outright", §8 "make every pass but the last
+    * operate on a computed-once proxy"). At 100 TB this is the
+    * fingerprint-table materialization of guide §8 step 1. */
+  private def shingleSetsCk(docs: DataFrame, shingleLen: Int,
+                            textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextExpressions.sorted_distinct_shingles(
+        TextOps.tokens(col(textCol)), shingleLen).as("sh"))
+      .localCheckpoint(true)
+
   /** Dictionary-encoded shingle sets for pair VERIFICATION (Vernica
     * et al. 2010's token-ordering step): each distinct shingle maps
     * to a dense long id, each doc to the SORTED long array of its
@@ -610,13 +644,13 @@ object Dedup {
     * partition but VOCAB-bounded (distinct shingles, not corpus
     * rows); at the 100 TB shape the same ids come from a distributed
     * sort + per-partition offsets — the ordering itself carries no
-    * semantics, any bijection works. */
-  private def encodedSets(docs: DataFrame, shingleLen: Int,
-                          textCol: String, idCol: String): DataFrame = {
+    * semantics, any bijection works. Input `sets` is an
+    * already-materialized [[shingleSetsCk]] frame; the result is
+    * checkpointed as well because both verify joins (id_a, id_b)
+    * consume it — un-checkpointed, the vocab dictionary window and
+    * the per-doc regroup would each run twice. */
+  private def encodedSetsFrom(sets: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = docs.select(col(idCol).as("id"),
-      graft.functions.TextExpressions.sorted_distinct_shingles(
-        TextOps.tokens(col(textCol)), shingleLen).as("sh"))
     val inv = sets.select(col("id"), explode(col("sh")).as("s"))
     val dict = inv.select("s").distinct()
       .withColumn("sid",
@@ -624,15 +658,17 @@ object Dedup {
     inv.join(dict, "s")
       .groupBy("id")
       .agg(sort_array(collect_list(col("sid"))).as("sh"))
+      .localCheckpoint(true)
   }
 
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
                        shingleLen: Int = ShingleLen,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val sets = encodedSets(docs, shingleLen, textCol, idCol)
-    val candIds =
-      containmentCandidates(docs, threshold, shingleLen, textCol, idCol)
+    // ONE shingle pass feeds candidates AND verification (guide §2.4)
+    val shSets = shingleSetsCk(docs, shingleLen, textCol, idCol)
+    val sets = encodedSetsFrom(shSets)
+    val candIds = containmentCandidatesFrom(shSets, threshold)
     candIds
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -659,8 +695,10 @@ object Dedup {
                        shingleLen: Int = ShingleLen,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val sets = encodedSets(docs, shingleLen, textCol, idCol)
-    jaccardCandidates(docs, threshold, shingleLen, textCol, idCol)
+    // ONE shingle pass feeds candidates AND verification (guide §2.4)
+    val shSets = shingleSetsCk(docs, shingleLen, textCol, idCol)
+    val sets = encodedSetsFrom(shSets)
+    jaccardCandidatesFrom(shSets, threshold)
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),

@@ -59,11 +59,17 @@ object Importance {
       .select(col(idCol), col("pos"),
         (conv(substring(md5(col("gram")), 1, 3), 16, 10)
           .cast(LongType) % buckets).as("bucket"))
-    def bucketCounts(df: DataFrame, cnt: String) =
-      features(df).groupBy(col("bucket"))
+    def bucketCounts(feats: DataFrame, cnt: String) =
+      feats.groupBy(col("bucket"))
         .agg(count(lit(1)).as(cnt))
-    val ct = bucketCounts(target, "c_t")
-    val cr = bucketCounts(raw, "c_r")
+    // the raw corpus's hashed-feature rows feed BOTH the bucket-count
+    // aggregate and the per-doc ratio regroup below; materialized once
+    // (eager localCheckpoint) so the tokenize + per-gram md5 pass —
+    // the dominant cost — runs once instead of twice (guide §2.4).
+    // (id, pos, bucket) rows only: bodies never materialize.
+    val rawFeats = features(raw).localCheckpoint(true)
+    val ct = bucketCounts(features(target), "c_t")
+    val cr = bucketCounts(rawFeats, "c_r")
     // full outer: a bucket seen in only one corpus still needs its
     // smoothed ratio (that asymmetry IS the signal)
     val aB = alpha * buckets
@@ -86,7 +92,7 @@ object Importance {
             / (col("n_t").cast(DoubleType) + lit(aB)))
           / ((col("c_r").cast(DoubleType) + lit(alpha))
             / (col("n_r").cast(DoubleType) + lit(aB)))).as("ratio"))
-    features(raw).join(broadcast(ratios), "bucket")
+    rawFeats.join(broadcast(ratios), "bucket")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"),
         aggregate(array_sort(collect_list(struct(col("pos"), col("ratio")))),

@@ -1206,8 +1206,12 @@ object TextOps {
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
+    // materialized once: the model counts AND the per-doc score join
+    // both consume the exploded bigrams — un-checkpointed, the
+    // tokenize + zip_with + explode pass runs twice (guide §2.4)
     val exploded = docs.select(col(idCol),
       posexplode(bigrams).as(Seq("pos", "bigram")))
+      .localCheckpoint(true)
     val bigramCounts = exploded.groupBy(col("bigram"))
       .agg(count(lit(1)).as("c_bigram"))
     // c(w1·) = Σ over bigrams starting with w1 — computed from the
@@ -1829,7 +1833,11 @@ object TextOps {
     require(k > 0 && minDf >= 2, "need k > 0, minDf >= 2")
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-    val wins = stride1WindowHashes(base, k, idCol)
+    // materialized once: the df filter AND the position join both
+    // consume the window hashes — un-checkpointed, the tokenize +
+    // stride-1 hash pass runs twice (guide §2.4). (id, p, wh) rows
+    // only; token arrays stay out.
+    val wins = stride1WindowHashes(base, k, idCol).localCheckpoint(true)
     val dupPairs = wins.select(col(idCol), col("wh")).distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy("wh")))
       .filter(col("df") >= minDf)
@@ -2606,9 +2614,14 @@ object TextOps {
     val toksC = tokens(col(textCol))
     val base = docs.select(col(idCol).as("id"), toksC.as("toks"),
       size(toksC).cast(LongType).as("dln"))
+    // materialized once: BOTH the per-term df aggregate and the
+    // scoring join below consume the postings — un-checkpointed, the
+    // tokenize + explode + (id, term) groupBy runs twice (guide §2.4).
+    // (id, dln, term, tf) rows only — no token arrays cross.
     val postings = base
       .select(col("id"), col("dln"), explode(col("toks")).as("term"))
       .groupBy("id", "dln", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val stats = base.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
       sum(col("dln")).as("sum_dl"))
     // postings are unique per (id, term), so a per-term row count IS
