@@ -1230,15 +1230,21 @@ object SparkEntry {
     // wholesale with partials over the corrected curate). Oracle =
     // the one-shot weekly city counts over the corrected attributes.
     "q204_attr_repair_cities" -> ((s, dir) => {
-      val correctedAttrs = Analog.attributesRaw(s, dir)
-        .withColumn("cityname",
-          when(col("id") % 13 === 5, lit("ATLANTIS"))
-            .otherwise(col("cityname")))
-      val corrCur = Curate.curate(Analog.bookingsRaw(s, dir),
-        Analog.apartmentsRaw(s, dir), correctedAttrs,
-        Tables.exchangeRates(s))
-      val stale = graft.etl.GoldState.popularCitiesPartial(
-        Analog.curated(s, dir))
+      // r14: the correction enters as a COLUMN REWRITE over ONE
+      // curated build (the q210/q211 device — cityname null = attr
+      // left-join miss and attributesRaw citynames are never null, so
+      // the guarded rewrite is pointwise identical to curating over
+      // corrected attributes); the previous shape paid a second full
+      // Bronze→Silver rebuild. Oracle unchanged, hash re-proven.
+      val cur0 = Analog.curated(s, dir)
+        .select("apartment_id", "booking_id", "booking_date",
+          "booking_status", "cityname")
+        .localCheckpoint(true)
+      val hasAttr = col("cityname").isNotNull
+      val corrCur = cur0.withColumn("cityname",
+        when(col("apartment_id") % 13 === 5 && hasAttr, lit("ATLANTIS"))
+          .otherwise(col("cityname")))
+      val stale = graft.etl.GoldState.popularCitiesPartial(cur0)
       val touched = corrCur
         .filter(col("apartment_id") % 13 === 5 &&
           col("booking_status") === "confirmed")
@@ -1266,20 +1272,18 @@ object SparkEntry {
     // no single-repair query exercises). Final table ≡ the one-shot
     // oracle over the corrected attributes, proven by hash.
     "q205_interleaved_repair" -> ((s, dir) => {
-      val correctedAttrs = Analog.attributesRaw(s, dir)
-        .withColumn("cityname",
-          when(col("id") % 13 === 5, lit("ATLANTIS"))
-            .otherwise(col("cityname")))
-      val corrCur = Curate.curate(Analog.bookingsRaw(s, dir),
-          Analog.apartmentsRaw(s, dir), correctedAttrs,
-          Tables.exchangeRates(s))
-        .select("apartment_id", "booking_id", "booking_date",
-          "booking_status", "cityname")
-        .localCheckpoint(true)
+      // r14: ONE curated build + the q210/q211 column-rewrite device
+      // (cityname null = attr left-join miss, so the guarded rewrite
+      // is pointwise identical to curating over corrected attributes);
+      // the previous shape paid TWO full Bronze→Silver rebuilds.
+      // Oracle unchanged, hash re-proven.
       val origCur = Analog.curated(s, dir)
         .select("apartment_id", "booking_id", "booking_date",
           "booking_status", "cityname")
         .localCheckpoint(true)
+      val corrCur = origCur.withColumn("cityname",
+        when(col("apartment_id") % 13 === 5 && col("cityname").isNotNull,
+          lit("ATLANTIS")).otherwise(col("cityname")))
       val isLate = date_format(col("booking_date"), "yyyy-MM")
         .isin("1995-03", "1995-04") && col("booking_id") % 3 === 0
       // t0: on-time fold (original attrs)
@@ -1320,16 +1324,16 @@ object SparkEntry {
         .withColumn("usd_rate",
           when(col("currency") === "EUR", lit(1.2))
             .otherwise(col("usd_rate")))
-      val stale = graft.etl.GoldState.topListingsPartial(
-        Analog.curated(s, dir))
-      // feeds the touched-week collect AND the week recompute — one
-      // curate rebuild (single-tokenize discipline)
-      val corrected = Curate.curate(Analog.bookingsRaw(s, dir),
-          Analog.apartmentsRaw(s, dir), Analog.attributesRaw(s, dir),
-          fixedRates)
+      // r14: ONE curated build — the corrected history re-derives
+      // from the SAME build via the production repair re-derivation
+      // (recurateBookingRate, the q208 device: a rate fix only moves
+      // the USD columns); the previous shape paid a second full
+      // Bronze→Silver rebuild. Oracle unchanged, hash re-proven.
+      val full = Analog.curated(s, dir).localCheckpoint(true)
+      val stale = graft.etl.GoldState.topListingsPartial(full)
+      val corrected = Curate.recurateBookingRate(full, fixedRates)
         .select("booking_date", "booking_status", "currency",
           "apartment_id", "total_price_usd")
-        .localCheckpoint(true)
       val touched = corrected
         .filter(col("currency") === "EUR" &&
           col("booking_status") === "confirmed")

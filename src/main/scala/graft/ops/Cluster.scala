@@ -210,7 +210,11 @@ object Cluster {
                k: Int, iters: Int,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    // materialized once: both pair-join sides AND the survivor
+    // anti-join consume the assignment — un-checkpointed, the argmax
+    // assignment scan is planned three times (guide §2.4)
     val assigned = kmeansAssign(vectors, k, iters, idCol, vecCol)
+      .localCheckpoint(true)
     val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
       col("e").as("va"))
     val b = assigned.select(col("cluster"), col(idCol).as("id_b"),

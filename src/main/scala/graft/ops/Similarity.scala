@@ -780,6 +780,10 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("words").as("qw"))
     val hw = Window.partitionBy("query_id")
       .orderBy(col("hamming"), col("corpus_id"))
+    // materialized once: the exact-rerank scoring AND the final
+    // hamming re-attach join both consume the candidates — un-
+    // checkpointed, the corpus×queries Hamming scan + rerank window
+    // runs twice (guide §2.4). ≤ rerank·|queries| id rows.
     val cand = cW.crossJoin(broadcast(qW))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -787,6 +791,7 @@ object Similarity {
       .withColumn("hrank", row_number().over(hw))
       .filter(col("hrank") <= rerank)
       .select("query_id", "corpus_id", "hamming")
+      .localCheckpoint(true)
     rankTopK(scoreCandidates(cand, q, c), k)
       .join(cand, Seq("query_id", "corpus_id"))
       .select("query_id", "rank", "corpus_id", "hamming", "cosine_sim")

@@ -73,9 +73,13 @@ object Sketch {
                       depth: Int = 4, width: Int = 256,
                       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized once: the CMS build AND the exact top-k count both
+    // consume the token stream — un-checkpointed, the tokenize +
+    // explode pass runs twice (guide §2.4). Single-column token rows.
     val toks = docs.select(
       explode(TextOps.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
+      .localCheckpoint(true)
     val cms = cmsBuild(toks, depth, width)
 
     val top = toks.groupBy("tok").agg(count(lit(1)).as("exact"))

@@ -2002,7 +2002,16 @@ object TextOps {
                              stratumCol: String, textCol: String,
                              idCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val rules = gopherRules(docs, textCol = textCol, idCol = idCol)
+    // rules checkpoint: the pass gate feeds FOUR downstream plan
+    // branches (candidates, verify sets, dedup scores, the surviving
+    // semi-join) and the manifest re-reads the verdicts — un-
+    // checkpointed, the full gopherRules expression battery runs once
+    // per branch (guide §2.4). (id, verdicts) rows only; the UNSORTED
+    // variant, so the checkpoint doesn't materialize the presentation
+    // sort no stage consumer needs (joins are order-blind).
+    val rules = gopherRulesUnsorted(docs, textCol = textCol,
+        idCol = idCol)
+      .localCheckpoint(true)
     val passed = docs.join(rules.filter(col("passes")).select(col(idCol)),
       Seq(idCol), "left_semi")
     val verified = Dedup.jaccardVerify(
@@ -2015,6 +2024,8 @@ object TextOps {
       passed.select(col(idCol),
         size(tokens(col(textCol))).cast(LongType).as("score")),
       idCol = idCol, srcCol = "id_a", dstCol = "id_b")
+      .localCheckpoint(true) // ids only; feeds the sampling semi-join
+                             // AND the manifest decision join
     val surviving = docs.join(kept, Seq(idCol), "left_semi")
     val sampled = temperatureSample(surviving, budget, stratumCol,
       textCol, idCol)
